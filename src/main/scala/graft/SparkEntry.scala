@@ -1,13 +1,532 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.eval.{LatencyStats, RecallAtK}
+import graft.index.CollectionCatalog
+import graft.ingest.DocumentIngest
+import graft.model.Tables
+import graft.multimodal.Multimodal
+import graft.search.{IvfIndex, KnnExact, LshIndex}
+import graft.streaming.EventOps
+import graft.textual.TextAnalysis
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2),
+  * each paired with equivalent DuckDB SQL in [[SparkEntry.oracleSql]]
+  * (omitted only for hash-seeded approximate ops, which get rows-only
+  * checks and recall-floor ScalaTests instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Query-vector side for kNN queries: the first `n` collection vectors. */
+  private def queryVectors(spark: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < n)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+
+  /** DuckDB L2 distance between two array columns, arithmetic mirrored
+    * element-for-element against VectorFunctions.l2 (double-cast before
+    * the fold).
+    */
+  private def l2Sql(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(range(1, len($a)+1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** DuckDB whitespace tokens of trimmed text (mirror of TextFunctions.tokens). */
+  private def toksSql(t: String): String =
+    s"CASE WHEN length(trim($t)) = 0 THEN [] ELSE regexp_split_to_array(trim($t), '\\s+') END"
+
+  /** DuckDB distinct word-3-gram shingles (mirror of TextFunctions.wordShingles). */
+  private val shinglesSql: String =
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+
+  /** Exact-jaccard near-dup pair SQL (oracle for both the all-pairs and
+    * the MinHash-LSH operator — LSH recall is 1.0 at this threshold/band
+    * config, asserted in DedupSpec).
+    */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END AS jac
+       |      FROM t a, t b WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("knn_exact_multi")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // J1: exact kNN, single query — TakeOrderedAndProject path.
+    "knn_exact_top10" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 1)
+      KnnExact.topK(q, emb, 10)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("qid", "rk")
+    }),
+
+    // J1 batch: exact kNN, 5 queries, per-query top-10 window.
+    "knn_exact_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 5)
+      KnnExact.topK(q, emb, 10)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("qid", "rk")
+    }),
+
+    // Cosine-similarity top-k variant.
+    "knn_cosine_top10" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 5)
+      KnnExact.topKCosine(q, emb, 10)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rk")
+    }),
+
+    // J3 + A10: Recall@K of cosine ranking vs L2 ground truth.
+    "recall_l2_vs_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 5)
+      val gt = KnnExact.topK(q, emb, 10)
+      val ret = KnnExact.topKCosine(q, emb, 10)
+      RecallAtK.evaluate(gt, ret, Seq(5, 10)).orderBy("qid")
+    }),
+
+    // S7/F5/W2/A1 + C3-C5: cumulative prefix-collection catalog with
+    // name format + parse round-trip.
+    "collection_counts" -> ((s, dir) => {
+      val base = CollectionCatalog.seqFromId(Tables.documents(s, dir), "doc_id")
+      CollectionCatalog.cumulativeCounts(base, 100)
+        .withColumn("parsed_pages", CollectionCatalog.parsePages(col("collection")))
+        .orderBy("cidx")
+    }),
+
+    // F1+F2+F3: ingest cleaning.
+    "clean_documents" -> ((s, dir) => {
+      DocumentIngest.clean(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("seq"))
+        .orderBy("doc_id")
+    }),
+
+    // A2-A6: benchmark statistics (mean/median/stddev_samp/stddev_pop).
+    "latency_stats" -> ((s, dir) =>
+      LatencyStats.stats(Tables.events(s, dir), Seq("event_type"), "value")),
+
+    // A7: grand mean across per-user means.
+    "grand_stats" -> ((s, dir) =>
+      LatencyStats.grandMean(Tables.events(s, dir), Seq("user_id"), Seq("event_type"), "value")),
+
+    // A1-A8 relational surface: TPC-H Q1-shaped aggregation. Money sums go
+    // through exact DECIMAL arithmetic: float sums are order-dependent and
+    // the true cents values land exactly on round-half boundaries ~1% of
+    // the time, where engines would disagree.
+    "q1_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      val qty = col("l_quantity").cast("decimal(14,2)")
+      val price = col("l_extendedprice").cast("decimal(14,2)")
+      val oneMinusDisc = lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)")
+      val onePlusTax = lit(1).cast("decimal(6,4)") + col("l_tax").cast("decimal(6,4)")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(qty), 2).cast("double").as("sum_qty"),
+          round(sum(price), 2).cast("double").as("sum_base_price"),
+          round(sum(price * oneMinusDisc), 2).cast("double").as("sum_disc_price"),
+          round(sum(price * oneMinusDisc * onePlusTax), 2).cast("double").as("sum_charge"),
+          round(sum(qty).cast("double") / count(lit(1)), 4).as("avg_qty"),
+          round(sum(price).cast("double") / count(lit(1)), 4).as("avg_price"),
+          round(sum(col("l_discount").cast("decimal(8,2)")).cast("double") / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Broadcast-join pipeline: TPC-H Q3-shaped top-revenue orders.
+    "q3_top_orders" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(rev), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("revenue"),
+          col("o_orderdate").cast("timestamp").cast("long").as("o_date_sec"), col("o_orderpriority"))
+    }),
+
+    // J4 semi-join: orders that have lineitems, counted by status.
+    "orders_semi" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // J4 anti-join: orders with no lineitems (skip-existing pattern).
+    "orders_anti" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Frame-spec window: per-supplier running revenue.
+    "running_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_suppkey") <= 5)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
+      li.withColumn("running_revenue", round(sum(rev).over(w), 2).cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_shipdate").cast("timestamp").cast("long").as("ship_sec"), col("running_revenue"))
+        .orderBy("l_suppkey", "ship_sec", "l_orderkey", "l_linenumber")
+    }),
+
+    // Event-time tumbling window (batch twin of the streaming agg).
+    "events_window_counts" -> ((s, dir) => EventOps.tumblingCounts(Tables.events(s, dir))),
+
+    // session_window sessionization.
+    "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
+
+    // Stateful-dedup semantics in batch: first event per (user, type).
+    "events_first" -> ((s, dir) => EventOps.firstEventPerUserType(Tables.events(s, dir))),
+
+    // JSON extraction over props.
+    "events_json_stats" -> ((s, dir) => EventOps.propsKStats(Tables.events(s, dir))),
+
+    // Exact dedup.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("text_hash")),
+
+    // N-gram Jaccard near-dup, all-pairs (quadratic baseline).
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6).orderBy("id_a", "id_b")),
+
+    // MinHash-LSH near-dup (the scale path; same verified output).
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minHash(Tables.documents(s, dir), 3, 0.6, numHashes = 16).orderBy("id_a", "id_b")),
+
+    // SimHash near-dup (hash-seeded; rows-only check + ScalaTest).
+    // maxHamming=3 keeps the 4×16-bit banding exhaustive (pigeonhole).
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHash(Tables.documents(s, dir), maxHamming = 3).orderBy("id_a", "id_b")),
+
+    // Embedding-cosine near-dup pairs.
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), 0.4).orderBy("id_a", "id_b")),
+
+    // Language-ID heuristic.
+    "lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // Quality scoring.
+    "quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"), col("distinct_ratio"),
+          col("stopword_ratio"), col("punct_ratio"), col("quality_score"))
+        .orderBy("doc_id")),
+
+    // Token counting (whitespace + BPE-ish regex).
+    "token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // Rolling-hash document fingerprint.
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy("doc_id")),
+
+    // Multimodal binary plumbing: payload metadata.
+    "multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.metadata(media)
+        .select(col("id"), col("byte_len").cast("long").as("byte_len"),
+          col("sha256"), upper(col("magic_hex")).as("magic_hex"))
+        .orderBy("id")
+    }),
+
+    // M4/J2: LSH approximate kNN (hash-seeded; rows-only + recall test).
+    "ann_lsh_top10" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 5)
+      val idx = LshIndex.fit(emb, numHashTables = 8, bucketLength = 2.0)
+      idx.topK(q, emb, 10, radius = 5.0)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"), col("dist"))
+        .orderBy("qid", "rk")
+    }),
+
+    // IVF approximate kNN — deterministic, fully oracle-checkable.
+    "ann_ivf_top5" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = IvfIndex.seedCentroids(emb, 8)
+      val assigned = IvfIndex.assign(emb, cent)
+      val q = queryVectors(s, dir, 5)
+      IvfIndex.search(q, assigned, cent, k = 5, nprobe = 2)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("qid", "rk")
+    }),
+
+    // M1-M3: deterministic TF-IDF embedder (invariants oracle-checked;
+    // values covered by EmbedderSpec).
+    "embed_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.embed.TfIdfEmbedder.fit(docs, "text", 64)
+      val out = model.embed(docs, "text", "embedding")
+      out.select(col("doc_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(graft.functions.VectorFunctions.norm(col("embedding")), 4).as("l2norm"))
+        .orderBy("doc_id")
+    }))
+
+  // ---------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "knn_exact_top10" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 1),
+         |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q),
+         |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    "knn_exact_multi" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q),
+         |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    "knn_cosine_top10" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim FROM embeddings c, q),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    "recall_l2_vs_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist,
+         |        ${cosSql("q.qemb", "c.embedding")} AS sim FROM embeddings c, q),
+         |gt AS (SELECT qid, list(vec_id ORDER BY rk) AS ids FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d) WHERE rk <= 10 GROUP BY qid),
+         |rt AS (SELECT qid, list(vec_id ORDER BY rk) AS ids FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d) WHERE rk <= 10 GROUP BY qid)
+         |SELECT gt.qid,
+         |  round(CASE WHEN len(gt.ids[1:5]) = 0 OR len(rt.ids[1:5]) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(gt.ids[1:5], rt.ids[1:5])) AS DOUBLE) / CAST(len(gt.ids[1:5]) AS DOUBLE) END, 4) AS recall_5,
+         |  round(CASE WHEN len(gt.ids[1:10]) = 0 OR len(rt.ids[1:10]) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(gt.ids[1:10], rt.ids[1:10])) AS DOUBLE) / CAST(len(gt.ids[1:10]) AS DOUBLE) END, 4) AS recall_10
+         |FROM gt JOIN rt ON gt.qid = rt.qid ORDER BY gt.qid""".stripMargin,
+
+    "collection_counts" ->
+      """WITH b AS (SELECT CAST(ceil((doc_id + 1) / 100.0) AS BIGINT) AS cidx, count(*) AS c
+        |  FROM documents GROUP BY 1)
+        |SELECT printf('collection_%04d_%dpages', cidx, cidx * 100) AS collection, cidx,
+        |  CAST(sum(c) OVER (ORDER BY cidx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS num_documents,
+        |  CAST(replace(split_part(printf('collection_%04d_%dpages', cidx, cidx * 100), '_', 3), 'pages', '') AS BIGINT) AS parsed_pages
+        |FROM b ORDER BY cidx""".stripMargin,
+
+    "clean_documents" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(length(regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g')) AS BIGINT) AS n_chars,
+        |  doc_id + 1 AS seq
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(trim(text)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "latency_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS mean_v,
+        |  round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median_v,
+        |  round(coalesce(stddev_samp(value), 0), 4) AS std_samp_v,
+        |  round(coalesce(stddev_pop(value), 0), 4) AS std_pop_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "grand_stats" ->
+      """WITH g AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS m
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, round(avg(m), 4) AS grand_mean, count(*) AS n_groups
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o.o_orderkey,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+        |  CAST(floor(epoch_us(o.o_orderdate) / 1000000) AS BIGINT) AS o_date_sec,
+        |  o.o_orderpriority
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+
+    "orders_semi" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "orders_anti" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "running_revenue" ->
+      """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(floor(epoch_us(l_shipdate) / 1000000) AS BIGINT) AS ship_sec,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, ship_sec, l_orderkey, l_linenumber""".stripMargin,
+
+    "events_window_counts" ->
+      """SELECT CAST(floor(epoch_us(ts) / 600000000) * 600 AS BIGINT) AS window_start_sec,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_sec, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |        THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id,
+        |  CAST(floor(min(us) / 1000000) AS BIGINT) AS session_start_sec,
+        |  CAST(floor(max(us) / 1000000) + 1800 AS BIGINT) AS session_end_sec,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_sec""".stripMargin,
+
+    "events_first" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+        |  CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS first_ts_sec
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rk FROM events)
+        |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "events_json_stats" ->
+      """SELECT k % 10 AS k_mod10, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
+        |WHERE k IS NOT NULL GROUP BY 1 ORDER BY k_mod10""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS kept_id, count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "dedup_ngram_jaccard" -> jaccardPairsSql(0.6),
+
+    "dedup_minhash" -> jaccardPairsSql(0.6),
+
+    "dedup_embedding_cosine" ->
+      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "lang_id" -> {
+      val langs = TextAnalysis.stopwords.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"SELECT doc_id, '$lang' AS lang, len(list_filter(toks, x -> x IN ($inList))) AS hits FROM t"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |s AS ($langs),
+         |r AS (SELECT doc_id, lang, hits, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rk FROM s)
+         |SELECT doc_id, CASE WHEN hits = 0 THEN 'und' ELSE lang END AS lang_pred
+         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "quality_score" -> {
+      val allStop = TextAnalysis.stopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS raw_mean_len,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS raw_distinct,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x IN ($allStop))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS raw_stop,
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS raw_punct
+         |  FROM t)
+         |SELECT doc_id, n_tokens, round(raw_mean_len, 4) AS mean_token_len,
+         |  round(raw_distinct, 4) AS distinct_ratio, round(raw_stop, 4) AS stopword_ratio,
+         |  round(raw_punct, 4) AS punct_ratio,
+         |  round(least(1.0, greatest(0.0,
+         |    0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * raw_distinct + 0.3 * (1.0 - raw_punct))), 4) AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "token_counts" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha256, upper(hex(encode(substr(text, 1, 4)))) AS magic_hex
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "ann_ivf_top5" -> {
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.embedding, c.cid, ${l2Sql("e.embedding", "c.cemb")} AS cdist FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, embedding, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rk FROM a) WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT q.qid, q.qemb, c.cid, ${l2Sql("q.qemb", "c.cemb")} AS cdist FROM q, cent c),
+         |probes AS (SELECT qid, qemb, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS crk FROM qc) WHERE crk <= 2),
+         |d AS (SELECT p.qid, s.vec_id, ${l2Sql("p.qemb", "s.embedding")} AS dist
+         |      FROM probes p JOIN asg s ON p.cell = s.cell),
+         |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    },
+
+    "embed_tfidf" ->
+      """SELECT doc_id, CAST(64 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2norm FROM documents ORDER BY doc_id""".stripMargin)
 }

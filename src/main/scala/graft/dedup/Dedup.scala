@@ -1,0 +1,167 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for a training-data pipeline: exact, n-gram
+  * Jaccard, MinHash-LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale posture: exact dedup is a single hash aggregation (map-side
+  * partial). Pairwise similarity is only ever computed on *candidate*
+  * pairs produced by a banded-signature equi-join (MinHash bands /
+  * SimHash bands) — the O(n²) all-pairs form exists solely as the
+  * correctness oracle at fixture scale.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per normalized-text hash. One
+    * shuffle, partial-aggregated; at 100 TB this is a plain groupBy on a
+    * 128-bit key.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(lower(trim(col(textCol)))))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dupes"))
+
+  /** All-pairs n-gram Jaccard near-dup (the quadratic baseline / oracle).
+    * Candidate generation at scale belongs to [[minHash]]. Emits unordered
+    * pairs (a < b) with similarity >= threshold.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Fixed deterministic (a, b) coefficients for the MinHash permutations
+    * h_i(x) = (a_i·x + b_i) mod p. SplitMix64-style mixing of the index —
+    * no RNG state, fully reproducible across runs and engines.
+    */
+  private def minHashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val za = (i + 1) * 0x9E3779B97F4A7C15L ^ 0xBF58476D1CE4E5B9L
+      val zb = (i + 1) * 0xD1B54A32D192ED03L ^ 0x94D049BB133111EBL
+      (math.floorMod(za, MersennePrime - 1) + 1, math.floorMod(zb, MersennePrime))
+    }
+
+  /** MinHash signature: for each permutation, the min of h_i over the
+    * document's shingle hashes. Pure fold expressions — no UDF.
+    */
+  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    val p = lit(MersennePrime)
+    val base = transform(shingles, s => pmod(xxhash64(s), p))
+    array(minHashCoeffs(numHashes).map { case (a, b) =>
+      aggregate(base, p, (acc, x) => least(acc, pmod(lit(a) * x + lit(b), p)))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding near-dup: signature → bands → equi-join on
+    * (band index, band hash) → exact Jaccard verify on candidates.
+    * This is the scalable path: the only join is an equi-join on compact
+    * band keys, and verification touches candidate pairs only. With
+    * r=1-row bands, P(candidate | s) = 1-(1-s)^b, so b=16 bands catches
+    * s >= 0.6 with P > 0.9999.
+    */
+  def minHash(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    // one row per (doc, band): band value = signature element (r = 1)
+    val banded = sh.select(col("id"), col("sh"), posexplode(col("sig")).as(Seq("band", "band_hash")))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("id_a"), col("x.sh").as("sh_a"),
+        col("y.id").as("id_b"), col("y.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash signatures, one row per document: explode tokens, vote
+    * per bit with a partial-aggregated groupBy (64 sum columns), then pack
+    * the sign bits into a long. Shuffle key is the doc id — scales linearly.
+    */
+  def simHashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val packed = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*).select(col("id"), packed.as("sig"))
+  }
+
+  /** SimHash near-dup: band the 64-bit signature into 4×16-bit chunks;
+    * pairs sharing any chunk are candidates (catches all pairs with
+    * Hamming distance <= 3 by pigeonhole); verify bit_count(xor).
+    */
+  def simHash(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sigs = simHashSignatures(docs, idCol, textCol)
+    val chunks = array((0 until 4).map { b =>
+      struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
+    }: _*)
+    val banded = sigs.select(col("id"), col("sig"), explode(chunks).as("bc"))
+      .select(col("id"), col("sig"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs (all-pairs form; the LSH-bucketed
+    * variant lives in graft.search.KnnApprox for the scale path).
+    */
+  def embeddingCosinePairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+  }
+}

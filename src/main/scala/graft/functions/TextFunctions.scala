@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by dedup and text-analysis operators: tokenizing,
+  * shingling, fingerprinting. All pure Catalyst expressions (codegen'd, no
+  * UDFs) so they survive on a 100 TB scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** A BPE-ish sub-token split: runs of letters, runs of digits, or single
+    * non-alphanumeric symbols (the usual pre-tokenizer shape for byte-pair
+    * encoders). Counted with regexp_count — no materialized array needed.
+    */
+  val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
+
+  /** Distinct word n-gram shingles ("a b c" strings). Fewer than n tokens →
+    * empty array (guard matters: sequence(1, len-2) with len<3 would count
+    * DOWN and explode).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val nShingles = size(toks) - (n - 1)
+    val mk = transform(
+      sequence(lit(1), nShingles),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    when(nShingles >= 1, array_distinct(mk)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double"))
+
+  /** Polynomial rolling-hash fingerprint of the full text:
+    * h = fold(chars, 0, (acc, c) -> (acc*31 + code(c)) mod 1_000_000_007).
+    * Deterministic, engine-portable (the DuckDB oracle reproduces it with
+    * list_reduce), and a stand-in for Rabin-Karp document fingerprinting.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+}

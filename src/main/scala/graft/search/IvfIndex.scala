@@ -1,0 +1,84 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the scale path for
+  * similarity search: partition the collection into Voronoi cells around
+  * centroids; a query probes only the `nprobe` nearest cells.
+  *
+  * At 100 TB the assignment becomes the *physical partitioning* of the
+  * stored table (write partitioned by cell id), so a probe is partition
+  * pruning — the scan reads nprobe/k of the data. Here centroids are
+  * deterministic (seed rows) so the whole operator is reproducible and
+  * oracle-checkable in SQL, unlike LSH/HNSW.
+  */
+object IvfIndex {
+
+  /** Cell assignment: nearest centroid per row (ties → lowest cid).
+    * Centroids are tiny → broadcast; argmin via min_by on (dist, cid).
+    */
+  def assign(
+      collection: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      cidCol: String = "cid",
+      cEmbCol: String = "cemb"): DataFrame =
+    collection
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2(col(embCol), col(cEmbCol)))
+      .groupBy(col(idCol))
+      .agg(
+        min(struct(col("cdist"), col(cidCol))).as("best"),
+        first(col(embCol)).as(embCol))
+      .select(col(idCol), col(embCol), col("best").getField(cidCol).as("cell"))
+
+  /** IVF search: rank centroids per query, probe the nprobe nearest
+    * cells, exact top-k within the probed subset.
+    */
+  def search(
+      queries: DataFrame,
+      assigned: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int,
+      qidCol: String = "qid",
+      qEmbCol: String = "qemb",
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      cidCol: String = "cid",
+      cEmbCol: String = "cemb"): DataFrame = {
+    val wC = Window.partitionBy(col(qidCol)).orderBy(col("cdist").asc, col(cidCol).asc)
+    val probes = broadcast(queries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2(col(qEmbCol), col(cEmbCol)))
+      .withColumn("crk", row_number().over(wC))
+      .filter(col("crk") <= nprobe)
+      .select(col(qidCol), col(qEmbCol), col(cidCol).as("cell"))
+    // equi-join on cell — at scale this is partition pruning, not a shuffle
+    // of the collection (cell count << row count; probe side broadcast).
+    val wK = Window.partitionBy(col(qidCol)).orderBy(col("dist").asc, col(idCol).asc)
+    broadcast(probes)
+      .join(assigned, Seq("cell"))
+      .withColumn("dist", l2(col(qEmbCol), col(embCol)))
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("rk"), round(col("dist"), 4).as("dist"))
+  }
+
+  /** Deterministic seed centroids: the first k rows by id (a real system
+    * would k-means; seeded selection keeps the operator oracle-equal).
+    */
+  def seedCentroids(
+      collection: DataFrame,
+      numCells: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    collection
+      .filter(col(idCol) < numCells)
+      .select(col(idCol).cast("int").as("cid"), col(embCol).as("cemb"))
+}

@@ -1,0 +1,91 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Exact k-nearest-neighbor search — the reference's brute-force oracle
+  * (`brute_force_search`, chromadb_acc_experiment.py:508-537): L2 distance
+  * from the query to every collection row, take top-k.
+  *
+  * Spark-first shape (SURVEY.md §2.3 J1): the tiny query side is
+  * broadcast and cross-joined against the collection (Catalyst plans a
+  * BroadcastNestedLoopJoin — no shuffle of the big side), distance is a
+  * codegen'd column expression, and top-k per query is a ranking window.
+  * Spark ≥3.5 pushes the `row_number <= k` filter into the window exchange
+  * (WindowGroupLimit), so only ~k rows per input partition are shuffled —
+  * this is what keeps the operator viable on a 1000-executor cluster:
+  * shuffle volume is O(k · partitions), not O(N).
+  *
+  * For a single query vector, `ORDER BY dist LIMIT k` plans as
+  * TakeOrderedAndProject (per-partition heap + driver merge, no shuffle).
+  */
+object KnnExact {
+
+  /** Batch form: one row per (query, neighbor), `rk` 1..k per query.
+    *
+    * @param queries    small DataFrame of (qidCol, qEmbCol) — broadcast.
+    * @param collection large DataFrame of (idCol, embCol).
+    * @param scoreAsc   ascending scoring column builder, e.g. L2 distance
+    *                   (ascending = nearer first).
+    */
+  def topKBy(
+      queries: DataFrame,
+      collection: DataFrame,
+      k: Int,
+      qidCol: String,
+      idCol: String,
+      scoreAsc: (Column, Column) => Column,
+      qEmbCol: String = "qemb",
+      embCol: String = "embedding",
+      scoreName: String = "dist"): DataFrame = {
+    val scored = broadcast(queries)
+      .crossJoin(collection)
+      .withColumn(scoreName, scoreAsc(col(qEmbCol), col(embCol)))
+    // Deterministic tie-break on id: numpy argsort in the reference is
+    // stable; Spark sort is not — (score, id) ordering keeps both engines
+    // and the DuckDB oracle in agreement (SURVEY.md §7.4).
+    val w = Window.partitionBy(col(qidCol)).orderBy(col(scoreName).asc, col(idCol).asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("rk"), col(scoreName))
+  }
+
+  /** L2 top-k (the reference's metric). */
+  def topK(
+      queries: DataFrame,
+      collection: DataFrame,
+      k: Int,
+      qidCol: String = "qid",
+      idCol: String = "vec_id"): DataFrame =
+    topKBy(queries, collection, k, qidCol, idCol, (q, c) => l2(q, c))
+
+  /** Cosine-similarity top-k (descending similarity ≡ ascending negated). */
+  def topKCosine(
+      queries: DataFrame,
+      collection: DataFrame,
+      k: Int,
+      qidCol: String = "qid",
+      idCol: String = "vec_id"): DataFrame =
+    topKBy(queries, collection, k, qidCol, idCol, (q, c) => -cosine(q, c), scoreName = "negsim")
+      .withColumn("sim", -col("negsim"))
+      .drop("negsim")
+
+  /** Single-query form: no window, no shuffle — TakeOrderedAndProject. */
+  def topKSingle(
+      collection: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = lit(queryVec.toArray)
+    collection
+      .withColumn("dist", l2(q, col(embCol)))
+      .select(col(idCol), col("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Schemas
+
+/** Event-time operators over the events table. The reference is batch-only
+  * (SURVEY.md §2.10) — these are the generalized-engine extension. Every
+  * transform here runs identically on a static DataFrame (so the DuckDB
+  * oracle applies) and on a stream (readStream + watermark), because
+  * `window`/`session_window` are engine-agnostic Catalyst constructs.
+  */
+object EventOps {
+
+  /** Tumbling event-time window aggregation. Emits epoch-second window
+    * starts (integer — timestamp-encoding-proof for the oracle compare).
+    */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("w.start").cast("long").as("window_start_sec"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_sec"), col("event_type"))
+
+  /** Per-user sessionization with a gap timeout. Spark's session_window
+    * closes a session when the next event is >= gap after the previous
+    * one; session end = last event + gap.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("w.start").cast("long").as("session_start_sec"),
+        col("w.end").cast("long").as("session_end_sec"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_sec"))
+
+  /** Stateful-dedup semantics in batch form: first event per
+    * (user_id, event_type), earliest ts with event_id tie-break — the
+    * batch twin of dropDuplicatesWithinWatermark.
+    */
+  def firstEventPerUserType(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+      .select(
+        col("user_id"), col("event_type"),
+        col("first.event_id").as("first_event_id"),
+        col("first.ts").cast("long").as("first_ts_sec"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** JSON property extraction (the `props` column, e.g. {"k": 69}) +
+    * aggregation by the extracted value's bucket.
+    */
+  def propsKStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy((col("k") % 10).as("k_mod10"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)), 4).as("avg_value"))
+      .orderBy(col("k_mod10"))
+
+  /** Streaming twin of [[tumblingCounts]]: parquet dir → watermarked
+    * windowed agg → memory sink. Returns the started query; callers use
+    * processAllAvailable() + the `queryName` memory table.
+    */
+  def streamTumblingCounts(
+      spark: SparkSession,
+      parquetDir: String,
+      queryName: String,
+      width: String = "10 minutes",
+      watermark: String = "1 hour"): StreamingQuery = {
+    val stream = spark.readStream.schema(Schemas.events).parquet(parquetDir)
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("window_start_sec"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.textual
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * narrow, codegen'd per-row transforms — the ideal 100 TB shape (no
+  * shuffle at all until a downstream aggregation).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-overlap
+    * language-ID heuristic. Deterministic and engine-portable (the DuckDB
+    * oracle uses the same lists).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  /** Occurrence count of any word from `words` among the text's tokens. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Predicted language: argmax stopword hits, ties broken by language
+    * code (alphabetical), all-zero → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords
+      .map { case (lang, words) => struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang")) }
+    // array_max on (hits, lang) structs is lexicographic: max hits, then
+    // max lang — to get alphabetical-first ties we compare on (hits, reversed
+    // rank) instead: encode rank so earlier alphabetical wins.
+    val ranked = stopwords.map(_._1).sorted.reverse.zipWithIndex.toMap
+    val scoredRk = stopwords.map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("hits"), lit(ranked(lang)).as("rk"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scoredRk: _*))
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Per-document quality features + a composite score in [0,1]:
+    * token count, mean token length, distinct-token ratio, stopword ratio,
+    * punctuation ratio — the length/punct/stopword heuristics of standard
+    * pretraining-data quality filters.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nToks = size(toks).cast("double")
+    val allStop = stopwords.flatMap(_._2)
+    // Raw (unrounded) ratios: the composite score must be computed from
+    // these, not the rounded display columns — combining 4-decimal-rounded
+    // values lands exactly on round-half boundaries (e.g. 0.83635) where
+    // engines disagree; raw ratios make boundary hits measure-zero.
+    val rawDistinct = when(nToks === 0, 0.0).otherwise(size(array_distinct(toks)).cast("double") / nToks)
+    val rawPunct = when(length(t) === 0, 0.0).otherwise(
+      (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))).cast("double") /
+        length(t).cast("double"))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_token_len",
+        round(when(nToks === 0, 0.0).otherwise(
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / nToks), 4))
+      .withColumn("distinct_ratio", round(rawDistinct, 4))
+      .withColumn("stopword_ratio",
+        round(when(nToks === 0, 0.0).otherwise(
+          size(filter(toks, x => x.isInCollection(allStop))).cast("double") / nToks), 4))
+      .withColumn("punct_ratio", round(rawPunct, 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0), greatest(lit(0.0),
+          lit(0.4) * least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)) +
+            lit(0.3) * rawDistinct +
+            lit(0.3) * (lit(1.0) - rawPunct))), 4))
+  }
+
+  /** Token counts (whitespace + BPE-ish regex) per document. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_ws_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("n_bpe_tokens", bpeTokenCount(col(textCol)).cast("long"))
+
+  /** Rolling-hash fingerprint per document. */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", rollingHash(col(textCol)))
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run Verify output
+against DuckDB oracle SQL on the same parquet fixtures and compare
+row-by-row (columns sorted by name, rows sorted, values hashed).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, os, sys, glob
+import duckdb
+
+def canon(df):
+    # columns sorted by name; rows sorted by all columns; floats rounded
+    cols = sorted(df.columns)
+    df = df[cols]
+    recs = df.values.tolist()
+    def norm(v):
+        if isinstance(v, float):
+            return round(v, 6)
+        return v
+    rows = sorted([tuple(norm(v) for v in r) for r in recs], key=lambda r: str(r))
+    return cols, rows
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        if not os.path.isdir(qdir):
+            continue
+        qname = os.path.basename(qdir)
+        got = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+        if qname not in oracle:
+            print(f"  ~ {qname}: rows-only check, rows={len(got)}", "OK" if len(got) >= 0 else "")
+            continue
+        try:
+            exp = con.sql(oracle[qname]).df()
+        except Exception as e:
+            print(f"  ✗ {qname}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        gc, gr = canon(got)
+        ec, er = canon(exp)
+        if gc != ec:
+            print(f"  ✗ {qname}: column mismatch spark={gc} oracle={ec}")
+            n_fail += 1
+        elif len(gr) != len(er):
+            print(f"  ✗ {qname}: row count spark={len(gr)} oracle={len(er)}")
+            n_fail += 1
+        elif gr != er:
+            diffs = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            print(f"  ✗ {qname}: value mismatch, first diffs: {diffs}")
+            n_fail += 1
+        else:
+            print(f"  ✓ {qname}: {len(gr)} rows match")
+            n_pass += 1
+    print(f"PASS {n_pass} FAIL {n_fail}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
