@@ -232,7 +232,7 @@ object SparkEntry {
 
     // MinHash-LSH near-dup (the scale path; same verified output).
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minHash(Tables.documents(s, dir), 3, 0.6, numHashes = 16).orderBy("id_a", "id_b")),
+      Dedup.minHash(Tables.documents(s, dir), 3, 0.6).orderBy("id_a", "id_b")),
 
     // SimHash near-dup (hash-seeded; rows-only check + ScalaTest).
     // maxHamming=3 keeps the 4×16-bit banding exhaustive (pigeonhole).

@@ -35,10 +35,22 @@ object TextFunctions {
     when(nShingles >= 1, array_distinct(mk)).otherwise(array().cast("array<string>"))
   }
 
-  /** Jaccard similarity of two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0))
-      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double"))
+  /** Jaccard similarity of two distinct-element arrays.
+    * |A∪B| = |A|+|B|-|A∩B| — one intersect, no union materialization
+    * (array_union builds a hash set per pair; sizes are free).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** Distinct xxhash64 values of an array of shingle strings: set
+    * operations on longs are several times cheaper than on strings, and
+    * (collision probability ~n²/2^64) set sizes — hence Jaccard — are
+    * preserved exactly.
+    */
+  def hashedSet(a: Column): Column = array_distinct(transform(a, s => xxhash64(s)))
 
   /** Polynomial rolling-hash fingerprint of the full text:
     * h = fold(chars, 0, (acc, c) -> (acc*31 + code(c)) mod 1_000_000_007).

@@ -42,4 +42,13 @@ object VectorFunctions {
 
   /** Cosine similarity: dot(a,b) / (|a||b|). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  // Codegen'd fast paths (identical arithmetic, see VectorExpressions;
+  // callers must VectorExpressions.ensureRegistered(spark) first).
+
+  def l2Fast(a: Column, b: Column): Column = sqrt(VectorExpressions.l2Sq(a, b))
+
+  def cosineFast(a: Column, b: Column): Column =
+    VectorExpressions.dot(a, b) /
+      (sqrt(VectorExpressions.dot(a, a)) * sqrt(VectorExpressions.dot(b, b)))
 }

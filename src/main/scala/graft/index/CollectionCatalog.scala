@@ -23,11 +23,14 @@ object CollectionCatalog {
 
   /** Parse a collection name back to its page count — the reference parses
     * names at startup to find the resume point (create_collections.py:180-198:
-    * split('_'), strip 'pages', int()). Invalid names → null (the
-    * reference's try/except ≡ Spark's null-on-failed-cast).
+    * split('_'), strip 'pages', int()). Invalid names → null, mirroring the
+    * reference's try/except; a regex guard keeps ANSI mode (Spark 4
+    * default) from throwing on malformed input.
     */
-  def parsePages(name: Column): Column =
-    regexp_replace(element_at(split(name, "_"), 3), "pages", "").cast("long")
+  def parsePages(name: Column): Column = {
+    val digits = regexp_extract(name, "^collection_[0-9]+_([0-9]+)pages$", 1)
+    when(digits === "", lit(null).cast("long")).otherwise(digits.cast("long"))
+  }
 
   /** Assign the global ingest sequence (SURVEY.md §2.5 W2).
     *

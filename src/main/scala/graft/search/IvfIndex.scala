@@ -27,15 +27,17 @@ object IvfIndex {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       cidCol: String = "cid",
-      cEmbCol: String = "cemb"): DataFrame =
+      cEmbCol: String = "cemb"): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(collection.sparkSession)
     collection
       .crossJoin(broadcast(centroids))
-      .withColumn("cdist", l2(col(embCol), col(cEmbCol)))
+      .withColumn("cdist", l2Fast(col(embCol), col(cEmbCol)))
       .groupBy(col(idCol))
       .agg(
         min(struct(col("cdist"), col(cidCol))).as("best"),
         first(col(embCol)).as(embCol))
       .select(col(idCol), col(embCol), col("best").getField(cidCol).as("cell"))
+  }
 
   /** IVF search: rank centroids per query, probe the nprobe nearest
     * cells, exact top-k within the probed subset.
@@ -52,10 +54,11 @@ object IvfIndex {
       embCol: String = "embedding",
       cidCol: String = "cid",
       cEmbCol: String = "cemb"): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(queries.sparkSession)
     val wC = Window.partitionBy(col(qidCol)).orderBy(col("cdist").asc, col(cidCol).asc)
     val probes = broadcast(queries)
       .crossJoin(broadcast(centroids))
-      .withColumn("cdist", l2(col(qEmbCol), col(cEmbCol)))
+      .withColumn("cdist", l2Fast(col(qEmbCol), col(cEmbCol)))
       .withColumn("crk", row_number().over(wC))
       .filter(col("crk") <= nprobe)
       .select(col(qidCol), col(qEmbCol), col(cidCol).as("cell"))
@@ -64,7 +67,7 @@ object IvfIndex {
     val wK = Window.partitionBy(col(qidCol)).orderBy(col("dist").asc, col(idCol).asc)
     broadcast(probes)
       .join(assigned, Seq("cell"))
-      .withColumn("dist", l2(col(qEmbCol), col(embCol)))
+      .withColumn("dist", l2Fast(col(qEmbCol), col(embCol)))
       .withColumn("rk", row_number().over(wK))
       .filter(col("rk") <= k)
       .select(col(qidCol), col(idCol), col("rk"), round(col("dist"), 4).as("dist"))

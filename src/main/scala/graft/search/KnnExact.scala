@@ -41,6 +41,7 @@ object KnnExact {
       qEmbCol: String = "qemb",
       embCol: String = "embedding",
       scoreName: String = "dist"): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(collection.sparkSession)
     val scored = broadcast(queries)
       .crossJoin(collection)
       .withColumn(scoreName, scoreAsc(col(qEmbCol), col(embCol)))
@@ -61,7 +62,7 @@ object KnnExact {
       k: Int,
       qidCol: String = "qid",
       idCol: String = "vec_id"): DataFrame =
-    topKBy(queries, collection, k, qidCol, idCol, (q, c) => l2(q, c))
+    topKBy(queries, collection, k, qidCol, idCol, (q, c) => l2Fast(q, c))
 
   /** Cosine-similarity top-k (descending similarity ≡ ascending negated). */
   def topKCosine(
@@ -70,7 +71,7 @@ object KnnExact {
       k: Int,
       qidCol: String = "qid",
       idCol: String = "vec_id"): DataFrame =
-    topKBy(queries, collection, k, qidCol, idCol, (q, c) => -cosine(q, c), scoreName = "negsim")
+    topKBy(queries, collection, k, qidCol, idCol, (q, c) => -cosineFast(q, c), scoreName = "negsim")
       .withColumn("sim", -col("negsim"))
       .drop("negsim")
 
@@ -81,9 +82,10 @@ object KnnExact {
       k: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(collection.sparkSession)
     val q = lit(queryVec.toArray)
     collection
-      .withColumn("dist", l2(q, col(embCol)))
+      .withColumn("dist", l2Fast(q, col(embCol)))
       .select(col(idCol), col("dist"))
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)

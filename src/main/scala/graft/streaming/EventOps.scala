@@ -70,14 +70,28 @@ object EventOps {
   /** Streaming twin of [[tumblingCounts]]: parquet dir → watermarked
     * windowed agg → memory sink. Returns the started query; callers use
     * processAllAvailable() + the `queryName` memory table.
+    *
+    * The file source needs a *directory*; the fixture dir mixes tables, so
+    * a glob filter selects the events file. The TIMESTAMP(NANOS) column is
+    * declared long and truncated to micros, as in [[graft.model.Tables.events]].
     */
   def streamTumblingCounts(
       spark: SparkSession,
       parquetDir: String,
       queryName: String,
       width: String = "10 minutes",
-      watermark: String = "1 hour"): StreamingQuery = {
-    val stream = spark.readStream.schema(Schemas.events).parquet(parquetDir)
+      watermark: String = "1 hour",
+      glob: String = "events.parquet"): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = org.apache.spark.sql.types.StructType(Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val stream = spark.readStream
+      .schema(nanosSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(parquetDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.model.Tables
+
+class DedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("exact dedup keeps the lowest id per duplicated text") {
+    val df = Seq((1L, "a b c"), (5L, "a b c"), (3L, " a b c "), (7L, "x y")).toDF("doc_id", "text")
+    val kept = Dedup.exact(df).collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // trim-normalized: ids 1,5,3 collapse to kept_id=1 with 3 dupes
+    assert(kept.toSeq === Seq((1L, 3L), (7L, 1L)))
+  }
+
+  test("minhash LSH finds exactly the all-pairs jaccard result (full recall)") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minHash(docs, 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("identical docs have identical simhash (hamming 0) and near-dups are close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different words entirely unrelated content zebra xylophone")).toDF("doc_id", "text")
+    val pairs = Dedup.simHash(df, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L && r.getInt(2) === 0))
+    assert(!pairs.exists(r => r.getLong(1) === 3L))
+  }
+
+  test("embedding cosine near-dup pairs are symmetric-free (a < b) and above threshold") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = Dedup.embeddingCosinePairs(emb, 0.4).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.4))
+  }
+
+  test("jaccard pair outputs are deterministic across runs") {
+    val r1 = Dedup.ngramJaccardPairs(docs, 3, 0.6).collect().toSeq
+    val r2 = Dedup.ngramJaccardPairs(docs, 3, 0.6).collect().toSeq
+    assert(r1.toSet === r2.toSet)
+  }
+}

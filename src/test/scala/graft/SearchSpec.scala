@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.eval.RecallAtK
+import graft.model.Tables
+import graft.search.{IvfIndex, KnnExact, LshIndex}
+
+class SearchSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir).cache()
+  private lazy val queries = emb.filter($"vec_id" < 5)
+    .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+
+  test("exact topK returns k sorted rows per query, self at rank 1") {
+    val res = KnnExact.topK(queries, emb, 10).collect()
+    assert(res.length === 50)
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to 10))
+      // the query vector is in the collection: rank-1 is itself, dist 0
+      assert(sorted.head.getLong(1) === qid)
+      assert(sorted.head.getDouble(3) === 0.0)
+      // distances non-decreasing
+      val ds = sorted.map(_.getDouble(3)).toSeq
+      assert(ds === ds.sorted)
+    }
+  }
+
+  test("topKSingle agrees with windowed topK for the same query") {
+    val qvec = emb.filter($"vec_id" === 0).head().getSeq[Float](1)
+    val single = KnnExact.topKSingle(emb, qvec, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val multi = KnnExact.topK(queries.filter($"qid" === 0), emb, 10)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(single.toSeq === multi.toSeq)
+  }
+
+  test("recall of exact vs itself is 1.0; empty retrieved gives 0.0") {
+    val gt = KnnExact.topK(queries, emb, 10)
+    val r = RecallAtK.evaluate(gt, gt, Seq(5, 10)).collect()
+    assert(r.forall(row => row.getDouble(1) === 1.0 && row.getDouble(2) === 1.0))
+    val empty = gt.filter(lit(false))
+    val r0 = RecallAtK.evaluate(gt, empty, Seq(5))
+    // left join: missing retrieved side -> null array -> recall 0.0
+    assert(r0.collect().forall(_.getDouble(1) === 0.0))
+  }
+
+  test("recall denominator is |GT[:k]|, not k (k > collection size)") {
+    val tiny = emb.filter($"vec_id" < 3) // 3 rows, k=10
+    val gt = KnnExact.topK(queries.filter($"qid" === 0), tiny, 10)
+    val r = RecallAtK.evaluate(gt, gt, Seq(10)).head()
+    assert(r.getDouble(1) === 1.0) // 3/3, not 3/10
+  }
+
+  test("LSH approximate search clears a recall floor vs the exact oracle") {
+    val gt = KnnExact.topK(queries, emb, 10)
+    val idx = LshIndex.fit(emb, numHashTables = 8, bucketLength = 2.0)
+    val approx = idx.topK(queries, emb, 10, radius = 5.0)
+    val rec = RecallAtK.evaluate(gt, approx, Seq(10))
+      .agg(avg($"recall_10")).head().getDouble(0)
+    // the reference observes recall in the 0.6-1.0 band at scale
+    // (BASELINE.md); at fixture scale LSH with radius 5 should be high
+    assert(rec >= 0.8, s"LSH recall@10 = $rec")
+  }
+
+  test("IVF with nprobe = numCells equals exact search") {
+    val cent = IvfIndex.seedCentroids(emb, 8)
+    val assigned = IvfIndex.assign(emb, cent)
+    val ivfAll = IvfIndex.search(queries, assigned, cent, k = 5, nprobe = 8)
+      .select("qid", "vec_id", "rk")
+    val exact = KnnExact.topK(queries, emb, 5).select("qid", "vec_id", "rk")
+    assert(ivfAll.except(exact).count() === 0 && exact.except(ivfAll).count() === 0)
+  }
+}
