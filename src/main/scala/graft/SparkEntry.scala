@@ -299,6 +299,39 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // A8: ingest success/skip/error counters with a capped error sample
+    // (slice of sorted collect_list ≡ the reference's first-10 error list,
+    // download_arxiv.py:102-105).
+    "ingest_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("status",
+          when(length(trim(col("text"))) === 0, "empty")
+            .when(col("n_chars") < 200, "short")
+            .otherwise("ok"))
+        .groupBy(col("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          array_join(
+            transform(slice(sort_array(collect_list(col("doc_id"))), 1, 10), _.cast("string")),
+            ",").as("sample_ids"))
+        .orderBy("status")
+    }),
+
+    // Distinct aggregation (exact; HLL approx_count_distinct is the
+    // engine-specific variant, exercised in bench only).
+    "distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // Multi-level aggregation: rollup with subtotal rows.
+    "docs_rollup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)),
+
     // M1-M3: deterministic TF-IDF embedder (invariants oracle-checked;
     // values covered by EmbedderSpec).
     "embed_tfidf" -> ((s, dir) => {
@@ -528,5 +561,23 @@ object SparkEntry {
     },
 
     "embed_tfidf" ->
-      """SELECT doc_id, CAST(64 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2norm FROM documents ORDER BY doc_id""".stripMargin)
+      """SELECT doc_id, CAST(64 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2norm FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ingest_stats" ->
+      """SELECT status, count(*) AS n,
+        |  array_to_string(list(doc_id ORDER BY doc_id)[1:10], ',') AS sample_ids
+        |FROM (SELECT doc_id,
+        |        CASE WHEN length(trim(text)) = 0 THEN 'empty'
+        |             WHEN n_chars < 200 THEN 'short' ELSE 'ok' END AS status
+        |      FROM documents)
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    "distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "docs_rollup" ->
+      """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)
 }

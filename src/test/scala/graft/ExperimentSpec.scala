@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.bench.{RecallExperiment, SpeedExperiment}
+import graft.embed.TfIdfEmbedder
+import graft.index.CollectionCatalog
+import graft.ingest.CollectionBuilder
+import graft.model.Tables
+
+/** End-to-end lifecycle tests for the reference's three entry points
+  * (SURVEY.md §3): E1 speed benchmark, E2 recall benchmark, E3 build.
+  */
+class ExperimentSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val base = CollectionCatalog
+    .seqFromId(Tables.embeddings(spark, sfDir), "vec_id").cache()
+  private lazy val queries = Tables.embeddings(spark, sfDir)
+    .filter($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding".as("qemb")).cache()
+
+  test("E1 speed experiment: timings per (collection, query, run) + stats + sinks") {
+    val out = Files.createTempDirectory("graft_speed").toString
+    val timings = SpeedExperiment.run(spark, base, queries, step = 250, topK = 5, numRuns = 2)
+    // 2 collections x 2 queries x 2 runs
+    assert(timings.count() === 8)
+    assert(timings.filter($"search_ms" <= 0).count() === 0)
+    val perQ = SpeedExperiment.perQueryStats(timings)
+    assert(perQ.count() === 4)
+    assert(perQ.columns.toSet.contains("std_samp_v")) // A4: SAMPLE stddev
+    val perC = SpeedExperiment.perCollectionStats(timings)
+    assert(perC.count() === 2)
+    SpeedExperiment.save(perQ, perC, out)
+    assert(spark.read.json(s"$out/speed_results_json").count() === 4)
+    assert(spark.read.option("header", "true").csv(s"$out/speed_summary_csv").count() === 2)
+  }
+
+  test("E2 recall experiment: recall@5/@10 per collection vs exact oracle") {
+    val recalls = RecallExperiment.run(spark, base, queries, step = 250)
+    assert(recalls.count() === 4) // 2 collections x 2 queries
+    val ok = recalls.filter($"recall_10".between(0.0, 1.0) && $"recall_5".between(0.0, 1.0))
+    assert(ok.count() === 4)
+    val stats = RecallExperiment.perCollectionStats(recalls)
+    assert(stats.count() === 2)
+    assert(stats.columns.toSet.contains("std_recall_10")) // A5: POPULATION stddev
+    // LSH at this config should stay in the reference's observed band
+    assert(stats.agg(min($"mean_recall_10")).head().getDouble(0) >= 0.6)
+  }
+
+  test("E3 build: checkpointed base table, resume point, plan, skip-existing") {
+    val out = Files.createTempDirectory("graft_base").toString + "/base"
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    val embedder = TfIdfEmbedder.fit(docs, "text", 32)
+    val built = CollectionBuilder.buildBase(spark, docs, embedder, out)
+    assert(built.columns.toSet === Set("doc_id", "seq", "text", "embedding"))
+    val n = built.count()
+    assert(n === 120)
+    // second call loads the checkpoint (no rebuild): same contents
+    val again = CollectionBuilder.buildBase(spark, docs, embedder, out)
+    assert(again.select("doc_id").except(built.select("doc_id")).count() === 0)
+
+    assert(CollectionBuilder.resumePoint(spark,
+      Seq("collection_0001_100pages", "collection_0002_200pages", "garbage")) === 200L)
+    assert(CollectionBuilder.resumePoint(spark, Seq.empty) === 0L)
+    assert(CollectionBuilder.planCollections(250, 100) === Seq(1 -> 100L, 2 -> 200L, 3 -> 250L))
+    assert(CollectionBuilder.skipExisting(spark,
+      Seq("a", "b", "c"), Seq("b")) === Seq("a", "c"))
+  }
+}
