@@ -244,10 +244,12 @@ object SparkEntry {
       Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), 0.4).orderBy("id_a", "id_b")),
 
     // Language-ID heuristic.
-    "lang_id" -> ((s, dir) =>
+    "lang_id" -> ((s, dir) => {
+      graft.functions.TextExpressions.ensureRegistered(s)
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Quality scoring.
     "quality_score" -> ((s, dir) =>

@@ -147,23 +147,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash signatures, one row per document: explode tokens, vote
-    * per bit with a partial-aggregated groupBy (64 sum columns), then pack
-    * the sign bits into a long. Shuffle key is the doc id — scales linearly.
+  /** 64-bit SimHash signatures, one row per document — a narrow per-row
+    * native expression (SimHash64Expr): per-token hash votes ±1 per bit,
+    * signature packs the vote signs. No explode, no shuffle.
     */
   def simHashSignatures(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L)).as(s"v$j")
-    }
-    val packed = (0 until 64)
-      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*).select(col("id"), packed.as("sig"))
+    graft.functions.TextExpressions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      graft.functions.TextExpressions.simHash64(col(textCol)).as("sig"))
   }
 
   /** SimHash near-dup: band the 64-bit signature into 4×16-bit chunks;
@@ -193,6 +187,11 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs (all-pairs form; the LSH-bucketed
     * variant lives in graft.search.KnnApprox for the scale path).
+    *
+    * Norms are computed once per ROW before the join (narrow projection
+    * under the join), so the per-pair work is a single dot product. The
+    * quotient is arithmetically identical to recomputing norms per pair —
+    * same doubles — so the SQL oracle is unaffected.
     */
   def embeddingCosinePairs(
       embeddings: DataFrame,
@@ -200,10 +199,13 @@ object Dedup {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(embeddings.sparkSession)
-    val a = embeddings.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    import graft.functions.VectorExpressions.{dot => fdot}
+    val withNorm = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"),
+      sqrt(fdot(col(embCol), col(embCol))).as("nrm"))
+    val a = withNorm.select(col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", VectorFunctions.cosineFast(col("emb_a"), col("emb_b")))
+      .withColumn("cos", fdot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
   }

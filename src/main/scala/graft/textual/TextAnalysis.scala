@@ -29,13 +29,16 @@ object TextAnalysis {
 
   /** Predicted language: argmax stopword hits, ties broken by language
     * code (alphabetical), all-zero → "und" (undetermined).
+    *
+    * Single-pass native expression (LangIdExpr) — the composable form
+    * re-tokenizes per language with interpreted lambdas. Callers must
+    * have called [[graft.functions.TextExpressions.ensureRegistered]]
+    * (or use [[langIdHof]], the pure-built-in equivalent).
     */
-  def langId(text: Column): Column = {
-    val scored = stopwords
-      .map { case (lang, words) => struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang")) }
-    // array_max on (hits, lang) structs is lexicographic: max hits, then
-    // max lang — to get alphabetical-first ties we compare on (hits, reversed
-    // rank) instead: encode rank so earlier alphabetical wins.
+  def langId(text: Column): Column = graft.functions.TextExpressions.langId(text)
+
+  /** Pure-built-in language ID (identical semantics to [[langId]]). */
+  def langIdHof(text: Column): Column = {
     val ranked = stopwords.map(_._1).sorted.reverse.zipWithIndex.toMap
     val scoredRk = stopwords.map { case (lang, words) =>
       struct(stopwordHits(text, words).as("hits"), lit(ranked(lang)).as("rk"), lit(lang).as("lang"))

@@ -33,10 +33,16 @@ class TextAnalysisSpec extends GraftSpec {
   }
 
   test("langId picks the stopword-dominant language, und for no hits") {
+    graft.functions.TextExpressions.ensureRegistered(spark)
     val df = Seq("the cat of the house and the dog", "der hund und die katze ist da",
       "zzz qqq www").toDF("text")
       .select(TextAnalysis.langId($"text").as("l"))
     assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "und"))
+    // native expression and pure-built-in form agree on real data
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val diff = docs.select(TextAnalysis.langId($"text").as("a"), TextAnalysis.langIdHof($"text").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff === 0L)
   }
 
   test("token counts: bpe-ish regex counts symbols separately") {
