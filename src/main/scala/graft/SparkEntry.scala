@@ -213,6 +213,22 @@ object SparkEntry {
     // Event-time tumbling window (batch twin of the streaming agg).
     "events_window_counts" -> ((s, dir) => EventOps.tumblingCounts(Tables.events(s, dir))),
 
+    // Sliding event-time windows (width 30min, slide 10min).
+    "events_sliding_counts" -> ((s, dir) => EventOps.slidingCounts(Tables.events(s, dir))),
+
+    // Multi-hop broadcast star join over region→nation→supplier→lineitem.
+    "q5_region_revenue" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(rev), 2).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // session_window sessionization.
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
 
@@ -459,6 +475,22 @@ object SparkEntry {
       """SELECT CAST(floor(epoch_us(ts) / 600000000) * 600 AS BIGINT) AS window_start_sec,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_sec, event_type""".stripMargin,
+
+    "events_sliding_counts" ->
+      """WITH e AS (SELECT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS slot, event_type FROM events),
+        |x AS (SELECT event_type, unnest(range(slot - 2, slot + 1)) AS s FROM e)
+        |SELECT s * 600 AS window_start_sec, event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY window_start_sec, event_type""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r.r_name, n.n_name,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),

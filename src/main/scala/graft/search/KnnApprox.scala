@@ -59,6 +59,15 @@ final class LshIndex private (
 }
 
 object LshIndex {
+  /** Wrap a persisted model (model.write.save / Model.load round-trip —
+    * the reference persists its index per collection, S8/M4).
+    */
+  def fromModel(
+      model: BucketedRandomProjectionLSHModel,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): LshIndex =
+    new LshIndex(model, idCol, embCol)
+
   /** Fit an LSH index. bucketLength ≈ typical pairwise distance / 2 keeps
     * buckets selective; numHashTables trades recall for probe cost.
     */

@@ -67,6 +67,19 @@ object EventOps {
         round(sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)), 4).as("avg_value"))
       .orderBy(col("k_mod10"))
 
+  /** Sliding event-time windows: each event contributes to width/slide
+    * overlapping windows (Spark expands them internally — no explode
+    * needed; the aggregation stays a single shuffle).
+    */
+  def slidingCounts(events: DataFrame, width: String = "30 minutes", slide: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("w.start").cast("long").as("window_start_sec"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start_sec"), col("event_type"))
+
   /** Streaming twin of [[tumblingCounts]]: parquet dir → watermarked
     * windowed agg → memory sink. Returns the started query; callers use
     * processAllAvailable() + the `queryName` memory table.

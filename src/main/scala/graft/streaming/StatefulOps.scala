@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.model.Schemas
+
+/** Custom-state streaming operators (SURVEY.md §2.10's generalized
+  * extension): KeyValueGroupedDataset.mapGroupsWithState for arbitrary
+  * per-key state, and dropDuplicatesWithinWatermark for bounded-state
+  * streaming dedup. Both are exercised against the events fixture with
+  * deterministic single-batch semantics in StatefulOpsSpec.
+  */
+object StatefulOps {
+
+  final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double, ts_us: Long)
+  final case class UserAgg(user_id: Long, n_events: Long, sum_value: Double, last_ts_us: Long)
+
+  private def eventStream(spark: SparkSession, parquetDir: String, glob: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = org.apache.spark.sql.types.StructType(Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    spark.readStream
+      .schema(nanosSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(parquetDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Per-user running aggregate via explicit GroupState — the
+    * mapGroupsWithState shape for state Spark's built-in aggs can't
+    * express (here kept summable on purpose so the batch groupBy is an
+    * exact oracle for the test).
+    */
+  def streamUserAggregates(
+      spark: SparkSession,
+      parquetDir: String,
+      queryName: String,
+      glob: String = "events.parquet"): StreamingQuery = {
+    import spark.implicits._
+    val typed: Dataset[EventRow] = eventStream(spark, parquetDir, glob)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[EventRow]
+
+    def update(userId: Long, events: Iterator[EventRow], state: GroupState[UserAgg]): UserAgg = {
+      val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0, Long.MinValue))
+      val next = events.foldLeft(prev) { (acc, e) =>
+        UserAgg(userId, acc.n_events + 1, acc.sum_value + e.value, math.max(acc.last_ts_us, e.ts_us))
+      }
+      state.update(next)
+      next
+    }
+
+    typed
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Bounded-state streaming dedup on (user_id, event_type): keeps each
+    * key's first occurrence, expiring state once the watermark passes —
+    * the streaming twin of the events_first batch query.
+    */
+  def streamDedupWithinWatermark(
+      spark: SparkSession,
+      parquetDir: String,
+      queryName: String,
+      watermark: String = "1 hour",
+      glob: String = "events.parquet"): StreamingQuery =
+    eventStream(spark, parquetDir, glob)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -65,6 +65,17 @@ class SearchSpec extends GraftSpec {
     assert(rec >= 0.8, s"LSH recall@10 = $rec")
   }
 
+  test("LSH model persists and reloads with identical results (M4)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_lsh").toString + "/model"
+    val idx = LshIndex.fit(emb, numHashTables = 4, bucketLength = 2.0)
+    idx.model.write.overwrite().save(out)
+    val reloaded = org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel.load(out)
+    val orig = idx.topK(queries, emb, 5, radius = 5.0).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val again = LshIndex.fromModel(reloaded)
+      .topK(queries, emb, 5, radius = 5.0).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(orig.toSeq === again.toSeq)
+  }
+
   test("IVF with nprobe = numCells equals exact search") {
     val cent = IvfIndex.seedCentroids(emb, 8)
     val assigned = IvfIndex.assign(emb, cent)
