@@ -73,6 +73,45 @@ object IvfIndex {
       .select(col(qidCol), col(idCol), col("rk"), round(col("dist"), 4).as("dist"))
   }
 
+  /** Persist the assignment as a cell-partitioned parquet table. At
+    * scale this IS the index: a probe of nprobe cells becomes parquet
+    * partition pruning — the scan reads nprobe/numCells of the data and
+    * never touches the rest.
+    */
+  def writePartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Search against the partitioned index with static partition pruning:
+    * probe cells are resolved first (queries × centroids — tiny, driver
+    * -side), then pushed as a partition filter on the scan.
+    */
+  def searchPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val wC = Window.partitionBy(col("qid")).orderBy(col("cdist").asc, col("cid").asc)
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2Fast(col("qemb"), col("cemb")))
+      .withColumn("crk", row_number().over(wC))
+      .filter(col("crk") <= nprobe)
+      .select(col("qid"), col("qemb"), col("cid").as("cell"))
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.get(0)).toSeq
+    val pruned = spark.read.parquet(indexPath).filter(col("cell").isin(cells: _*))
+    val wK = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id").asc)
+    broadcast(probes)
+      .join(pruned, Seq("cell"))
+      .withColumn("dist", l2Fast(col("qemb"), col("embedding")))
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("rk"), round(col("dist"), 4).as("dist"))
+  }
+
   /** Deterministic seed centroids: the first k rows by id (a real system
     * would k-means; seeded selection keeps the operator oracle-equal).
     */

@@ -76,6 +76,30 @@ class SearchSpec extends GraftSpec {
     assert(orig.toSeq === again.toSeq)
   }
 
+  test("IVF partitioned index: probe prunes partitions, results match in-memory IVF") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    val cent = IvfIndex.seedCentroids(emb, 8)
+    val assigned = IvfIndex.assign(emb, cent)
+    IvfIndex.writePartitioned(assigned, out)
+    val inMem = IvfIndex.search(queries, assigned, cent, k = 5, nprobe = 2)
+      .select("qid", "vec_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val onDisk = IvfIndex.searchPartitioned(spark, out, queries, cent, k = 5, nprobe = 2)
+      .select("qid", "vec_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(onDisk === inMem)
+    // the probe's scan selects strictly fewer files than the full index
+    // (real partition pruning, checked on the physical scan node)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def selectedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.files.size).sum
+    }
+    val all = selectedFiles(spark.read.parquet(out))
+    val pruned = selectedFiles(spark.read.parquet(out).filter(col("cell").isin(0, 1)))
+    assert(pruned < all, s"pruned=$pruned all=$all")
+  }
+
   test("IVF with nprobe = numCells equals exact search") {
     val cent = IvfIndex.seedCentroids(emb, 8)
     val assigned = IvfIndex.assign(emb, cent)
