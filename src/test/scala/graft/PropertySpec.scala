@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.eval.RecallAtK
+import graft.functions.TextFunctions
+
+/** Property-based checks (SURVEY.md §5): recall ∈ [0,1] and recall(x,x)=1;
+  * Jaccard symmetry and bounds. Cases come from ScalaCheck generators
+  * (fixed seed — deterministic CI); evaluation goes through the actual
+  * column expressions. Batched into one DataFrame per law so the 20
+  * cases cost one job, not twenty.
+  */
+class PropertySpec extends GraftSpec {
+  import spark.implicits._
+
+  private val idArrays: Gen[List[Long]] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 20L))).map(_.distinct)
+
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: recall within [0,1]; self-recall is 1 (0 when empty)") {
+    val ks = Gen.chooseNum(1, 15)
+    val data = cases(Gen.zip(idArrays, idArrays, ks), 20)
+    val rows = data.toDF("gt", "ret", "k")
+    val checked = (1 to 15).foldLeft(rows) { (df, k) =>
+      df.withColumn(s"r_$k",
+        when(col("k") === k, RecallAtK.recall(col("gt"), col("ret"), k)))
+        .withColumn(s"self_$k",
+          when(col("k") === k, RecallAtK.recall(col("gt"), col("gt"), k)))
+    }
+    checked.collect().foreach { row =>
+      val k = row.getAs[Int]("k")
+      val r = row.getAs[Double](s"r_$k")
+      val self = row.getAs[Double](s"self_$k")
+      assert(r >= 0.0 && r <= 1.0, s"recall out of bounds: $r")
+      val gtEmpty = row.getSeq[Long](0).isEmpty
+      if (gtEmpty) assert(self === 0.0) else assert(self === 1.0)
+    }
+  }
+
+  test("property: jaccard symmetric, bounded, 1 on equal non-empty sets") {
+    val data = cases(Gen.zip(idArrays, idArrays), 20)
+    val rows = data.toDF("a", "b")
+      .select(
+        col("a"), col("b"),
+        TextFunctions.jaccard(col("a"), col("b")).as("ab"),
+        TextFunctions.jaccard(col("b"), col("a")).as("ba"),
+        TextFunctions.jaccard(col("a"), col("a")).as("aa"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) === r.getDouble(3))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      if (r.getSeq[Long](0).nonEmpty) assert(r.getDouble(4) === 1.0)
+    }
+  }
+}
