@@ -317,6 +317,59 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // F7 projection + vector norms (column pruning on the wide table).
+    "vector_norms" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          round(sqrt(graft.functions.VectorExpressions.dot(col("embedding"), col("embedding"))), 4)
+            .as("l2_norm"))
+        .orderBy("vec_id")
+    }),
+
+    // Exact percentiles per group (A3 generalized to a profile).
+    "chars_percentiles" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          round(percentile(col("n_chars"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("n_chars"), lit(0.75)), 4).as("p75"),
+          round(percentile(col("n_chars"), lit(0.95)), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")),
+
+    // Per-category top-k (WindowGroupLimit on a non-vector ranking).
+    "top_docs_per_lang" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("rk").cast("long").as("rk"))
+        .orderBy("lang", "rk")
+    }),
+
+    // Correlation / covariance per group.
+    "lineitem_corr" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // U-series set operations: union / intersect / except as datasets.
+    "set_ops" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val en = docs.filter(col("lang") === "en").select(col("doc_id"))
+      val zh = docs.filter(col("lang") === "zh").select(col("doc_id"))
+      val long = docs.filter(col("n_chars") >= 200).select(col("doc_id"))
+      en.union(zh).distinct().agg(count(lit(1)).as("n_union"))
+        .crossJoin(en.except(long).agg(count(lit(1)).as("n_en_except_long")))
+        .crossJoin(en.intersect(long).agg(count(lit(1)).as("n_en_intersect_long")))
+    }),
+
     // A8: ingest success/skip/error counters with a capped error sample
     // (slice of sorted collect_list ≡ the reference's first-10 error list,
     // download_arxiv.py:102-105).
@@ -596,6 +649,41 @@ object SparkEntry {
 
     "embed_tfidf" ->
       """SELECT doc_id, CAST(64 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2norm FROM documents ORDER BY doc_id""".stripMargin,
+
+    "vector_norms" ->
+      s"""SELECT vec_id, round(sqrt(${dotSql("embedding", "embedding")}), 4) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "chars_percentiles" ->
+      """SELECT lang,
+        |  round(CAST(quantile_cont(n_chars, 0.25) AS DOUBLE), 4) AS p25,
+        |  round(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50,
+        |  round(CAST(quantile_cont(n_chars, 0.75) AS DOUBLE), 4) AS p75,
+        |  round(CAST(quantile_cont(n_chars, 0.95) AS DOUBLE), 4) AS p95,
+        |  count(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "top_docs_per_lang" ->
+      """SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+
+    "lineitem_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "set_ops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT doc_id FROM documents WHERE lang IN ('en','zh'))) AS n_union,
+        |  (SELECT count(*) FROM (SELECT doc_id FROM documents WHERE lang = 'en'
+        |     EXCEPT SELECT doc_id FROM documents WHERE n_chars >= 200)) AS n_en_except_long,
+        |  (SELECT count(*) FROM (SELECT doc_id FROM documents WHERE lang = 'en'
+        |     INTERSECT SELECT doc_id FROM documents WHERE n_chars >= 200)) AS n_en_intersect_long""".stripMargin,
 
     "ingest_stats" ->
       """SELECT status, count(*) AS n,
