@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(appName: String, cores: Int): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
