@@ -370,6 +370,30 @@ object SparkEntry {
         .crossJoin(en.intersect(long).agg(count(lit(1)).as("n_en_intersect_long")))
     }),
 
+    // Vocabulary statistics for tokenizer/BPE planning: top-20 tokens by
+    // frequency with cumulative corpus-coverage ratio.
+    "token_freq_coverage" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = toks.count()
+      val w = Window.orderBy(col("cnt").desc, col("token").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+        .withColumn("coverage", round(sum(col("cnt")).over(w).cast("double") / lit(total.toDouble), 4))
+        .filter(col("rk") <= 20)
+        .select(col("token"), col("cnt"), col("rk").cast("long").as("rk"), col("coverage"))
+        .orderBy("rk")
+    }),
+
+    // Document length histogram (100-char bins).
+    "chars_histogram" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(floor(col("n_chars") / 100).as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin")),
+
     // A8: ingest success/skip/error counters with a capped error sample
     // (slice of sorted collect_list ≡ the reference's first-10 error list,
     // download_arxiv.py:102-105).
@@ -684,6 +708,22 @@ object SparkEntry {
         |     EXCEPT SELECT doc_id FROM documents WHERE n_chars >= 200)) AS n_en_except_long,
         |  (SELECT count(*) FROM (SELECT doc_id FROM documents WHERE lang = 'en'
         |     INTERSECT SELECT doc_id FROM documents WHERE n_chars >= 200)) AS n_en_intersect_long""".stripMargin,
+
+    "token_freq_coverage" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |r AS (SELECT token, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, token ASC) AS rk,
+        |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ASC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |          / (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS cov
+        |      FROM c)
+        |SELECT token, cnt, CAST(rk AS BIGINT) AS rk, round(cov, 4) AS coverage
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    "chars_histogram" ->
+      """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "ingest_stats" ->
       """SELECT status, count(*) AS n,

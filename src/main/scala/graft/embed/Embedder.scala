@@ -35,6 +35,16 @@ final class TfIdfEmbedderModel(val dim: Int, model: PipelineModel, textCol: Stri
       .withColumn(outCol, vector_to_array(col("__norm"), "float32"))
       .drop("__tokens", "__tf", "__tfidf", "__norm")
   }
+
+  /** Persist the fitted pipeline (the reference loads its model from
+    * disk once per session, cc:70-71 — M1).
+    */
+  def save(path: String): Unit = model.write.overwrite().save(path)
+}
+
+object TfIdfEmbedderModel {
+  def load(path: String, dim: Int = 64, textCol: String = "text"): TfIdfEmbedderModel =
+    new TfIdfEmbedderModel(dim, PipelineModel.load(path), textCol)
 }
 
 object TfIdfEmbedder {

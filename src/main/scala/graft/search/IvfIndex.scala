@@ -123,4 +123,29 @@ object IvfIndex {
     collection
       .filter(col(idCol) < numCells)
       .select(col(idCol).cast("int").as("cid"), col(embCol).as("cemb"))
+
+  /** Trained centroids via MLlib KMeans (fixed seed → deterministic).
+    * Better-balanced cells than seeded selection — the production path;
+    * not SQL-oracle-able (KMeans|| init is engine-specific), so covered
+    * by recall-floor tests instead.
+    */
+  def kmeansCentroids(
+      collection: DataFrame,
+      numCells: Int,
+      embCol: String = "embedding",
+      seed: Long = 42L,
+      maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val spark = collection.sparkSession
+    val withVec = collection.select(array_to_vector(col(embCol)).as("__vec"))
+    val model = new KMeans()
+      .setK(numCells).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("__vec")
+      .fit(withVec)
+    val rows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("cid", "cemb")
+  }
 }

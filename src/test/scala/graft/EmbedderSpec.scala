@@ -21,6 +21,12 @@ class EmbedderSpec extends GraftSpec {
     // oracle-test methodology depends on it, SURVEY.md §7.3)
     val out2 = TfIdfEmbedder.fit(docs, "text", 64).embed(docs, "text", "emb")
     assert(out.select("doc_id", "emb").except(out2.select("doc_id", "emb")).count() === 0)
+    // persisted model reloads and reproduces the same embeddings (M1)
+    val path = java.nio.file.Files.createTempDirectory("graft_emb").toString + "/model"
+    m.save(path)
+    val reloaded = graft.embed.TfIdfEmbedderModel.load(path)
+    val out3 = reloaded.embed(docs, "text", "emb")
+    assert(out.select("doc_id", "emb").except(out3.select("doc_id", "emb")).count() === 0)
   }
 
   test("multimodal: metadata digests match and the decode stub is deterministic") {

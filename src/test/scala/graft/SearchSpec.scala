@@ -100,6 +100,19 @@ class SearchSpec extends GraftSpec {
     assert(pruned < all, s"pruned=$pruned all=$all")
   }
 
+  test("IVF with trained KMeans centroids clears a recall floor") {
+    val cent = IvfIndex.kmeansCentroids(emb, 8)
+    assert(cent.count() === 8)
+    val assigned = IvfIndex.assign(emb, cent)
+    // every vector lands in exactly one cell
+    assert(assigned.count() === emb.count())
+    val got = IvfIndex.search(queries, assigned, cent, k = 5, nprobe = 2)
+    val gt = KnnExact.topK(queries, emb, 5)
+    val rec = RecallAtK.evaluate(gt, got, Seq(5))
+      .agg(avg($"recall_5")).head().getDouble(0)
+    assert(rec >= 0.4, s"kmeans-IVF recall@5 = $rec")
+  }
+
   test("IVF with nprobe = numCells equals exact search") {
     val cent = IvfIndex.seedCentroids(emb, 8)
     val assigned = IvfIndex.assign(emb, cent)
