@@ -394,6 +394,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("bin")),
 
+    // Element-wise embedding centroids per label (class-centroid
+    // computation; first 8 dims flat for the oracle compare).
+    "label_centroids" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("v").cast("double")), 4).as("avg_v"), count(lit(1)).as("n"))
+        .orderBy("label", "pos")),
+
+    // As-of join via window composition: for every event, the timestamp
+    // of the user's most recent error at-or-before it (SURVEY.md §2.3's
+    // "compose built-ins first" rule for operators Spark lacks).
+    "events_asof_error" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("last_error_sec",
+          coalesce(
+            max(when(col("event_type") === "error", col("ts").cast("long"))).over(w),
+            lit(-1L)))
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_sec"),
+          col("last_error_sec"))
+        .orderBy("user_id", "ts_sec", "event_id")
+    }),
+
     // A8: ingest success/skip/error counters with a capped error sample
     // (slice of sorted collect_list ≡ the reference's first-10 error list,
     // download_arxiv.py:102-105).
@@ -708,6 +734,20 @@ object SparkEntry {
         |     EXCEPT SELECT doc_id FROM documents WHERE n_chars >= 200)) AS n_en_except_long,
         |  (SELECT count(*) FROM (SELECT doc_id FROM documents WHERE lang = 'en'
         |     INTERSECT SELECT doc_id FROM documents WHERE n_chars >= 200)) AS n_en_intersect_long""".stripMargin,
+
+    "label_centroids" ->
+      """SELECT e.label, t.i AS pos,
+        |  round(avg(CAST(e.embedding[t.i + 1] AS DOUBLE)), 4) AS avg_v,
+        |  count(*) AS n
+        |FROM embeddings e, range(8) t(i)
+        |GROUP BY e.label, t.i ORDER BY label, pos""".stripMargin,
+
+    "events_asof_error" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS ts_sec,
+        |  coalesce(max(CASE WHEN event_type = 'error' THEN CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), -1) AS last_error_sec
+        |FROM events ORDER BY user_id, ts_sec, event_id""".stripMargin,
 
     "token_freq_coverage" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token

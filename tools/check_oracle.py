@@ -15,6 +15,8 @@ def canon(df):
     recs = df.values.tolist()
     def norm(v):
         if isinstance(v, float):
+            if v != v:  # NaN (e.g. pandas null) -> stable sentinel
+                return None
             return round(v, 6)
         return v
     rows = sorted([tuple(norm(v) for v in r) for r in recs], key=lambda r: str(r))
