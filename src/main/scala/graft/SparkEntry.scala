@@ -420,6 +420,27 @@ object SparkEntry {
         .orderBy("user_id", "ts_sec", "event_id")
     }),
 
+    // Range join made scalable: bucketize event time so the ±60s
+    // interval condition becomes an equi-join on (user, bucket) — one
+    // side replicated to 3 adjacent buckets — then the exact predicate
+    // filters residuals. No cross join at any scale.
+    "events_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+        .withColumn("bin", floor(col("sec") / 60))
+      val replicated = e.withColumn("bin",
+        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
+      e.as("x")
+        .join(replicated.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.bin") === col("y.bin") &&
+            col("x.event_id") < col("y.event_id") &&
+            abs(col("x.sec") - col("y.sec")) <= 60)
+        .groupBy(col("x.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
     // A8: ingest success/skip/error counters with a capped error sample
     // (slice of sorted collect_list ≡ the reference's first-10 error list,
     // download_arxiv.py:102-105).
@@ -734,6 +755,15 @@ object SparkEntry {
         |     EXCEPT SELECT doc_id FROM documents WHERE n_chars >= 200)) AS n_en_except_long,
         |  (SELECT count(*) FROM (SELECT doc_id FROM documents WHERE lang = 'en'
         |     INTERSECT SELECT doc_id FROM documents WHERE n_chars >= 200)) AS n_en_intersect_long""".stripMargin,
+
+    "events_range_join" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS sec FROM events)
+        |SELECT x.user_id, count(*) AS n_pairs
+        |FROM e x JOIN e y
+        |  ON x.user_id = y.user_id AND x.event_id < y.event_id
+        |  AND abs(x.sec - y.sec) <= 60
+        |GROUP BY x.user_id ORDER BY x.user_id""".stripMargin,
 
     "label_centroids" ->
       """SELECT e.label, t.i AS pos,
