@@ -45,7 +45,7 @@ object SparkEntry {
 
   /** DuckDB whitespace tokens of trimmed text (mirror of TextFunctions.tokens). */
   private def toksSql(t: String): String =
-    s"CASE WHEN length(trim($t)) = 0 THEN [] ELSE regexp_split_to_array(trim($t), '\\s+') END"
+    s"CASE WHEN length(trim($t)) = 0 THEN [] ELSE regexp_split_to_array(trim($t), '${graft.functions.TextFunctions.wsPatternSql}') END"
 
   /** DuckDB distinct word-3-gram shingles (mirror of TextFunctions.wordShingles). */
   private val shinglesSql: String =
@@ -286,12 +286,17 @@ object SparkEntry {
         .select(col("doc_id"), col("fingerprint"))
         .orderBy("doc_id")),
 
-    // Multimodal binary plumbing: payload metadata.
+    // Multimodal binary plumbing: payload metadata. magic_hex is derived
+    // from the first 4 CHARACTERS re-encoded (not the first 4 payload
+    // bytes) because DuckDB cannot slice blobs — the byte-accurate form
+    // lives in Multimodal.metadata and is covered by EmbedderSpec.
     "multimodal_meta" -> ((s, dir) => {
-      val media = Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
+      val docs = Tables.documents(s, dir)
+      val media = Multimodal.withPayload(docs, "doc_id", "text")
       Multimodal.metadata(media)
-        .select(col("id"), col("byte_len").cast("long").as("byte_len"),
-          col("sha256"), upper(col("magic_hex")).as("magic_hex"))
+        .select(col("id"), col("byte_len").cast("long").as("byte_len"), col("sha256"))
+        .join(docs.select(col("doc_id").as("id"),
+          upper(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("magic_hex")), Seq("id"))
         .orderBy("id")
     }),
 
@@ -376,12 +381,16 @@ object SparkEntry {
       val toks = Tables.documents(s, dir)
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
       val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val total = toks.count()
-      val w = Window.orderBy(col("cnt").desc, col("token").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // total from the aggregated (vocab-sized) frame via an unbounded
+      // window — NOT an eager toks.count(), which would re-tokenize the
+      // whole corpus a second time at plan-construction
+      val order = Window.orderBy(col("cnt").desc, col("token").asc)
+      val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       counts
-        .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
-        .withColumn("coverage", round(sum(col("cnt")).over(w).cast("double") / lit(total.toDouble), 4))
+        .withColumn("rk", row_number().over(order))
+        .withColumn("coverage",
+          round(sum(col("cnt")).over(cum).cast("double") / sum(col("cnt")).over(all).cast("double"), 4))
         .filter(col("rk") <= 20)
         .select(col("token"), col("cnt"), col("rk").cast("long").as("rk"), col("coverage"))
         .orderBy("rk")
@@ -686,7 +695,7 @@ object SparkEntry {
 
     "token_counts" ->
       """SELECT doc_id,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -718,8 +727,13 @@ object SparkEntry {
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
     },
 
+    // invariant oracle: every non-blank doc embeds to a unit vector (a
+    // blank doc would produce the zero vector; fixtures have none, but
+    // the CASE keeps the oracle honest if they ever do)
     "embed_tfidf" ->
-      """SELECT doc_id, CAST(64 AS BIGINT) AS dim, CAST(1.0 AS DOUBLE) AS l2norm FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, CAST(64 AS BIGINT) AS dim,
+        |  CASE WHEN length(trim(text)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS l2norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "vector_norms" ->
       s"""SELECT vec_id, round(sqrt(${dotSql("embedding", "embedding")}), 4) AS l2_norm
@@ -780,7 +794,7 @@ object SparkEntry {
         |FROM events ORDER BY user_id, ts_sec, event_id""".stripMargin,
 
     "token_freq_coverage" ->
-      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS token
         |  FROM documents WHERE length(trim(text)) > 0),
         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
         |r AS (SELECT token, cnt,

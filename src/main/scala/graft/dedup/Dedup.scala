@@ -73,17 +73,6 @@ object Dedup {
       (math.floorMod(za, MersennePrime - 1) + 1, math.floorMod(zb, MersennePrime))
     }
 
-  /** MinHash signature: for each permutation, the min of h_i over the
-    * document's shingle hashes. Pure fold expressions — no UDF.
-    */
-  def minHashSignature(shingles: Column, numHashes: Int): Column = {
-    val p = lit(MersennePrime)
-    val base = transform(shingles, s => pmod(xxhash64(s), p))
-    array(minHashCoeffs(numHashes).map { case (a, b) =>
-      aggregate(base, p, (acc, x) => least(acc, pmod(lit(a) * x + lit(b), p)))
-    }: _*)
-  }
-
   /** MinHash + LSH banding near-dup: signature → banded signature →
     * equi-join on (band index, band hash) → exact Jaccard verify on
     * candidates. This is the scalable path: the only join is an equi-join

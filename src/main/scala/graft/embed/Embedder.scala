@@ -30,10 +30,12 @@ trait Embedder {
   */
 final class TfIdfEmbedderModel(val dim: Int, model: PipelineModel, textCol: String) extends Embedder {
   def embed(df: DataFrame, textColIn: String, outCol: String): DataFrame = {
-    val in = if (textColIn == textCol) df else df.withColumn(textCol, col(textColIn))
-    model.transform(in)
+    val renamed = textColIn != textCol
+    val in = if (renamed) df.withColumn(textCol, col(textColIn)) else df
+    val out = model.transform(in)
       .withColumn(outCol, vector_to_array(col("__norm"), "float32"))
       .drop("__tokens", "__tf", "__tfidf", "__norm")
+    if (renamed) out.drop(textCol) else out
   }
 
   /** Persist the fitted pipeline (the reference loads its model from

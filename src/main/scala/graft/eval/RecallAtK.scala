@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object RecallAtK {
 
-  /** Recall@k over two ordered id arrays. */
+  /** Recall@k over two ordered id arrays. Null arrays are guarded
+    * explicitly (not via size(null)) so the 0.0 edge semantics hold even
+    * under legacy sizeOfNull = -1 sessions (ANSI off).
+    */
   def recall(gt: Column, ret: Column, k: Int): Column = {
     val gtK  = slice(gt, 1, k)
     val retK = slice(ret, 1, k)
-    when(coalesce(size(gtK), lit(0)) === 0 || coalesce(size(retK), lit(0)) === 0, lit(0.0))
+    when(gt.isNull || ret.isNull || size(gtK) <= 0 || size(retK) <= 0, lit(0.0))
       .otherwise(size(array_intersect(gtK, retK)).cast("double") / size(gtK).cast("double"))
   }
 

@@ -35,7 +35,7 @@ case class HashedShinglesExpr(child: Expression, n: Int)
     val text = input.asInstanceOf[UTF8String].toString
     val toks = text.trim match {
       case "" => Array.empty[String]
-      case t  => t.split("\\s+")
+      case t  => t.split(TextFunctions.wsPattern)
     }
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()

@@ -16,7 +16,7 @@ object TextExpressions {
 
   private[functions] def splitTokens(input: Any): Array[String] = {
     val t = input.asInstanceOf[UTF8String].toString.trim
-    if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    if (t.isEmpty) Array.empty[String] else t.split(TextFunctions.wsPattern)
   }
 
   private[functions] def fnv1a64(s: String): Long = {

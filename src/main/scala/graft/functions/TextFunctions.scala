@@ -9,10 +9,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Explicit whitespace class: Java's \s includes \x0B but RE2's
+    * (DuckDB's) does not — spelling the class out keeps every
+    * token-derived oracle engine-equivalent on control-char text.
+    */
+  val wsPattern = "[ \\t\\n\\x0B\\f\\r]+"
+  /** The same class in RE2 syntax for oracle SQL. */
+  val wsPatternSql = "[ \\t\\n\\x0b\\f\\r]+"
+
   /** Whitespace tokens of trimmed text; empty text → empty array. */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+      .otherwise(split(trim(text), wsPattern))
 
   /** A BPE-ish sub-token split: runs of letters, runs of digits, or single
     * non-alphanumeric symbols (the usual pre-tokenizer shape for byte-pair

@@ -49,7 +49,9 @@ object Salting {
       keyCols: Seq[String],
       valueCol: String,
       saltBuckets: Int = 16): DataFrame = {
-    val partial = withSalt(df, Seq(valueCol), saltBuckets)
+    // count_distinct ignores NULLs — drop them up front so the salted
+    // form stays an exact analog on null-bearing columns
+    val partial = withSalt(df.filter(col(valueCol).isNotNull), Seq(valueCol), saltBuckets)
       .select((keyCols :+ "__salt" :+ valueCol).map(col): _*)
       .distinct()
       .groupBy((keyCols :+ "__salt").map(col): _*)

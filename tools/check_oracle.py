@@ -30,13 +30,24 @@ def main():
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    out_dirs = {os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*"))
+                if os.path.isdir(d)}
+    # every declared query must have produced output — a query that
+    # crashed inside Verify must FAIL here, not silently vanish
+    for qname in sorted(set(oracle) - out_dirs):
+        print(f"  ✗ {qname}: declared in oracle_sql.json but produced no output (Verify crash?)")
+        n_fail += 1
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(qdir):
             continue
         qname = os.path.basename(qdir)
         got = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
         if qname not in oracle:
-            print(f"  ~ {qname}: rows-only check, rows={len(got)}", "OK" if len(got) >= 0 else "")
+            if len(got) > 0:
+                print(f"  ~ {qname}: rows-only check, rows={len(got)} OK")
+            else:
+                print(f"  ✗ {qname}: rows-only check but EMPTY result")
+                n_fail += 1
             continue
         try:
             exp = con.sql(oracle[qname]).df()
