@@ -179,6 +179,19 @@ object SparkEntry {
           col("o_orderdate").cast("timestamp").cast("long").as("o_date_sec"), col("o_orderpriority"))
     }),
 
+    // Dimension-table profile over part (completes table coverage):
+    // per-brand size stats with decimal-exact price sums.
+    "parts_by_brand" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          round(sum(col("p_retailprice").cast("decimal(14,2)")), 2).cast("double").as("sum_price"),
+          round(avg(col("p_size").cast("double")), 4).as("avg_size"),
+          min(col("p_size")).cast("long").as("min_size"),
+          max(col("p_size")).cast("long").as("max_size"))
+        .orderBy("p_brand")),
+
     // J4 semi-join: orders that have lineitems, counted by status.
     "orders_semi" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -584,6 +597,14 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
         |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
         |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+
+    "parts_by_brand" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |  CAST(round(sum(CAST(p_retailprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_price,
+        |  round(avg(CAST(p_size AS DOUBLE)), 4) AS avg_size,
+        |  CAST(min(p_size) AS BIGINT) AS min_size,
+        |  CAST(max(p_size) AS BIGINT) AS max_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "orders_semi" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders o
