@@ -66,6 +66,37 @@ object StatefulOps {
       .start()
   }
 
+  /** Stream-stream inner join with event-time bounds: each click joined
+    * to the same user's errors within the preceding 10 minutes. Both
+    * sides are watermarked so Spark can expire join state — the
+    * bounded-buffer requirement that makes stream-stream joins viable.
+    */
+  def streamClickErrorJoin(
+      spark: SparkSession,
+      parquetDir: String,
+      queryName: String,
+      glob: String = "events.parquet"): StreamingQuery = {
+    val clicks = eventStream(spark, parquetDir, glob)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val errors = eventStream(spark, parquetDir, glob)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "30 minutes")
+    clicks.join(errors,
+        col("c_user") === col("e_user") &&
+          col("e_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("e_ts") <= col("c_ts"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Bounded-state streaming dedup on (user_id, event_type): keeps each
     * key's first occurrence, expiring state once the watermark passes —
     * the streaming twin of the events_first batch query.

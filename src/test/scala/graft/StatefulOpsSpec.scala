@@ -33,6 +33,27 @@ class StatefulOpsSpec extends GraftSpec {
     assert(stream.select($"user_id", $"event_type").except(batchKeys).count() === 0)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val q = StatefulOps.streamClickErrorJoin(spark, sfDir, "click_err")
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("click_err")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("c_ts"))
+    val errors = events.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("error_id"), $"ts".as("e_ts"))
+    val batch = clicks.join(errors,
+        $"user_id" === $"e_user" &&
+          $"e_ts" >= $"c_ts" - expr("INTERVAL 10 MINUTES") && $"e_ts" <= $"c_ts")
+      .select($"user_id", $"click_id", $"error_id")
+    assert(stream.count() === batch.count())
+    assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0)
+  }
+
+  test("driver entry point returns rows on the smoke fixture") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("sliding windows: every event lands in width/slide windows") {
     val sliding = EventOps.slidingCounts(events, "30 minutes", "10 minutes")
     assert(sliding.agg(sum($"n")).head().getLong(0) === events.count() * 3)
