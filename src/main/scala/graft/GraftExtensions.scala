@@ -26,7 +26,7 @@ import graft.functions.{FloatVecDot, FloatVecL2Sq, HashedShinglesExpr, LangIdExp
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_l2sq"),
