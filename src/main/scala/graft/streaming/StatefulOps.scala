@@ -66,6 +66,62 @@ object StatefulOps {
       .start()
   }
 
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_sec: Long, session_end_sec: Long, n_events: Long)
+
+  /** Incremental sessionization via flatMapGroupsWithState: completed
+    * sessions are EMITTED as soon as a gap closes them; the (single)
+    * still-open session per user lives on in GroupState across batches.
+    * Gap semantics identical to session_window: a new session starts
+    * when the inter-event gap is >= the timeout; session end = last
+    * event + gap.
+    */
+  def streamSessionsFlatMap(
+      spark: SparkSession,
+      parquetDir: String,
+      queryName: String,
+      gapMinutes: Int = 30,
+      glob: String = "events.parquet"): StreamingQuery = {
+    import spark.implicits._
+    val typed: Dataset[EventRow] = eventStream(spark, parquetDir, glob)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[EventRow]
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapSec = gapMinutes * 60L
+
+    def emit(userId: Long, events: Iterator[EventRow],
+        state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      // per-user per-batch volume is bounded; sort locally for event-time order
+      val sorted = events.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      var open = state.getOption
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        open = open match {
+          case Some(s) if e.ts_us - s.last_us < gapUs =>
+            Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+          case Some(s) =>
+            out += SessionOut(userId, s.start_us / 1000000L, s.last_us / 1000000L + gapSec, s.n)
+            Some(OpenSession(e.ts_us, e.ts_us, 1))
+          case None =>
+            Some(OpenSession(e.ts_us, e.ts_us, 1))
+        }
+      }
+      open.foreach(state.update)
+      out.result().iterator
+    }
+
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(emit)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-stream inner join with event-time bounds: each click joined
     * to the same user's errors within the preceding 10 minutes. Both
     * sides are watermarked so Spark can expire join state — the

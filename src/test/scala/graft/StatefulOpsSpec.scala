@@ -33,6 +33,22 @@ class StatefulOpsSpec extends GraftSpec {
     assert(stream.select($"user_id", $"event_type").except(batchKeys).count() === 0)
   }
 
+  test("flatMapGroupsWithState emits exactly the closed sessions") {
+    val q = StatefulOps.streamSessionsFlatMap(spark, sfDir, "sessions_fm")
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("sessions_fm")
+      .select($"user_id", $"session_start_sec", $"session_end_sec", $"n_events")
+    // batch oracle: all sessions minus each user's LAST (still open in state)
+    val all = EventOps.sessionize(events, "30 minutes")
+      .select($"user_id", $"session_start_sec", $"session_end_sec", $"n_events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"session_start_sec".desc)
+    val expected = all.withColumn("rk", row_number().over(w)).filter($"rk" > 1).drop("rk")
+    assert(emitted.count() === expected.count())
+    assert(emitted.except(expected).count() === 0 && expected.except(emitted).count() === 0)
+  }
+
   test("stream-stream interval join equals the batch join") {
     val q = StatefulOps.streamClickErrorJoin(spark, sfDir, "click_err")
     q.processAllAvailable()
