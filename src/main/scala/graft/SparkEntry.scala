@@ -65,6 +65,18 @@ object SparkEntry {
        |      FROM t a, t b WHERE a.doc_id < b.doc_id)
        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** Normalize IEEE negative zero to +0.0 — a rounded value of -0.0
+    * string-serializes differently from 0.0 and would hash-mismatch an
+    * oracle that produced the other sign. (-0.0 === 0.0 in Spark SQL
+    * comparison, so the `when` catches both and emits the canonical one.)
+    */
+  private def zeroNorm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c === lit(0.0), lit(0.0)).otherwise(c)
+
+  /** DuckDB mirror of [[zeroNorm]]. */
+  private def zeroNormSql(v: String): String =
+    s"CASE WHEN ($v) = 0 THEN CAST(0 AS DOUBLE) ELSE ($v) END"
+
   // ---------------------------------------------------------------- entry
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -367,15 +379,36 @@ object SparkEntry {
         .orderBy("lang", "rk")
     }),
 
-    // Correlation / covariance per group.
-    "lineitem_corr" -> ((s, dir) =>
+    // Correlation / covariance per group. Built-in corr/covar_samp sum
+    // doubles in partial-aggregation order, so their low bits (and hence
+    // the rounded value, on .xxxx5 boundaries) vary with partitioning —
+    // r1 hash-mismatched on the driver host. Instead: exact DECIMAL
+    // sufficient statistics (order-independent), one cast to DOUBLE,
+    // then the closed-form corr/covar formulas — bit-identical to the
+    // DuckDB oracle computing the same way.
+    "lineitem_corr" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(14,2)")
+      val y = col("l_extendedprice").cast("decimal(14,2)")
+      val d = col("l_discount").cast("decimal(6,4)")
+      val t = col("l_tax").cast("decimal(6,4)")
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_disc_tax"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+          sum(d).cast("double").as("sd"), sum(t).cast("double").as("st"),
+          sum(d * t).cast("double").as("sdt"))
+        .select(col("l_returnflag"),
+          zeroNorm(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)).as("corr_qty_price"),
+          zeroNorm(round((col("sdt") - col("sd") * col("st") / col("n")) / (col("n") - 1), 6))
+            .as("covar_disc_tax"),
+          col("n"))
+        .orderBy("l_returnflag")
+    }),
 
     // U-series set operations: union / intersect / except as datasets.
     "set_ops" -> ((s, dir) => {
@@ -776,12 +809,30 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
 
-    "lineitem_corr" ->
-      """SELECT l_returnflag,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-        |  round(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "lineitem_corr" -> {
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+        |    CAST(sum(d) AS DOUBLE) AS sd, CAST(sum(t) AS DOUBLE) AS st,
+        |    CAST(sum(d*t) AS DOUBLE) AS sdt
+        |  FROM (SELECT l_returnflag,
+        |      CAST(l_quantity AS DECIMAL(14,2)) AS x, CAST(l_extendedprice AS DECIMAL(14,2)) AS y,
+        |      CAST(l_discount AS DECIMAL(6,4)) AS d, CAST(l_tax AS DECIMAL(6,4)) AS t
+        |    FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  """.stripMargin +
+        zeroNormSql("round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 4)") +
+        """ AS corr_qty_price,
+        |  """.stripMargin +
+        zeroNormSql("round((sdt - sd*st/n) / (n - 1), 6)") +
+        """ AS covar_disc_tax,
+        |  n
+        |FROM s ORDER BY l_returnflag""".stripMargin
+    },
 
     "set_ops" ->
       """SELECT
