@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.functions.TextFunctions
 import graft.eval.{LatencyStats, RecallAtK}
 import graft.index.CollectionCatalog
 import graft.ingest.DocumentIngest
@@ -737,7 +738,7 @@ object SparkEntry {
          |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS raw_mean_len,
          |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS raw_distinct,
          |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x IN ($allStop))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS raw_stop,
-         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS raw_punct
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '${TextFunctions.punctClassSql}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS raw_punct
          |  FROM t)
          |SELECT doc_id, n_tokens, round(raw_mean_len, 4) AS mean_token_len,
          |  round(raw_distinct, 4) AS distinct_ratio, round(raw_stop, 4) AS stopword_ratio,
@@ -748,9 +749,9 @@ object SparkEntry {
     },
 
     "token_counts" ->
-      """SELECT doc_id,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS n_ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+      s"""SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) END AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '${TextFunctions.bpeTokenPatternSql}')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->

@@ -37,7 +37,10 @@ object RecallExperiment {
     val perColl = (1 to nColls).map { c =>
       val endIdx = math.min(c * step, total)
       val view = CollectionCatalog.prefixView(base, endIdx)
-      val name = f"collection_${c}%04d_${c * step}%dpages"
+      // Name by the actual end index (min(c*step, total)) so parsePages
+      // agrees with num_documents and with CollectionBuilder.planCollections
+      // on the final partial collection.
+      val name = f"collection_${c}%04d_${endIdx}%dpages"
       val gt = KnnExact.topK(queries, view, topK)
       val idx = LshIndex.fit(view, numHashTables = numHashTables, bucketLength = bucketLength)
       val approx = idx.topK(queries, view, topK, radius = radius)
@@ -45,7 +48,17 @@ object RecallExperiment {
         .withColumn("collection", lit(name))
         .withColumn("num_documents", lit(endIdx))
     }
-    perColl.reduce(_ unionByName _)
+    perColl.reduceOption(_ unionByName _).getOrElse {
+      // Empty base → zero collections: return an empty frame with the
+      // same schema instead of crashing on reduce of an empty list.
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        StructField("qid", LongType) +:
+          Seq(5, 10).map(k => StructField(s"recall_$k", DoubleType)) :+
+          StructField("collection", StringType) :+
+          StructField("num_documents", LongType))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** A5/A6: per-collection mean recall + population stddev (np.std). */

@@ -44,7 +44,9 @@ object SpeedExperiment {
       c <- 1 to nColls
       endIdx = math.min(c * step, total)
       view = CollectionCatalog.prefixView(base, endIdx)
-      name = f"collection_${c}%04d_${c * step}%dpages"
+      // Name by the actual end index so the label of a final partial
+      // collection agrees with num_documents (and planCollections).
+      name = f"collection_${c}%04d_${endIdx}%dpages"
       nDocs = view.count()
       qid <- qids
       q = queries.filter(col("qid") === qid)

@@ -22,11 +22,21 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), wsPattern))
 
+  /** "Not alphanumeric, not whitespace" — the whitespace class spelled
+    * out for the same Java-vs-RE2 \s reason as [[wsPattern]] (Java's \s
+    * matches \x0B; RE2's does not).
+    */
+  val punctClass = "[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"
+  /** The same class in RE2 syntax for oracle SQL. */
+  val punctClassSql = "[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]"
+
   /** A BPE-ish sub-token split: runs of letters, runs of digits, or single
     * non-alphanumeric symbols (the usual pre-tokenizer shape for byte-pair
     * encoders). Counted with regexp_count — no materialized array needed.
     */
-  val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|" + punctClass
+  /** The same alternation in RE2 syntax for oracle SQL. */
+  val bpeTokenPatternSql = "[a-zA-Z]+|[0-9]+|" + punctClassSql
 
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
 

