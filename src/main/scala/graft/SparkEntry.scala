@@ -326,6 +326,78 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Frame sampling (the video-frame shape) through the real binary
+    // path: payload -> strided 64-byte frames -> per-frame md5, then
+    // min_by/max_by pick the first/last frame digest per document.
+    // Fixture text is pure ASCII, so the VARCHAR-md5 DuckDB oracle sees
+    // identical bytes.
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.frameSample(media, 256, 64)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_frames"),
+          min_by(col("frame_md5"), col("frame_idx")).as("first_frame_md5"),
+          max_by(col("frame_md5"), col("frame_idx")).as("last_frame_md5"))
+        .orderBy("id")
+    }),
+
+    // §2.4 pivot: per-user event-type counts as columns. Spark compiles
+    // pivot to one conditional aggregation — a single shuffle on the
+    // grouping key, no per-value passes.
+    "events_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // §2.5 lag: days since the same customer's previous order. The
+    // window partitions by customer — fully parallel, no global sort.
+    "orders_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // §2.8 date functions + money-exact rollup by calendar quarter.
+    "orders_by_quarter" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+        .orderBy("yr", "qtr")),
+
+    // §2.4 cube: all grouping-set subtotals over (status, priority) in
+    // one pass; subtotal NULLs are named '(all)' in both engines.
+    "orders_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy("status", "priority")),
+
+    // §2.5 ntile + percent_rank over account balance, (balance, key)
+    // tie-broken. The unpartitioned window is inherently global (a
+    // total order over the table); at scale this is a range-partitioned
+    // sort, and ntile-style tiers come from approx quantiles instead.
+    "customer_tiers" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("tier"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy("c_custkey")
+    }),
+
     // M4/J2: LSH approximate kNN (hash-seeded; rows-only + recall test).
     "ann_lsh_top10" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -766,6 +838,53 @@ object SparkEntry {
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS sha256, upper(hex(encode(substr(text, 1, 4)))) AS magic_hex
         |FROM documents ORDER BY id""".stripMargin,
+
+    // DuckDB md5 is VARCHAR-only; fixture text is pure ASCII, so char
+    // frames == the Spark side's byte frames.
+    "multimodal_frames" ->
+      """SELECT doc_id AS id,
+        |  CAST((length(text) - 1) // 256 + 1 AS BIGINT) AS n_frames,
+        |  md5(substring(text, 1, 64)) AS first_frame_md5,
+        |  md5(substring(text, CAST(((length(text) - 1) // 256) * 256 + 1 AS INT), 64)) AS last_frame_md5
+        |FROM documents WHERE length(text) > 0 ORDER BY id""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "orders_gaps" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
+        |FROM w WHERE prev_date IS NOT NULL ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "orders_by_quarter" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin,
+
+    "orders_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "customer_tiers" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS tier,
+        |  round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "ann_ivf_top5" -> {
       s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),

@@ -65,4 +65,57 @@ object Multimodal {
         it.map(r => MediaFeatures(r.id, r.payload.length, DecodeStub.decode(r.payload)))
       }
   }
+
+  /** Frame sampling — the video-frame-extraction shape: every `stride`
+    * bytes, take a `frameLen`-byte frame. One row per (id, frame_idx,
+    * frame payload + digest), produced by pure built-ins (sequence →
+    * transform → posexplode): narrow, codegen'd, zero shuffle — the
+    * decode of each frame then rides [[extractFeatures]]'s batched path.
+    */
+  def frameSample(media: DataFrame, stride: Int, frameLen: Int): DataFrame = {
+    require(stride > 0 && frameLen > 0, "stride and frameLen must be positive")
+    media
+      // empty payload -> 0 frames; the guard matters because
+      // sequence(0, -1) counts DOWN instead of producing an empty array
+      .withColumn("n_frames", expr(
+        s"case when octet_length(payload) = 0 then 0 else (octet_length(payload) - 1) div $stride + 1 end"))
+      .withColumn("frames",
+        when(col("n_frames") === 0, expr("cast(array() as array<binary>)"))
+          .otherwise(expr(
+            s"transform(sequence(0, int(n_frames) - 1), i -> substring(payload, i * $stride + 1, $frameLen))")))
+      .select(col("id"), col("n_frames"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .withColumn("frame_md5", md5(col("frame")))
+  }
+
+  /** Resize stub — the image-thumbnail shape: payload bytes reduced to a
+    * fixed `outLen`-byte thumbnail by bucket-averaging. A real resizer is
+    * a per-partition batched native call with exactly this signature;
+    * the deterministic fake keeps the batching, schema, and partitioning
+    * real (and testable) without an image library.
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame, outLen: Int = 16): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val out = new Array[Byte](outLen)
+          if (r.payload.nonEmpty) {
+            val bucket = math.max(1, r.payload.length / outLen)
+            var b = 0
+            while (b < outLen) {
+              val from = b * bucket
+              val to = math.min(r.payload.length, from + bucket)
+              if (from < r.payload.length) {
+                var sum = 0L
+                var i = from
+                while (i < to) { sum += java.lang.Byte.toUnsignedInt(r.payload(i)); i += 1 }
+                out(b) = (sum / (to - from)).toByte
+              }
+              b += 1
+            }
+          }
+          (r.id, out)
+        }
+      }
+  }
 }
