@@ -352,6 +352,24 @@ object SparkEntry {
         .na.fill(0L)
         .orderBy("user_id")),
 
+    // §2.7 unpivot: melt the pivoted wide table back to long form — the
+    // pivot/unpivot round-trip recovers the plain groupBy counts (the
+    // oracle). n=0 cells (combinations absent from the data) are
+    // filtered so both shapes agree.
+    "events_unpivot" -> ((s, dir) => {
+      val wide = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+          Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+          "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy("user_id", "event_type")
+    }),
+
     // §2.5 lag: days since the same customer's previous order. The
     // window partitions by customer — fully parallel, no global sort.
     "orders_gaps" -> ((s, dir) => {
@@ -856,6 +874,11 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "orders_gaps" ->
       """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate,

@@ -1,8 +1,10 @@
 package graft.index
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.model.VectorRecord
 
 /** Collection catalog: names, cumulative prefix views, counts.
   *
@@ -54,6 +56,24 @@ object CollectionCatalog {
     */
   def prefixView(base: DataFrame, endIdx: Long): DataFrame =
     base.filter(col("seq") <= lit(endIdx))
+
+  /** Typed facade over the collection row shape (Schemas.collection):
+    * flattens the metadata struct into a Dataset[VectorRecord], so
+    * callers who want compile-time field checking and typed lambdas get
+    * them without changing the storage schema. The select is a pure
+    * projection — column pruning and filter pushdown still reach the
+    * parquet scan underneath.
+    */
+  def typed(df: DataFrame): Dataset[VectorRecord] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col("id"),
+      col("document"),
+      col("embedding"),
+      col("metadata.pdf_name").as("pdfName"),
+      col("metadata.page_num").as("pageNum"),
+      col("metadata.total_pages").as("totalPages")).as[VectorRecord]
+  }
 
   /** Per-collection document counts for the whole cumulative chain, in one
     * pass: bucket rows by which step they land in, then a running sum over

@@ -72,4 +72,23 @@ class IngestSpec extends GraftSpec {
       .agg(count_distinct($"user_id").as("n_distinct_user_id"))
     assert(saltedD.except(plainD).count() === 0 && plainD.except(saltedD).count() === 0)
   }
+
+  test("typed collection facade round-trips the storage schema") {
+    import graft.model.{Schemas, VectorRecord}
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("p1_1", "hello", Array(1.0f, 2.0f),
+        org.apache.spark.sql.Row("a.pdf", 1, 3)),
+      org.apache.spark.sql.Row("p1_2", "world", Array(3.0f, 4.0f),
+        org.apache.spark.sql.Row("a.pdf", 2, 3)))
+    val df = spark.createDataFrame(rows, Schemas.collection)
+    val ds = graft.index.CollectionCatalog.typed(df)
+    val recs = ds.collect().sortBy(_.id)
+    assert(recs.map(_.id).toSeq === Seq("p1_1", "p1_2"))
+    assert(recs.head === VectorRecord("p1_1", "hello", Array(1.0f, 2.0f), "a.pdf", 1, 3)
+      .copy(embedding = recs.head.embedding)) // array equality checked below
+    assert(recs.head.embedding.toSeq === Seq(1.0f, 2.0f))
+    assert(recs.map(_.pageNum).toSeq === Seq(1, 2))
+    // typed lambdas compile and run distributed
+    assert(ds.filter(_.pageNum == 2).count() === 1)
+  }
 }
