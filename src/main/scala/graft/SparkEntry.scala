@@ -403,6 +403,44 @@ object SparkEntry {
           col("n_orders"), col("revenue"))
         .orderBy("status", "priority")),
 
+    // §2.8 array functions over the embedding column — min/max/argmax/
+    // size straight off the parquet array, no explode.
+    "embedding_minmax" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          array_max(col("embedding")).cast("double").as("emb_max"),
+          array_min(col("embedding")).cast("double").as("emb_min"),
+          array_position(col("embedding"), array_max(col("embedding"))).cast("long").as("argmax1"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id")),
+
+    // §2.8 string functions: case, length, edit distance, negative-index
+    // substring, padding, separator concat — all codegen'd per-row.
+    "customer_strings" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("upper_name"),
+          length(col("c_name")).cast("long").as("name_len"),
+          levenshtein(col("c_name"), reverse(col("c_name"))).cast("long").as("lev_rev"),
+          substring(col("c_name"), -3, 3).as("suffix"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"))
+        .orderBy("c_custkey")),
+
+    // §2.4 explicit grouping sets: status totals and priority totals in
+    // ONE pass (Expand + a single shuffle), not a self-union of two aggs.
+    "orders_grouping_sets" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy("status", "priority")),
+
     // §2.5 ntile + percent_rank over account balance, (balance, key)
     // tie-broken. The unpartitioned window is inherently global (a
     // total order over the table); at scale this is a range-partitioned
@@ -901,6 +939,32 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "embedding_minmax" ->
+      """SELECT vec_id,
+        |  CAST(list_max(embedding) AS DOUBLE) AS emb_max,
+        |  CAST(list_min(embedding) AS DOUBLE) AS emb_min,
+        |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax1,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "customer_strings" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS upper_name,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  CAST(levenshtein(c_name, reverse(c_name)) AS BIGINT) AS lev_rev,
+        |  substring(c_name, -3, 3) AS suffix,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  concat_ws('-', c_mktsegment, c_custkey) AS seg_key
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "orders_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin,
 
     "customer_tiers" ->

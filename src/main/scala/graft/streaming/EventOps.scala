@@ -88,6 +88,22 @@ object EventOps {
     * a glob filter selects the events file. The TIMESTAMP(NANOS) column is
     * declared long and truncated to micros, as in [[graft.model.Tables.events]].
     */
+  /** Shared streaming source over the events fixture (TIMESTAMP(NANOS)
+    * declared long, truncated to micros — as in [[graft.model.Tables.events]]).
+    */
+  private def eventStream(spark: SparkSession, parquetDir: String, glob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = org.apache.spark.sql.types.StructType(Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    spark.readStream
+      .schema(nanosSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(parquetDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def streamTumblingCounts(
       spark: SparkSession,
       parquetDir: String,
@@ -95,17 +111,7 @@ object EventOps {
       width: String = "10 minutes",
       watermark: String = "1 hour",
       glob: String = "events.parquet"): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = org.apache.spark.sql.types.StructType(Schemas.events.map {
-      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
-    val stream = spark.readStream
-      .schema(nanosSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(parquetDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    stream
+    eventStream(spark, parquetDir, glob)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -117,4 +123,33 @@ object EventOps {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming twin of [[sessionize]]: watermarked `session_window`
+    * aggregation in Append mode. A session row is emitted exactly once —
+    * when the watermark passes its end (last event + gap), i.e. when no
+    * late event could extend or merge it — and its state is dropped;
+    * bounded state by construction.
+    */
+  def streamSessionize(
+      spark: SparkSession,
+      parquetDir: String,
+      queryName: String,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes",
+      glob: String = "events.parquet"): StreamingQuery =
+    eventStream(spark, parquetDir, glob)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("w.start").cast("long").as("session_start_sec"),
+        col("w.end").cast("long").as("session_end_sec"),
+        col("n_events"), col("sum_value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

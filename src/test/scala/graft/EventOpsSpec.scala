@@ -53,4 +53,36 @@ class EventOpsSpec extends GraftSpec {
     assert(firsts.select("user_id", "event_type", "first_event_id")
       .except(viaWindow).count() === 0)
   }
+
+  test("streaming session_window emits exactly the watermark-closed sessions") {
+    val q = EventOps.streamSessionize(spark, sfDir, "sessions_sw")
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("sessions_sw")
+      .select($"user_id", $"session_start_sec", $"session_end_sec", $"n_events")
+    // Exact micros-level oracle (cf. StatefulOpsSpec): append-mode
+    // session_window emits a session once the watermark (max event ms -
+    // 30 min delay) passes its end (last event + gap); later sessions
+    // stay open in state.
+    val gapUs = 30L * 60 * 1000000
+    val gapSec = 30L * 60
+    val ev = events.select($"user_id", unix_micros($"ts").as("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us")
+    val sess = ev
+      .withColumn("prev", lag($"ts_us", 1).over(w))
+      .withColumn("new_sess", when($"prev".isNull || $"ts_us" - $"prev" >= gapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_sess").over(w))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts_us").as("start_us"), max($"ts_us").as("last_us"), count(lit(1)).as("n_events"))
+    val wmMs = ev.agg(max($"ts_us")).head().getLong(0) / 1000L - 30L * 60 * 1000
+    val expected = sess
+      .filter(expr("(last_us + 1800000000) div 1000") < wmMs)
+      .select($"user_id",
+        expr("start_us div 1000000").as("session_start_sec"),
+        (expr("last_us div 1000000") + gapSec).as("session_end_sec"),
+        $"n_events")
+    assert(emitted.count() === expected.count())
+    assert(emitted.except(expected).count() === 0 && expected.except(emitted).count() === 0)
+  }
 }
