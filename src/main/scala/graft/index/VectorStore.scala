@@ -1,0 +1,96 @@
+package graft.index
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+import graft.search.{KnnExact, LshIndex}
+
+/** Named-collection client facade — the reference's user workflow
+  * (chromadb.PersistentClient: get_or_create_collection / add / count /
+  * query / delete_collection, create_collections.py:160-268 and
+  * chromadb_speed_experiment.py:399-499) re-expressed Spark-native.
+  *
+  * Storage: one parquet directory per collection under a warehouse root
+  * (local path or any Hadoop-FS URI — HDFS/S3A at scale), rows in the
+  * reference's record shape ([[Schemas.collection]]). `add` is a parquet
+  * append (the reference's batched collection.add, cc:260-263); `query`
+  * is the broadcast top-k join from [[KnnExact]], so the collection side
+  * never shuffles; listing/deleting are filesystem metadata ops, not
+  * Spark jobs.
+  */
+class VectorStore(spark: SparkSession, warehouse: String) {
+
+  private val root = new Path(warehouse)
+  private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def dir(name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid collection name: $name")
+    new Path(root, name)
+  }
+
+  /** Idempotent create: an empty parquet dataset with the collection
+    * schema (so `collection(name)` works immediately after).
+    */
+  def getOrCreateCollection(name: String): DataFrame = {
+    val d = dir(name)
+    if (!fs.exists(d)) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.collection)
+        .write.mode(SaveMode.Overwrite).parquet(d.toString)
+    }
+    collection(name)
+  }
+
+  /** The collection as a DataFrame (schema: [[Schemas.collection]]). */
+  def collection(name: String): DataFrame = spark.read.parquet(dir(name).toString)
+
+  /** Append records; extra columns are dropped, missing metadata is
+    * allowed to be null — mirrors add()'s per-batch semantics.
+    */
+  def add(name: String, records: DataFrame): Unit = {
+    getOrCreateCollection(name)
+    records
+      .select(col("id").cast("string"), col("document").cast("string"),
+        col("embedding").cast("array<float>"), col("metadata"))
+      .write.mode(SaveMode.Append).parquet(dir(name).toString)
+  }
+
+  /** collection.count() (chromadb_speed_experiment.py:399-418). */
+  def count(name: String): Long = collection(name).count()
+
+  /** Exact L2 top-k — the reference's query(query_embeddings=..., n_results=k)
+    * with documents included in the result. `queries` is (qid, qemb).
+    */
+  def query(name: String, queries: DataFrame, k: Int): DataFrame = {
+    val coll = collection(name).select(
+      col("id"), col("document"), col("embedding"))
+    KnnExact.topK(queries, coll, k, idCol = "id")
+      .join(coll.select(col("id"), col("document")), Seq("id"))
+      .select(col("qid"), col("rk"), col("id"), col("document"), col("dist"))
+  }
+
+  /** Approximate top-k via an LSH index fit on the collection — the
+    * HNSW-shaped trade (approximate results, flat latency growth).
+    */
+  def queryApprox(
+      name: String,
+      queries: DataFrame,
+      k: Int,
+      numHashTables: Int = 8,
+      bucketLength: Double = 2.0,
+      radius: Double = 5.0): DataFrame = {
+    val coll = collection(name)
+      .select(col("id").as("vec_id"), col("embedding"))
+    val idx = LshIndex.fit(coll, numHashTables = numHashTables, bucketLength = bucketLength)
+    idx.topK(queries, coll, k, radius = radius)
+  }
+
+  /** list_collections(): filesystem metadata, no Spark job. */
+  def listCollections(): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+
+  /** delete_collection(name). */
+  def deleteCollection(name: String): Boolean = fs.delete(dir(name), true)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.index.VectorStore
+
+class VectorStoreSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def records(ids: Range) = {
+    val rows = ids.map { i =>
+      Row(s"p$i", s"doc $i", Array(i.toFloat, (i * 2).toFloat), Row(s"f$i.pdf", i, 100))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), graft.model.Schemas.collection)
+  }
+
+  test("client lifecycle: create / add / count / list / delete") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val store = new VectorStore(spark, wh)
+    assert(store.listCollections() === Seq.empty)
+
+    store.getOrCreateCollection("col_a")
+    assert(store.count("col_a") === 0)
+    // idempotent get_or_create keeps existing rows
+    store.add("col_a", records(0 until 10))
+    store.getOrCreateCollection("col_a")
+    assert(store.count("col_a") === 10)
+    // appends accumulate (the reference's batched add)
+    store.add("col_a", records(10 until 25))
+    assert(store.count("col_a") === 25)
+
+    store.getOrCreateCollection("col_b")
+    assert(store.listCollections() === Seq("col_a", "col_b"))
+    assert(store.deleteCollection("col_b"))
+    assert(store.listCollections() === Seq("col_a"))
+  }
+
+  test("query returns self at rank 1 with documents attached") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_store_q").toString
+    val store = new VectorStore(spark, wh)
+    store.add("c", records(0 until 30))
+    val queries = Seq((3L, Array(3.0f, 6.0f)), (7L, Array(7.0f, 14.0f)))
+      .toDF("qid", "qemb")
+    val res = store.query("c", queries, k = 3)
+    assert(res.count() === 6)
+    val self = res.filter($"rk" === 1).select($"qid", $"id", $"document", $"dist")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(self.toSeq === Seq((3L, "p3", "doc 3", 0.0), (7L, "p7", "doc 7", 0.0)))
+  }
+
+  test("approximate query recall against the exact result") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_store_ann").toString
+    val store = new VectorStore(spark, wh)
+    store.add("c", records(0 until 50))
+    val queries = Seq((5L, Array(5.0f, 10.0f))).toDF("qid", "qemb")
+    val exact = store.query("c", queries, k = 5).select($"qid", $"id", $"rk")
+    val approx = store.queryApprox("c", queries, k = 5, radius = 20.0)
+      .select($"qid", $"vec_id".as("id"), $"rk")
+    val recall = graft.eval.RecallAtK.evaluate(exact, approx, Seq(5), idCol = "id")
+      .agg(avg($"recall_5")).head().getDouble(0)
+    assert(recall >= 0.8, s"approx recall@5 = $recall")
+  }
+
+  test("invalid collection names are rejected") {
+    val store = new VectorStore(spark, "/tmp/graft_wh_unused")
+    intercept[IllegalArgumentException](store.count("../escape"))
+  }
+}
