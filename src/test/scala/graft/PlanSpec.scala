@@ -1,0 +1,57 @@
+package graft
+
+/** Plan-regression assertions: the physical-plan properties that make
+  * the headline operators viable at 100 TB, pinned so a refactor can't
+  * silently lose them. (Narrative walkthroughs live in docs/PLANS.md.)
+  */
+class PlanSpec extends GraftSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("knn_exact_multi: query side broadcast, window group limit partial") {
+    val p = plan("knn_exact_multi")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    assert(p.contains("WindowGroupLimit"), "per-partition top-k pre-shuffle limit")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,"),
+      "query-side filter must reach the parquet scan")
+    assert(p.contains("floatvecl2sq"), "distance must be the codegen'd expression")
+  }
+
+  test("q3_top_orders: dims broadcast, fact side never shuffles for the join") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be heap-based, not global sort")
+  }
+
+  test("dedup_exact: single aggregation with map-side partial") {
+    val p = plan("dedup_exact")
+    // partial + final pair: two HashAggregates around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "exact dedup must be exactly one shuffle (plus presentation sort)")
+  }
+
+  test("multimodal_frames: partial agg before the shuffle (one row per doc)") {
+    val p = plan("multimodal_frames")
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    val partialAgg = p.indexOf("SortAggregate")
+    assert(firstExchange >= 0 && partialAgg >= 0)
+    assert(p.substring(0, firstExchange).contains("Generate") ||
+      p.indexOf("Generate") > firstExchange,
+      "posexplode must exist in the plan")
+  }
+
+  test("token_counts: narrow per-row transform, only the presentation sort shuffles") {
+    val p = plan("token_counts")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a per-row transform must not hash-shuffle")
+  }
+
+  test("events_range_join: interval join is an equi-join on buckets, not a nested loop") {
+    val p = plan("events_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must not degrade to an unbounded nested loop")
+  }
+}
