@@ -868,11 +868,13 @@ object SparkEntry {
          |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> x IN ($allStop))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS raw_stop,
          |  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '${TextFunctions.punctClassSql}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS raw_punct
          |  FROM t)
-         |SELECT doc_id, n_tokens, round(raw_mean_len, 4) AS mean_token_len,
-         |  round(raw_distinct, 4) AS distinct_ratio, round(raw_stop, 4) AS stopword_ratio,
-         |  round(raw_punct, 4) AS punct_ratio,
-         |  round(least(1.0, greatest(0.0,
-         |    0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * raw_distinct + 0.3 * (1.0 - raw_punct))), 4) AS quality_score
+         |SELECT doc_id, n_tokens,
+         |  floor(raw_mean_len * 10000.0 + 0.5) / 10000.0 AS mean_token_len,
+         |  floor(raw_distinct * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+         |  floor(raw_stop * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+         |  floor(raw_punct * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+         |  floor(least(1.0, greatest(0.0,
+         |    0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * raw_distinct + 0.3 * (1.0 - raw_punct))) * 10000.0 + 0.5) / 10000.0 AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin
     },
 

@@ -65,20 +65,27 @@ object TextAnalysis {
     val rawPunct = when(length(t) === 0, 0.0).otherwise(
       (length(t) - length(regexp_replace(t, punctClass, ""))).cast("double") /
         length(t).cast("double"))
+    // Stable 4-decimal rounding: floor(v*1e4 + 0.5)/1e4 is the same IEEE
+    // op sequence in every engine, so both sides land on the same side of
+    // .xxxx5 boundaries. Built-in round() does NOT guarantee that: Spark
+    // rounds the exact binary value (0.84024999... -> 0.8402) while
+    // DuckDB rounds the scaled product (8402.5 -> 0.8403) — observed
+    // divergence on a real fixture row.
+    def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
     df.withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("mean_token_len",
-        round(when(nToks === 0, 0.0).otherwise(
-          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / nToks), 4))
-      .withColumn("distinct_ratio", round(rawDistinct, 4))
+        r4(when(nToks === 0, 0.0).otherwise(
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / nToks)))
+      .withColumn("distinct_ratio", r4(rawDistinct))
       .withColumn("stopword_ratio",
-        round(when(nToks === 0, 0.0).otherwise(
-          size(filter(toks, x => x.isInCollection(allStop))).cast("double") / nToks), 4))
-      .withColumn("punct_ratio", round(rawPunct, 4))
+        r4(when(nToks === 0, 0.0).otherwise(
+          size(filter(toks, x => x.isInCollection(allStop))).cast("double") / nToks)))
+      .withColumn("punct_ratio", r4(rawPunct))
       .withColumn("quality_score",
-        round(least(lit(1.0), greatest(lit(0.0),
+        r4(least(lit(1.0), greatest(lit(0.0),
           lit(0.4) * least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)) +
             lit(0.3) * rawDistinct +
-            lit(0.3) * (lit(1.0) - rawPunct))), 4))
+            lit(0.3) * (lit(1.0) - rawPunct)))))
   }
 
   /** Token counts (whitespace + BPE-ish regex) per document. */

@@ -6,9 +6,14 @@ package graft
   */
 class PlanSpec extends GraftSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // other suites may have .cache()d fixture tables in the shared
+    // session; a cached scan (InMemoryTableScan) hides the parquet
+    // pushdown evidence these assertions pin
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan.toString
+  }
 
   test("knn_exact_multi: query side broadcast, window group limit partial") {
     val p = plan("knn_exact_multi")
