@@ -44,12 +44,27 @@ object Dedup {
       n: Int,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxDocFrequency: Long = Long.MaxValue): DataFrame = {
     graft.functions.HashedShingles.ensureRegistered(docs.sparkSession)
     val sh = docs
       .select(col(idCol).as("id"), graft.functions.HashedShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val posts = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val allPosts = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    // Stop-shingle cap: a shingle appearing in > maxDocFrequency docs
+    // contributes df² co-occurrence rows — the classic skew bomb on a
+    // real corpus ("the of the", boilerplate headers). Dropping those
+    // postings bounds the join at the cost of slightly under-counting
+    // |A∩B| (carried sizes keep |A|,|B| exact, so Jaccard only drops —
+    // a dedup FILTER never admits a worse pair because of the cap).
+    // Default: uncapped (exact; the oracle-checked configuration).
+    val posts =
+      if (maxDocFrequency == Long.MaxValue) allPosts
+      else {
+        val stop = allPosts.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFrequency).select(col("s"))
+        allPosts.join(broadcast(stop), Seq("s"), "left_anti")
+      }
     val co = posts.as("x")
       .join(posts.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -124,6 +124,27 @@ object EventOps {
       .start()
   }
 
+  /** Streaming parquet sink: events stream → append-mode parquet files
+    * with exactly-once file commits via the checkpoint (the S9/S10 sink
+    * contract on a stream instead of a batch write). At scale this is
+    * the standard bronze-layer landing pattern: small files per
+    * micro-batch, compacted downstream.
+    */
+  def streamEventsToParquet(
+      spark: SparkSession,
+      parquetDir: String,
+      outDir: String,
+      checkpointDir: String,
+      glob: String = "events.parquet"): StreamingQuery =
+    eventStream(spark, parquetDir, glob)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming twin of [[sessionize]]: watermarked `session_window`
     * aggregation in Append mode. A session row is emitted exactly once —
     * when the watermark passes its end (last event + gap), i.e. when no

@@ -48,4 +48,17 @@ class DedupSpec extends GraftSpec {
     val r2 = Dedup.ngramJaccardPairs(docs, 3, 0.6).collect().toSeq
     assert(r1.toSet === r2.toSet)
   }
+
+  test("stop-shingle cap only removes pairs, never admits new ones") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.6)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no-op cap: identical result
+    val uncapped = Dedup.ngramJaccardPairs(docs, 3, 0.6, maxDocFrequency = 1000000L)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === exact)
+    // aggressive cap: conservative (subset) — Jaccard can only drop
+    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.6, maxDocFrequency = 2L)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact))
+  }
 }

@@ -85,4 +85,18 @@ class EventOpsSpec extends GraftSpec {
     assert(emitted.count() === expected.count())
     assert(emitted.except(expected).count() === 0 && expected.except(emitted).count() === 0)
   }
+
+  test("streaming parquet sink lands exactly the batch rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink")
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val q = EventOps.streamEventsToParquet(spark, sfDir, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === events.count())
+    val a = landed.select($"event_id", $"user_id", $"event_type")
+    val b = events.select($"event_id", $"user_id", $"event_type")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
 }
