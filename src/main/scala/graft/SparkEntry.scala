@@ -403,6 +403,16 @@ object SparkEntry {
           col("n_orders"), col("revenue"))
         .orderBy("status", "priority")),
 
+    // Deterministic hash sampling (§2.2): md5-bucket filter keeps the
+    // SAME ~25% of rows on every engine and every run — reproducible
+    // ablation samples, unlike RNG-based df.sample. Lexicographic hex
+    // compare ('40' = 64/256) is engine-portable.
+    "docs_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(substring(md5(col("text")), 1, 2) < "40")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // §2.8 array functions over the embedding column — min/max/argmax/
     // size straight off the parquet array, no explode.
     "embedding_minmax" -> ((s, dir) =>
@@ -942,6 +952,11 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "docs_sample" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents WHERE substring(md5(text), 1, 2) < '40'
+        |ORDER BY doc_id""".stripMargin,
 
     "embedding_minmax" ->
       """SELECT vec_id,

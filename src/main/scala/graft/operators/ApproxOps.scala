@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate and sampling operators — the sketches that replace their
+  * exact counterparts once a column no longer fits one machine.
+  *
+  * These are deliberately NOT in the DuckDB oracle surface: sketch
+  * implementations (HLL/KLL parameters, RNG streams) are engine-specific,
+  * so correctness is asserted as error bounds against the exact answer
+  * in ApproxOpsSpec — the same contract the reference uses for its
+  * approximate index (recall floor vs the brute-force oracle).
+  */
+object ApproxOps {
+
+  /** HyperLogLog++ distinct count per group (rsd = target relative
+    * standard deviation). At 100 TB this is THE way to count distincts:
+    * fixed-size sketch per group, partial-merged map-side, no
+    * shuffle-the-world distinct.
+    */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as(s"approx_distinct_$valueCol"))
+
+  /** KLL-style approximate quantiles (percentile_approx): one pass,
+    * bounded memory, vs the exact percentile's full sort.
+    */
+  def approxQuantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+      accuracy: Int = 10000): Column =
+    percentile_approx(col(valueCol),
+      array(probs.map(lit): _*), lit(accuracy)).as(s"approx_q_$valueCol")
+
+  /** Deterministic, engine-portable hash sample: keep rows whose md5
+    * bucket falls below the fraction. Unlike df.sample (engine RNG),
+    * the SAME rows are kept on every engine and every run — the
+    * reproducibility a training-data pipeline needs for ablations.
+    * fraction is quantized to 1/256ths.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    val buckets = math.round(fraction * 256).toInt
+    df.filter(conv(substring(md5(col(keyCol).cast("string")), 1, 2), 16, 10)
+      .cast("int") < buckets)
+  }
+}
