@@ -424,6 +424,23 @@ object SparkEntry {
           size(col("embedding")).cast("long").as("dim"))
         .orderBy("vec_id")),
 
+    // §2.9 L2 vector normalization, exploded per dimension so the
+    // compare stays scalar. Stable floor rounding (see quality_score)
+    // and the shared fold order keep both engines bit-equal.
+    "embedding_normalize" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      Tables.embeddings(s, dir)
+        .withColumn("nrm",
+          sqrt(graft.functions.VectorExpressions.dot(col("embedding"), col("embedding"))))
+        .filter(col("nrm") > 0)
+        .select(col("vec_id"), col("nrm"), posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("vec_id"),
+          (col("i0") + 1).cast("long").as("dim"),
+          (floor(col("x").cast("double") / col("nrm") * lit(1000000.0) + lit(0.5))
+            .cast("double") / lit(1000000.0)).as("val"))
+        .orderBy("vec_id", "dim")
+    }),
+
     // §2.8 string functions: case, length, edit distance, negative-index
     // substring, padding, separator concat — all codegen'd per-row.
     "customer_strings" -> ((s, dir) =>
@@ -965,6 +982,16 @@ object SparkEntry {
         |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax1,
         |  CAST(len(embedding) AS BIGINT) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "embedding_normalize" -> {
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |u AS (SELECT vec_id, unnest(list_transform(range(1, len(embedding)+1),
+         |    i -> {'dim': i, 'val': floor((CAST(embedding[i] AS DOUBLE) / nrm) * 1000000.0 + 0.5) / 1000000.0})) AS s
+         |  FROM n WHERE nrm > 0)
+         |SELECT vec_id, CAST(s.dim AS BIGINT) AS dim, s.val AS val
+         |FROM u ORDER BY vec_id, dim""".stripMargin
+    },
 
     "customer_strings" ->
       """SELECT c_custkey,
