@@ -57,4 +57,30 @@ class PropertySpec extends GraftSpec {
       if (r.getSeq[Long](0).nonEmpty) assert(r.getDouble(4) === 1.0)
     }
   }
+
+  test("property: hash sample is monotone in the fraction") {
+    val events = graft.model.Tables.events(spark, sfDir)
+    // larger fraction ⊇ smaller fraction (bucket predicate is a prefix
+    // order on the same hash — no resampling surprises across configs)
+    val fracs = Seq(0.1, 0.25, 0.5, 1.0)
+    val sets = fracs.map { f =>
+      graft.operators.ApproxOps.hashSample(events, "event_id", f)
+        .select("event_id").as[Long].collect().toSet
+    }
+    sets.sliding(2).foreach {
+      case Seq(small, big) => assert(small.subsetOf(big))
+      case _ =>
+    }
+  }
+
+  test("property: stable floor rounding stays within half an ulp of 1e-4") {
+    val gen = Gen.chooseNum(-2.0, 2.0)
+    val vals = Gen.listOfN(300, gen).apply(Gen.Parameters.default, Seed(7L)).get
+    val df = vals.toDF("v")
+      .select($"v", (floor($"v" * 10000.0 + 0.5).cast("double") / 10000.0).as("r"))
+    df.collect().foreach { row =>
+      val (v, r) = (row.getDouble(0), row.getDouble(1))
+      assert(math.abs(r - v) <= 0.00005 + 1e-12, s"$v -> $r")
+    }
+  }
 }
