@@ -454,6 +454,26 @@ object SparkEntry {
           concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"))
         .orderBy("c_custkey")),
 
+    // §2.7 bag-semantics set ops: intersectAll / exceptAll keep
+    // multiplicities (the DISTINCT variants live in set_ops).
+    "set_ops_all" -> ((s, dir) => {
+      val en = Tables.documents(s, dir).filter(col("lang") === "en").select(col("source"))
+      val zh = Tables.documents(s, dir).filter(col("lang") === "zh").select(col("source"))
+      en.intersectAll(zh).agg(count(lit(1)).as("n_intersect_all"))
+        .crossJoin(en.exceptAll(zh).agg(count(lit(1)).as("n_except_all")))
+    }),
+
+    // §2.3 left-outer join preserving zero-order customers (an inner
+    // join would silently drop them); dim side broadcast.
+    "customer_order_counts" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0)).cast("decimal(18,2)")), 2)
+            .cast("double").as("lifetime_value"))
+        .orderBy("c_custkey")),
+
     // §2.4 explicit grouping sets: status totals and priority totals in
     // ONE pass (Expand + a single shuffle), not a self-union of two aggs.
     "orders_grouping_sets" -> ((s, dir) =>
@@ -1002,6 +1022,20 @@ object SparkEntry {
         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
         |  concat_ws('-', c_mktsegment, c_custkey) AS seg_key
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "set_ops_all" ->
+      """SELECT
+        |  (SELECT count(*) FROM (SELECT source FROM documents WHERE lang = 'en'
+        |    INTERSECT ALL SELECT source FROM documents WHERE lang = 'zh')) AS n_intersect_all,
+        |  (SELECT count(*) FROM (SELECT source FROM documents WHERE lang = 'en'
+        |    EXCEPT ALL SELECT source FROM documents WHERE lang = 'zh')) AS n_except_all""".stripMargin,
+
+    "customer_order_counts" ->
+      """SELECT c_custkey,
+        |  count(o_orderkey) AS n_orders,
+        |  CAST(round(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS lifetime_value
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "orders_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
