@@ -66,6 +66,22 @@ object SparkEntry {
        |      FROM t a, t b WHERE a.doc_id < b.doc_id)
        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** DuckDB replica of SimHash64Expr's FNV-1a64 token hash: HUGEINT
+    * arithmetic mod 2^64 (BIGINT would overflow-throw); the xor touches
+    * only the low 7 bits because token chars are ASCII, so it can be
+    * done in BIGINT after splitting off `acc % 128`. Verified
+    * signature-identical to the Scala expression on every fixture doc.
+    */
+  private val fnv1a64Sql: String =
+    """list_reduce(
+      |  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |    list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS HUGEINT))),
+      |  (acc, c) -> ((acc - acc % 128 + CAST(xor(CAST(acc % 128 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT)) * 1099511628211) % 18446744073709551616)""".stripMargin
+
+  /** (j, 2^j) VALUES rows for per-bit SimHash votes. */
+  private val bitPowersSql: String =
+    (0 until 64).map(j => s"($j, CAST(${BigInt(1) << j} AS HUGEINT))").mkString(", ")
+
   /** Normalize IEEE negative zero to +0.0 — a rounded value of -0.0
     * string-serializes differently from 0.0 and would hash-mismatch an
     * oracle that produced the other sign. (-0.0 === 0.0 in Spark SQL
@@ -276,10 +292,13 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHash(Tables.documents(s, dir), 3, 0.6).orderBy("id_a", "id_b")),
 
-    // SimHash near-dup (hash-seeded; rows-only check + ScalaTest).
-    // maxHamming=3 keeps the 4×16-bit banding exhaustive (pigeonhole).
+    // SimHash near-dup. maxHamming=3 keeps the 4×16-bit banding
+    // exhaustive (pigeonhole). Oracle-checked since round 2: the DuckDB
+    // side re-derives the FNV-1a64 signatures bit-for-bit.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHash(Tables.documents(s, dir), maxHamming = 3).orderBy("id_a", "id_b")),
+      Dedup.simHash(Tables.documents(s, dir), maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")),
 
     // Embedding-cosine near-dup pairs.
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -886,6 +905,32 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> jaccardPairsSql(0.6),
 
     "dedup_minhash" -> jaccardPairsSql(0.6),
+
+    "dedup_simhash" -> {
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |th AS (SELECT doc_id, $fnv1a64Sql AS h FROM tok),
+         |powers(j, pw) AS (VALUES $bitPowersSql),
+         |v AS (SELECT doc_id, j, pw,
+         |        sum(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+         |      FROM th CROSS JOIN powers GROUP BY doc_id, j, pw),
+         |s0 AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN pw ELSE CAST(0 AS HUGEINT) END) AS usig
+         |       FROM v GROUP BY doc_id),
+         |sigs AS (SELECT t.doc_id, coalesce(s0.usig, CAST(0 AS HUGEINT)) AS usig,
+         |           CAST(CASE WHEN coalesce(s0.usig, CAST(0 AS HUGEINT)) >= CAST(9223372036854775808 AS HUGEINT)
+         |                THEN coalesce(s0.usig, CAST(0 AS HUGEINT)) - CAST(18446744073709551616 AS HUGEINT)
+         |                ELSE coalesce(s0.usig, CAST(0 AS HUGEINT)) END AS BIGINT) AS sig
+         |         FROM t LEFT JOIN s0 ON t.doc_id = s0.doc_id),
+         |banded AS (SELECT doc_id, sig, b, CAST((usig // p16) % 65536 AS BIGINT) AS chunk
+         |           FROM sigs CROSS JOIN (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+         |             (2, CAST(4294967296 AS HUGEINT)), (3, CAST(281474976710656 AS HUGEINT))) bands(b, p16)),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS sig_a, y.sig AS sig_b
+         |         FROM banded x JOIN banded y
+         |           ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "dedup_embedding_cosine" ->
       s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
