@@ -11,7 +11,7 @@ import graft.index.CollectionCatalog
 import graft.ingest.DocumentIngest
 import graft.model.Tables
 import graft.multimodal.Multimodal
-import graft.search.{IvfIndex, KnnExact, LshIndex}
+import graft.search.{IvfIndex, KnnExact, LshIndex, RpLsh}
 import graft.streaming.EventOps
 import graft.textual.TextAnalysis
 
@@ -518,6 +518,18 @@ object SparkEntry {
           ntile(4).over(w).cast("long").as("tier"),
           round(percent_rank().over(w), 6).as("pr"))
         .orderBy("c_custkey")
+    }),
+
+    // M4/J2: deterministic random-projection LSH ANN — engine-portable
+    // buckets (±1 SplitMix64 signs, power-of-two width), so unlike the
+    // MLlib variant below the full approximate result is oracle-checked.
+    // T=8/w=0.5 lands at recall@10 ≈ 0.78 on the fixture — inside the
+    // reference's own observed recall band at scale (BASELINE.md).
+    "ann_rplsh_top10" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 5)
+      RpLsh.topK(q, emb, k = 10, numTables = 8, dim = 64, w = 0.5)
+        .orderBy("qid", "rk")
     }),
 
     // M4/J2: LSH approximate kNN (hash-seeded; rows-only + recall test).
@@ -1095,6 +1107,29 @@ object SparkEntry {
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS tier,
         |  round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "ann_rplsh_top10" -> {
+      val bands = (0 until 8).map { t =>
+        val lits = RpLsh.signs(t, 64).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
+        s"($t, [$lits])"
+      }.mkString(",\n         |  ")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |bands(t, s) AS (VALUES $bands),
+         |qb AS (SELECT qid, t,
+         |    CAST(floor(list_sum(list_transform(range(1, 65), i -> CAST(qemb[i] AS DOUBLE) * s[i])) / 0.5) AS BIGINT) AS bkt
+         |  FROM q CROSS JOIN bands),
+         |cb AS (SELECT vec_id, t,
+         |    CAST(floor(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * s[i])) / 0.5) AS BIGINT) AS bkt
+         |  FROM embeddings CROSS JOIN bands),
+         |cand AS (SELECT DISTINCT qb.qid, cb.vec_id FROM qb JOIN cb ON qb.t = cb.t AND qb.bkt = cb.bkt),
+         |scored AS (SELECT c.qid, c.vec_id, ${l2Sql("q.qemb", "e.embedding")} AS dist
+         |  FROM cand c JOIN q ON c.qid = q.qid JOIN embeddings e ON c.vec_id = e.vec_id),
+         |ranked AS (SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+    },
 
     "ann_ivf_top5" -> {
       s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),

@@ -121,4 +121,26 @@ class SearchSpec extends GraftSpec {
     val exact = KnnExact.topK(queries, emb, 5).select("qid", "vec_id", "rk")
     assert(ivfAll.except(exact).count() === 0 && exact.except(ivfAll).count() === 0)
   }
+
+  test("deterministic RP-LSH: recall floor, candidate selectivity, stability") {
+    import graft.search.RpLsh
+    val got = RpLsh.topK(queries, emb, k = 10, numTables = 8, dim = 64, w = 0.5)
+    val gt = KnnExact.topK(queries, emb, 10)
+    val rec = RecallAtK.evaluate(gt, got, Seq(10))
+      .agg(avg($"recall_10")).head().getDouble(0)
+    assert(rec >= 0.5, s"rp-lsh recall@10 = $rec")
+    // buckets must actually prune: candidate sets below the full corpus
+    val cb = RpLsh.bucketize(emb, "vec_id", "embedding", 8, 64, 0.5)
+    val qb = RpLsh.bucketize(queries, "qid", "qemb", 8, 64, 0.5)
+    val candPerQ = qb.join(cb, Seq("t", "bkt")).select($"qid", $"vec_id").distinct()
+      .groupBy($"qid").count().agg(avg($"count")).head().getDouble(0)
+    assert(candPerQ < emb.count(), s"avg candidates $candPerQ must prune something")
+    // identical output across runs (pure function of the data).
+    // collected-set compare: EXCEPT over twin plans with floor/element_at
+    // trips ReplaceExceptWithFilter (SPARK plan re-resolution bug).
+    val again = RpLsh.topK(queries, emb, k = 10, numTables = 8, dim = 64, w = 0.5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(got) === rows(again))
+  }
 }
