@@ -30,10 +30,11 @@ object Bench {
     * long tail in any order after.
     */
   private val heavyFirst = Seq(
-    "dedup_embedding_cosine", "dedup_ngram_jaccard", "ann_lsh_top10",
-    "ann_ivf_top5", "dedup_exact", "dedup_minhash", "embed_tfidf",
-    "quality_score", "lineitem_corr", "dedup_simhash", "doc_fingerprint",
-    "events_sessionize", "q1_agg", "q5_region_revenue", "events_json_stats")
+    "ann_rplsh_top10", "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "ann_lsh_top10", "ann_ivf_top5", "dedup_exact", "dedup_minhash",
+    "embed_tfidf", "quality_score", "lineitem_corr", "dedup_simhash",
+    "doc_fingerprint", "events_sessionize", "q1_agg", "q5_region_revenue",
+    "events_json_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
