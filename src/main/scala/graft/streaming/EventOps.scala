@@ -145,6 +145,82 @@ object EventOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Keyed streaming upsert into parquet via foreachBatch — the
+    * bronze→silver merge pattern without a table format: each
+    * micro-batch is reduced to one row per key (latest by event time,
+    * event_id tie-break), then merged with the existing table by
+    * key anti-join + union and atomically swapped in. Without Delta/
+    * Iceberg the swap is directory-level (write new, replace); the
+    * batch-side logic is exactly what MERGE INTO compiles to.
+    *
+    * Keyed on user_id: the silver table holds each user's latest event.
+    */
+  def streamUpsertLatestByUser(
+      spark: SparkSession,
+      parquetDir: String,
+      outDir: String,
+      checkpointDir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 1,
+      nanosTs: Boolean = true): StreamingQuery = {
+    // nanosTs: the raw fixture carries TIMESTAMP(NANOS) (read as long,
+    // truncated to micros); re-landed copies carry plain timestamps.
+    val stream = if (nanosTs) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val nanosSchema = org.apache.spark.sql.types.StructType(Schemas.events.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      })
+      spark.readStream
+        .schema(nanosSchema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(parquetDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.readStream
+        .schema(Schemas.events)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(parquetDir)
+    }
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark2 = batch.sparkSession
+        val latest = batch
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"), col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"), col("m.value").as("value"))
+        val target = new org.apache.hadoop.fs.Path(outDir)
+        val fs = target.getFileSystem(spark2.sparkContext.hadoopConfiguration)
+        val merged =
+          if (!fs.exists(target)) latest
+          else {
+            val existing = spark2.read.parquet(outDir)
+            // keep existing rows only when the batch has no newer row,
+            // and batch rows only when they beat the existing row
+            val e = existing.select(col("user_id"), struct(col("ts"), col("event_id"),
+              col("event_type"), col("value")).as("row"))
+            val b = latest.select(col("user_id"), struct(col("ts"), col("event_id"),
+              col("event_type"), col("value")).as("row"))
+            e.unionByName(b)
+              .groupBy(col("user_id")).agg(max(col("row")).as("m"))
+              .select(col("user_id"), col("m.ts").as("ts"), col("m.event_id").as("event_id"),
+                col("m.event_type").as("event_type"), col("m.value").as("value"))
+          }
+        val tmp = outDir + s"__stage_$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+        if (fs.exists(target)) fs.delete(target, true)
+        fs.rename(tmpPath, target)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming twin of [[sessionize]]: watermarked `session_window`
     * aggregation in Append mode. A session row is emitted exactly once —
     * when the watermark passes its end (last event + gap), i.e. when no

@@ -86,6 +86,28 @@ class EventOpsSpec extends GraftSpec {
     assert(emitted.except(expected).count() === 0 && expected.except(emitted).count() === 0)
   }
 
+  test("foreachBatch upsert converges to latest-per-user across micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert")
+    // shatter the fixture into several files -> maxFilesPerTrigger=1
+    // forces multiple micro-batches, so the merge path actually runs
+    val srcDir = base.resolve("src").toString
+    events.repartition(3).write.parquet(srcDir)
+    val out = base.resolve("silver").toString
+    val ckpt = base.resolve("ckpt").toString
+    val q = EventOps.streamUpsertLatestByUser(spark, srcDir, out, ckpt,
+      glob = "*.parquet", nanosTs = false)
+    q.processAllAvailable()
+    q.stop()
+    val silver = spark.read.parquet(out)
+    val expected = events
+      .groupBy($"user_id")
+      .agg(max(struct($"ts", $"event_id", $"event_type", $"value")).as("m"))
+      .select($"user_id", $"m.ts".as("ts"), $"m.event_id".as("event_id"),
+        $"m.event_type".as("event_type"), $"m.value".as("value"))
+    assert(silver.count() === expected.count())
+    assert(silver.except(expected).count() === 0 && expected.except(silver).count() === 0)
+  }
+
   test("streaming parquet sink lands exactly the batch rows") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink")
     val out = base.resolve("out").toString
