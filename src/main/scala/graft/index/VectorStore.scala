@@ -45,14 +45,17 @@ class VectorStore(spark: SparkSession, warehouse: String) {
   /** The collection as a DataFrame (schema: [[Schemas.collection]]). */
   def collection(name: String): DataFrame = spark.read.parquet(dir(name).toString)
 
-  /** Append records; extra columns are dropped, missing metadata is
-    * allowed to be null — mirrors add()'s per-batch semantics.
+  /** Append records; extra columns are dropped, and a missing metadata
+    * column is stored as null — mirrors add()'s per-batch semantics.
     */
   def add(name: String, records: DataFrame): Unit = {
     getOrCreateCollection(name)
+    val meta =
+      if (records.columns.contains("metadata")) col("metadata")
+      else lit(null).cast(Schemas.collection("metadata").dataType)
     records
       .select(col("id").cast("string"), col("document").cast("string"),
-        col("embedding").cast("array<float>"), col("metadata"))
+        col("embedding").cast("array<float>"), meta.as("metadata"))
       .write.mode(SaveMode.Append).parquet(dir(name).toString)
   }
 

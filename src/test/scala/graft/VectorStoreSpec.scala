@@ -64,6 +64,17 @@ class VectorStoreSpec extends GraftSpec {
     assert(recall >= 0.8, s"approx recall@5 = $recall")
   }
 
+  test("add without a metadata column stores null metadata") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_store_nm").toString
+    val store = new VectorStore(spark, wh)
+    val bare = Seq(("p0", "doc 0", Array(1.0f, 2.0f)))
+      .toDF("id", "document", "embedding")
+    store.add("c", bare)
+    val got = store.collection("c")
+    assert(got.count() === 1)
+    assert(got.filter($"metadata".isNull).count() === 1)
+  }
+
   test("invalid collection names are rejected") {
     val store = new VectorStore(spark, "/tmp/graft_wh_unused")
     intercept[IllegalArgumentException](store.count("../escape"))
