@@ -81,7 +81,8 @@ object Bench {
 
     val qs = SparkEntry.queries.keys.toSeq.sorted
       .map(k => "\"" + k + "\":" + times.getOrDefault(k, -1.0)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""threads":$threads,"note":"value = suite wall-clock; queries overlap on a FAIR-scheduled shared session (per-query times include slot contention); SPARK_GRAFT_BENCH_THREADS=1 for serial"}""")
     spark.stop()
   }
 }
