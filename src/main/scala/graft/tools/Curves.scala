@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.search.{IvfIndex, KnnExact, RpLsh}
+
+/** Reproduce the reference's qualitative curves (BASELINE.md):
+  * brute-force scan latency grows ~linearly with collection size while
+  * the indexed path stays flatter, and approximate recall degrades with
+  * scale. Prints markdown tables; docs/CURVES.md holds a captured run.
+  *
+  * The latency A/B is the 100 TB-correct analog of the reference's
+  * HNSW-vs-numpy comparison: a full parquet scan + distance ranking
+  * versus an IVF probe against a cell-PARTITIONED copy of the same data
+  * (nprobe cells → partition pruning → the scan reads a fraction of the
+  * bytes). Both sides read from disk — no cache asymmetry.
+  *
+  * Collection sizes are scaled by replicating the fixture embeddings
+  * (vec_id remapped to stay unique) — replication only feeds the LATENCY
+  * curve; the recall curve uses true prefix collections of the
+  * un-replicated table (duplicated vectors would make recall
+  * degenerate).
+  */
+object Curves {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder("graft-curves", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = graft.model.Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val nBase = base.count()
+    val q = base.filter($"vec_id" === 0).head().getSeq[Float](1).toSeq
+    val queries1 = Seq((0L, q.toArray)).toDF("qid", "qemb")
+    val work = java.nio.file.Files.createTempDirectory("graft_curves").toString
+    val numCells = 16
+    val nprobe = 2
+
+    def timeMs(f: => Unit, runs: Int = 5): Double = {
+      f // warm-up, excluded (reference discipline, sp:457-462)
+      val ts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }.sorted
+      ts(runs / 2) // median
+    }
+
+    println(s"| n_vectors | exact full-scan ms | ivf probe ms (nprobe=$nprobe/$numCells) |")
+    println("|---|---|---|")
+    Seq(8, 32, 128, 512).foreach { mult =>
+      val coll = base.crossJoin(spark.range(mult))
+        .select(($"vec_id" * mult + $"id").as("vec_id"), $"embedding")
+      val plainPath = s"$work/plain_$mult"
+      coll.write.mode("overwrite").parquet(plainPath)
+      val cent = IvfIndex.seedCentroids(spark.read.parquet(plainPath), numCells)
+        .cache()
+      cent.count()
+      val assigned = IvfIndex.assign(spark.read.parquet(plainPath), cent)
+      val idxPath = s"$work/ivf_$mult"
+      IvfIndex.writePartitioned(assigned, idxPath)
+      val n = spark.read.parquet(plainPath).count()
+
+      val exactMs = timeMs {
+        KnnExact.topKSingle(spark.read.parquet(plainPath), q, 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val ivfMs = timeMs {
+        IvfIndex.searchPartitioned(spark, idxPath, queries1, cent, k = 10, nprobe = nprobe)
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"| ${n}%d | $exactMs%.0f | $ivfMs%.0f |")
+    }
+
+    // recall vs true prefix size (no replication)
+    val queries5 = base.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    println("\n| prefix size | rp-lsh recall@10 |")
+    println("|---|---|")
+    Seq(250L, 500L, 1000L, 2000L).filter(_ <= nBase).foreach { sz =>
+      val view = base.filter($"vec_id" < sz)
+      val gt = KnnExact.topK(queries5, view, 10)
+      val approx = RpLsh.topK(queries5, view, 10, numTables = 8, dim = 64, w = 0.5)
+      val rec = graft.eval.RecallAtK.evaluate(gt, approx, Seq(10))
+        .agg(avg($"recall_10")).head().getDouble(0)
+      println(f"| $sz%d | $rec%.2f |")
+    }
+    spark.stop()
+  }
+}
