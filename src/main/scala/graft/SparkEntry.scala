@@ -422,6 +422,15 @@ object SparkEntry {
           col("n_orders"), col("revenue"))
         .orderBy("status", "priority")),
 
+    // Canonical text normalization (the pre-dedup cleaning step):
+    // lowercase, strip controls, collapse whitespace; emitted as an md5
+    // so the compare stays narrow.
+    "docs_normalized" -> ((s, dir) =>
+      TextAnalysis.normalized(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), md5(col("text_norm")).as("norm_md5"),
+          length(col("text_norm")).cast("long").as("norm_len"), col("changed"))
+        .orderBy("doc_id")),
+
     // Deterministic hash sampling (§2.2): md5-bucket filter keeps the
     // SAME ~25% of rows on every engine and every run — reproducible
     // ablation samples, unlike RNG-based df.sample. Lexicographic hex
@@ -1046,6 +1055,16 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "docs_normalized" -> {
+      s"""WITH n AS (SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+         |      '${TextFunctions.wsPatternSql}', ' ', 'g')) AS t
+         |  FROM documents)
+         |SELECT doc_id, md5(t) AS norm_md5, CAST(length(t) AS BIGINT) AS norm_len,
+         |  t <> text AS changed
+         |FROM n ORDER BY doc_id""".stripMargin
+    },
 
     "docs_sample" ->
       """SELECT doc_id, lang, n_chars

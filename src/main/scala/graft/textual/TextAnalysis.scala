@@ -96,4 +96,20 @@ object TextAnalysis {
   /** Rolling-hash fingerprint per document. */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", rollingHash(col(textCol)))
+
+  /** Canonical text normalization — the standard pre-dedup cleaning
+    * step: lowercase, strip control characters, collapse whitespace
+    * runs to single spaces, trim. Pure codegen'd per-row transform;
+    * normalizing BEFORE hashing/shingling makes near-dup detection
+    * robust to case/whitespace-only variants.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x08\\x0e-\\x1f\\x7f]", ""),
+      wsPattern, " "))
+
+  /** Normalized text per document + a change flag. */
+  def normalized(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("text_norm", normalizeText(col(textCol)))
+      .withColumn("changed", (col("text_norm") =!= col(textCol)).cast("boolean"))
 }
