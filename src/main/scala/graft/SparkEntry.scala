@@ -428,7 +428,10 @@ object SparkEntry {
     "docs_normalized" -> ((s, dir) =>
       TextAnalysis.normalized(Tables.documents(s, dir), "text")
         .select(col("doc_id"), md5(col("text_norm")).as("norm_md5"),
-          length(col("text_norm")).cast("long").as("norm_len"), col("changed"))
+          length(col("text_norm")).cast("long").as("norm_len"),
+          // int not boolean: the first bool column in the oracle surface
+          // would bet on identical bool hashing in the driver's compare
+          col("changed").cast("long").as("changed"))
         .orderBy("doc_id")),
 
     // Deterministic hash sampling (§2.2): md5-bucket filter keeps the
@@ -1062,7 +1065,7 @@ object SparkEntry {
          |      '${TextFunctions.wsPatternSql}', ' ', 'g')) AS t
          |  FROM documents)
          |SELECT doc_id, md5(t) AS norm_md5, CAST(length(t) AS BIGINT) AS norm_len,
-         |  t <> text AS changed
+         |  CAST(t <> text AS BIGINT) AS changed
          |FROM n ORDER BY doc_id""".stripMargin
     },
 
