@@ -73,6 +73,17 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("property: text normalization is idempotent and whitespace-canonical") {
+    val docs = graft.model.Tables.documents(spark, sfDir).limit(200)
+    val once = docs.select($"doc_id",
+      graft.textual.TextAnalysis.normalizeText($"text").as("t1"))
+    val twice = once.select($"doc_id",
+      $"t1", graft.textual.TextAnalysis.normalizeText($"t1").as("t2"))
+    assert(twice.filter($"t1" =!= $"t2").count() === 0, "normalize must be idempotent")
+    // canonical form never contains doubled spaces, tabs, or newlines
+    assert(twice.filter($"t1".rlike("  |\t|\n")).count() === 0)
+  }
+
   test("property: stable floor rounding stays within half an ulp of 1e-4") {
     val gen = Gen.chooseNum(-2.0, 2.0)
     val vals = Gen.listOfN(300, gen).apply(Gen.Parameters.default, Seed(7L)).get
