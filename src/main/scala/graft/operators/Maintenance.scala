@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Table-maintenance operators for the landing/bronze layer: small-file
   * compaction and stats-friendly sorted writes. Streaming sinks and
@@ -42,4 +42,49 @@ object Maintenance {
     df.repartitionByRange(partitions, col(key))
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** Key-bucketed layout: rows land in `__kb = xxhash64(key) mod n`
+    * directory partitions. The point is [[deleteKeys]]: a right-to-be-
+    * forgotten delete touches ONLY the buckets holding the keys — at
+    * 100 TB that is a rewrite of keys/n of the table, not all of it.
+    */
+  def writeKeyBucketed(df: DataFrame, outDir: String, key: String, nBuckets: Int): Unit =
+    df.withColumn("__kb", pmod(xxhash64(col(key)), lit(nBuckets)))
+      .write.partitionBy("__kb").mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** Surgical key deletion from a [[writeKeyBucketed]] table: compute
+    * the affected buckets (same hash, via a one-row-per-key frame so the
+    * bucketing function is engine-identical), rewrite ONLY those bucket
+    * directories through a staged swap, and leave every other bucket's
+    * files untouched. Returns the number of deleted rows.
+    */
+  def deleteKeys(
+      spark: SparkSession,
+      dir: String,
+      key: String,
+      keys: Seq[Long],
+      nBuckets: Int): Long = {
+    import spark.implicits._
+    if (keys.isEmpty) return 0L
+    val keyDf = keys.toDF(key)
+    val buckets = keyDf
+      .select(pmod(xxhash64(col(key)), lit(nBuckets)).as("kb"))
+      .distinct().as[Long].collect().sorted
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var deleted = 0L
+    buckets.foreach { b =>
+      val bucketPath = new Path(dir, s"__kb=$b")
+      if (fs.exists(bucketPath)) {
+        val before = spark.read.parquet(bucketPath.toString)
+        val kept = before.join(keyDf, Seq(key), "left_anti")
+        val keptN = kept.count()
+        deleted += before.count() - keptN
+        val stage = new Path(dir, s"__kb=${b}__stage")
+        kept.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+        fs.delete(bucketPath, true)
+        fs.rename(stage, bucketPath)
+      }
+    }
+    deleted
+  }
 }

@@ -56,6 +56,39 @@ class ApproxOpsSpec extends GraftSpec {
     assert(spark.read.parquet(out).count() === events.count())
   }
 
+  test("surgical delete rewrites only the affected key buckets") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+    val base = java.nio.file.Files.createTempDirectory("graft_delete")
+    val dir = base.resolve("t").toString
+    Maintenance.writeKeyBucketed(events.select($"event_id", $"user_id"), dir, "user_id", 8)
+    val total = spark.read.parquet(dir).count()
+    val victims = Seq(1L, 3L)
+    val victimRows = events.filter($"user_id".isin(victims: _*)).count()
+    assert(victimRows > 0)
+
+    def listing(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = listing()
+    val affected = events.select($"user_id").where($"user_id".isin(victims: _*))
+      .select(pmod(xxhash64($"user_id"), lit(8)).as("kb")).distinct()
+      .as[Long].collect().toSet
+
+    val deleted = Maintenance.deleteKeys(spark, dir, "user_id", victims, 8)
+    assert(deleted === victimRows)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === total - victimRows)
+    assert(after.filter($"user_id".isin(victims: _*)).count() === 0)
+    // untouched buckets keep their exact files
+    val afterListing = listing()
+    val untouchedBefore = before.filter { case (p, _) => !affected.exists(b => p.contains(s"__kb=$b/")) }
+    val untouchedAfter = afterListing.filter { case (p, _) => !affected.exists(b => p.contains(s"__kb=$b/")) }
+    assert(untouchedBefore === untouchedAfter, "unaffected bucket files must not be rewritten")
+  }
+
   test("sorted-by-key write produces disjoint per-file key ranges") {
     val base = java.nio.file.Files.createTempDirectory("graft_sorted")
     val out = base.resolve("out").toString
