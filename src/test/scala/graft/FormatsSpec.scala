@@ -35,6 +35,19 @@ class FormatsSpec extends GraftSpec {
     assert(back.except(events).count() === 0 && events.except(back).count() === 0)
   }
 
+  test("schema evolution: mergeSchema unifies old and new file schemas") {
+    val dir = tmp("graft_evolve")
+    // v1 files lack the column a later writer added
+    events.select($"event_id", $"user_id").write.parquet(s"$dir/v=1")
+    events.select($"event_id", $"user_id", $"event_type").write.parquet(s"$dir/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("event_id", "user_id", "event_type", "v"))
+    assert(merged.count() === events.count() * 2)
+    // old files surface the new column as null
+    assert(merged.filter($"v" === 1 && $"event_type".isNull).count() === events.count())
+    assert(merged.filter($"v" === 2 && $"event_type".isNull).count() === 0)
+  }
+
   test("JSON-lines round-trip preserves rows") {
     val dir = tmp("graft_json")
     events.write.mode("overwrite").json(dir)
