@@ -401,6 +401,22 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // §2.5 first_value/last_value/nth_value over a full window frame:
+    // each customer's first, second, and latest order in one pass.
+    "orders_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          row_number().over(w).as("rn"),
+          first(col("o_orderkey")).over(wf).as("first_order"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_order"),
+          last(col("o_orderkey")).over(wf).as("last_order"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy("o_custkey")
+    }),
+
     // §2.8 date functions + money-exact rollup by calendar quarter.
     "orders_by_quarter" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -1043,6 +1059,20 @@ object SparkEntry {
         |SELECT o_custkey, o_orderkey,
         |  CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
         |FROM w WHERE prev_date IS NOT NULL ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "orders_first_last" ->
+      """SELECT o_custkey, first_order, second_order, last_order FROM (
+        |  SELECT o_custkey,
+        |    row_number() OVER w AS rn,
+        |    first_value(o_orderkey) OVER wf AS first_order,
+        |    nth_value(o_orderkey, 2) OVER wf AS second_order,
+        |    last_value(o_orderkey) OVER wf AS last_order
+        |  FROM orders
+        |  WINDOW
+        |    w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
     "orders_by_quarter" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
