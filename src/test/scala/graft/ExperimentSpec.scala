@@ -49,6 +49,22 @@ class ExperimentSpec extends GraftSpec {
     assert(stats.agg(min($"mean_recall_10")).head().getDouble(0) >= 0.6)
   }
 
+  test("E2 guard: empty base yields an empty frame, and partial-collection names match counts") {
+    val empty = base.filter($"vec_id" < 0)
+    val recalls = RecallExperiment.run(spark, empty, queries, step = 250)
+    assert(recalls.count() === 0)
+    assert(recalls.columns.toSet ===
+      Set("qid", "recall_5", "recall_10", "collection", "num_documents"))
+    // partial final collection: name pages == num_documents (ADVICE r01)
+    val partial = RecallExperiment.run(spark, base.filter($"vec_id" < 300), queries, step = 250)
+    val names = partial.select($"collection", $"num_documents").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    names.foreach { case (name, nDocs) =>
+      val parsed = name.split("_").last.stripSuffix("pages").toLong
+      assert(parsed === nDocs, s"$name label disagrees with num_documents=$nDocs")
+    }
+  }
+
   test("E3 build: checkpointed base table, resume point, plan, skip-existing") {
     val out = Files.createTempDirectory("graft_base").toString + "/base"
     val docs = Tables.documents(spark, sfDir).limit(120)
