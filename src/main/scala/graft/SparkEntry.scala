@@ -401,6 +401,17 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // §2.8 calendar decomposition: activity by (day-of-week, hour).
+    // Spark's dayofweek is 1-based Sunday=1; DuckDB's is 0-based
+    // Sunday=0 — the oracle adds 1.
+    "events_dow_hour" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")), 4).cast("double").as("sum_value"))
+        .orderBy("dow", "hr")),
+
     // §2.5 first_value/last_value/nth_value over a full window frame:
     // each customer's first, second, and latest order in one pass.
     "orders_first_last" -> ((s, dir) => {
@@ -1059,6 +1070,12 @@ object SparkEntry {
         |SELECT o_custkey, o_orderkey,
         |  CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
         |FROM w WHERE prev_date IS NOT NULL ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "events_dow_hour" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
 
     "orders_first_last" ->
       """SELECT o_custkey, first_order, second_order, last_order FROM (
