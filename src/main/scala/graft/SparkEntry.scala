@@ -571,7 +571,9 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
-    // M4/J2: LSH approximate kNN (hash-seeded; rows-only + recall test).
+    // M4/J2: MLlib LSH approximate kNN. Oracle-checked since round 2:
+    // the DuckDB side replays the seeded index from frozen projection
+    // literals (MllibLshOracle).
     "ann_lsh_top10" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = queryVectors(s, dir, 5)
@@ -1176,6 +1178,26 @@ object SparkEntry {
         |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS tier,
         |  round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // The MLlib index replay: frozen random unit vectors, hash =
+    // floor(dot/bucketLength), candidates share any (table, hash),
+    // strict dist < radius, (dist, id) rank — see MllibLshOracle.
+    "ann_lsh_top10" -> {
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |bands(t, r) AS (VALUES ${MllibLshOracle.bandsSql}),
+         |qb AS (SELECT qid, t, floor(list_sum(list_transform(range(1, 65), i -> CAST(qemb[i] AS DOUBLE) * r[i])) / 2.0) AS h
+         |  FROM q CROSS JOIN bands),
+         |cb AS (SELECT vec_id, t, floor(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * r[i])) / 2.0) AS h
+         |  FROM embeddings CROSS JOIN bands),
+         |cand AS (SELECT DISTINCT qb.qid, cb.vec_id FROM qb JOIN cb ON qb.t = cb.t AND qb.h = cb.h),
+         |scored AS (SELECT c.qid, c.vec_id, ${l2Sql("q.qemb", "e.embedding")} AS dist
+         |  FROM cand c JOIN q ON c.qid = q.qid JOIN embeddings e ON c.vec_id = e.vec_id),
+         |ranked AS (SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rk
+         |  FROM scored WHERE dist < 5.0)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+    },
 
     "ann_rplsh_top10" -> {
       val bands = (0 until 8).map { t =>
