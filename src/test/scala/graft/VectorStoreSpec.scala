@@ -75,6 +75,14 @@ class VectorStoreSpec extends GraftSpec {
     assert(got.filter($"metadata".isNull).count() === 1)
   }
 
+  test("query against an empty collection returns no rows") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_store_empty").toString
+    val store = new VectorStore(spark, wh)
+    store.getOrCreateCollection("void")
+    val queries = Seq((1L, Array(1.0f, 2.0f))).toDF("qid", "qemb")
+    assert(store.query("void", queries, k = 5).count() === 0)
+  }
+
   test("invalid collection names are rejected") {
     val store = new VectorStore(spark, "/tmp/graft_wh_unused")
     intercept[IllegalArgumentException](store.count("../escape"))
