@@ -91,6 +91,12 @@ class StatefulOpsSpec extends GraftSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("driver contract: oracle keys exactly match query keys") {
+    // a typo'd oracle key would surface as a silent no-output FAIL in
+    // the driver's correctness gate — pin the invariant here instead
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  }
+
   test("sliding windows: every event lands in width/slide windows") {
     val sliding = EventOps.slidingCounts(events, "30 minutes", "10 minutes")
     assert(sliding.agg(sum($"n")).head().getLong(0) === events.count() * 3)
