@@ -15,6 +15,11 @@ run / fork := true
 // re-logging each line with an "[info] "/"[error] " prefix — Bench's
 // one-line JSON contract requires a bare parseable line on stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." line, which
+// otherwise prints AFTER Bench's JSON and becomes the last stdout line
+// (BENCH_r02.json had "parsed": null for exactly this reason — the
+// driver parses the final line of output).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
