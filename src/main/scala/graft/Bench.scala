@@ -38,7 +38,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Default to every available core: the driver sets SPARK_GRAFT_SF_DIR
+    // but not SPARK_GRAFT_CPUS, and a local[4] session under 12-way query
+    // concurrency inflates every per-query time ~10× (BENCH_r02).
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "12").toInt
     val spark = GraftSession.builder("graft-bench", cpus)
       .config("spark.scheduler.mode", "FAIR")
