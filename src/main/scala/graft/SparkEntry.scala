@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Clusters, Dedup}
 import graft.functions.TextFunctions
 import graft.eval.{LatencyStats, RecallAtK}
 import graft.index.CollectionCatalog
@@ -787,6 +787,163 @@ object SparkEntry {
           size(col("embedding")).cast("long").as("dim"),
           round(graft.functions.VectorFunctions.norm(col("embedding")), 4).as("l2norm"))
         .orderBy("doc_id")
+    }),
+
+    // TPC-H Q18 shape: large-quantity orders. Aggregate lineitem FIRST
+    // (map-side partial agg shrinks the fact table before any join),
+    // then join orders → customer on the already-small survivor set;
+    // groupBy and join share the l_orderkey partitioning, so AQE reuses
+    // the exchange.
+    "q18_large_orders" -> ((s, dir) => {
+      val qty = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity").cast("decimal(14,2)")), 2).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      Tables.orders(s, dir)
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("o_date_sec"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q10 shape: revenue lost to returned items per customer in a
+    // quarter. Date + returnflag filters push to the parquet scans; the
+    // 25-row nation dim is broadcast.
+    "q10_returned" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(rev), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19 shape: disjunctive multi-attribute predicate over a
+    // broadcast part join — the OR-of-ANDs is a single codegen'd filter,
+    // and the partkey equi-join stays a broadcast hash join.
+    "q19_disjunctive" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(rev), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q14 shape: promo revenue share per ship-year. Ratio of two
+    // exact DECIMAL sums, divided once as DOUBLE and rounded with the
+    // engine-stable floor(v*1e4 + 0.5)/1e4 (round() itself diverges
+    // across engines on .xxxx5 shortest-repr boundaries).
+    "q14_promo_share" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(sum(when(col("p_type") === "PROMO", rev)).as("promo"), sum(rev).as("total"))
+        .select(col("ship_year"),
+          (floor((lit(100.0) * (col("promo").cast("double") / col("total").cast("double"))) *
+            lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)).as("promo_share"))
+        .orderBy("ship_year")
+    }),
+
+    // TPC-H Q7 shape: cross-nation trade volume by year. The two nation
+    // dims and supplier are broadcast; lineitem⋈orders⋈customer are the
+    // only shuffle joins, each on its natural key.
+    "q7_volume" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(rev), 2).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Duplicate clusters: connected components over the near-dup pair
+    // graph (min-label propagation; see Clusters Scaladoc for the scale
+    // story). Pairs come from the oracle-verified n-gram Jaccard op.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+      Clusters.clusters(pairs).orderBy("doc_id")
+    }),
+
+    // Per-vector uint8 scalar quantization + reconstruction error — the
+    // memory-bound half of an IVF-SQ index. Sequential HOF folds mirror
+    // DuckDB's list_* evaluation order exactly (float-sum parity), and
+    // the one-pass-per-row shape is embarrassingly parallel.
+    "embedding_quantize" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("xd", transform(col("embedding"), e => e.cast("double")))
+        .withColumn("mn", array_min(col("xd")))
+        .withColumn("mx", array_max(col("xd")))
+        .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+        .withColumn("q", when(col("mx") === col("mn"),
+            transform(col("xd"), _ => lit(0.0)))
+          .otherwise(transform(col("xd"),
+            e => floor((e - col("mn")) / col("scale") + lit(0.5)).cast("double"))))
+        .withColumn("sse", aggregate(
+          zip_with(col("xd"), col("q"), (x, q) =>
+            (x - (col("mn") + q * col("scale"))) * (x - (col("mn") + q * col("scale")))),
+          lit(0.0), (acc, v) => acc + v))
+        .select(col("vec_id"),
+          array_min(col("q")).cast("long").as("q_min"),
+          array_max(col("q")).cast("long").as("q_max"),
+          col("mn").as("v_min"), col("mx").as("v_max"),
+          (floor((col("sse") / size(col("embedding")).cast("double")) * lit(1.0e8) +
+            lit(0.5)).cast("double") / lit(1.0e8)).as("mse_r8"))
+        .orderBy("vec_id")),
+
+    // Radius (range) similarity search: all neighbors within L2 1.2 —
+    // threshold retrieval, no top-k window, pure broadcast + filter.
+    "knn_range_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 5)
+      KnnExact.rangeSearch(q, emb, 1.2)
+        .select(col("qid"), col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("qid", "vec_id")
+    }),
+
+    // Corpus bigram frequency: explode word 2-grams, count, top 30.
+    "ngram_freq" -> ((s, dir) => {
+      val t = TextFunctions.tokens(col("text"))
+      val bigrams = when(size(t) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      Tables.documents(s, dir)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(30)
     }))
 
   // ---------------------------------------------------------------- oracle
@@ -1353,5 +1510,109 @@ object SparkEntry {
     "docs_rollup" ->
       """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (lang, source)
-        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  CAST(floor(epoch_us(o.o_orderdate) / 1000000) AS BIGINT) AS o_date_sec,
+        |  o.o_totalprice AS o_totalprice,
+        |  CAST(round(sum(CAST(l.l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |HAVING CAST(round(sum(CAST(l.l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE) > 250
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
+
+    "q10_returned" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+        |  floor((CAST(100 AS DOUBLE) * (
+        |      CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4))) END) AS DOUBLE)
+        |      / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) AS DOUBLE)))
+        |    * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS promo_share
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY year(l.l_shipdate) ORDER BY ship_year""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM t a, t b WHERE a.doc_id < b.doc_id
+         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+         |      UNION
+         |      SELECT e.u, r.v FROM e JOIN r ON e.v = r.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH b AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xd FROM embeddings),
+        |m AS (SELECT vec_id, xd, list_min(xd) AS mn, list_max(xd) AS mx, len(xd) AS n FROM b),
+        |s AS (SELECT vec_id, xd, mn, mx, n, (mx - mn) / CAST(255 AS DOUBLE) AS scale FROM m),
+        |q AS (SELECT vec_id, xd, mn, mx, n, scale,
+        |        CASE WHEN mx = mn THEN list_transform(xd, e -> CAST(0 AS DOUBLE))
+        |             ELSE list_transform(xd, e -> floor((e - mn) / scale + CAST(0.5 AS DOUBLE))) END AS qc
+        |      FROM s),
+        |er AS (SELECT vec_id, mn, mx, n, qc,
+        |        list_sum(list_transform(range(1, n + 1), i ->
+        |          (xd[i] - (mn + qc[i] * scale)) * (xd[i] - (mn + qc[i] * scale)))) AS sse
+        |      FROM q)
+        |SELECT vec_id,
+        |  CAST(list_min(qc) AS BIGINT) AS q_min, CAST(list_max(qc) AS BIGINT) AS q_max,
+        |  mn AS v_min, mx AS v_max,
+        |  floor((sse / CAST(n AS DOUBLE)) * CAST(100000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100000000 AS DOUBLE) AS mse_r8
+        |FROM er ORDER BY vec_id""".stripMargin,
+
+    "knn_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q)
+         |SELECT qid, vec_id, round(dist, 4) AS dist FROM d
+         |WHERE dist <= CAST(1.2 AS DOUBLE) ORDER BY qid, vec_id""".stripMargin,
+
+    "ngram_freq" ->
+      s"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |      FROM t WHERE len(toks) >= 2)
+         |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+         |ORDER BY n DESC, bigram LIMIT 30""".stripMargin)
 }

@@ -1,0 +1,85 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster assignment: connected components over a near-dup
+  * pair list — the step that turns any pairwise dedup output (n-gram
+  * Jaccard, MinHash, SimHash, embedding-cosine) into "keep one document
+  * per duplicate cluster", which is what a training-data pipeline
+  * actually needs. The reference stops at pairwise distances
+  * (chromadb_acc_experiment.py:508-537 ranks neighbors but never groups
+  * them); clustering is the natural completion of that surface.
+  *
+  * Algorithm: iterative min-label propagation on the undirected pair
+  * graph. Each vertex starts labeled with its own id; each round every
+  * vertex takes the min of its own and its neighbors' labels; converged
+  * when a round changes nothing. Round count = component diameter, and
+  * near-dup components are shallow (variants of one source document), so
+  * a handful of rounds suffice. Each round is shuffle equi-joins +
+  * a hash aggregation on vertex id — no driver-side graph state, no
+  * collect, so the edge list can be arbitrarily larger than any single
+  * machine. Labels only ever decrease, so convergence is monotone and
+  * the `label < prev` change test is exact.
+  *
+  * Scale notes: `localCheckpoint` truncates the per-round lineage growth
+  * (on a multi-executor cluster prefer `Dataset.checkpoint` with a
+  * reliable checkpoint dir — localCheckpoint pins blocks to executors
+  * and does not survive executor loss). For adversarially deep graphs
+  * (long chains) the classic fix is the large-star/small-star
+  * alternation (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14), which converges in O(log n) rounds; dedup graphs
+  * don't need it.
+  */
+object Clusters {
+
+  /** Per-vertex component labels: (id, label) with label = min vertex id
+    * reachable in the pair graph. Only vertices that appear in at least
+    * one pair are returned (singletons are trivially their own cluster).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy("src").agg(min("dst_label").as("nbr_label"))
+        .withColumnRenamed("src", "id")
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster view: (doc_id, cluster_id, cluster_size) for every document
+    * that has at least one near-duplicate.
+    */
+  def clusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val labels = connectedComponents(pairs, idA, idB)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+}

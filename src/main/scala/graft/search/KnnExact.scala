@@ -75,6 +75,28 @@ object KnnExact {
       .withColumn("sim", -col("negsim"))
       .drop("negsim")
 
+  /** Radius (range) search: every (query, neighbor) pair within `radius`
+    * L2 distance — threshold retrieval rather than top-k. No window and
+    * no ordering shuffle at all: broadcast nested-loop + a codegen'd
+    * distance filter, so it parallelizes perfectly over collection
+    * partitions and output size is data-driven.
+    */
+  def rangeSearch(
+      queries: DataFrame,
+      collection: DataFrame,
+      radius: Double,
+      qidCol: String = "qid",
+      idCol: String = "vec_id",
+      qEmbCol: String = "qemb",
+      embCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(collection.sparkSession)
+    broadcast(queries)
+      .crossJoin(collection)
+      .withColumn("dist", l2Fast(col(qEmbCol), col(embCol)))
+      .filter(col("dist") <= radius)
+      .select(col(qidCol), col(idCol), col("dist"))
+  }
+
   /** Single-query form: no window, no shuffle — TakeOrderedAndProject. */
   def topKSingle(
       collection: DataFrame,

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Clusters, Dedup}
+import graft.model.Tables
+
+class ClustersSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("connected components: chain, triangle, and isolated pair") {
+    // Components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val labels = Clusters.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusters adds per-cluster sizes") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Clusters.clusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (7L, 7L, 2L), (9L, 7L, 2L)))
+  }
+
+  test("cluster labels agree with the pair graph on fixture near-dups") {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), 3, 0.6).cache()
+    val labels = Clusters.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture should contain planted near-dups")
+    // Every edge's endpoints share a label, and every label is the min id
+    // of its member set (canonical component representative).
+    edges.foreach { case (a, b) => assert(labels(a) === labels(b), s"edge ($a,$b) split") }
+    labels.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(lbl === members.keys.min, s"label $lbl is not the min member id")
+    }
+  }
+
+  test("deep chain converges (diameter > a few rounds)") {
+    val n = 40L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Clusters.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === n)
+    assert(labels.forall(_._2 === 0L))
+  }
+}
