@@ -934,13 +934,13 @@ object SparkEntry {
     }),
 
     // Corpus bigram frequency: explode word 2-grams, count, top 30.
+    // Bigrams come from the native WordNgramsExpr (one loop per row; the
+    // interpreted transform/element_at HOF form was the bench's slowest
+    // query at sf0.1).
     "ngram_freq" -> ((s, dir) => {
-      val t = TextFunctions.tokens(col("text"))
-      val bigrams = when(size(t) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      graft.functions.TextExpressions.ensureRegistered(s)
       Tables.documents(s, dir)
-        .select(explode(bigrams).as("bigram"))
+        .select(explode(graft.functions.TextExpressions.wordBigrams(col("text"))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(30)

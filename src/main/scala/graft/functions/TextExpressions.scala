@@ -35,10 +35,43 @@ object TextExpressions {
       "graft_simhash64", exprs => SimHash64Expr(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lang_id", exprs => LangIdExpr(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_ngrams", exprs => WordNgramsExpr(exprs(0), 2), "scala_udf")
   }
 
   def simHash64(c: Column): Column = call_function("graft_simhash64", c)
   def langId(c: Column): Column = call_function("graft_lang_id", c)
+  def wordBigrams(c: Column): Column = call_function("graft_word_ngrams", c)
+}
+
+/** All word n-grams (NON-distinct, in order) of whitespace tokens — the
+  * frequency-counting sibling of TextFunctions.wordShingles (which is
+  * distinct, for set Jaccard). One tight loop per row replaces an
+  * interpreted transform/element_at lambda per n-gram (~10× on corpus
+  * n-gram counting). Tokenization matches TextFunctions.tokens /
+  * toksSql: trim, explicit-whitespace-class split, empty → [].
+  */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextExpressions.splitTokens(input)
+    val m = toks.length - n + 1
+    if (m <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 64-bit SimHash of whitespace tokens in one pass: per token a 64-bit
