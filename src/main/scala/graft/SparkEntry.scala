@@ -44,6 +44,15 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** (t, sign-vector) VALUES rows replaying RpLsh's SplitMix64 ±1 signs
+    * (shared by the ann_rplsh_top10 and recall_curve oracles).
+    */
+  private def rplshBandsSql(numTables: Int, dim: Int): String =
+    (0 until numTables).map { t =>
+      val lits = RpLsh.signs(t, dim).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
+      s"($t, [$lits])"
+    }.mkString(",\n  ")
+
   /** DuckDB whitespace tokens of trimmed text (mirror of TextFunctions.tokens). */
   private def toksSql(t: String): String =
     s"CASE WHEN length(trim($t)) = 0 THEN [] ELSE regexp_split_to_array(trim($t), '${graft.functions.TextFunctions.wsPatternSql}') END"
@@ -933,6 +942,55 @@ object SparkEntry {
         .orderBy("qid", "vec_id")
     }),
 
+    // Reference-curve parity (chromadb_acc_experiment.py:566-665 /
+    // recall_summary.csv): Recall@5/@10 of deterministic RP-LSH vs the
+    // exact kNN oracle over the cumulative prefix-collection chain —
+    // 5 fixed queries, collections at 20%..100% of the corpus. The
+    // reference re-stores every prefix as a separate collection; here a
+    // collection is a predicate on the base table (zero copies).
+    "recall_curve" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val total = emb.count()
+      val limsDf = broadcast((1 to 5).map(c => total * c / 5).toDF("lim"))
+      val q = queryVectors(s, dir, 5)
+      // Buckets and distances are computed ONCE over the full corpus;
+      // the prefix collections arrive as a broadcast 5-row cutoff table
+      // joined after the per-pair work (a 5-way union of per-collection
+      // kNN subplans spent ~12s purely planning/codegen — this is one
+      // plan with two windows, and each distance is reused by every
+      // prefix that contains the row).
+      val l2 = (a: String, b: String) =>
+        sqrt(graft.functions.VectorExpressions.l2Sq(col(a), col(b)))
+      val cand = broadcast(RpLsh.bucketize(q, "qid", "qemb", numTables = 8, dim = 64, w = 0.5))
+        .join(RpLsh.bucketize(emb, "vec_id", "embedding", numTables = 8, dim = 64, w = 0.5),
+          Seq("t", "bkt"))
+        .select(col("qid"), col("qemb"), col("vec_id"), col("embedding"))
+        .dropDuplicates("qid", "vec_id")
+        .withColumn("dist", l2("qemb", "embedding"))
+        .select("qid", "vec_id", "dist")
+      val exact = broadcast(q).crossJoin(emb)
+        .withColumn("dist", l2("qemb", "embedding"))
+        .select("qid", "vec_id", "dist")
+      def topIds(d: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("lim"), col("qid"))
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        d.crossJoin(limsDf).filter(col("vec_id") < col("lim"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+          .groupBy("lim", "qid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("rk"), col("vec_id").as("id")))),
+            x => x.getField("id")).as("ids"))
+      }
+      topIds(exact).withColumnRenamed("ids", "gt_ids")
+        .join(topIds(cand).withColumnRenamed("ids", "ret_ids"), Seq("lim", "qid"), "left")
+        .select(col("lim").as("n_docs"), col("qid"),
+          round(RecallAtK.recall(col("gt_ids"), col("ret_ids"), 5), 4).as("recall_5"),
+          round(RecallAtK.recall(col("gt_ids"), col("ret_ids"), 10), 4).as("recall_10"))
+        .orderBy("n_docs", "qid")
+    }),
+
     // Corpus bigram frequency: explode word 2-grams, count, top 30.
     // Bigrams come from the native WordNgramsExpr (one loop per row; the
     // interpreted transform/element_at HOF form was the bench's slowest
@@ -1357,12 +1415,8 @@ object SparkEntry {
     },
 
     "ann_rplsh_top10" -> {
-      val bands = (0 until 8).map { t =>
-        val lits = RpLsh.signs(t, 64).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
-        s"($t, [$lits])"
-      }.mkString(",\n         |  ")
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
-         |bands(t, s) AS (VALUES $bands),
+         |bands(t, s) AS (VALUES ${rplshBandsSql(8, 64)}),
          |qb AS (SELECT qid, t,
          |    CAST(floor(list_sum(list_transform(range(1, 65), i -> CAST(qemb[i] AS DOUBLE) * s[i])) / 0.5) AS BIGINT) AS bkt
          |  FROM q CROSS JOIN bands),
@@ -1608,6 +1662,39 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q)
          |SELECT qid, vec_id, round(dist, 4) AS dist FROM d
          |WHERE dist <= CAST(1.2 AS DOUBLE) ORDER BY qid, vec_id""".stripMargin,
+
+    "recall_curve" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |tot AS (SELECT count(*) AS n FROM embeddings),
+         |colls(c) AS (VALUES (1), (2), (3), (4), (5)),
+         |lims AS (SELECT c, CAST((tot.n * c) // 5 AS BIGINT) AS lim FROM colls, tot),
+         |bands(t, s) AS (VALUES ${rplshBandsSql(8, 64)}),
+         |qb AS (SELECT qid, t,
+         |    CAST(floor(list_sum(list_transform(range(1, 65), i -> CAST(qemb[i] AS DOUBLE) * s[i])) / 0.5) AS BIGINT) AS bkt
+         |  FROM q CROSS JOIN bands),
+         |cb AS (SELECT vec_id, t,
+         |    CAST(floor(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * s[i])) / 0.5) AS BIGINT) AS bkt
+         |  FROM embeddings CROSS JOIN bands),
+         |cand AS (SELECT DISTINCT l.lim, qb.qid, cb.vec_id
+         |  FROM qb JOIN cb ON qb.t = cb.t AND qb.bkt = cb.bkt JOIN lims l ON cb.vec_id < l.lim),
+         |scored AS (SELECT c.lim, c.qid, c.vec_id, ${l2Sql("q.qemb", "e.embedding")} AS dist
+         |  FROM cand c JOIN q ON c.qid = q.qid JOIN embeddings e ON c.vec_id = e.vec_id),
+         |ret AS (SELECT lim, qid, list(vec_id ORDER BY rk) AS ids FROM (
+         |  SELECT lim, qid, vec_id, row_number() OVER (PARTITION BY lim, qid ORDER BY dist, vec_id) AS rk FROM scored)
+         |  WHERE rk <= 10 GROUP BY lim, qid),
+         |gd AS (SELECT l.lim, q.qid, e.vec_id, ${l2Sql("q.qemb", "e.embedding")} AS dist
+         |  FROM q CROSS JOIN lims l JOIN embeddings e ON e.vec_id < l.lim),
+         |gt AS (SELECT lim, qid, list(vec_id ORDER BY rk) AS ids FROM (
+         |  SELECT lim, qid, vec_id, row_number() OVER (PARTITION BY lim, qid ORDER BY dist, vec_id) AS rk FROM gd)
+         |  WHERE rk <= 10 GROUP BY lim, qid),
+         |j AS (SELECT gt.lim, gt.qid, gt.ids AS g, ret.ids AS r
+         |  FROM gt LEFT JOIN ret ON gt.lim = ret.lim AND gt.qid = ret.qid)
+         |SELECT lim AS n_docs, qid,
+         |  round(CASE WHEN g IS NULL OR r IS NULL OR len(g[1:5]) = 0 OR len(r[1:5]) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(g[1:5], r[1:5])) AS DOUBLE) / CAST(len(g[1:5]) AS DOUBLE) END, 4) AS recall_5,
+         |  round(CASE WHEN g IS NULL OR r IS NULL OR len(g[1:10]) = 0 OR len(r[1:10]) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(g[1:10], r[1:10])) AS DOUBLE) / CAST(len(g[1:10]) AS DOUBLE) END, 4) AS recall_10
+         |FROM j ORDER BY n_docs, qid""".stripMargin,
 
     "ngram_freq" ->
       s"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
