@@ -1,8 +1,12 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Deterministic random-projection LSH for L2 — the engine-portable ANN
   * variant: projection signs are ±1 derived from SplitMix64 of the
@@ -38,14 +42,19 @@ object RpLsh {
   /** All signs of table `t` for a `dim`-dimensional space. */
   def signs(t: Int, dim: Int): Seq[Double] = (0 until dim).map(sign(t, _))
 
-  /** <v, r_t> as a codegen'd left-deep sum — identical op order to a
-    * sequential fold (and to DuckDB's list_sum), so both engines see the
-    * same double.
-    */
-  def projection(vec: Column, t: Int, dim: Int): Column =
-    (0 until dim).map { i =>
-      element_at(vec, i + 1).cast("double") * lit(sign(t, i))
-    }.reduce(_ + _)
+  /** Register graft_rplsh_buckets(vec, numTables, dim, w). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rplsh_buckets",
+      exprs => RpBucketsExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue(),
+        exprs(3).eval(null).asInstanceOf[Number].doubleValue()),
+      "scala_udf")
+
+  /** All `numTables` bucket ids of `vec` as one array column. */
+  def buckets(vec: Column, numTables: Int, dim: Int, w: Double): Column =
+    call_function("graft_rplsh_buckets", vec, lit(numTables), lit(dim), lit(w))
 
   /** One row per (id, table, bucket). `w` MUST be a power of two so the
     * division is exact (bucket parity across engines).
@@ -58,11 +67,15 @@ object RpLsh {
       dim: Int,
       w: Double): DataFrame = {
     require(w > 0 && (math.log(w) / math.log(2)).isWhole, s"w must be a power of two, got $w")
-    val tb = array((0 until numTables).map { t =>
-      struct(lit(t).as("t"), floor(projection(col(vecCol), t, dim) / lit(w)).cast("long").as("bkt"))
-    }: _*)
-    df.select(col(idCol), col(vecCol), explode(tb).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    ensureRegistered(df.sparkSession)
+    // One narrow native expression per row (tight T×dim loop), then a
+    // posexplode of the small bucket array. The expression-tree form
+    // ((0 until dim).map(element_at × sign).reduce(_+_), one tree per
+    // table) put ~512 nodes under Generate/Sort codegen — janino method
+    // overflow → whole-stage interpreted fallback, plus seconds of
+    // driver-side analysis per query.
+    df.select(col(idCol), col(vecCol),
+        posexplode(buckets(col(vecCol), numTables, dim, w)).as(Seq("t", "bkt")))
   }
 
   /** ANN top-k: bucket-join candidates on (table, bucket), dedupe, exact
@@ -93,4 +106,40 @@ object RpLsh {
       .select(col("qid"), col(idCol), col("rk").cast("long").as("rk"),
         round(col("dist"), 4).as("dist"))
   }
+}
+
+/** All RP-LSH bucket ids of one vector: bkt_t = floor(<v, r_t> / w),
+  * computed as a tight per-row loop. Arithmetic parity with the DuckDB
+  * oracle: float widened to double, left-to-right accumulation (≡ the
+  * oracle's list_sum over list_transform), floor-then-truncate ≡
+  * CAST(floor(x) AS BIGINT).
+  */
+case class RpBucketsExpr(child: Expression, numTables: Int, dim: Int, w: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val signsM: Array[Array[Double]] =
+    Array.tabulate(numTables, dim)((t, i) => RpLsh.sign(t, i))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"graft_rplsh_buckets: expected dim $dim, got ${v.numElements()}")
+    }
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      val s = signsM(t)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += v.getFloat(i).toDouble * s(i); i += 1 }
+      out(t) = math.floor(acc / w).toLong
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
