@@ -942,6 +942,36 @@ object SparkEntry {
         .orderBy("qid", "vec_id")
     }),
 
+    // Windowed event dedup (batch twin of dropDuplicatesWithinWatermark):
+    // keep the first event per (user, type, 10-min window), carrying the
+    // window's duplicate count. One ranking window, partition-pruned by
+    // its own keys.
+    "events_dedup_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("window_start_sec",
+          window(col("ts"), "10 minutes").getField("start").cast("long"))
+      val part = Seq(col("user_id"), col("event_type"), col("window_start_sec"))
+      val w = Window.partitionBy(part: _*).orderBy(col("ts"), col("event_id"))
+      val wc = Window.partitionBy(part: _*)
+      ev.withColumn("rk", row_number().over(w))
+        .withColumn("n_in_window", count(lit(1)).over(wc))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type"), col("window_start_sec"),
+          col("event_id"), col("n_in_window"))
+        .orderBy("user_id", "event_type", "window_start_sec")
+    }),
+
+    // Mode (argmax) per group: each source's most common language —
+    // count-then-rank, tie-broken alphabetically.
+    "source_mode_lang" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("lang").asc)
+      counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("mode_lang"), col("n"))
+        .orderBy("source")
+    }),
+
     // Reference-curve parity (chromadb_acc_experiment.py:566-665 /
     // recall_summary.csv): Recall@5/@10 of deterministic RP-LSH vs the
     // exact kNN oracle over the cumulative prefix-collection chain —
@@ -1662,6 +1692,24 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q)
          |SELECT qid, vec_id, round(dist, 4) AS dist FROM d
          |WHERE dist <= CAST(1.2 AS DOUBLE) ORDER BY qid, vec_id""".stripMargin,
+
+    "events_dedup_window" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, ts,
+        |    CAST(floor(epoch_us(ts) / 600000000) * 600 AS BIGINT) AS window_start_sec
+        |  FROM events),
+        |r AS (SELECT user_id, event_type, window_start_sec, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type, window_start_sec ORDER BY ts, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY user_id, event_type, window_start_sec) AS n_in_window
+        |  FROM e)
+        |SELECT user_id, event_type, window_start_sec, event_id, CAST(n_in_window AS BIGINT) AS n_in_window
+        |FROM r WHERE rk = 1 ORDER BY user_id, event_type, window_start_sec""".stripMargin,
+
+    "source_mode_lang" ->
+      """SELECT source, lang AS mode_lang, n FROM (
+        |  SELECT source, lang, count(*) AS n,
+        |    row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rk
+        |  FROM documents GROUP BY source, lang)
+        |WHERE rk = 1 ORDER BY source""".stripMargin,
 
     "recall_curve" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
