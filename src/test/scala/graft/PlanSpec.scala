@@ -54,6 +54,40 @@ class PlanSpec extends GraftSpec {
       "a per-row transform must not hash-shuffle")
   }
 
+  test("q19_disjunctive: predicate reaches the scans, part join broadcasts") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"), "part join must broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey)"),
+      "join-key null filter must reach the lineitem scan")
+    assert(p.contains("Or(EqualTo(p_brand,Brand#12)") ||
+      p.contains("Or(Or("), "the disjunctive brand predicate must be pushed to the part scan")
+  }
+
+  test("knn_range_search: pure broadcast + filter — no window, no sort shuffle") {
+    val p = plan("knn_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    assert(!p.contains("Window"), "radius search must not plan a ranking window")
+    assert(p.contains("floatvecl2sq"), "distance must be the codegen'd expression")
+  }
+
+  test("q18_large_orders: lineitem aggregates BEFORE joining orders") {
+    val p = plan("q18_large_orders")
+    // the partial HashAggregate over l_orderkey must appear below
+    // (= later in the plan string than) the join operators
+    val joinIdx = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .map(p.indexOf).filter(_ >= 0)
+    assert(joinIdx.nonEmpty, "expected at least one join in the plan")
+    assert(p.lastIndexOf("HashAggregate") > joinIdx.min,
+      "sum(l_quantity) must be a pre-join aggregation")
+  }
+
+  test("recall_curve: single-plan form — no union of per-collection subplans") {
+    val p = plan("recall_curve")
+    assert(!p.contains("Union"), "prefix collections must come from the cutoff join, not a union")
+    assert(p.contains("rpbucketsexpr") || p.contains("graft_rplsh_buckets"),
+      "bucketing must be the native expression")
+  }
+
   test("events_range_join: interval join is an equi-join on buckets, not a nested loop") {
     val p = plan("events_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
