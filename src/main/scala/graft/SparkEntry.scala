@@ -961,6 +961,35 @@ object SparkEntry {
         .orderBy("user_id", "event_type", "window_start_sec")
     }),
 
+    // Per-language z-score of document length, from EXACT integer
+    // sufficient statistics (sum, sum-of-squares as BIGINT — float
+    // partial-sum order never enters; the lineitem_corr lesson), then
+    // one double sqrt/divide identical in both engines.
+    "doc_length_zscore" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stats = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      val mean = col("s1").cast("double") / col("n").cast("double")
+      val variance = col("s2").cast("double") / col("n").cast("double") - mean * mean
+      docs.join(broadcast(stats), Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          (floor(((col("n_chars").cast("double") - mean) / sqrt(variance)) * lit(10000.0) +
+            lit(0.5)).cast("double") / lit(10000.0)).as("z_r4"))
+        .orderBy("doc_id")
+    }),
+
+    // Ordered list aggregation (listagg): nations per region as a csv,
+    // plus counts — the grouped collect pattern.
+    "region_nations" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy("r_name")),
+
     // Mode (argmax) per group: each source's most common language —
     // count-then-rank, tie-broken alphabetically.
     "source_mode_lang" -> ((s, dir) => {
@@ -1692,6 +1721,24 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q)
          |SELECT qid, vec_id, round(dist, 4) AS dist FROM d
          |WHERE dist <= CAST(1.2 AS DOUBLE) ORDER BY qid, vec_id""".stripMargin,
+
+    "doc_length_zscore" ->
+      """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS s1,
+        |    sum(n_chars * n_chars) AS s2
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang,
+        |  floor(((CAST(d.n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+        |    * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(10000 AS DOUBLE) AS z_r4
+        |FROM documents d JOIN st ON d.lang = st.lang
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "region_nations" ->
+      """SELECT r.r_name, count(*) AS n_nations,
+        |  array_to_string(list_sort(list(n.n_name)), ',') AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
 
     "events_dedup_window" ->
       """WITH e AS (SELECT user_id, event_type, event_id, ts,

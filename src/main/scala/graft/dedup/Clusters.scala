@@ -55,11 +55,14 @@ object Clusters {
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy("src").agg(min("dst_label").as("nbr_label"))
         .withColumnRenamed("src", "id")
+      // Lazy checkpoint: the convergence probe below is the round's one
+      // materializing action — an eager checkpoint would run a second
+      // job per round for nothing.
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       converged = next
         .join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") < col("prev"))
