@@ -961,6 +961,29 @@ object SparkEntry {
         .orderBy("user_id", "event_type", "window_start_sec")
     }),
 
+    // Containment (overlap-coefficient) near-dup: subset duplicates that
+    // Jaccard misses when document sizes differ.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.overlapPairs(Tables.documents(s, dir), 3, 0.5).orderBy("id_a", "id_b")),
+
+    // All-pairs self-kNN: each vector's nearest OTHER vector — the
+    // batch-join form (quadratic candidate space; bounded here to the
+    // first 500 ids so the oracle stays tractable). At corpus scale the
+    // candidate generator is RpLsh/minhash banding, never this product.
+    "knn_self_top1" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id").asc)
+      broadcast(q).crossJoin(emb)
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("dist",
+          sqrt(graft.functions.VectorExpressions.l2Sq(col("qemb"), col("embedding"))))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("qid"), col("vec_id").as("nn_id"), round(col("dist"), 4).as("dist"))
+        .orderBy("qid")
+    }),
+
     // Per-language z-score of document length, from EXACT integer
     // sufficient statistics (sum, sum-of-squares as BIGINT — float
     // partial-sum order never enters; the lineitem_corr lesson), then
@@ -1721,6 +1744,24 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q)
          |SELECT qid, vec_id, round(dist, 4) AS dist FROM d
          |WHERE dist <= CAST(1.2 AS DOUBLE) ORDER BY qid, vec_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CASE WHEN least(len(a.sh), len(b.sh)) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) END AS ov
+         |      FROM t a, t b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(ov, 4) AS overlap FROM p WHERE ov >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "knn_self_top1" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+         |d AS (SELECT a.vec_id AS qid, b.vec_id, ${l2Sql("a.embedding", "b.embedding")} AS dist
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT qid, vec_id, dist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id AS nn_id, round(dist, 4) AS dist FROM r WHERE rk = 1 ORDER BY qid""".stripMargin,
 
     "doc_length_zscore" ->
       """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS s1,

@@ -45,7 +45,41 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxDocFrequency: Long = Long.MaxValue): DataFrame = {
+      maxDocFrequency: Long = Long.MaxValue): DataFrame =
+    coOccurrence(docs, n, idCol, textCol, maxDocFrequency)
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+
+  /** Overlap-coefficient (containment) near-dup: |A∩B| / min(|A|,|B|).
+    * Catches subset duplicates — a document wholly contained in another
+    * (boilerplate headers, quotes, truncated re-crawls) scores 1.0 here
+    * but arbitrarily low on Jaccard when the sizes differ. Same
+    * inverted-index co-occurrence shape as [[ngramJaccardPairs]].
+    */
+  def overlapPairs(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFrequency: Long = Long.MaxValue): DataFrame =
+    coOccurrence(docs, n, idCol, textCol, maxDocFrequency)
+      .withColumn("ov",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("ov") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("ov"), 4).as("overlap"))
+
+  /** Shared inverted-index co-occurrence: (id_a, id_b, |A∩B|, |A|, |B|)
+    * for every pair sharing ≥ 1 shingle.
+    */
+  private def coOccurrence(
+      docs: DataFrame,
+      n: Int,
+      idCol: String,
+      textCol: String,
+      maxDocFrequency: Long): DataFrame = {
     graft.functions.HashedShingles.ensureRegistered(docs.sparkSession)
     val sh = docs
       .select(col(idCol).as("id"), graft.functions.HashedShingles(col(textCol), n).as("sh"))
@@ -65,14 +99,10 @@ object Dedup {
           .filter(col("df") > maxDocFrequency).select(col("s"))
         allPosts.join(broadcast(stop), Seq("s"), "left_anti")
       }
-    val co = posts.as("x")
+    posts.as("x")
       .join(posts.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("inter"), first(col("x.sz")).as("sz_a"), first(col("y.sz")).as("sz_b"))
-    co.withColumn("jac",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
   }
 
   private val MersennePrime = 2147483647L // 2^31 - 1
