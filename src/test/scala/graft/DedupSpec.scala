@@ -43,6 +43,19 @@ class DedupSpec extends GraftSpec {
     assert(pairs.forall(r => r.getDouble(2) >= 0.4))
   }
 
+  test("overlap coefficient catches subset duplicates that jaccard misses") {
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val df = Seq((1L, small), (2L, big), (3L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val ov = Dedup.overlapPairs(df, 3, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every 3-shingle of doc 1 appears in doc 2 → overlap = 1.0
+    assert(ov.toSeq === Seq((1L, 2L, 1.0)))
+    // ...while jaccard on the same pair is far below any dedup threshold
+    val jac = Dedup.ngramJaccardPairs(df, 3, 0.5).collect()
+    assert(!jac.exists(r => r.getLong(0) === 1L && r.getLong(1) === 2L))
+  }
+
   test("jaccard pair outputs are deterministic across runs") {
     val r1 = Dedup.ngramJaccardPairs(docs, 3, 0.6).collect().toSeq
     val r2 = Dedup.ngramJaccardPairs(docs, 3, 0.6).collect().toSeq
