@@ -961,6 +961,22 @@ object SparkEntry {
         .orderBy("user_id", "event_type", "window_start_sec")
     }),
 
+    // Cohort retention: users grouped by first-seen day, counted on each
+    // later active day — two hash aggregations and one equi-join, all on
+    // (user, day) keys.
+    "events_retention" -> ((s, dir) => {
+      val act = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("DAY", col("ts")).cast("long").as("day_sec"))
+        .distinct()
+      val firstDay = act.groupBy("user_id").agg(min("day_sec").as("cohort_sec"))
+      act.join(firstDay, "user_id")
+        .withColumn("day_offset",
+          ((col("day_sec") - col("cohort_sec")) / lit(86400)).cast("long"))
+        .groupBy("cohort_sec", "day_offset").agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_sec", "day_offset")
+    }),
+
     // Containment (overlap-coefficient) near-dup: subset duplicates that
     // Jaccard misses when document sizes differ.
     "dedup_containment" -> ((s, dir) =>
@@ -1744,6 +1760,16 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q)
          |SELECT qid, vec_id, round(dist, 4) AS dist FROM d
          |WHERE dist <= CAST(1.2 AS DOUBLE) ORDER BY qid, vec_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch_us(date_trunc('day', ts)) / 1000000) AS BIGINT) AS day_sec
+        |  FROM events),
+        |f AS (SELECT user_id, min(day_sec) AS cohort_sec FROM e GROUP BY user_id)
+        |SELECT f.cohort_sec, CAST((e.day_sec - f.cohort_sec) // 86400 AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY f.cohort_sec, day_offset ORDER BY cohort_sec, day_offset""".stripMargin,
 
     "dedup_containment" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
