@@ -64,14 +64,29 @@ class VectorStore(spark: SparkSession, warehouse: String) {
 
   /** Exact L2 top-k — the reference's query(query_embeddings=..., n_results=k)
     * with documents included in the result. `queries` is (qid, qemb).
+    * `where` is ChromaDB's metadata filter: it restricts the collection
+    * BEFORE any distance work, so the predicate pushes into the parquet
+    * scan and top-k ranks only surviving rows.
     */
-  def query(name: String, queries: DataFrame, k: Int): DataFrame = {
-    val coll = collection(name).select(
-      col("id"), col("document"), col("embedding"))
+  def query(
+      name: String,
+      queries: DataFrame,
+      k: Int,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val base = where.foldLeft(collection(name))(_ filter _)
+    val coll = base.select(col("id"), col("document"), col("embedding"))
     KnnExact.topK(queries, coll, k, idCol = "id")
       .join(coll.select(col("id"), col("document")), Seq("id"))
       .select(col("qid"), col("rk"), col("id"), col("document"), col("dist"))
   }
+
+  /** collection.get(ids=...) — point lookups by id. */
+  def get(name: String, ids: Seq[String]): DataFrame =
+    collection(name).filter(col("id").isin(ids: _*))
+
+  /** collection.peek(n) — first n rows by id (deterministic). */
+  def peek(name: String, n: Int = 10): DataFrame =
+    collection(name).orderBy(col("id")).limit(n)
 
   /** Approximate top-k via an LSH index fit on the collection — the
     * HNSW-shaped trade (approximate results, flat latency growth).

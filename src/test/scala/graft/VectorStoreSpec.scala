@@ -64,6 +64,25 @@ class VectorStoreSpec extends GraftSpec {
     assert(recall >= 0.8, s"approx recall@5 = $recall")
   }
 
+  test("where-filtered query, get by ids, and peek") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val store = new VectorStore(spark, wh)
+    store.getOrCreateCollection("col_w")
+    store.add("col_w", records(0 until 10))
+    val q = Seq((0L, Array(3.0f, 6.0f))).toDF("qid", "qemb")
+    // unfiltered: p3 is the exact match
+    assert(store.query("col_w", q, 1).select("id").as[String].head() === "p3")
+    // where excludes p3 → nearest survivor wins
+    val filtered = store.query("col_w", q, 1, where = Some(col("id") =!= "p3"))
+      .select("id").as[String].head()
+    assert(filtered === "p2" || filtered === "p4")
+    assert(store.get("col_w", Seq("p1", "p7")).select("id").as[String].collect().sorted
+      === Array("p1", "p7"))
+    assert(store.peek("col_w", 3).select("id").as[String].collect()
+      === Array("p0", "p1", "p2"))
+    store.deleteCollection("col_w")
+  }
+
   test("add without a metadata column stores null metadata") {
     val wh = java.nio.file.Files.createTempDirectory("graft_store_nm").toString
     val store = new VectorStore(spark, wh)
