@@ -906,6 +906,17 @@ object SparkEntry {
       Clusters.clusters(pairs).orderBy("doc_id")
     }),
 
+    // The dedup DECISION: which documents a pipeline drops — every
+    // cluster member except the representative (min id). The rest of the
+    // dedup suite produces pairs/clusters; this is the actionable output.
+    "dedup_drop_list" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
+      Clusters.clusters(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"), col("cluster_id").as("kept_id"))
+        .orderBy("doc_id")
+    }),
+
     // Per-vector uint8 scalar quantization + reconstruction error — the
     // memory-bound half of an IVF-SQ index. Sequential HOF folds mirror
     // DuckDB's list_* evaluation order exactly (float-sum parity), and
@@ -1736,6 +1747,21 @@ object SparkEntry {
          |SELECT doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "dedup_drop_list" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM t a, t b WHERE a.doc_id < b.doc_id
+         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+         |      UNION
+         |      SELECT e.u, r.v FROM e JOIN r ON e.v = r.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u)
+         |SELECT doc_id, cluster_id AS kept_id FROM lab
+         |WHERE doc_id <> cluster_id ORDER BY doc_id""".stripMargin,
 
     "embedding_quantize" ->
       """WITH b AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xd FROM embeddings),
