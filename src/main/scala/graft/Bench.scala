@@ -30,7 +30,7 @@ object Bench {
     * long tail in any order after.
     */
   private val heavyFirst = Seq(
-    "recall_curve", "dedup_clusters",
+    "recall_curve", "dedup_clusters", "dedup_drop_list", "dedup_containment",
     "ann_rplsh_top10", "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "ann_lsh_top10", "ann_ivf_top5", "dedup_exact", "dedup_minhash",
     "embed_tfidf", "quality_score", "lineitem_corr", "dedup_simhash",

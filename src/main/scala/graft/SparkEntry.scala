@@ -911,9 +911,9 @@ object SparkEntry {
     // dedup suite produces pairs/clusters; this is the actionable output.
     "dedup_drop_list" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
-      Clusters.clusters(pairs)
-        .filter(col("doc_id") =!= col("cluster_id"))
-        .select(col("doc_id"), col("cluster_id").as("kept_id"))
+      Clusters.connectedComponents(pairs)
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"), col("label").as("kept_id"))
         .orderBy("doc_id")
     }),
 
