@@ -972,6 +972,43 @@ object SparkEntry {
         .orderBy("user_id", "event_type", "window_start_sec")
     }),
 
+    // Dense calendar fill: every (day, event_type) cell over the
+    // observed span, zeros included — sequence() + explode generates the
+    // grid, counts arrive by left join (gap-free time series for
+    // downstream models).
+    "events_daily_dense" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val days = ev.agg(
+          date_trunc("DAY", min(col("ts"))).as("d0"),
+          date_trunc("DAY", max(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        .select(col("day").cast("long").as("day_sec"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev.groupBy(
+          date_trunc("DAY", col("ts")).cast("long").as("day_sec"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      days.crossJoin(broadcast(types))
+        .join(counts, Seq("day_sec", "event_type"), "left")
+        .select(col("day_sec"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("day_sec", "event_type")
+    }),
+
+    // RANGE-frame window (vs running_revenue's ROWS frame): per-user
+    // trailing-7-day value sum over daily DECIMAL-exact totals.
+    "user_trailing_7d" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          date_trunc("DAY", col("ts")).cast("long").as("day_sec"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day_sec"))
+        .rangeBetween(-6L * 86400L, 0L)
+      daily
+        .withColumn("trail7", round(sum(col("v")).over(w), 2).cast("double"))
+        .select(col("user_id"), col("day_sec"),
+          round(col("v"), 2).cast("double").as("day_value"), col("trail7"))
+        .orderBy("user_id", "day_sec")
+    }),
+
     // Cohort retention: users grouped by first-seen day, counted on each
     // later active day — two hash aggregations and one equi-join, all on
     // (user, day) keys.
@@ -1786,6 +1823,28 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q)
          |SELECT qid, vec_id, round(dist, 4) AS dist FROM d
          |WHERE dist <= CAST(1.2 AS DOUBLE) ORDER BY qid, vec_id""".stripMargin,
+
+    "events_daily_dense" ->
+      """WITH b AS (SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT CAST(floor(epoch_us(d.day) / 1000000) AS BIGINT) AS day_sec,
+        |  t.event_type AS event_type, coalesce(c.n, 0) AS n
+        |FROM days d CROSS JOIN types t
+        |LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+        |ORDER BY day_sec, t.event_type""".stripMargin,
+
+    "user_trailing_7d" ->
+      """WITH d AS (SELECT user_id,
+        |    CAST(floor(epoch_us(date_trunc('day', ts)) / 1000000) AS BIGINT) AS day_sec,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day_sec, CAST(round(v, 2) AS DOUBLE) AS day_value,
+        |  CAST(round(sum(v) OVER (PARTITION BY user_id ORDER BY day_sec
+        |    RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trail7
+        |FROM d ORDER BY user_id, day_sec""".stripMargin,
 
     "events_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
