@@ -41,10 +41,40 @@ object Clusters {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      maxDriverEdges: Long = 100000): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint()
+    // Hybrid: a near-dup edge list is usually TINY relative to the corpus
+    // (it's the output of a high-threshold filter), so below the cutoff
+    // solve it with driver union-find — zero iterative jobs. The
+    // distributed min-label loop below remains the path for graphs that
+    // don't fit one machine; the threshold is on EDGES (already
+    // aggregated data), never on corpus rows. Long ids only — anything
+    // else stays distributed.
+    val longIds = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= maxDriverEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      return out.toDF("id", "label")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

@@ -51,4 +51,15 @@ class ClustersSpec extends GraftSpec {
     assert(labels.length === n)
     assert(labels.forall(_._2 === 0L))
   }
+
+  test("distributed path (maxDriverEdges = 0) agrees with driver union-find") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    def toMap(maxDriverEdges: Long) =
+      Clusters.connectedComponents(pairs, maxDriverEdges = maxDriverEdges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(toMap(0L) === toMap(100000L))
+  }
 }
