@@ -972,6 +972,20 @@ object SparkEntry {
         .orderBy("user_id", "event_type", "window_start_sec")
     }),
 
+    // Skew-mitigation equivalence gate: the two-stage SALTED aggregation
+    // must hash-match the plain GROUP BY oracle exactly — DECIMAL sums
+    // make the partial merge order-independent, so the rewrite is
+    // provably semantics-preserving.
+    "salted_event_sums" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v", col("value").cast("decimal(18,2)"))
+      graft.operators.Salting
+        .saltedSumCount(ev, Seq("event_type"), "v", Seq("event_id"), 16)
+        .select(col("event_type"),
+          round(col("sum_v"), 2).cast("double").as("sum_value"), col("count").as("n"))
+        .orderBy("event_type")
+    }),
+
     // Dense calendar fill: every (day, event_type) cell over the
     // observed span, zeros included — sequence() + explode generates the
     // grid, counts arrive by left join (gap-free time series for
@@ -1823,6 +1837,12 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q)
          |SELECT qid, vec_id, round(dist, 4) AS dist FROM d
          |WHERE dist <= CAST(1.2 AS DOUBLE) ORDER BY qid, vec_id""".stripMargin,
+
+    "salted_event_sums" ->
+      """SELECT event_type,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_daily_dense" ->
       """WITH b AS (SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM events),
