@@ -36,12 +36,15 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lang_id", exprs => LangIdExpr(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_word_ngrams", exprs => WordNgramsExpr(exprs(0), 2), "scala_udf")
+      "graft_word_ngrams", exprs => WordNgramsExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
   }
 
   def simHash64(c: Column): Column = call_function("graft_simhash64", c)
   def langId(c: Column): Column = call_function("graft_lang_id", c)
-  def wordBigrams(c: Column): Column = call_function("graft_word_ngrams", c)
+  def wordNgrams(c: Column, n: Int): Column =
+    call_function("graft_word_ngrams", c, org.apache.spark.sql.functions.lit(n))
+  def wordBigrams(c: Column): Column = wordNgrams(c, 2)
 }
 
 /** All word n-grams (NON-distinct, in order) of whitespace tokens — the
