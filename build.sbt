@@ -20,6 +20,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // (BENCH_r02.json had "parsed": null for exactly this reason — the
 // driver parses the final line of output).
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint so the warning doesn't pollute driver logs.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
