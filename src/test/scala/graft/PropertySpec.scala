@@ -22,6 +22,31 @@ class PropertySpec extends GraftSpec {
   private def cases[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("property: uint8 quantization error is bounded by (scale/2)^2") {
+    // round-to-nearest code ⇒ per-element |err| ≤ scale/2 ⇒ mse ≤ scale²/4
+    val rows = SparkEntry.queries("embedding_quantize")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = (r.getAs[Double]("v_max") - r.getAs[Double]("v_min")) / 255.0
+      val bound = scale * scale / 4.0 + 1e-9
+      assert(r.getAs[Double]("mse_r8") <= bound,
+        s"vec ${r.get(0)}: mse ${r.getAs[Double]("mse_r8")} > bound $bound")
+      assert(r.getAs[Long]("q_min") >= 0L && r.getAs[Long]("q_max") <= 255L)
+    }
+  }
+
+  test("property: connected-components labels are idempotent") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 4L), (4L, 7L), (20L, 21L)).toDF("id_a", "id_b")
+    val labels = graft.dedup.Clusters.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // feeding (id, label) edges back in must reproduce the same labels
+    val again = graft.dedup.Clusters.connectedComponents(
+        labels.toSeq.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.forall { case (id, lbl) => again(id) == lbl })
+  }
+
   test("property: recall within [0,1]; self-recall is 1 (0 when empty)") {
     val ks = Gen.chooseNum(1, 15)
     val data = cases(Gen.zip(idArrays, idArrays, ks), 20)
