@@ -202,6 +202,27 @@ object StatefulOps {
       .start()
   }
 
+  /** Stream-static enrichment join: the event stream joined to a static
+    * dimension table — no watermark and no join state needed (the static
+    * side is re-read/broadcast per micro-batch), which is why facts-in-
+    * motion × dimensions-at-rest is the everyday production join shape.
+    */
+  def streamEnrichWithDim(
+      spark: SparkSession,
+      parquetDir: String,
+      dim: org.apache.spark.sql.DataFrame,
+      joinKey: String,
+      queryName: String,
+      glob: String = "events.parquet"): StreamingQuery =
+    eventStream(spark, parquetDir, glob)
+      .join(broadcast(dim), Seq(joinKey), "left")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Bounded-state streaming dedup on (user_id, event_type): keeps each
     * key's first occurrence, expiring state once the watermark passes —
     * the streaming twin of the events_first batch query.

@@ -87,6 +87,19 @@ class StatefulOpsSpec extends GraftSpec {
     assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0)
   }
 
+  test("stream-static enrichment equals the batch join") {
+    val dim = events.select($"user_id").distinct()
+      .withColumn("segment", pmod($"user_id", lit(3)))
+    val q = StatefulOps.streamEnrichWithDim(spark, sfDir, dim, "user_id", "enriched")
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("enriched").select($"event_id", $"user_id", $"segment")
+    val batch = events.join(dim, Seq("user_id"))
+      .select($"event_id", $"user_id", $"segment")
+    assert(stream.count() === batch.count())
+    assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0)
+  }
+
   test("driver entry point returns rows on the smoke fixture") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
