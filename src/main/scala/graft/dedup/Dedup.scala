@@ -219,8 +219,10 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs (all-pairs form; the LSH-bucketed
-    * variant lives in graft.search.KnnApprox for the scale path).
+  /** Embedding-cosine near-dup pairs, ALL-PAIRS form — the spec-level
+    * correctness oracle at fixture scale only. The declared scale path is
+    * [[cosineLshPairs]]; this cartesian form exists so DedupSpec can
+    * assert the banded operator's recall against exhaustive ground truth.
     *
     * Norms are computed once per ROW before the join (narrow projection
     * under the join), so the per-pair work is a single dot product. The
@@ -239,6 +241,71 @@ object Dedup {
     val a = withNorm.select(col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val b = withNorm.select(col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", fdot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Sign-random-projection candidate pairs: ids sharing at least one
+    * hyperplane sign band (Charikar SimHash banding — the cosine analog
+    * of [[minHash]]'s banded equi-join). The only join is an equi-join on
+    * compact (band, key) pairs; no cartesian anywhere.
+    *
+    * Parameter contract (p = 1 - θ/π is the per-bit match probability):
+    * a pair at angle θ survives with 1-(1-p^bitsPerBand)^bands. Because
+    * hyperplane bits collide with p = 0.5 even for ORTHOGONAL vectors,
+    * banding only prunes when the threshold is high — at the production
+    * near-dup regime (cos >= 0.9, p >= 0.86) 16-bit bands separate
+    * near-dups from background by >200× (measured in DedupSpec); at
+    * cos 0.4 (p = 0.63) no (r, b) both recalls and prunes — that is a
+    * property of the LSH family, not of this implementation. bitsPerBand
+    * also sets the key-space (2^r keys): keep 2^r well above the expected
+    * per-band bucket count or Σ|bucket|² degenerates toward n².
+    */
+  def cosineLshCandidates(
+      embeddings: DataFrame,
+      bands: Int,
+      bitsPerBand: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    graft.search.RpLsh.ensureRegistered(embeddings.sparkSession)
+    val keyed = embeddings.select(col(idCol).as("id"),
+      posexplode(graft.search.RpLsh.signBands(col(embCol), bands, bitsPerBand, dim))
+        .as(Seq("band", "key")))
+    keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup, the declared scale path: sign-RP banded
+    * candidates ([[cosineLshCandidates]]) + exact cosine verification on
+    * candidates only. Same output contract as [[embeddingCosinePairs]]
+    * (id_a, id_b, cosine); recall is the banding probability above —
+    * exhaustive at the fixture configuration (asserted against the
+    * all-pairs oracle in DedupSpec, every planted pair colliding in >= 4
+    * of 20 bands at every SF).
+    */
+  def cosineLshPairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      bands: Int,
+      bitsPerBand: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(embeddings.sparkSession)
+    import graft.functions.VectorExpressions.{dot => fdot}
+    val withNorm = embeddings.select(col(idCol).as("id"), col(embCol).as("emb"),
+      sqrt(fdot(col(embCol), col(embCol))).as("nrm"))
+    cosineLshCandidates(embeddings, bands, bitsPerBand, dim, idCol, embCol)
+      .join(withNorm.select(col("id").as("id_a"), col("emb").as("emb_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(withNorm.select(col("id").as("id_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
       .withColumn("cos", fdot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))

@@ -1,12 +1,13 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Deterministic random-projection LSH for L2 — the engine-portable ANN
   * variant: projection signs are ±1 derived from SplitMix64 of the
@@ -42,8 +43,10 @@ object RpLsh {
   /** All signs of table `t` for a `dim`-dimensional space. */
   def signs(t: Int, dim: Int): Seq[Double] = (0 until dim).map(sign(t, _))
 
-  /** Register graft_rplsh_buckets(vec, numTables, dim, w). */
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** Register graft_rplsh_buckets(vec, numTables, dim, w) and
+    * graft_rp_sign_bands(vec, bands, bitsPerBand, dim).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rplsh_buckets",
       exprs => RpBucketsExpr(exprs(0),
@@ -51,10 +54,26 @@ object RpLsh {
         exprs(2).eval(null).asInstanceOf[Number].intValue(),
         exprs(3).eval(null).asInstanceOf[Number].doubleValue()),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rp_sign_bands",
+      exprs => SignBandsExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue(),
+        exprs(3).eval(null).asInstanceOf[Number].intValue()),
+      "scala_udf")
+  }
 
   /** All `numTables` bucket ids of `vec` as one array column. */
   def buckets(vec: Column, numTables: Int, dim: Int, w: Double): Column =
     call_function("graft_rplsh_buckets", vec, lit(numTables), lit(dim), lit(w))
+
+  /** All `bands` sign-band keys of `vec` as one array column: key of band
+    * B packs the `bitsPerBand` hyperplane signs of projections
+    * t = B·bitsPerBand .. B·bitsPerBand + bitsPerBand - 1 (same
+    * SplitMix64 ±1 family as [[buckets]]).
+    */
+  def signBands(vec: Column, bands: Int, bitsPerBand: Int, dim: Int): Column =
+    call_function("graft_rp_sign_bands", vec, lit(bands), lit(bitsPerBand), lit(dim))
 
   /** One row per (id, table, bucket). `w` MUST be a power of two so the
     * division is exact (bucket parity across engines).
@@ -119,6 +138,15 @@ case class RpBucketsExpr(child: Expression, numTables: Int, dim: Int, w: Double)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // nullSafeEval reads v.getFloat(i): on any other element type (e.g. an
+  // UnsafeArrayData backed by doubles) that would silently misread 4 of
+  // 8 bytes and corrupt every bucket — fail analysis instead.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_rplsh_buckets requires array<float>, got ${other.catalogString}")
+  }
+
   @transient private lazy val signsM: Array[Array[Double]] =
     Array.tabulate(numTables, dim)((t, i) => RpLsh.sign(t, i))
 
@@ -136,6 +164,56 @@ case class RpBucketsExpr(child: Expression, numTables: Int, dim: Int, w: Double)
       var i = 0
       while (i < dim) { acc += v.getFloat(i).toDouble * s(i); i += 1 }
       out(t) = math.floor(acc / w).toLong
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** All sign-band keys of one vector: band B's key packs `bitsPerBand`
+  * hyperplane sign bits, bit j = [<v, r_{B·bitsPerBand+j}> >= 0] with the
+  * same SplitMix64 ±1 projection family as [[RpBucketsExpr]]. This is
+  * SimHash-for-embeddings (Charikar 2002, "Similarity estimation
+  * techniques from rounding algorithms"): P(bit match) = 1 - θ/π, so a
+  * band of r bits collides with probability (1-θ/π)^r and b bands give
+  * candidate recall 1-(1-(1-θ/π)^r)^b.
+  *
+  * Arithmetic parity with the DuckDB oracle: float widened to double,
+  * left-to-right accumulation (≡ list_sum over list_transform), then a
+  * >= 0 comparison on the identical double — bits cannot diverge between
+  * engines.
+  */
+case class SignBandsExpr(child: Expression, bands: Int, bitsPerBand: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bitsPerBand >= 1 && bitsPerBand <= 63, "bitsPerBand must be in [1, 63]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_rp_sign_bands requires array<float>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val signsM: Array[Array[Double]] =
+    Array.tabulate(bands * bitsPerBand, dim)((t, i) => RpLsh.sign(t, i))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) {
+      throw new IllegalArgumentException(
+        s"graft_rp_sign_bands: expected dim $dim, got ${v.numElements()}")
+    }
+    val out = new Array[Long](bands)
+    var t = 0
+    while (t < bands * bitsPerBand) {
+      val s = signsM(t)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += v.getFloat(i).toDouble * s(i); i += 1 }
+      if (acc >= 0.0) out(t / bitsPerBand) |= 1L << (t % bitsPerBand)
       t += 1
     }
     new GenericArrayData(out)

@@ -43,6 +43,27 @@ class DedupSpec extends GraftSpec {
     assert(pairs.forall(r => r.getDouble(2) >= 0.4))
   }
 
+  test("cosine LSH banding finds exactly the all-pairs result and prunes candidates") {
+    // same planted input as the declared dedup_embedding_cosine query:
+    // fixture vectors + perturbed copies at cosine ≈ 0.992
+    val base = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val pert = array((0 until 64).map(i => lit(graft.search.RpLsh.sign(9999, i) / 64.0)): _*)
+    val planted = base.unionByName(base.select(
+      ($"vec_id" + lit(1000000L)).as("vec_id"),
+      zip_with($"embedding", pert, (x, p) => x + p).cast("array<float>").as("embedding")))
+    val exact = Dedup.embeddingCosinePairs(planted, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Dedup.cosineLshPairs(planted, 0.9, bands = 20, bitsPerBand = 16, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "planted input should contain near-dup pairs")
+    assert(banded === exact)
+    // the point of banding: candidate pairs ≪ all pairs
+    val n = planted.count()
+    val cands = Dedup.cosineLshCandidates(planted, 20, 16, 64).count()
+    assert(cands * 10 < n * (n - 1) / 2,
+      s"banding should prune: $cands candidates vs ${n * (n - 1) / 2} pairs")
+  }
+
   test("overlap coefficient catches subset duplicates that jaccard misses") {
     val small = "alpha beta gamma delta epsilon"
     val big = small + " " + (1 to 40).map(i => s"filler$i").mkString(" ")

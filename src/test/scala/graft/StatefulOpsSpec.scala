@@ -87,16 +87,22 @@ class StatefulOpsSpec extends GraftSpec {
     assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0)
   }
 
-  test("stream-static enrichment equals the batch join") {
+  test("stream-static enrichment equals the batch LEFT join") {
+    // dim deliberately misses ~1/3 of the keys: the stream side is a
+    // LEFT join, so unmatched events must survive with a null segment —
+    // a dim covering every key (the old test) couldn't catch a
+    // regression to inner-join semantics.
     val dim = events.select($"user_id").distinct()
+      .filter(pmod($"user_id", lit(3)) =!= 2)
       .withColumn("segment", pmod($"user_id", lit(3)))
     val q = StatefulOps.streamEnrichWithDim(spark, sfDir, dim, "user_id", "enriched")
     q.processAllAvailable()
     q.stop()
     val stream = spark.table("enriched").select($"event_id", $"user_id", $"segment")
-    val batch = events.join(dim, Seq("user_id"))
+    val batch = events.join(dim, Seq("user_id"), "left")
       .select($"event_id", $"user_id", $"segment")
     assert(stream.count() === batch.count())
+    assert(stream.filter($"segment".isNull).count() > 0)
     assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0)
   }
 
