@@ -11,25 +11,32 @@ import org.apache.spark.sql.functions._
   * (chromadb_acc_experiment.py:508-537 ranks neighbors but never groups
   * them); clustering is the natural completion of that surface.
   *
-  * Algorithm: iterative min-label propagation on the undirected pair
-  * graph. Each vertex starts labeled with its own id; each round every
-  * vertex takes the min of its own and its neighbors' labels; converged
-  * when a round changes nothing. Round count = component diameter, and
-  * near-dup components are shallow (variants of one source document), so
-  * a handful of rounds suffice. Each round is shuffle equi-joins +
-  * a hash aggregation on vertex id — no driver-side graph state, no
-  * collect, so the edge list can be arbitrarily larger than any single
-  * machine. Labels only ever decrease, so convergence is monotone and
-  * the `label < prev` change test is exact.
+  * Distributed algorithm: alternating large-star/small-star (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14). Each
+  * round rewires the edge set toward a union of stars centered at each
+  * component's minimum id; convergence takes O(log n) rounds REGARDLESS
+  * of graph diameter — a chain-shaped template-spam dup graph of
+  * diameter 10^6 converges in ~20 rounds, where naive min-label
+  * propagation needs 10^6. Every round is plain shuffle equi-joins +
+  * hash aggregations; no driver-side graph state, no collect, so the
+  * edge list can be arbitrarily larger than any single machine.
+  *
+  *  - large-star: every node u connects its strictly-larger neighbors
+  *    to m(u) = min(N(u) ∪ {u});
+  *  - small-star: every node u connects its smaller-or-equal neighbors
+  *    (and itself) to that minimum.
+  *
+  * Both operations preserve connectivity exactly (proof in the paper,
+  * Lemmas 1-2); a union of min-centered stars is the mutual fixed
+  * point, at which every node's sole smaller neighbor IS its
+  * component's minimum — the label.
   *
   * Scale notes: `localCheckpoint` truncates the per-round lineage growth
   * (on a multi-executor cluster prefer `Dataset.checkpoint` with a
   * reliable checkpoint dir — localCheckpoint pins blocks to executors
-  * and does not survive executor loss). For adversarially deep graphs
-  * (long chains) the classic fix is the large-star/small-star
-  * alternation (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC'14), which converges in O(log n) rounds; dedup graphs
-  * don't need it.
+  * and does not survive executor loss). Tiny graphs (the common case: a
+  * near-dup pair list is high-threshold filter output) short-circuit to
+  * driver union-find below `maxDriverEdges` — zero iterative jobs.
   */
 object Clusters {
 
@@ -49,7 +56,7 @@ object Clusters {
     // Hybrid: a near-dup edge list is usually TINY relative to the corpus
     // (it's the output of a high-threshold filter), so below the cutoff
     // solve it with driver union-find — zero iterative jobs. The
-    // distributed min-label loop below remains the path for graphs that
+    // distributed star alternation below remains the path for graphs that
     // don't fit one machine; the threshold is on EDGES (already
     // aggregated data), never on corpus rows. Long ids only — anything
     // else stays distributed.
@@ -79,6 +86,83 @@ object Clusters {
       val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
       return out.toDF("id", "label")
     }
+    starContraction(edges, maxIter)
+  }
+
+  /** Large-star/small-star alternation over a symmetric edge list
+    * (columns src, dst). Returns (id, label) for every vertex incident
+    * to an edge. O(log n) rounds; each round two shuffles plus one
+    * convergence-probe job.
+    */
+  private def starContraction(symEdges: DataFrame, maxIter: Int): DataFrame = {
+    // Canonical undirected form: (hi, lo) with hi > lo, self-loops
+    // dropped, deduplicated. All downstream invariants keep hi > lo.
+    var cur = symEdges
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: for each node u, connect every strictly larger
+      // neighbor v to m(u) = min(N(u) ∪ {u}). Since m(u) <= u < v, the
+      // emitted (v, m(u)) is already canonical. Each input edge is
+      // emitted exactly once (from its smaller endpoint's reduce).
+      val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star: edges are (hi, lo) with lo < hi, so grouping by hi
+      // sees exactly the smaller neighbors; connect all of them, and hi
+      // itself, to the minimum.
+      val smallMins = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val withM = large.join(smallMins, "hi")
+      val next = withM.select(col("hi"), col("m").as("lo"))
+        .union(withM.filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(eager = false)
+      // Fixed point: a union of min-centered stars maps to itself under
+      // both operations, so next == cur terminates. Both sides are
+      // distinct sets; symmetric difference via two anti-joins.
+      converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      cur = next
+      iter += 1
+    }
+    // A non-converged exit would return WRONG labels — and a wrong drop
+    // list deletes documents. With star contraction the round count is
+    // O(log n) independent of diameter, so hitting maxIter=50 means
+    // something is genuinely broken; fail loudly.
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter star rounds; " +
+          "labels would be incorrect")
+    }
+    // At the fixed point each non-minimum vertex has exactly one edge,
+    // to its component's minimum; minima label themselves.
+    cur.select(col("hi").as("id"), col("lo").as("label"))
+      .union(cur.select(col("lo").as("id"), col("lo").as("label")))
+      .distinct()
+  }
+
+  /** Naive min-label propagation — round count ∝ component diameter.
+    * Kept ONLY as a small-graph differential oracle for
+    * [[starContraction]] (ClustersSpec); never on the production path.
+    */
+  private[graft] def minLabelPropagation(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -89,9 +173,6 @@ object Clusters {
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
         .groupBy("src").agg(min("dst_label").as("nbr_label"))
         .withColumnRenamed("src", "id")
-      // Lazy checkpoint: the convergence probe below is the round's one
-      // materializing action — an eager checkpoint would run a second
-      // job per round for nothing.
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
@@ -104,14 +185,9 @@ object Clusters {
       labels = next
       iter += 1
     }
-    // A graph whose diameter exceeds maxIter would otherwise return
-    // silently WRONG labels — and a wrong drop list deletes documents.
-    // Fail loudly; callers with adversarially deep graphs should raise
-    // maxIter or switch to large-star/small-star.
     if (!converged) {
       throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter rounds " +
-          "(component diameter exceeds maxIter); labels would be incorrect")
+        s"minLabelPropagation did not converge within $maxIter rounds")
     }
     labels
   }

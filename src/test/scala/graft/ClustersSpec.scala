@@ -62,4 +62,36 @@ class ClustersSpec extends GraftSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(toMap(0L) === toMap(100000L))
   }
+
+  test("star contraction: diameter-1000 chain converges without raising maxIter") {
+    // A chain is the adversarial case for min-label propagation (round
+    // count = diameter = 1000 >> maxIter = 50); large-star/small-star
+    // contracts it in O(log n) rounds. maxDriverEdges = 0 forces the
+    // distributed path.
+    val n = 1000L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Clusters.connectedComponents(pairs, maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === n)
+    assert(labels.forall(_._2 === 0L), "every chain vertex must label to the min id 0")
+  }
+
+  test("star contraction agrees with the min-label oracle on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = toMap(Clusters.connectedComponents(pairs, maxDriverEdges = 0L))
+    val oracle = toMap(Clusters.minLabelPropagation(pairs, maxIter = 200))
+    assert(star === oracle)
+  }
+
+  test("star contraction handles non-long (string) vertex ids") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val labels = Clusters.connectedComponents(pairs, maxDriverEdges = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(labels === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
 }
