@@ -101,6 +101,17 @@ object Bench {
     val slowest = sortedNames.sortBy(n => -times.getOrDefault(n, -1.0)).take(3)
       .map(k => "\"" + k + "\":" + math.round(times.getOrDefault(k, -1.0) * 100) / 100.0).mkString("{", ",", "}")
     val failed = sortedNames.count(n => times.getOrDefault(n, -1.0) < 0)
+    // Experiment sidecar artifacts (reference save path sp:599-637 +
+    // chart PNGs sp:550-591/ac:699-756): AFTER the timed suite so the
+    // wall-clock number above is pure query time. Best-effort — a failed
+    // artifact write must not fail the bench.
+    if (sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS", "1") != "0") {
+      try graft.bench.ExperimentArtifacts.writeAll(spark, sfDir, "spark-warehouse/experiment_results")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] experiment artifacts failed: ${e.getMessage}")
+      }
+    }
+    SparkEntry.clearCaches()
     spark.stop()
     println(s"""{"metric":"total","value":$wall,"unit":"sec","n":${sortedNames.size},""" +
       s""""failed":$failed,"slowest":$slowest,"detail":"BENCH_DETAIL.json"}""")

@@ -68,6 +68,22 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.6)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Unpersists and drops every shared-computation cache entry. Call from
+    * long-lived hosts (Bench/Verify do, on teardown) so cached pair lists
+    * don't accumulate across sessions/tenants — without this the
+    * identity-hash keys above keep blocks pinned for the life of the JVM
+    * (and could in principle collide after a session is GC'd).
+    */
+  def clearCaches(): Unit = {
+    val it = ngramPairsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      try e.getValue.unpersist(blocking = false)
+      catch { case _: Throwable => () } // session may already be stopped
+      it.remove()
+    }
+  }
+
   /** DuckDB L2 distance between two array columns, arithmetic mirrored
     * element-for-element against VectorFunctions.l2 (double-cast before
     * the fold).
@@ -833,12 +849,23 @@ object SparkEntry {
         .orderBy("status")
     }),
 
-    // Distinct aggregation (exact; HLL approx_count_distinct is the
-    // engine-specific variant, exercised in bench only).
+    // Distinct aggregation (exact; distinct_users_approx below is the
+    // HLL sketch variant).
     "distinct_users" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // HLL++ approx-distinct — the scale path for the query above: a
+    // fixed-size sketch per group, partial-merged map-side, instead of
+    // shuffling every (group, user) pair for an exact distinct. Sketch
+    // estimates are engine-specific, so there is no DuckDB oracle entry
+    // (driver records a rows-only check); the ±rsd error bound vs the
+    // exact count is asserted in ApproxOpsSpec.
+    "distinct_users_approx" -> ((s, dir) =>
+      graft.operators.ApproxOps.approxDistinct(
+          Tables.events(s, dir), Seq("event_type"), "user_id", rsd = 0.05)
         .orderBy("event_type")),
 
     // Multi-level aggregation: rollup with subtotal rows.

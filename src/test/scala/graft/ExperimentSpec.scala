@@ -65,6 +65,35 @@ class ExperimentSpec extends GraftSpec {
     }
   }
 
+  test("experiment sidecar artifacts: JSON/CSV/parquet sinks + the four reference PNGs") {
+    val out = Files.createTempDirectory("graft_artifacts").toString
+    val (perQuery, perColl, recallStats) = graft.bench.ExperimentArtifacts
+      .writeAll(spark, sfDir, out, maxVectors = 400, nQueries = 2, numRuns = 2)
+    // 400 vectors / step 100 = 4 collections; 2 queries each
+    assert(perQuery.count() === 8)
+    assert(perColl.count() === 4)
+    assert(recallStats.count() === 4)
+    // parquet twins round-trip with the same schema
+    val pq = spark.read.parquet(s"$out/speed_per_collection_parquet")
+    assert(pq.columns.toSet === perColl.columns.toSet)
+    assert(pq.count() === 4)
+    assert(spark.read.parquet(s"$out/recall_stats_parquet").count() === 4)
+    assert(spark.read.json(s"$out/speed_results_json").count() === 8)
+    assert(spark.read.option("header", "true").csv(s"$out/recall_summary_csv").count() === 4)
+    // S11: the four PNGs exist, carry the PNG signature, decode to the
+    // declared canvas
+    Seq("search_speed_by_pages.png", "search_speed_by_collection.png",
+      "recall_by_pages.png", "recall_by_collection.png").foreach { name =>
+      val f = new java.io.File(s"$out/$name")
+      assert(f.exists() && f.length() > 1000, s"$name missing or trivially small")
+      val sig = java.nio.file.Files.readAllBytes(f.toPath).take(8)
+      assert(sig.sameElements(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)),
+        s"$name is not a PNG")
+      val img = javax.imageio.ImageIO.read(f)
+      assert(img.getWidth === 900 && img.getHeight === 540, s"$name wrong canvas")
+    }
+  }
+
   test("E3 build: checkpointed base table, resume point, plan, skip-existing") {
     val out = Files.createTempDirectory("graft_base").toString + "/base"
     val docs = Tables.documents(spark, sfDir).limit(120)

@@ -93,4 +93,20 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "range join must not degrade to an unbounded nested loop")
   }
+
+  test("dedup_embedding_cosine: banded equi-join candidates, never an all-pairs join") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cosine near-dup must come from the sign-band equi-join, not an n² pair join")
+    assert(p.contains("signbandsexpr") || p.contains("graft_sign_bands"),
+      "banding must be the native codegen'd expression")
+  }
+
+  test("customer_tiers: global rank never funnels through one partition") {
+    val p = plan("customer_tiers")
+    assert(!p.contains("Exchange SinglePartition"),
+      "an unpartitioned window would shuffle the whole table to one task")
+    assert(p.contains("hashpartitioning(__pid"),
+      "the rank window must partition by the range-bucket id")
+  }
 }
