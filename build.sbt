@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (GraftSpec.getOrCreate) and several
+// assert on JVM-global state (sparkContext.getPersistentRDDs deltas in
+// CacheLifecycleSpec/ClustersSpec); parallel suites would interleave
+// persists between those snapshots and flake. One shared local[4]
+// session gains little from suite-level parallelism anyway.
+Test / parallelExecution := false
 run / fork := true
 // Pass the forked JVM's stdout/stderr through verbatim instead of
 // re-logging each line with an "[info] "/"[error] " prefix — Bench's

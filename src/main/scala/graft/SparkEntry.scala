@@ -55,9 +55,9 @@ object SparkEntry {
       .mkString("[", ", ", "]")
 
   /** One computation of the word-3-gram/0.6 near-dup pair list, shared by
-    * dedup_ngram_jaccard, dedup_clusters and dedup_drop_list — the three
-    * queries previously recomputed the shingle co-occurrence join (~6 s
-    * each at sf0.1) from scratch. Persisted MEMORY_AND_DISK: a near-dup
+    * dedup_ngram_jaccard, dedup_clusters, dedup_clusters_distributed and
+    * dedup_drop_list — which would otherwise each recompute the shingle
+    * co-occurrence join (~6 s each at sf0.1) from scratch. Persisted MEMORY_AND_DISK: a near-dup
     * pair list is high-threshold filter output, orders of magnitude
     * smaller than the corpus, so caching it is safe at any scale (and it
     * spills rather than OOMs if that assumption ever breaks).
@@ -860,11 +860,13 @@ object SparkEntry {
     // HLL++ approx-distinct — the scale path for the query above: a
     // fixed-size sketch per group, partial-merged map-side, instead of
     // shuffling every (group, user) pair for an exact distinct. Sketch
-    // estimates are engine-specific, so there is no DuckDB oracle entry
-    // (driver records a rows-only check); the ±rsd error bound vs the
-    // exact count is asserted in ApproxOpsSpec.
+    // estimates are engine-specific, so the query emits the exact count
+    // plus an in-query 3·rsd error-bound verdict; the DuckDB oracle
+    // computes the exact counts and literal TRUE, so the row
+    // hash-matches AND the bound is asserted per run. Raw-estimate form
+    // covered in ApproxOpsSpec.
     "distinct_users_approx" -> ((s, dir) =>
-      graft.operators.ApproxOps.approxDistinct(
+      graft.operators.ApproxOps.approxDistinctVerified(
           Tables.events(s, dir), Seq("event_type"), "user_id", rsd = 0.05)
         .orderBy("event_type")),
 
@@ -1000,6 +1002,17 @@ object SparkEntry {
       Clusters.connectedComponents(sharedNgramPairs(s, dir))
         .filter(col("id") =!= col("label"))
         .select(col("id").as("doc_id"), col("label").as("kept_id"))
+        .orderBy("doc_id")),
+
+    // Same labels, but forced through the distributed large-star/
+    // small-star path (maxDriverEdges = 0) — the O(log n)-round engine
+    // that runs when the pair graph outgrows one machine. dedup_clusters
+    // above exercises the driver union-find short-circuit at fixture
+    // scale; this row gives the at-scale path its own hash-matched
+    // oracle entry (same recursive-CTE labels in DuckDB).
+    "dedup_clusters_distributed" -> ((s, dir) =>
+      Clusters.connectedComponents(sharedNgramPairs(s, dir), maxDriverEdges = 0L)
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")),
 
     // Per-vector uint8 scalar quantization + reconstruction error — the
@@ -1823,6 +1836,13 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // The oracle asserts the exact counts and that the HLL estimate's
+    // error-bound verdict is TRUE for every group (the Spark side
+    // computes it as abs(approx-exact)/exact <= 3*rsd in-query).
+    "distinct_users_approx" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "docs_rollup" ->
       """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (lang, source)
@@ -1915,6 +1935,21 @@ object SparkEntry {
          |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u)
          |SELECT doc_id, cluster_id AS kept_id FROM lab
          |WHERE doc_id <> cluster_id ORDER BY doc_id""".stripMargin,
+
+    // Identical labels to dedup_clusters (sans sizes): the oracle does
+    // not care which engine path produced them.
+    "dedup_clusters_distributed" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM t a, t b WHERE a.doc_id < b.doc_id
+         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+         |      UNION
+         |      SELECT e.u, r.v FROM e JOIN r ON e.v = r.u)
+         |SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u ORDER BY doc_id""".stripMargin,
 
     "embedding_quantize" ->
       """WITH b AS (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xd FROM embeddings),

@@ -40,9 +40,25 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** The RDD a localCheckpointed Dataset pins to executor block
+    * managers. Dataset.localCheckpoint offers no unpersist seam of its
+    * own, so without this every iterative round would leak one full
+    * edge-set copy for the life of the session (r5 advice) — O(log n)
+    * pinned copies per connectedComponents call.
+    */
+  private def unpersistCheckpoint(ds: DataFrame): Unit =
+    ds.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Per-vertex component labels: (id, label) with label = min vertex id
     * reachable in the pair graph. Only vertices that appear in at least
-    * one pair are returned (singletons are trivially their own cluster).
+    * one NON-self pair are returned: self-loops (id_a == id_b) are
+    * dropped up front on BOTH the driver and distributed paths — a
+    * document paired only with itself is a singleton, and singletons are
+    * not part of the output contract.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -50,8 +66,9 @@ object Clusters {
       idB: String = "id_b",
       maxIter: Int = 50,
       maxDriverEdges: Long = 100000): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val noSelf = pairs.filter(col(idA) =!= col(idB))
+    val edges = noSelf.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(noSelf.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint()
     // Hybrid: a near-dup edge list is usually TINY relative to the corpus
     // (it's the output of a high-threshold filter), so below the cutoff
@@ -70,6 +87,7 @@ object Clusters {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      unpersistCheckpoint(edges)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -91,8 +109,15 @@ object Clusters {
 
   /** Large-star/small-star alternation over a symmetric edge list
     * (columns src, dst). Returns (id, label) for every vertex incident
-    * to an edge. O(log n) rounds; each round two shuffles plus one
-    * convergence-probe job.
+    * to an edge. O(log n) rounds; each round runs two shuffles plus a
+    * count job that doubles as the checkpoint materializer, and an
+    * anti-join equality probe ONLY on rounds where the edge count is
+    * unchanged (|next| == |cur| plus next⊆-check implies set equality
+    * for distinct sets, so rounds that still shrink skip the probe
+    * entirely). Each round's checkpoint is unpersisted as soon as the
+    * following round materializes; only the fixed point stays pinned,
+    * and the session's ContextCleaner reclaims it once the returned
+    * Dataset is dropped.
     */
   private def starContraction(symEdges: DataFrame, maxIter: Int): DataFrame = {
     // Canonical undirected form: (hi, lo) with hi > lo, self-loops
@@ -103,6 +128,8 @@ object Clusters {
         least(col("src"), col("dst")).as("lo"))
       .distinct()
       .localCheckpoint()
+    unpersistCheckpoint(symEdges)
+    var curCount = cur.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -129,10 +156,15 @@ object Clusters {
         .distinct()
         .localCheckpoint(eager = false)
       // Fixed point: a union of min-centered stars maps to itself under
-      // both operations, so next == cur terminates. Both sides are
-      // distinct sets; symmetric difference via two anti-joins.
-      converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      // both operations, so next == cur terminates. Both are distinct
+      // sets, so equal counts + empty one-sided difference ⇔ equality;
+      // the count() also materializes the lazy checkpoint, and rounds
+      // that changed the edge count skip the anti-join outright.
+      val nextCount = next.count()
+      converged = nextCount == curCount && next.exceptAll(cur).isEmpty
+      unpersistCheckpoint(cur)
       cur = next
+      curCount = nextCount
       iter += 1
     }
     // A non-converged exit would return WRONG labels — and a wrong drop
@@ -160,8 +192,10 @@ object Clusters {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // Same vertex contract as connectedComponents: self-loops dropped.
+    val noSelf = pairs.filter(col(idA) =!= col(idB))
+    val edges = noSelf.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(noSelf.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -182,9 +216,11 @@ object Clusters {
         .join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") < col("prev"))
         .isEmpty
+      unpersistCheckpoint(labels)
       labels = next
       iter += 1
     }
+    unpersistCheckpoint(edges)
     if (!converged) {
       throw new IllegalStateException(
         s"minLabelPropagation did not converge within $maxIter rounds")

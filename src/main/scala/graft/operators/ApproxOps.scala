@@ -24,6 +24,28 @@ object ApproxOps {
     df.groupBy(groupCols.map(col): _*)
       .agg(approx_count_distinct(col(valueCol), rsd).as(s"approx_distinct_$valueCol"))
 
+  /** Oracle-verifiable form of [[approxDistinct]]: per group, the EXACT
+    * distinct count plus a boolean asserting the HLL++ estimate landed
+    * within 3·rsd of it. Sketch estimates are engine-specific, so the
+    * raw estimate can never hash-match a DuckDB oracle — but the exact
+    * count and the error-bound verdict can (oracle: exact counts +
+    * literal TRUE), which turns the error bound itself into a
+    * per-run, per-group correctness assertion instead of a spec-only
+    * one. The exact count alongside is what makes the check honest:
+    * if the sketch drifted out of bound, within_bound flips false and
+    * the driver's hash compare fails loudly.
+    */
+  def approxDistinctVerified(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count_distinct(col(valueCol)).as("n_exact"),
+        approx_count_distinct(col(valueCol), rsd).as("n_approx"))
+      .select(groupCols.map(col) :+ col("n_exact") :+
+        when(col("n_exact") === 0, col("n_approx") === 0)
+          .otherwise(abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= lit(3 * rsd))
+          .as("within_bound"): _*)
+
   /** KLL-style approximate quantiles (percentile_approx): one pass,
     * bounded memory, vs the exact percentile's full sort.
     */

@@ -124,6 +124,37 @@ object EventOps {
       .start()
   }
 
+  /** Streaming pivot. Structured Streaming rejects RelationalGroupedDataset
+    * .pivot (the output column set must be static before execution), but a
+    * pivot whose value list is KNOWN is just conditional aggregation — one
+    * streaming agg, one state-store row per group, exactly the shape the
+    * batch events_pivot query lowers to (count FILTER per value). Parity
+    * with the batch .pivot() is pinned in EventOpsSpec.
+    */
+  def streamPivotCounts(
+      spark: SparkSession,
+      parquetDir: String,
+      queryName: String,
+      types: Seq[String] = Seq("click", "error", "purchase", "signup", "view"),
+      width: String = "1 hour",
+      watermark: String = "1 hour",
+      glob: String = "events.parquet"): StreamingQuery = {
+    val counts = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(t))
+    eventStream(spark, parquetDir, glob)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(counts.head, counts.tail: _*)
+      .select(col("w.start").cast("long").as("window_start_sec") +:
+        types.map(col): _*)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming parquet sink: events stream → append-mode parquet files
     * with exactly-once file commits via the checkpoint (the S9/S10 sink
     * contract on a stream instead of a batch write). At scale this is

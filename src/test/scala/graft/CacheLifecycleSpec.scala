@@ -16,8 +16,10 @@ class CacheLifecycleSpec extends GraftSpec {
       "the shared pair computation should be persisted while in use")
     SparkEntry.clearCaches()
     val after = spark.sparkContext.getPersistentRDDs.keySet
-    assert((after -- before).isEmpty,
-      s"clearCaches must remove every cache-owned persisted RDD, left: ${after -- before}")
+    // Assert on the ids persisted BY the call above (during -- before),
+    // not the whole set delta — unrelated persists can't flake this.
+    assert((after intersect (during -- before)).isEmpty,
+      s"clearCaches must remove every cache-owned persisted RDD, left: ${after intersect (during -- before)}")
     // And the surface still works after invalidation (cache repopulates).
     assert(SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir).count() > 0)
     SparkEntry.clearCaches()

@@ -31,15 +31,22 @@ class ClustersSpec extends GraftSpec {
 
   test("cluster labels agree with the pair graph on fixture near-dups") {
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sfDir), 3, 0.6).cache()
-    val labels = Clusters.connectedComponents(pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val edges = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(edges.nonEmpty, "fixture should contain planted near-dups")
-    // Every edge's endpoints share a label, and every label is the min id
-    // of its member set (canonical component representative).
-    edges.foreach { case (a, b) => assert(labels(a) === labels(b), s"edge ($a,$b) split") }
-    labels.groupBy(_._2).foreach { case (lbl, members) =>
-      assert(lbl === members.keys.min, s"label $lbl is not the min member id")
+    try {
+      val labels = Clusters.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val edges = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(edges.nonEmpty, "fixture should contain planted near-dups")
+      // Every edge's endpoints share a label, and every label is the min id
+      // of its member set (canonical component representative).
+      edges.foreach { case (a, b) => assert(labels(a) === labels(b), s"edge ($a,$b) split") }
+      labels.groupBy(_._2).foreach { case (lbl, members) =>
+        assert(lbl === members.keys.min, s"label $lbl is not the min member id")
+      }
+    } finally {
+      // Same canonical plan as SparkEntry.sharedNgramPairs — leaving it
+      // cached would turn that persist into a "already cached" no-op and
+      // flake CacheLifecycleSpec's persisted-while-in-use assert.
+      pairs.unpersist(blocking = true)
     }
   }
 
@@ -86,6 +93,40 @@ class ClustersSpec extends GraftSpec {
     val star = toMap(Clusters.connectedComponents(pairs, maxDriverEdges = 0L))
     val oracle = toMap(Clusters.minLabelPropagation(pairs, maxIter = 200))
     assert(star === oracle)
+  }
+
+  test("self-loop-only vertices are dropped by BOTH paths (one contract)") {
+    // r5 advice: the driver path used to register self-loop vertices
+    // while the distributed path dropped them — same input, different
+    // output depending only on edge count. Pinned: both treat a vertex
+    // whose only pairs are self-loops as a singleton (omitted).
+    val pairs = Seq((1L, 2L), (5L, 5L), (2L, 2L)).toDF("id_a", "id_b")
+    def toMap(maxDriverEdges: Long) =
+      Clusters.connectedComponents(pairs, maxDriverEdges = maxDriverEdges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L)
+    assert(toMap(100000L) === expected, "driver union-find path")
+    assert(toMap(0L) === expected, "distributed star-contraction path")
+  }
+
+  test("iterative rounds do not leak localCheckpoint blocks") {
+    // r5 advice: every round used to pin one full edge-set copy for the
+    // life of the session. Contract now: after the result is consumed,
+    // at most the fixed-point edge set (1 RDD) stays pinned per call,
+    // not O(rounds).
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val n = 200L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Clusters.connectedComponents(pairs, maxDriverEdges = 0L).count()
+    val leakedDistributed = sc.getPersistentRDDs.keySet -- before
+    assert(leakedDistributed.size <= 1,
+      s"distributed path pinned ${leakedDistributed.size} RDDs (want <=1: the fixed point)")
+    val before2 = sc.getPersistentRDDs.keySet
+    Clusters.connectedComponents(pairs).count() // driver path
+    val leakedDriver = sc.getPersistentRDDs.keySet -- before2
+    assert(leakedDriver.isEmpty,
+      s"driver path should unpersist its edge checkpoint, left: $leakedDriver")
   }
 
   test("star contraction handles non-long (string) vertex ids") {

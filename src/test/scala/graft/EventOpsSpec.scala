@@ -42,6 +42,42 @@ class EventOpsSpec extends GraftSpec {
     assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0)
   }
 
+  test("streaming pivot (conditional agg) equals the batch .pivot()") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val q = EventOps.streamPivotCounts(spark, sfDir, "pivot_stream", types, "1 hour")
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("pivot_stream")
+    val batch = events
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select($"w.start".cast("long").as("window_start_sec") +: types.map(col): _*)
+    assert(stream.count() > 0)
+    assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0)
+  }
+
+  test("rollup derived from the fine-grain stream equals the batch rollup") {
+    // Streaming allows ONE aggregation per query, so multi-level
+    // grouping sets stream as their finest grain; coarser levels are
+    // exact re-aggregations of that result (counts are re-summable) —
+    // the standard at-scale pattern for streaming OLAP cubes. Parity:
+    // (window, event_type) stream rolled up == batch events.rollup.
+    val q = EventOps.streamTumblingCounts(spark, sfDir, "rollup_stream", "1 hour")
+    q.processAllAvailable()
+    q.stop()
+    val fine = spark.table("rollup_stream") // window_start_sec, event_type, n
+    val derived = fine
+      .rollup($"window_start_sec", $"event_type")
+      .agg(sum($"n").as("n"))
+    val batch = events
+      .rollup(window($"ts", "1 hour")("start").cast("long").as("window_start_sec"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+    assert(derived.except(batch).count() === 0 && batch.except(derived).count() === 0)
+  }
+
   test("first event per (user, type) is minimal by (ts, event_id)") {
     val firsts = EventOps.firstEventPerUserType(events)
     val viaWindow = events
