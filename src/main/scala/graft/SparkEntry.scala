@@ -390,6 +390,48 @@ object SparkEntry {
           col("stopword_ratio"), col("punct_ratio"), col("quality_score"))
         .orderBy("doc_id")),
 
+    // Gopher-style repetition filter signals: top-bigram and
+    // duplicate-bigram occupancy per document (template spam scores
+    // high; standard pretraining filters drop above a threshold).
+    "doc_repetition" -> ((s, dir) => {
+      graft.functions.TextExpressions.ensureRegistered(s)
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir), "text")
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: build the profile line a log export would emit
+    // (name + contact + segment), then scrub it through the ordered
+    // rule chain — emails before bare digit runs, so contacts mask as
+    // [EMAIL], not fragments. Pure codegen'd map, no shuffle.
+    "customer_pii_mask" -> ((s, dir) => {
+      val profile = concat(col("c_name"), lit(" <user"), col("c_custkey"),
+        lit("@example.com> seg "), col("c_mktsegment"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          graft.textual.Redaction.maskPii(profile).as("profile_masked"))
+        .orderBy("c_custkey")
+    }),
+
+    // The end-to-end dedup+quality DECISION a training-data pipeline
+    // actually ships: documents that are valid (non-empty), score at or
+    // above the quality bar, AND are not dropped by near-dup clustering
+    // (cluster members other than the min-id representative). Composes
+    // three already-oracle-checked stages; the anti-join is the same
+    // resume/skip shape as orders_anti.
+    "corpus_keep_list" -> ((s, dir) => {
+      graft.functions.TextExpressions.ensureRegistered(s)
+      val docs = Tables.documents(s, dir)
+      val quality = TextAnalysis.qualityFeatures(docs, "text")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          length(trim(col("text"))) > 0)
+        .filter(col("quality_score") >= 0.8)
+        .select(col("doc_id"), col("quality_score"))
+      val dropped = Clusters.connectedComponents(sharedNgramPairs(s, dir))
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      quality.join(dropped, Seq("doc_id"), "left_anti").orderBy("doc_id")
+    }),
+
     // Token counting (whitespace + BPE-ish regex).
     "token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
@@ -1511,6 +1553,51 @@ object SparkEntry {
          |  floor(least(1.0, greatest(0.0,
          |    0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * raw_distinct + 0.3 * (1.0 - raw_punct))) * 10000.0 + 0.5) / 10000.0 AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |      FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY doc_id, bigram)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac,
+         |  floor(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS dup_bigram_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "customer_pii_mask" -> {
+      val profileSql = "c_name || ' <user' || CAST(c_custkey AS VARCHAR) || " +
+        "'@example.com> seg ' || c_mktsegment"
+      s"""SELECT c_custkey, ${graft.textual.Redaction.maskPiiSql(profileSql)} AS profile_masked
+         |FROM customer ORDER BY c_custkey""".stripMargin
+    },
+
+    "corpus_keep_list" -> {
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM t a, t b WHERE a.doc_id < b.doc_id
+         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+         |      UNION
+         |      SELECT e.u, r.v FROM e JOIN r ON e.v = r.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+         |drop_ids AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+         |tq AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents
+         |       WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(trim(text)) > 0),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS raw_distinct,
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '${TextFunctions.punctClassSql}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS raw_punct
+         |  FROM tq),
+         |s AS (SELECT doc_id, floor(least(1.0, greatest(0.0,
+         |    0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * raw_distinct + 0.3 * (1.0 - raw_punct))) * 10000.0 + 0.5) / 10000.0 AS quality_score
+         |  FROM f)
+         |SELECT doc_id, quality_score FROM s
+         |WHERE quality_score >= 0.8 AND doc_id NOT IN (SELECT doc_id FROM drop_ids)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "token_counts" ->

@@ -88,6 +88,32 @@ object TextAnalysis {
             lit(0.3) * (lit(1.0) - rawPunct)))))
   }
 
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models", §A1.1 repetition filters): the fraction
+    * of word-bigram occurrences claimed by the single most frequent
+    * bigram, and the fraction that are repeats of an earlier occurrence.
+    * Template spam and boilerplate score high on both; the standard
+    * pretraining filter drops documents above a threshold. Shape at
+    * scale: explode → two hash aggregations keyed by (doc_id[, gram]) —
+    * fully map-side-combinable, no window, no driver state. Documents
+    * with fewer than two tokens have no bigrams and are omitted (same
+    * contract as the DuckDB oracle's len(toks) >= 2 guard).
+    */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
+    val per = df
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.wordBigrams(col(textCol))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+    per.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("top_c").cast("double") / col("n_bigrams").cast("double")).as("top_bigram_frac"),
+        r4(col("dup_c").cast("double") / col("n_bigrams").cast("double")).as("dup_bigram_frac"))
+  }
+
   /** Token counts (whitespace + BPE-ish regex) per document. */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_ws_tokens", size(tokens(col(textCol))).cast("long"))

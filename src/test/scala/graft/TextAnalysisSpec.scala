@@ -53,6 +53,37 @@ class TextAnalysisSpec extends GraftSpec {
     assert(r.getLong(2) === 7L)
   }
 
+  test("repetition signals: template spam scores high, varied text low") {
+    graft.functions.TextExpressions.ensureRegistered(spark)
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"), // one bigram repeated
+      (2L, "the quick brown fox jumps over dogs")) // all bigrams unique
+    .toDF("doc_id", "text")
+    val out = graft.textual.TextAnalysis.repetitionSignals(df, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 1: 7 bigrams, "buy now" ×4 + "now buy" ×3 — all duplicated.
+    assert(out(1L) === ((7L, 0.5714, 1.0)))
+    // doc 2: 6 bigrams, all distinct.
+    assert(out(2L) === ((6L, 0.1667, 0.0)))
+    // single-token doc has no bigrams -> omitted (oracle contract)
+    val one = graft.textual.TextAnalysis.repetitionSignals(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "text")
+    assert(one.count() === 0)
+  }
+
+  test("pii masking: rule order keeps emails whole, digits fall through") {
+    val df = Seq(
+      "call 12-345-678-9012 or mail a.b+c@ex-1.org id 77",
+      "no pii here").toDF("t")
+    val out = df.select(graft.textual.Redaction.maskPii($"t")).as[String].collect()
+    assert(out(0) === "call [PHONE] or mail [EMAIL] id [NUM]")
+    assert(out(1) === "no pii here")
+    // masking is idempotent: a masked string has no maskable runs left
+    val twice = df.select(graft.textual.Redaction.maskPii(
+      graft.textual.Redaction.maskPii($"t"))).as[String].collect()
+    assert(twice.toSeq === out.toSeq)
+  }
+
   test("collection name format/parse round-trip") {
     val df = Seq((3L, 3000L)).toDF("i", "p")
       .select(CollectionCatalog.collectionName($"i", $"p").as("name"))
