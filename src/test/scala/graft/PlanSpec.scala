@@ -102,6 +102,21 @@ class PlanSpec extends GraftSpec {
       "banding must be the native codegen'd expression")
   }
 
+  test("corpus_keep_list: drop-list exclusion is a broadcast anti-join") {
+    val p = plan("corpus_keep_list")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "the tiny drop list must broadcast; shuffling the corpus for an anti-join " +
+        "is the 100 TB failure mode")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge anti-join means the corpus side shuffled")
+  }
+
+  test("customer_pii_mask: pure projection — no shuffle except presentation sort") {
+    val p = plan("customer_pii_mask")
+    assert(p.split("Exchange").length - 1 <= 1,
+      s"masking is per-row; only the ORDER BY may exchange, got plan:\n$p")
+  }
+
   test("customer_tiers: global rank never funnels through one partition") {
     val p = plan("customer_tiers")
     assert(!p.contains("Exchange SinglePartition"),
