@@ -432,6 +432,71 @@ object SparkEntry {
       quality.join(dropped, Seq("doc_id"), "left_anti").orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: corpus docs sharing any word-3-gram with
+    // the held-out eval set (source src0 stands in for the benchmark).
+    // Benchmark shingle vocabulary broadcasts; corpus side is scan →
+    // explode → broadcast semi-match → partial count. GPT-3 appendix-C
+    // discipline, sized for a MB-scale benchmark vs a 100 TB corpus.
+    "corpus_decontaminate" -> ((s, dir) =>
+      graft.dedup.Decontaminate.overlapWithBenchmark(
+        Tables.documents(s, dir), "text", 3, col("source") === "src0")
+        .orderBy("doc_id")),
+
+    // Stratified sampling: an exact per-language quota drawn in
+    // deterministic md5(doc_id) order — the corpus-mixing step that takes
+    // "20 docs per language" reproducibly on any engine. The rank filter
+    // compiles to WindowGroupLimit (pinned in PlanSpec), so each map task
+    // keeps only its local top-20 per language before the exchange — the
+    // shuffle carries O(quota × partitions), not the corpus.
+    "docs_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"), col("source"))
+        .orderBy("lang", "rk")
+    }),
+
+    // Greedy sequence packing: documents → 256-token context windows,
+    // packed per language in doc_id order without splitting (oversized
+    // docs get their own bin). One exchange on lang, per-group O(1)-state
+    // scan; oracle is a per-group recursive CTE walking the same order.
+    "corpus_pack_greedy" -> ((s, dir) => {
+      val counted = TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("lang"), col("n_ws_tokens").as("n_tokens"))
+      graft.operators.Packing
+        .packGreedy(counted, "lang", "doc_id", "n_tokens", budget = 256L)
+        .orderBy("lang", "doc_id")
+    }),
+
+    // As-of join: each purchase event stamped with the same user's most
+    // recent strictly-prior view (latest-quote-before-trade shape). The
+    // union+window form shuffles once on user_id — no range join, no
+    // per-key cartesian; DuckDB's native ASOF LEFT JOIN is the oracle.
+    "events_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      // Unique (user_id, ts) on the right: keep the max event_id's row so
+      // tie handling is deterministic on any engine (arg_max twin in SQL).
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("ts"),
+          col("m.event_id").as("view_event_id"), col("m.value").as("view_value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin
+        .strictPrior(purchases, views, "user_id", "ts",
+          Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value").as("purchase_value"),
+          col("asof_view_event_id").as("view_event_id"),
+          col("asof_view_value").as("view_value"),
+          unix_micros(col("asof_ts")).as("view_ts_us"))
+        .orderBy("event_id")
+    }),
+
     // Token counting (whitespace + BPE-ish regex).
     "token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
@@ -1599,6 +1664,49 @@ object SparkEntry {
          |WHERE quality_score >= 0.8 AND doc_id NOT IN (SELECT doc_id FROM drop_ids)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "corpus_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents)),
+         |b AS (SELECT DISTINCT unnest(sh) AS sh FROM t WHERE source = 'src0'),
+         |c AS (SELECT doc_id, unnest(sh) AS sh FROM t WHERE source <> 'src0'),
+         |h AS (SELECT c.doc_id, count(*) AS n_shared FROM c JOIN b USING (sh) GROUP BY c.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(h.n_shared, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         |LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "docs_stratified_sample" ->
+      """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source FROM (
+        |  SELECT lang, doc_id, source,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "corpus_pack_greedy" ->
+      s"""WITH RECURSIVE tc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) END AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin_id, n_tokens AS cum
+         |  FROM tc WHERE rn = 1
+         |  UNION ALL
+         |  SELECT tc.lang, tc.rn, tc.doc_id, tc.n_tokens,
+         |    CASE WHEN s.cum > 0 AND s.cum + tc.n_tokens > 256 THEN s.bin_id + 1 ELSE s.bin_id END,
+         |    CASE WHEN s.cum > 0 AND s.cum + tc.n_tokens > 256 THEN tc.n_tokens ELSE s.cum + tc.n_tokens END
+         |  FROM s JOIN tc ON tc.lang = s.lang AND tc.rn = s.rn + 1)
+         |SELECT doc_id, lang, n_tokens, bin_id FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    "events_asof" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_event_id, arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value AS purchase_value,
+        |  v.view_event_id, v.view_value, epoch_us(v.ts) AS view_ts_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts > v.ts
+        |ORDER BY event_id""".stripMargin,
 
     "token_counts" ->
       s"""SELECT doc_id,

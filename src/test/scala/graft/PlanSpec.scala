@@ -117,6 +117,36 @@ class PlanSpec extends GraftSpec {
       s"masking is per-row; only the ORDER BY may exchange, got plan:\n$p")
   }
 
+  test("events_asof: union+window form — no join node of any kind") {
+    val p = plan("events_asof")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "as-of must be the union+window rewrite; a range join degenerates to " +
+        "a per-key cartesian at scale")
+    assert(p.contains("Window"), "the carried-forward match must be a running window")
+  }
+
+  test("docs_stratified_sample: quota rank prunes per-partition before the exchange") {
+    val p = plan("docs_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "rk <= quota must push a partial top-k below the shuffle — otherwise " +
+        "the whole corpus shuffles to rank 20 rows per group")
+  }
+
+  test("corpus_decontaminate: benchmark vocabulary broadcasts, corpus never cross-joins") {
+    val p = plan("corpus_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the MB-scale benchmark shingle set must broadcast against the corpus scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "shingle matching must stay an equi-join")
+  }
+
+  test("corpus_pack_greedy: one group exchange feeds the sequential scan") {
+    val p = plan("corpus_pack_greedy")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "packing is one hash exchange on the group column; extra shuffles mean " +
+        "the per-group scan lost its co-location")
+  }
+
   test("customer_tiers: global rank never funnels through one partition") {
     val p = plan("customer_tiers")
     assert(!p.contains("Exchange SinglePartition"),
