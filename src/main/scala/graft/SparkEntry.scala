@@ -470,6 +470,30 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Temperature-balanced language mix (the mT5 discipline): downsample
+    // each language toward counts ∝ n_l^α (α = 0.5) without upsampling —
+    // keep fraction f_l = sqrt(n_min / n_l), so the rarest language keeps
+    // everything and head languages shrink toward balance. Rates come
+    // from exact per-language counts (tiny agg, broadcast back); the
+    // per-doc coin is a multiplicative integer hash — exact in any
+    // engine, so the draw is reproducible (same discipline as
+    // docs_sample / docs_stratified_sample). sqrt and the double divide
+    // are correctly-rounded IEEE ops, so the f_l threshold is identical
+    // on both engines.
+    "docs_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val nMin = counts.agg(min(col("n_l")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(nMin))
+        .select(col("lang"),
+          sqrt(col("n_min").cast("double") / col("n_l").cast("double")).as("keep_frac"))
+      val u = ((col("doc_id") * lit(2654435761L)) % 65536).cast("double") / lit(65536.0)
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(u < col("keep_frac"))
+        .select(col("doc_id"), col("lang"), round(col("keep_frac"), 4).as("keep_frac"))
+        .orderBy("doc_id")
+    }),
+
     // As-of join: each purchase event stamped with the same user's most
     // recent strictly-prior view (latest-quote-before-trade shape). The
     // union+window form shuffles once on user_id — no range join, no
@@ -1698,6 +1722,15 @@ object SparkEntry {
          |    CASE WHEN s.cum > 0 AND s.cum + tc.n_tokens > 256 THEN tc.n_tokens ELSE s.cum + tc.n_tokens END
          |  FROM s JOIN tc ON tc.lang = s.lang AND tc.rn = s.rn + 1)
          |SELECT doc_id, lang, n_tokens, bin_id FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    "docs_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_l) AS n_min FROM c),
+        |r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE)) AS keep_frac FROM c, m)
+        |SELECT d.doc_id, d.lang, round(r.keep_frac, 4) AS keep_frac
+        |FROM documents d JOIN r USING (lang)
+        |WHERE (CAST((d.doc_id * 2654435761) % 65536 AS DOUBLE) / 65536.0) < r.keep_frac
+        |ORDER BY d.doc_id""".stripMargin,
 
     "events_asof" ->
       """WITH v AS (SELECT user_id, ts, max(event_id) AS view_event_id, arg_max(value, event_id) AS view_value

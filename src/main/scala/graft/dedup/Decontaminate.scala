@@ -3,12 +3,18 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
-
 /** Benchmark decontamination: flag corpus documents that share word
   * n-gram shingles with a held-out evaluation set (the GPT-3 appendix-C
   * discipline — any training document overlapping an eval benchmark by
   * an n-gram is tainted and must be dropped or audited before training).
+  *
+  * Shingles are the codegen'd [[graft.functions.HashedShingles]] longs,
+  * not string n-grams — the interpreted higher-order-function form cost
+  * ~10s/pass at sf0.1 (the exact hot-path pitfall HashedShingles exists
+  * for), and overlap COUNTS on well-mixed 64-bit hashes equal counts on
+  * strings (collision odds ~n²/2^64 — the same argument the whole
+  * Jaccard/MinHash family rests on, so the string-shingle SQL oracle
+  * still hash-matches).
   *
   * Scale posture: the benchmark side is eval suites — megabytes against
   * a 100 TB corpus — so its distinct shingle set is collected small and
@@ -30,10 +36,11 @@ object Decontaminate {
     */
   def overlapWithBenchmark(docs: DataFrame, textCol: String, n: Int,
                            isBenchmark: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.HashedShingles.ensureRegistered(docs.sparkSession)
     val shingled = docs
       .withColumn("_bench", isBenchmark)
       .select(col("doc_id"), col("_bench"),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+        explode(graft.functions.HashedShingles(col(textCol), n)).as("sh"))
     val benchShingles = shingled.filter(col("_bench")).select("sh").distinct()
     val hits = shingled.filter(!col("_bench"))
       .join(broadcast(benchShingles), Seq("sh"))

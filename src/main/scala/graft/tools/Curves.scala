@@ -48,6 +48,8 @@ object Curves {
 
     println(s"| n_vectors | exact full-scan ms | ivf probe ms (nprobe=$nprobe/$numCells) |")
     println("|---|---|---|")
+    var lastIdxPath: String = null
+    var lastCent: org.apache.spark.sql.DataFrame = null
     Seq(8, 32, 128, 512).foreach { mult =>
       val coll = base.crossJoin(spark.range(mult))
         .select(($"vec_id" * mult + $"id").as("vec_id"), $"embedding")
@@ -70,6 +72,32 @@ object Curves {
           .write.format("noop").mode("overwrite").save()
       }
       println(f"| ${n}%d | $exactMs%.0f | $ivfMs%.0f |")
+      lastIdxPath = idxPath; lastCent = cent
+    }
+
+    // nprobe sweep — the tunable the reference exposes as HNSW
+    // ef_search: latency on the largest replicated collection (probed
+    // fraction = nprobe/numCells of the bytes), recall on the TRUE
+    // un-replicated base (duplicated vectors would make recall
+    // degenerate). One table so the tradeoff reads in one glance.
+    val baseIdx = s"$work/ivf_base"
+    val baseCent = IvfIndex.seedCentroids(base, numCells).cache()
+    baseCent.count()
+    IvfIndex.writePartitioned(IvfIndex.assign(base, baseCent), baseIdx)
+    val sweepQueries = base.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    val gtBase = KnnExact.topK(sweepQueries, base, 10).cache()
+    gtBase.count()
+    println(s"\n| nprobe (of $numCells cells) | probe ms @1M | recall@10 (base, n=$nBase) |")
+    println("|---|---|---|")
+    Seq(1, 2, 4, 8).foreach { np =>
+      val ms = timeMs {
+        IvfIndex.searchPartitioned(spark, lastIdxPath, queries1, lastCent, k = 10, nprobe = np)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val approx = IvfIndex.searchPartitioned(spark, baseIdx, sweepQueries, baseCent, k = 10, nprobe = np)
+      val rec = graft.eval.RecallAtK.evaluate(gtBase, approx, Seq(10))
+        .agg(avg($"recall_10")).head().getDouble(0)
+      println(f"| $np%d | $ms%.0f | $rec%.2f |")
     }
 
     // recall vs true prefix size (no replication)

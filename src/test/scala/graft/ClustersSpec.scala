@@ -95,6 +95,25 @@ class ClustersSpec extends GraftSpec {
     assert(star === oracle)
   }
 
+  test("star contraction at 60k-edge scale agrees with driver union-find") {
+    // Two orders of magnitude past the other distributed-path fixtures:
+    // a 32k-vertex pseudo-random multigraph (fixed LCG constants — no
+    // Random seed plumbing) with ~2 edges per vertex, the regime where a
+    // giant component emerges. Passing also proves convergence within
+    // the default 50 rounds at this scale — non-convergence throws.
+    import spark.implicits._
+    val n = 32768L
+    val edges = spark.range(60000)
+      .select(((col("id") * 2654435761L) % n).as("id_a"),
+        ((col("id") * 1099087573L + 2531011L) % n).as("id_b"))
+    def labels(maxDriverEdges: Long) =
+      Clusters.connectedComponents(edges, maxDriverEdges = maxDriverEdges)
+        .as[(Long, Long)].collect().toMap
+    val star = labels(0L)
+    val uf = labels(Long.MaxValue)
+    assert(star.nonEmpty && star === uf)
+  }
+
   test("self-loop-only vertices are dropped by BOTH paths (one contract)") {
     // r5 advice: the driver path used to register self-loop vertices
     // while the distributed path dropped them — same input, different
