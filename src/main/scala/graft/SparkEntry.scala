@@ -470,6 +470,16 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Sliding-window chunking with overlap (the RAG/embedding splitter):
+    // 64-token chunks every 48 tokens. Tokenize → explode starts → slice;
+    // a narrow per-row transform that chunks a 100 TB corpus scan-parallel.
+    "docs_chunk_overlap" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(Tables.documents(s, dir), "text",
+        size = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")),
+
     // Temperature-balanced language mix (the mT5 discipline): downsample
     // each language toward counts ∝ n_l^α (α = 0.5) without upsampling —
     // keep fraction f_l = sqrt(n_min / n_l), so the rarest language keeps
@@ -1722,6 +1732,17 @@ object SparkEntry {
          |    CASE WHEN s.cum > 0 AND s.cum + tc.n_tokens > 256 THEN tc.n_tokens ELSE s.cum + tc.n_tokens END
          |  FROM s JOIN tc ON tc.lang = s.lang AND tc.rn = s.rn + 1)
          |SELECT doc_id, lang, n_tokens, bin_id FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    "docs_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+         |  FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+         |    list_slice(toks, start + 1, least(start + 64, len(toks))) AS chunk
+         |  FROM s)
+         |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(chunk, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "docs_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),

@@ -171,6 +171,80 @@ object StatefulOps {
       .start()
   }
 
+  final case class ViewState(view_ts_us: Long, view_event_id: Long, view_value: Double)
+  final case class AsofOut(event_id: Long, user_id: Long, ts_us: Long, purchase_value: Double,
+      view_event_id: Option[Long], view_value: Option[Double], view_ts_us: Option[Long])
+
+  /** Streaming as-of enrichment — the stream twin of
+    * [[graft.operators.AsofJoin.strictPrior]] / the `events_asof` batch
+    * query: each purchase is stamped with the same user's latest
+    * strictly-prior view. Per-key state is O(1) (just the latest view),
+    * which is what makes as-of tractable on an unbounded stream — a
+    * stream-stream interval join would buffer every view in the watermark
+    * window instead.
+    *
+    * Tie contract is identical to the batch operator: purchases at a
+    * timestamp are answered BEFORE views at the same timestamp update
+    * state, and among equal-ts views the max event_id wins.
+    *
+    * State is BOUNDED and honest about it: a user idle past the timeout
+    * has their latest-view state dropped, so a purchase arriving after
+    * that horizon reports no prior view. Append mode also cannot retract:
+    * a view arriving out-of-order after a purchase was already emitted
+    * (within the watermark slack) does not rewrite that purchase — the
+    * usual streaming as-of reordering limit.
+    */
+  def streamAsofViews(
+      spark: SparkSession,
+      parquetDir: String,
+      queryName: String,
+      watermark: String = "30 minutes",
+      idleMs: Long = 60L * 60 * 1000,
+      glob: String = "events.parquet"): StreamingQuery = {
+    import spark.implicits._
+    val typed: Dataset[EventRow] = eventStream(spark, parquetDir, glob)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[EventRow]
+
+    def emit(userId: Long, events: Iterator[EventRow],
+        state: GroupState[ViewState]): Iterator[AsofOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = events.toIndexedSeq
+          .sortBy(e => (e.ts_us, if (e.event_type == "view") 1 else 0, e.event_id))
+        var st = state.getOption
+        val out = Seq.newBuilder[AsofOut]
+        sorted.foreach { e =>
+          if (e.event_type == "purchase")
+            out += AsofOut(e.event_id, userId, e.ts_us, e.value,
+              st.map(_.view_event_id), st.map(_.view_value), st.map(_.view_ts_us))
+          else
+            st = Some(ViewState(e.ts_us, e.event_id, e.value))
+        }
+        st.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + math.max(idleMs, 1L))
+        }
+        out.result().iterator
+      }
+    }
+
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(emit)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-stream inner join with event-time bounds: each click joined
     * to the same user's errors within the preceding 10 minutes. Both
     * sides are watermarked so Spark can expire join state — the

@@ -135,6 +135,31 @@ object TextAnalysis {
       wsPattern, " "))
 
   /** Normalized text per document + a change flag. */
+  /** Sliding-window token chunking with overlap — the RAG/embedding
+    * splitter: chunk i starts at token i·stride (0-based) and covers up
+    * to `size` tokens; every start strictly inside the document emits,
+    * so the final chunk may run short. Empty docs emit no chunks. Pure
+    * per-row expression work (tokenize → sequence of starts → explode →
+    * slice): no shuffle, scan-parallel at any scale.
+    */
+  def chunkTokens(df: DataFrame, textCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = tokens(col(textCol))
+    df.withColumn("_toks", toks)
+      .filter(org.apache.spark.sql.functions.size(col("_toks")) > 0)
+      .withColumn("_start",
+        explode(sequence(lit(0),
+          org.apache.spark.sql.functions.size(col("_toks")) - 1, lit(stride))))
+      .withColumn("chunk_id", (col("_start") / stride).cast("long"))
+      .withColumn("_chunk", slice(col("_toks"), col("_start") + 1, lit(size)))
+      .withColumn("n_chunk_tokens",
+        org.apache.spark.sql.functions.size(col("_chunk")).cast("long"))
+      .withColumn("chunk_text", concat_ws(" ", col("_chunk")))
+      .drop("_toks", "_start", "_chunk")
+  }
+
   def normalized(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("text_norm", normalizeText(col(textCol)))
       .withColumn("changed", (col("text_norm") =!= col(textCol)).cast("boolean"))

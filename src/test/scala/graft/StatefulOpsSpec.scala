@@ -106,6 +106,18 @@ class StatefulOpsSpec extends GraftSpec {
     assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0)
   }
 
+  test("streaming as-of enrichment equals the batch events_asof query") {
+    val q = StatefulOps.streamAsofViews(spark, sfDir, "asof_views")
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("asof_views")
+    val batch = SparkEntry.queries("events_asof")(spark, sfDir)
+    assert(stream.count() === batch.count() && batch.count() > 0)
+    assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0,
+      "single-batch streaming as-of must reproduce the batch union+window result " +
+        "row-for-row, including the strict-tie and max-event-id contracts")
+  }
+
   test("driver entry point returns rows on the smoke fixture") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
