@@ -470,6 +470,25 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Length-distribution clipping: drop docs outside the exact
+    // [p1, p99] interpolated percentiles of n_chars — the outlier-trim
+    // quality step. Two-job shape: a one-row percentile aggregate
+    // broadcasts back over the scan (exact interpolated percentile and
+    // DuckDB quantile_cont share the linear-interpolation definition).
+    // At 100 TB swap the exact percentile for approx_percentile with a
+    // pinned error — same plan shape (ApproxOps covers the sketch).
+    "doc_length_clip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pcts = docs.agg(
+        expr("percentile(n_chars, 0.01)").as("p01"),
+        expr("percentile(n_chars, 0.99)").as("p99"))
+      docs.crossJoin(broadcast(pcts))
+        .filter(col("n_chars") >= col("p01") && col("n_chars") <= col("p99"))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("p01"), 4).as("p01"), round(col("p99"), 4).as("p99"))
+        .orderBy("doc_id")
+    }),
+
     // Sliding-window chunking with overlap (the RAG/embedding splitter):
     // 64-token chunks every 48 tokens. Tokenize → explode starts → slice;
     // a narrow per-row transform that chunks a 100 TB corpus scan-parallel.
@@ -1732,6 +1751,13 @@ object SparkEntry {
          |    CASE WHEN s.cum > 0 AND s.cum + tc.n_tokens > 256 THEN tc.n_tokens ELSE s.cum + tc.n_tokens END
          |  FROM s JOIN tc ON tc.lang = s.lang AND tc.rn = s.rn + 1)
          |SELECT doc_id, lang, n_tokens, bin_id FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    "doc_length_clip" ->
+      """WITH p AS (SELECT quantile_cont(n_chars, 0.01) AS p01, quantile_cont(n_chars, 0.99) AS p99 FROM documents)
+        |SELECT d.doc_id, d.n_chars, round(p.p01, 4) AS p01, round(p.p99, 4) AS p99
+        |FROM documents d, p
+        |WHERE d.n_chars >= p.p01 AND d.n_chars <= p.p99
+        |ORDER BY d.doc_id""".stripMargin,
 
     "docs_chunk_overlap" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),

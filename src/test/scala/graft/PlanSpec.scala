@@ -147,6 +147,29 @@ class PlanSpec extends GraftSpec {
         "the per-group scan lost its co-location")
   }
 
+  test("docs_chunk_overlap: scan-parallel explode — no shuffle except presentation sort") {
+    val p = plan("docs_chunk_overlap")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking is per-row (tokenize/explode/slice); a hash shuffle means it lost " +
+        "its narrow shape")
+    assert(p.contains("Generate"), "chunk starts must come from an explode")
+  }
+
+  test("docs_temperature_mix: per-language rates broadcast back over the scan") {
+    val p = plan("docs_temperature_mix")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the languages-sized rate table must broadcast; shuffling the corpus to " +
+        "join 5 rows is the 100 TB failure mode")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("doc_length_clip: one-row percentile aggregate broadcasts, corpus scans once per side") {
+    val p = plan("doc_length_clip")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row percentile bounds must broadcast back over the scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("customer_tiers: global rank never funnels through one partition") {
     val p = plan("customer_tiers")
     assert(!p.contains("Exchange SinglePartition"),
