@@ -470,6 +470,34 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Boilerplate stripping: delete the corpus's top-5 most frequent
+    // bigrams (template phrases) from every document, then re-normalize
+    // whitespace — the cross-document repeated-span removal step. The
+    // phrase list is corpus-derived (count desc, bigram asc — collected
+    // into ONE deterministic array via array_sort on (-n, bigram), since
+    // collect_list order is not) and broadcast; the strip itself is a
+    // per-row fold (functions.aggregate) over 5 phrases. Sequential
+    // replace order is part of the contract — both engines fold the
+    // same list left-to-right.
+    "docs_boilerplate_strip" -> ((s, dir) => {
+      graft.functions.TextExpressions.ensureRegistered(s)
+      val docs = Tables.documents(s, dir)
+      val phrases = docs
+        .select(explode(graft.functions.TextExpressions.wordBigrams(col("text"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc).limit(5)
+        .agg(collect_list(struct((-col("n")).as("neg"), col("bigram").as("ng"))).as("a"))
+        .select(transform(array_sort(col("a")), x => x.getField("ng")).as("phrases"))
+      docs.crossJoin(broadcast(phrases))
+        .withColumn("stripped_text",
+          trim(regexp_replace(
+            aggregate(col("phrases"), col("text"), (acc, p) => replace(acc, p, lit(" "))),
+            lit(TextFunctions.wsPattern), lit(" "))))
+        .select(col("doc_id"), col("stripped_text"),
+          length(col("text")).cast("long").as("n_chars_before"))
+        .orderBy("doc_id")
+    }),
+
     // Length-distribution clipping: drop docs outside the exact
     // [p1, p99] interpolated percentiles of n_chars — the outlier-trim
     // quality step. Two-job shape: a one-row percentile aggregate
@@ -1751,6 +1779,19 @@ object SparkEntry {
          |    CASE WHEN s.cum > 0 AND s.cum + tc.n_tokens > 256 THEN tc.n_tokens ELSE s.cum + tc.n_tokens END
          |  FROM s JOIN tc ON tc.lang = s.lang AND tc.rn = s.rn + 1)
          |SELECT doc_id, lang, n_tokens, bin_id FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    "docs_boilerplate_strip" ->
+      s"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |      FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 5),
+         |p AS (SELECT list(bigram ORDER BY n DESC, bigram) AS phrases FROM c)
+         |SELECT d.doc_id,
+         |  trim(regexp_replace(
+         |    list_reduce(list_prepend(d.text, p.phrases), (acc, x) -> replace(acc, x, ' ')),
+         |    '${TextFunctions.wsPatternSql}', ' ', 'g')) AS stripped_text,
+         |  CAST(length(d.text) AS BIGINT) AS n_chars_before
+         |FROM documents d, p ORDER BY d.doc_id""".stripMargin,
 
     "doc_length_clip" ->
       """WITH p AS (SELECT quantile_cont(n_chars, 0.01) AS p01, quantile_cont(n_chars, 0.99) AS p99 FROM documents)

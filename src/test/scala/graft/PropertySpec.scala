@@ -35,6 +35,40 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("property: chunking covers every token; stride-aligned prefixes reconstruct the doc") {
+    // On random whitespace documents: (a) chunk starts are exactly
+    // 0, stride, ... below the token count; (b) concatenating each
+    // chunk's first `stride` tokens (all of the last chunk) rebuilds
+    // the original token sequence — no token lost, none duplicated
+    // outside the declared overlap.
+    val texts: Gen[String] = Gen.chooseNum(0, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")))
+      .map(_.mkString(" "))
+    val docs = cases(texts, 30).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val size = 7
+    val stride = 5
+    val out = graft.textual.TextAnalysis.chunkTokens(docs, "text", size, stride)
+      .orderBy("doc_id", "chunk_id").collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    val docToks = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+").filter(_.nonEmpty)).toMap
+    docToks.foreach { case (id, toks) =>
+      val chunks = byDoc.getOrElse(id, Array.empty).sortBy(_.getAs[Long]("chunk_id"))
+      if (toks.isEmpty) assert(chunks.isEmpty, s"doc $id: empty doc must emit no chunks")
+      else {
+        assert(chunks.map(_.getAs[Long]("chunk_id")).toSeq ===
+          (0 until (toks.length + stride - 1) / stride).map(_.toLong),
+          s"doc $id: starts must be every $stride tokens below ${toks.length}")
+        val rebuilt = chunks.flatMap { c =>
+          val ts = c.getAs[String]("chunk_text").split(" ").filter(_.nonEmpty)
+          if (c.getAs[Long]("chunk_id") == chunks.length - 1) ts else ts.take(stride)
+        }
+        assert(rebuilt.toSeq === toks.toSeq, s"doc $id: stride prefixes must rebuild the doc")
+      }
+    }
+  }
+
   test("property: connected-components labels are idempotent") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (9L, 4L), (4L, 7L), (20L, 21L)).toDF("id_a", "id_b")
