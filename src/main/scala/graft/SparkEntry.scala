@@ -470,6 +470,18 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Incremental dedup: today's batch (doc_id >= 400) near-dup-checked
+    // against the already-ingested corpus (doc_id < 400) ONLY — the
+    // daily-ingest shape. Postings join is new×old (Σ df_new·df_old);
+    // the old×old quadrant — the all-pairs scale killer — never runs.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramJaccardAgainst(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400), 3, 0.6)
+        .orderBy("new_id", "old_id")
+    }),
+
     // Boilerplate stripping: delete the corpus's top-5 most frequent
     // bigrams (template phrases) from every document, then re-normalize
     // whitespace — the cross-document repeated-span removal step. The
@@ -1780,8 +1792,18 @@ object SparkEntry {
          |  FROM s JOIN tc ON tc.lang = s.lang AND tc.rn = s.rn + 1)
          |SELECT doc_id, lang, n_tokens, bin_id FROM s ORDER BY lang, doc_id""".stripMargin,
 
+    "dedup_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |p AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+         |        CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END AS jac
+         |      FROM t a, t b WHERE a.doc_id >= 400 AND b.doc_id < 400)
+         |SELECT new_id, old_id, round(jac, 4) AS jaccard FROM p WHERE jac >= 0.6
+         |ORDER BY new_id, old_id""".stripMargin,
+
     "docs_boilerplate_strip" ->
-      s"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
          |b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
          |      FROM t WHERE len(toks) >= 2),
          |c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 5),

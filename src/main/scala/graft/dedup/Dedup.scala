@@ -71,6 +71,38 @@ object Dedup {
       .filter(col("ov") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("ov"), 4).as("overlap"))
 
+  /** Incremental near-dup: each NEW document tested against the EXISTING
+    * corpus only — the daily-ingest shape, where re-pairing the corpus
+    * against itself every day is the scale killer. Same inverted-index
+    * equi-join as [[ngramJaccardPairs]], but the posting join is
+    * new×old, so cost is Σ_s df_new(s)·df_old(s) — linear in the (small)
+    * new batch for fixed corpus skew — and the old×old quadrant is never
+    * computed. At 100 TB the corpus postings are a stored table bucketed
+    * by shingle hash (write once per corpus version); the batch's
+    * postings equi-join against it and nothing else is touched.
+    */
+  def ngramJaccardAgainst(
+      corpus: DataFrame,
+      newDocs: DataFrame,
+      n: Int,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.HashedShingles.ensureRegistered(corpus.sparkSession)
+    def posts(df: DataFrame) = df
+      .select(col(idCol).as("id"), graft.functions.HashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    posts(newDocs).as("x")
+      .join(posts(corpus).as("y"), col("x.s") === col("y.s"))
+      .groupBy(col("x.id").as("new_id"), col("y.id").as("old_id"))
+      .agg(count(lit(1)).as("inter"), first(col("x.sz")).as("sz_new"), first(col("y.sz")).as("sz_old"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz_new") + col("sz_old") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("old_id"), round(col("jac"), 4).as("jaccard"))
+  }
+
   /** Shared inverted-index co-occurrence: (id_a, id_b, |A∩B|, |A|, |B|)
     * for every pair sharing ≥ 1 shingle.
     */

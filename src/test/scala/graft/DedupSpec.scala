@@ -64,6 +64,24 @@ class DedupSpec extends GraftSpec {
       s"banding should prune: $cands candidates vs ${n * (n - 1) / 2} pairs")
   }
 
+  test("incremental dedup equals the all-pairs result restricted to new×old") {
+    val cut = 30L
+    val thr = 0.3
+    val inc = Dedup.ngramJaccardAgainst(
+        docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut), 3, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // all-pairs emits id_a < id_b; normalize cross-boundary pairs to
+    // (new = high side, old = low side) for comparison
+    val cross = Dedup.ngramJaccardPairs(docs, 3, thr)
+      .filter(($"id_a" < cut) =!= ($"id_b" < cut))
+      .collect().map { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        if (a >= cut) (a, b, j) else (b, a, j)
+      }.toSet
+    assert(inc === cross)
+    assert(inc.nonEmpty, "fixture should contain cross-boundary near-dups at this threshold")
+  }
+
   test("overlap coefficient catches subset duplicates that jaccard misses") {
     val small = "alpha beta gamma delta epsilon"
     val big = small + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
