@@ -11,7 +11,7 @@ import graft.index.CollectionCatalog
 import graft.ingest.DocumentIngest
 import graft.model.Tables
 import graft.multimodal.Multimodal
-import graft.search.{IvfIndex, KnnExact, LshIndex, RpLsh}
+import graft.search.{IvfIndex, KnnExact, LshIndex, RpLsh, TextSearch}
 import graft.streaming.EventOps
 import graft.textual.TextAnalysis
 
@@ -110,6 +110,65 @@ object SparkEntry {
   /** DuckDB whitespace tokens of trimmed text (mirror of TextFunctions.tokens). */
   private def toksSql(t: String): String =
     s"CASE WHEN length(trim($t)) = 0 THEN [] ELSE regexp_split_to_array(trim($t), '${graft.functions.TextFunctions.wsPatternSql}') END"
+
+  /** Fixed keyword-query set for the text-search family. q4 carries a
+    * term absent from the corpus: zero-df terms must simply not join
+    * (contribute 0), never divide-by-zero or NaN.
+    */
+  private def searchQueryFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("q1", "hash join merge"),
+      ("q2", "slow scan filter"),
+      ("q3", "spark window sort table"),
+      ("q4", "customer zzzunseen batch")).toDF("query_id", "query_text")
+  }
+
+  /** Shared CTE prefix for the three text-search oracles: postings with
+    * inline doc length, corpus stats, document frequency, query terms —
+    * each arithmetic step mirrored against [[TextSearch]] (same literal
+    * forms so both engines round identically; ln = Spark's log).
+    */
+  private val searchCteSql: String = {
+    val ws = graft.functions.TextFunctions.wsPatternSql
+    s"""WITH tok AS (
+       |  SELECT doc_id, len(regexp_split_to_array(trim(text), '$ws')) AS dl,
+       |         unnest(regexp_split_to_array(trim(text), '$ws')) AS term
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |post AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY doc_id, dl, term),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    avg(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |             ELSE len(regexp_split_to_array(trim(text), '$ws')) END AS DOUBLE)) AS avgdl
+       |  FROM documents),
+       |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+       |qt AS (SELECT DISTINCT query_id, unnest(regexp_split_to_array(trim(query_text), '$ws')) AS term
+       |       FROM (VALUES ('q1', 'hash join merge'), ('q2', 'slow scan filter'),
+       |                    ('q3', 'spark window sort table'), ('q4', 'customer zzzunseen batch'))
+       |            AS qq(query_id, query_text))""".stripMargin
+  }
+
+  /** BM25 scored CTE (named `bscored`), appended after [[searchCteSql]]. */
+  private val bm25ScoredSql: String =
+    """bscored AS (
+      |  SELECT qt.query_id, post.doc_id,
+      |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+      |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+      |  FROM post JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+      |  GROUP BY qt.query_id, post.doc_id)""".stripMargin
+
+  /** VSM-cosine scored CTE chain (final name `vscored`), appended after
+    * [[searchCteSql]].
+    */
+  private val vsmScoredSql: String =
+    """vidf AS (SELECT term, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf FROM dfreq CROSS JOIN stats),
+      |wgt AS (SELECT doc_id, post.term, tf * idf AS w FROM post JOIN vidf ON post.term = vidf.term),
+      |dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM wgt GROUP BY doc_id),
+      |qwt AS (SELECT query_id, qt.term, idf AS qw FROM qt JOIN vidf ON qt.term = vidf.term),
+      |qnorm AS (SELECT query_id, sqrt(sum(qw * qw)) AS qnorm FROM qwt GROUP BY query_id),
+      |dotp AS (SELECT query_id, wgt.doc_id, sum(w * qw) AS dot
+      |         FROM wgt JOIN qwt ON wgt.term = qwt.term GROUP BY query_id, wgt.doc_id),
+      |vscored AS (SELECT query_id, doc_id, dot / (dnorm * qnorm) AS score
+      |            FROM dotp JOIN dnorm USING (doc_id) JOIN qnorm USING (query_id))""".stripMargin
 
   /** DuckDB distinct word-3-gram shingles (mirror of TextFunctions.wordShingles). */
   private val shinglesSql: String =
@@ -595,6 +654,31 @@ object SparkEntry {
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
         .orderBy("doc_id")),
+
+    // Keyword search: Okapi BM25 top-10 per query over the inverted
+    // index (broadcast query-term probe; WindowGroupLimit top-k).
+    "search_bm25" -> ((s, dir) =>
+      TextSearch.bm25(Tables.documents(s, dir), "doc_id", "text", searchQueryFrame(s), 10)
+        .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("rk"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rk")),
+
+    // Vector-space-model TF-IDF cosine top-10: the sparse counterpart of
+    // knn_cosine_top10, dot product over shared terms only.
+    "search_vsm_cosine" -> ((s, dir) =>
+      TextSearch.vsmCosine(Tables.documents(s, dir), "doc_id", "text", searchQueryFrame(s), 10)
+        .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("rk"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rk")),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 and VSM
+    // rankings (the Elasticsearch/Weaviate hybrid-endpoint shape).
+    "search_hybrid_rrf" -> ((s, dir) =>
+      TextSearch.hybridRrf(Tables.documents(s, dir), "doc_id", "text", searchQueryFrame(s), 10)
+        .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("rk"),
+          col("rk_bm25").cast("long").as("rk_bm25"), col("rk_vsm").cast("long").as("rk_vsm"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("query_id", "rk")),
 
     // Rolling-hash document fingerprint.
     "doc_fingerprint" -> ((s, dir) =>
@@ -1856,6 +1940,44 @@ object SparkEntry {
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) END AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '${TextFunctions.bpeTokenPatternSql}')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "search_bm25" ->
+      s"""$searchCteSql,
+         |$bm25ScoredSql,
+         |r AS (SELECT query_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rk
+         |      FROM bscored)
+         |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk, round(score, 4) AS score
+         |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "search_vsm_cosine" ->
+      s"""$searchCteSql,
+         |$vsmScoredSql,
+         |r AS (SELECT query_id, doc_id, score,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rk
+         |      FROM vscored)
+         |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk, round(score, 4) AS score
+         |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "search_hybrid_rrf" ->
+      s"""$searchCteSql,
+         |$bm25ScoredSql,
+         |$vsmScoredSql,
+         |b AS (SELECT query_id, doc_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rk_bm25
+         |      FROM bscored),
+         |v AS (SELECT query_id, doc_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rk_vsm
+         |      FROM vscored),
+         |f AS (SELECT query_id, doc_id, rk_bm25, rk_vsm,
+         |        1.0 / (60.0 + rk_bm25) + 1.0 / (60.0 + rk_vsm) AS rrf
+         |      FROM b JOIN v USING (query_id, doc_id)),
+         |r AS (SELECT query_id, doc_id, rk_bm25, rk_vsm, rrf,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY round(rrf, 6) DESC, doc_id ASC) AS rk
+         |      FROM f)
+         |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk, CAST(rk_bm25 AS BIGINT) AS rk_bm25,
+         |  CAST(rk_vsm AS BIGINT) AS rk_vsm, round(rrf, 6) AS rrf
+         |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id,

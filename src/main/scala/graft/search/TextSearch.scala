@@ -1,0 +1,164 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Keyword and hybrid retrieval over a document corpus.
+  *
+  * The reference is a pure vector store (ChromaDB collections queried by
+  * embedding only — chromadb_speed_experiment.py:260-266). A production
+  * replacement needs the other half of the retrieval stack: keyword
+  * search (BM25), the classic vector-space model (TF-IDF cosine), and
+  * hybrid fusion of sparse + dense rankings (reciprocal rank fusion, the
+  * standard in Elasticsearch/Vespa/Weaviate hybrid endpoints). All three
+  * are expressed as inverted-index dataflow, so the DuckDB oracle can
+  * verify scores exactly — unlike the murmur3 HashingTF embedder, every
+  * weight here is a closed-form function of (tf, df, dl, N).
+  *
+  * Scale posture at 100 TB:
+  *   - The postings list (doc_id, term, tf, dl) is ONE shuffle over the
+  *     tokenized corpus; doc length dl rides along from the scan (no
+  *     second per-doc join).
+  *   - Vocabulary-level frames (df, idf) aggregate postings down to
+  *     |vocab| rows and BROADCAST; the per-query term lists broadcast
+  *     trivially.
+  *   - Candidate generation is the broadcast inverted-index probe
+  *     (postings ⋈ query terms on term): only docs sharing a term ever
+  *     leave the scan, never an all-docs × all-queries product.
+  *   - Per-query top-k goes through row_number ≤ k, which Spark rewrites
+  *     to WindowGroupLimit (per-partition heap, O(k) per partition).
+  *
+  * Determinism: ranks order by (round(score, 6) DESC, doc_id ASC) so a
+  * sub-1e-6 float divergence between engines cannot flip a rank.
+  */
+object TextSearch {
+
+  val K1 = 1.2
+  val B = 0.75
+  /** Standard RRF dampening constant (Cormack et al., SIGIR'09). */
+  val RrfK = 60
+
+  /** Inverted index with doc length: (doc_id, term, tf, dl). dl is
+    * computed inline from the token array so no extra join touches the
+    * corpus.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Distinct (query_id, term) pairs from a (query_id, query_text) frame. */
+  def queryTerms(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"), explode(TextFunctions.tokens(col("query_text"))).as("term"))
+      .distinct()
+
+  /** 1-row (n_docs, avgdl) corpus stats frame. */
+  private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(TextFunctions.tokens(col(textCol))).cast("double")).as("avgdl"))
+
+  /** Per-term document frequency from the postings list (vocab-sized). */
+  private def docFreq(post: DataFrame): DataFrame =
+    post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col(scoreCol), 6).desc, col("doc_id").asc)
+    val ranked = scored.withColumn("rk", row_number().over(w))
+    if (k > 0) ranked.filter(col("rk") <= k) else ranked
+  }
+
+  /** Okapi BM25 top-k per query. k <= 0 returns the full candidate
+    * ranking (used by [[hybridRrf]]).
+    *
+    * score(q,d) = Σ_{t ∈ q ∩ d} ln(1 + (N − df + 0.5)/(df + 0.5)) ·
+    *              tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, queries: DataFrame,
+           k: Int = 10): DataFrame =
+    bm25From(postings(docs, idCol, textCol), corpusStats(docs, textCol), queries, k)
+
+  def bm25From(post: DataFrame, stats: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val idf = docFreq(post).crossJoin(stats)
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
+        col("avgdl"))
+    val matched = post
+      .join(broadcast(queryTerms(queries)), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+    val scored = matched
+      .withColumn("w", col("idf") * col("tf") * lit(K1 + 1.0) /
+        (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+    rankTopK(scored, "score", k)
+  }
+
+  /** Vector-space-model cosine top-k per query: the sparse TF-IDF
+    * vectors nobody materializes — the dot product runs over shared
+    * terms only, norms aggregate once per doc.
+    *
+    * w_d(t) = tf · idf(t),  idf(t) = ln((N+1)/(df+1)) + 1  (smooth)
+    * w_q(t) = idf(t) for each distinct query term
+    * cos(q,d) = Σ w_q·w_d / (‖q‖·‖d‖)
+    */
+  def vsmCosine(docs: DataFrame, idCol: String, textCol: String, queries: DataFrame,
+                k: Int = 10): DataFrame =
+    vsmCosineFrom(postings(docs, idCol, textCol), corpusStats(docs, textCol), queries, k)
+
+  def vsmCosineFrom(post: DataFrame, stats: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val idf = docFreq(post).crossJoin(stats.select(col("n_docs")))
+      .select(col("term"),
+        (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
+    // Doc-side weights over the FULL postings list (norms need every term).
+    val weighted = post.join(broadcast(idf), Seq("term"))
+      .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("w"))
+    val docNorm = weighted.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
+    // Query-side weights and norms: vocab-sized frames.
+    val qw = queryTerms(queries).join(broadcast(idf), Seq("term"))
+      .select(col("query_id"), col("term"), col("idf").as("qw"))
+    val qNorm = qw.groupBy(col("query_id")).agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
+    val dot = weighted.join(broadcast(qw), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w") * col("qw")).as("dot"))
+    val scored = dot
+      .join(docNorm, Seq("doc_id"))
+      .join(broadcast(qNorm), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("dot") / (col("dnorm") * col("qnorm"))).as("score"))
+    rankTopK(scored, "score", k)
+  }
+
+  /** Reciprocal-rank fusion of the BM25 and VSM rankings:
+    * rrf(q,d) = 1/(60 + rank_bm25) + 1/(60 + rank_vsm).
+    *
+    * Both scorers share one candidate set (docs with ≥1 query term —
+    * BM25's ln(1+x) idf and the smooth VSM idf are both strictly
+    * positive), so the rank frames inner-join 1:1 on (query_id, doc_id)
+    * and the fusion never drops a candidate. The shared postings/stats
+    * frames are computed once.
+    */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String, queries: DataFrame,
+                k: Int = 10): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val stats = corpusStats(docs, textCol)
+    val b = bm25From(post, stats, queries, k = -1)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm25"))
+    val v = vsmCosineFrom(post, stats, queries, k = -1)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_vsm"))
+    val fused = b.join(v, Seq("query_id", "doc_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(RrfK.toDouble) + col("rk_bm25")) +
+          lit(1.0) / (lit(RrfK.toDouble) + col("rk_vsm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("rrf"), 6).desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

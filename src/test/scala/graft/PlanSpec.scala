@@ -15,6 +15,15 @@ class PlanSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
   }
 
+  test("search_bm25: inverted-index probe broadcasts the query terms, top-k is WindowGroupLimit") {
+    val p = plan("search_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      "query terms and vocab-sized idf frames must broadcast onto the postings list")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must be the term equi-join, never docs × queries")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must heap-limit before the final sort")
+  }
+
   test("knn_exact_multi: query side broadcast, window group limit partial") {
     val p = plan("knn_exact_multi")
     assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
