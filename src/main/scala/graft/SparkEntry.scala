@@ -655,6 +655,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
         .orderBy("doc_id")),
 
+    // Frequent-items (heavy hitters) via a Misra-Gries mergeable sketch:
+    // tokens with frequency > 2% of the corpus, sketch estimate
+    // cross-checked against the exact count in-query. m=64 > |vocab|
+    // puts the sketch in its exact, partitioning-invariant regime (the
+    // oracle asserts n_est = n_exact and the bound holds); the
+    // approximate regime (m << cardinality) is bound-asserted on
+    // synthetic Zipf data in FrequentItemsSpec.
+    "token_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      val sk = graft.operators.FrequentItems.sketch(toks, "token", 64)
+        .withColumnRenamed("item", "token")
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      exact.crossJoin(total)
+        .filter(col("n_exact") > col("n_total") * 0.02)
+        .join(sk, Seq("token"), "left")
+        .select(col("token"), col("n_exact"),
+          coalesce(col("n_est"), lit(0L)).as("n_est"),
+          (col("n_exact") - coalesce(col("n_est"), lit(0L)) <= col("n_total") / 65.0 &&
+            coalesce(col("n_est"), lit(0L)) <= col("n_exact")).as("within_bound"))
+        .orderBy("token")
+    }),
+
     // Keyword search: Okapi BM25 top-10 per query over the inverted
     // index (broadcast query-term probe; WindowGroupLimit top-k).
     "search_bm25" -> ((s, dir) =>
@@ -1940,6 +1964,14 @@ object SparkEntry {
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) END AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '${TextFunctions.bpeTokenPatternSql}')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "token_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS token
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |c AS (SELECT token, count(*) AS n_exact FROM toks GROUP BY token),
+         |t AS (SELECT count(*) AS n_total FROM toks)
+         |SELECT token, n_exact, n_exact AS n_est, TRUE AS within_bound
+         |FROM c CROSS JOIN t WHERE n_exact > n_total * 0.02 ORDER BY token""".stripMargin,
 
     "search_bm25" ->
       s"""$searchCteSql,
