@@ -655,6 +655,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
         .orderBy("doc_id")),
 
+    // Reproducible training shuffle: deterministic hash order, 8 shards,
+    // in-shard epoch positions (the materialized form is spec-verified
+    // in ReproShuffleSpec; this row pins the order itself).
+    "corpus_shuffle" -> ((s, dir) =>
+      graft.operators.ReproShuffle.assign(Tables.documents(s, dir), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+
     // Frequent-items (heavy hitters) via a Misra-Gries mergeable sketch:
     // tokens with frequency > 2% of the corpus, sketch estimate
     // cross-checked against the exact count in-query. m=64 > |vocab|
@@ -1964,6 +1972,12 @@ object SparkEntry {
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) END AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '${TextFunctions.bpeTokenPatternSql}')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_shuffle" ->
+      """WITH s AS (SELECT doc_id, (doc_id * 2654435761) % 1048576 AS h FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     "token_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS token

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.ReproShuffle
+
+class ReproShuffleSpec extends GraftSpec {
+
+  test("assign: every doc gets exactly one (shard, pos); positions are dense per shard") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = ReproShuffle.assign(docs, "doc_id", 8).select("doc_id", "shard", "pos")
+    assert(out.count() == docs.count())
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("maxp"), min(col("pos")).as("minp"))
+      .collect()
+    assert(perShard.length == 8, "all 8 shards should be populated")
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("minp") == 1L && r.getAs[Long]("maxp") == r.getAs[Long]("n"),
+        s"positions must be dense 1..n per shard: $r")
+    }
+    // deterministic under repartitioning
+    val again = ReproShuffle.assign(docs.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("write: one directory per shard, maxRecordsPerFile bounds every file") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_shuffle").toString
+    ReproShuffle.write(docs, "doc_id", 4, dir, maxRecordsPerFile = 50L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.select("shard").distinct().count() == 4)
+    // small-files/huge-files control: no parquet file holds > 50 records
+    val perFile = back.groupBy(input_file_name()).count().collect()
+    assert(perFile.nonEmpty)
+    perFile.foreach(r => assert(r.getLong(1) <= 50L, s"file over maxRecordsPerFile: $r"))
+    // round-trip keeps the assignment: (doc_id, shard, pos) identical
+    val expect = ReproShuffle.assign(docs, "doc_id", 4).select("doc_id", "shard", "pos")
+    val got = back.select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("observe: pipeline quality metrics ride the main pass for free") {
+    val docs = Tables.documents(spark, sfDir)
+    val obs = Observation("quality")
+    val cleaned = docs.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("n_empty"),
+      avg(col("n_chars")).as("avg_chars"))
+      .filter(length(trim(col("text"))) > 0)
+    val kept = cleaned.count()
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] == docs.count())
+    assert(m("n_rows").asInstanceOf[Long] - m("n_empty").asInstanceOf[Long] == kept)
+    assert(m("avg_chars").asInstanceOf[Double] > 0)
+  }
+}
