@@ -663,6 +663,121 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")),
 
+    // CDC merge (the Delta/Iceberg MERGE shape on immutable storage):
+    // a deterministic change batch — wave-1 updates (key%10=3), wave-1
+    // deletes (key%10=7), wave-2 re-updates (key%100=3, overriding
+    // wave 1), wave-2 re-inserts of deleted keys (key%100=17), and pure
+    // inserts of brand-new keys (key%1000=1, offset +10M) — rolled into
+    // the orders snapshot by one hash shuffle on the key + per-key
+    // max_by((_seq,_op)); no join node. Covers update, delete,
+    // update-after-update, insert-after-delete, and insert paths.
+    "cdc_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def wave(pred: org.apache.spark.sql.Column, status: Option[String],
+               op: String, seq: Long): DataFrame = {
+        val base = o.filter(pred)
+        val st = status.fold(base)(v => base.withColumn("o_orderstatus", lit(v)))
+        st.withColumn("_op", lit(op)).withColumn("_seq", lit(seq))
+      }
+      val changes = wave(col("o_orderkey") % 10 === 3, Some("U1"), "u", 1L)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .unionByName(wave(col("o_orderkey") % 10 === 7, None, "d", 1L))
+        .unionByName(wave(col("o_orderkey") % 100 === 3, Some("U2"), "u", 2L))
+        .unionByName(wave(col("o_orderkey") % 100 === 17, Some("R"), "u", 2L))
+        .unionByName(
+          wave(col("o_orderkey") % 1000 === 1, Some("N"), "u", 1L)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      graft.operators.CdcMerge.merge(o, changes, "o_orderkey")
+        // raw doubles pass through: +100.0 is an exact IEEE op, so both
+        // engines see bit-identical prices with no rounding contract
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Denylist filtering with a Bloom prefilter (DIY runtime filter):
+    // the near-dup drop list is the deny set; its Bloom bits broadcast
+    // (the at-100TB case where the id list itself is too big for a hash
+    // relation), might_contain=false rows pass without ever joining, and
+    // only the hits + fpp sliver reach the exact anti-join verify. The
+    // final result is EXACTLY the plain anti-join — the sketch can only
+    // shrink the join input, never change the answer (no false
+    // negatives; false positives are removed by the verify join).
+    "docs_denylist_bloom" -> ((s, dir) => {
+      graft.functions.BloomExpressions.ensureRegistered(s)
+      val docs = Tables.documents(s, dir)
+      val deny = Clusters.connectedComponents(sharedNgramPairs(s, dir))
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      val denyCount = deny.count()
+      val bf = deny.stat.bloomFilter("doc_id", math.max(denyCount, 1L), 0.03)
+      val flagged = docs.withColumn("maybe_denied",
+        graft.functions.BloomExpressions.mightContain(col("doc_id"),
+          graft.functions.BloomExpressions.serialize(bf)))
+      flagged.filter(!col("maybe_denied"))
+        .unionByName(flagged.filter(col("maybe_denied"))
+          .join(deny, Seq("doc_id"), "left_anti"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Vector-quantization assignment (the coarse-quantizer step of an
+    // IVF index, and one k-means iteration's E-step): each embedding to
+    // its nearest per-label seed vector (min vec_id per label — an exact
+    // float array on both engines, so distances are bit-identical; a
+    // mean-centroid would need float-sum-order parity). 10 seed rows
+    // broadcast; the ×10 BNLJ expansion collapses back to one row per
+    // vector in the partial min aggregate BEFORE the exchange.
+    "embedding_centroid_assign" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val seeds = emb.groupBy(col("label")).agg(min(col("vec_id")).as("seed_id"))
+      val cent = emb.select(col("vec_id").as("seed_id"), col("embedding").as("c_emb"))
+        .join(broadcast(seeds), Seq("seed_id"))
+        .select(col("label").cast("long").as("c_label"), col("c_emb"))
+      emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label").cast("long").as("true_label"),
+          col("c_label"),
+          graft.functions.VectorExpressions.l2Sq(col("embedding"), col("c_emb")).as("d2"))
+        .groupBy(col("vec_id"), col("true_label"))
+        .agg(min(struct(col("d2"), col("c_label"))).as("m"))
+        .select(col("vec_id"), col("true_label"),
+          col("m.c_label").as("assigned_label"),
+          round(sqrt(col("m.d2")), 4).as("dist"))
+        .orderBy("vec_id")
+    }),
+
+    // Perplexity-proxy quality signal: per-doc mean unigram
+    // log-likelihood under the corpus MLE LM (see TextSearch Scaladoc
+    // for the shuffle budget). The low tail is the gibberish filter.
+    "doc_unigram_logprob" -> ((s, dir) =>
+      TextSearch.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), round(col("mean_logprob"), 4).as("mean_logprob"))
+        .orderBy("doc_id")),
+
+    // Heaps-law vocabulary growth: distinct word-3-gram count at every
+    // 50-document ingest checkpoint, from each shingle's FIRST occurrence
+    // (min doc_id) — one vocab-sized aggregate, then a running sum over
+    // the tiny checkpoint frame (≤ |corpus|/50 rows — the single
+    // partition holds checkpoints, never corpus rows). 3-grams rather
+    // than unigrams because the unigram vocab saturates inside the first
+    // checkpoint on any corpus with a bounded word list; the n-gram
+    // space is what actually follows Heaps' law and what a tokenizer /
+    // dedup-signature budget is sized against.
+    "vocab_growth" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val firstDoc = docs
+        .select(explode(TextFunctions.wordShingles(col("text"), 3)).as("term"), col("doc_id"))
+        .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+      val buckets = firstDoc
+        .groupBy((floor(col("first_doc") / 50) * 50 + 50).cast("long").as("docs_processed"))
+        .agg(count(lit(1)).as("new_terms"))
+      buckets.withColumn("vocab_size",
+        sum(col("new_terms")).over(Window.orderBy(col("docs_processed"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+        .orderBy("docs_processed")
+    }),
+
     // Frequent-items (heavy hitters) via a Misra-Gries mergeable sketch:
     // tokens with frequency > 2% of the corpus, sketch estimate
     // cross-checked against the exact count in-query. m=64 > |vocab|
@@ -1978,6 +2093,84 @@ object SparkEntry {
         |SELECT doc_id, h % 8 AS shard,
         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "cdc_merge" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice, o_orderpriority,
+        |         'u' AS _op, 1 AS _seq FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderpriority, 'd', 1 FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL SELECT o_orderkey, o_custkey, 'U2', o_totalprice,
+        |         o_orderpriority, 'u', 2 FROM orders WHERE o_orderkey % 100 = 3
+        |  UNION ALL SELECT o_orderkey, o_custkey, 'R', o_totalprice,
+        |         o_orderpriority, 'u', 2 FROM orders WHERE o_orderkey % 100 = 17
+        |  UNION ALL SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+        |         o_orderpriority, 'u', 1 FROM orders WHERE o_orderkey % 1000 = 1),
+        |allr AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderpriority, 'u' AS _op, -1 AS _seq FROM orders
+        |  UNION ALL SELECT * FROM changes),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |        ORDER BY _seq DESC, _op DESC) AS rn FROM allr)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM r WHERE rn = 1 AND _op = 'u' ORDER BY o_orderkey""".stripMargin,
+
+    // Anti-join truth: the bloom prefilter is invisible to the result.
+    "docs_denylist_bloom" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM t a, t b WHERE a.doc_id < b.doc_id
+         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+         |      UNION
+         |      SELECT e.u, r.v FROM e JOIN r ON e.v = r.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+         |deny AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM deny) ORDER BY doc_id""".stripMargin,
+
+    "embedding_centroid_assign" ->
+      """WITH seeds AS (SELECT label, min(vec_id) AS seed_id FROM embeddings GROUP BY label),
+        |cent AS (SELECT CAST(s.label AS BIGINT) AS c_label, e.embedding AS c_emb
+        |         FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id),
+        |d AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS true_label, c.c_label,
+        |        list_sum(list_transform(range(1, len(e.embedding)+1),
+        |          i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))
+        |             * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE)))) AS d2
+        |      FROM embeddings e CROSS JOIN cent c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM d)
+        |SELECT vec_id, true_label, c_label AS assigned_label, round(sqrt(d2), 4) AS dist
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "doc_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS dl,
+         |    unnest(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |post AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY doc_id, dl, term),
+         |ctf AS (SELECT term, sum(tf) AS ctf FROM post GROUP BY term),
+         |tot AS (SELECT sum(ctf) AS n_total FROM ctf)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+         |  round(sum(tf * ln(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE))) / dl, 4) AS mean_logprob
+         |FROM post JOIN ctf USING (term) CROSS JOIN tot
+         |GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
+
+    "vocab_growth" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest($shinglesSql) AS term
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |fd AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY term),
+         |b AS (SELECT CAST(floor(first_doc / 50) AS BIGINT) * 50 + 50 AS docs_processed,
+         |             count(*) AS new_terms
+         |      FROM fd GROUP BY 1)
+         |SELECT docs_processed, new_terms,
+         |  CAST(sum(new_terms) OVER (ORDER BY docs_processed
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+         |FROM b ORDER BY docs_processed""".stripMargin,
 
     "token_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS token

@@ -161,4 +161,31 @@ object TextSearch {
       .orderBy(round(col("rrf"), 6).desc, col("doc_id").asc)
     fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Per-document mean token log-likelihood under the corpus MLE unigram
+    * LM — the cheap perplexity proxy used as a training-data quality
+    * signal (documents far below the corpus mode are gibberish / wrong
+    * language / OCR noise; far above are boilerplate). ll(d) = Σ_t
+    * tf(d,t)·ln(ctf(t)/N) / dl(d), always negative; more negative =
+    * more surprising.
+    *
+    * Three linear shuffles, all vocabulary- or corpus-row-bounded:
+    * postings (doc,term), the vocab-sized ctf aggregate, the postings⋈ctf
+    * term join, and the per-doc re-aggregation. The 1-row corpus total
+    * broadcasts. No step is quadratic; at 100 TB the term join is the
+    * standard inverted-index equi-join on a Zipf key (salt the head terms
+    * if a single term's postings overflow a partition — same discipline
+    * as Salting.saltedSum).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val ctf = post.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val total = ctf.agg(sum(col("ctf")).as("n_total"))
+    post.join(ctf, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("tf") * log(col("ctf").cast("double") / col("n_total").cast("double"))).as("ll"))
+      .select(col("doc_id"), col("dl").cast("long").as("n_tokens"),
+        (col("ll") / col("dl")).as("mean_logprob"))
+  }
 }

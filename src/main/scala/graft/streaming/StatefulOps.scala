@@ -317,4 +317,39 @@ object StatefulOps {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  final case class CdcChange(k: Long, s: String, v: Double, op: String, seq: Long)
+  final case class CdcOut(k: Long, op: String, seq: Long, s: String, v: Double)
+
+  /** Continuous CDC merge — the streaming twin of
+    * [[graft.operators.CdcMerge]]: per-key last-write-wins state
+    * (highest `(_seq, _op)`, the same total order as the batch
+    * operator), emitting the key's current merged row (or tombstone)
+    * whenever a change batch improves it. A last-write-wins sink —
+    * foreachBatch MERGE, a KV store upsert — then materializes exactly
+    * the batch snapshot: emissions per key are monotone in (seq, op),
+    * so "latest emitted" and "max emitted" coincide (asserted against
+    * CdcMerge.merge in CdcMergeSpec).
+    *
+    * State is one small row per live key — this state IS the
+    * materialized view, so it does not expire (NoTimeout); at scale
+    * that means the RocksDB state store, not the in-memory default.
+    * O(changes) work per trigger, no shuffle beyond the groupByKey
+    * exchange of the (small) change batch.
+    */
+  def streamCdcLatest(changes: Dataset[CdcChange]): Dataset[CdcOut] = {
+    import changes.sparkSession.implicits._
+    def emit(k: Long, rows: Iterator[CdcChange], state: GroupState[CdcOut]): Iterator[CdcOut] = {
+      val prev = state.getOption
+      val best = (rows.map(c => CdcOut(k, c.op, c.seq, c.s, c.v)) ++ prev.iterator)
+        .maxBy(o => (o.seq, o.op))
+      if (prev.contains(best)) Iterator.empty
+      else {
+        state.update(best)
+        Iterator.single(best)
+      }
+    }
+    changes.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(emit)
+  }
 }

@@ -186,4 +186,33 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("hashpartitioning(__pid"),
       "the rank window must partition by the range-bucket id")
   }
+
+  test("cdc_merge: union + per-key max_by, no join node, one hash shuffle") {
+    val p = plan("cdc_merge")
+    assert(!p.contains("Join"),
+      "MERGE must be the union+aggregate form; a join re-shuffles both sides")
+    assert(p.contains("Union"), "base and change batch must union before the key shuffle")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "exactly one shuffle on the merge key (partial max_by map-side)")
+  }
+
+  test("docs_denylist_bloom: codegen'd bloom probe in the scan filter, no cartesian") {
+    val p = plan("docs_denylist_bloom")
+    assert(p.toLowerCase.contains("bloommightcontain"),
+      "the prefilter must be the native bloom expression, not a UDF")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the verify step must stay an equi-anti-join over the flagged sliver")
+  }
+
+  test("embedding_centroid_assign: seeds broadcast, argmin collapses before the exchange") {
+    val p = plan("embedding_centroid_assign")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 10-row centroid table must broadcast; shuffling vectors to meet 10 rows is wrong")
+    assert(p.contains("floatvecl2sq"), "distance must be the codegen'd expression")
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    val firstAgg = p.lastIndexOf("HashAggregate")
+    assert(firstExchange >= 0 && firstAgg > firstExchange,
+      "a partial min must run below the exchange so the ×k BNLJ expansion " +
+        "collapses back to one row per vector before any shuffle")
+  }
 }
