@@ -204,6 +204,48 @@ object SparkEntry {
   private val bitPowersSql: String =
     (0 until 64).map(j => s"($j, CAST(${BigInt(1) << j} AS HUGEINT))").mkString(", ")
 
+  /** Deterministic CDC change batch over the orders snapshot, shared by
+    * cdc_merge (Type-1 MERGE) and orders_history_scd2 (Type-2 history):
+    * wave-1 updates (key%10=3, price+100), wave-1 deletes (key%10=7),
+    * wave-2 re-updates (key%100=3), wave-2 re-inserts of deleted keys
+    * (key%100=17), pure inserts of new keys (key%1000=1, offset +10M).
+    * Covers update / delete / update-after-update / insert-after-delete
+    * / insert. The SQL twin is inlined in both oracles.
+    */
+  private def cdcChangeBatch(o: DataFrame): DataFrame = {
+    def wave(pred: org.apache.spark.sql.Column, status: Option[String],
+             op: String, seq: Long): DataFrame = {
+      val base = o.filter(pred)
+      val st = status.fold(base)(v => base.withColumn("o_orderstatus", lit(v)))
+      st.withColumn("_op", lit(op)).withColumn("_seq", lit(seq))
+    }
+    wave(col("o_orderkey") % 10 === 3, Some("U1"), "u", 1L)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .unionByName(wave(col("o_orderkey") % 10 === 7, None, "d", 1L))
+      .unionByName(wave(col("o_orderkey") % 100 === 3, Some("U2"), "u", 2L))
+      .unionByName(wave(col("o_orderkey") % 100 === 17, Some("R"), "u", 2L))
+      .unionByName(
+        wave(col("o_orderkey") % 1000 === 1, Some("N"), "u", 1L)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+  }
+
+  /** SQL twin of [[cdcChangeBatch]] (shared by the cdc_merge and
+    * orders_history_scd2 oracles).
+    */
+  private val cdcChangesSql: String =
+    """
+      |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
+      |         o_totalprice + 100.0 AS o_totalprice, o_orderpriority,
+      |         'u' AS _op, 1 AS _seq FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |         o_orderpriority, 'd', 1 FROM orders WHERE o_orderkey % 10 = 7
+      |  UNION ALL SELECT o_orderkey, o_custkey, 'U2', o_totalprice,
+      |         o_orderpriority, 'u', 2 FROM orders WHERE o_orderkey % 100 = 3
+      |  UNION ALL SELECT o_orderkey, o_custkey, 'R', o_totalprice,
+      |         o_orderpriority, 'u', 2 FROM orders WHERE o_orderkey % 100 = 17
+      |  UNION ALL SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+      |         o_orderpriority, 'u', 1 FROM orders WHERE o_orderkey % 1000 = 1""".stripMargin
+
   /** Normalize IEEE negative zero to +0.0 — a rounded value of -0.0
     * string-serializes differently from 0.0 and would hash-mismatch an
     * oracle that produced the other sign. (-0.0 === 0.0 in Spark SQL
@@ -673,21 +715,7 @@ object SparkEntry {
     // update-after-update, insert-after-delete, and insert paths.
     "cdc_merge" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
-      def wave(pred: org.apache.spark.sql.Column, status: Option[String],
-               op: String, seq: Long): DataFrame = {
-        val base = o.filter(pred)
-        val st = status.fold(base)(v => base.withColumn("o_orderstatus", lit(v)))
-        st.withColumn("_op", lit(op)).withColumn("_seq", lit(seq))
-      }
-      val changes = wave(col("o_orderkey") % 10 === 3, Some("U1"), "u", 1L)
-        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
-        .unionByName(wave(col("o_orderkey") % 10 === 7, None, "d", 1L))
-        .unionByName(wave(col("o_orderkey") % 100 === 3, Some("U2"), "u", 2L))
-        .unionByName(wave(col("o_orderkey") % 100 === 17, Some("R"), "u", 2L))
-        .unionByName(
-          wave(col("o_orderkey") % 1000 === 1, Some("N"), "u", 1L)
-            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
-      graft.operators.CdcMerge.merge(o, changes, "o_orderkey")
+      graft.operators.CdcMerge.merge(o, cdcChangeBatch(o), "o_orderkey")
         // raw doubles pass through: +100.0 is an exact IEEE op, so both
         // engines see bit-identical prices with no rounding contract
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -763,11 +791,16 @@ object SparkEntry {
     // than unigrams because the unigram vocab saturates inside the first
     // checkpoint on any corpus with a bounded word list; the n-gram
     // space is what actually follows Heaps' law and what a tokenizer /
-    // dedup-signature budget is sized against.
+    // dedup-signature budget is sized against. Shingles go through the
+    // codegen'd 64-bit hash (same discipline as the dedup family —
+    // string shingles cost 11.7s at sf0.1, hashed longs ~1s): counts
+    // and min-doc_id are hash-invariant, so the string-shingle DuckDB
+    // oracle still matches exactly (collisions ~n²/2^64).
     "vocab_growth" -> ((s, dir) => {
+      graft.functions.HashedShingles.ensureRegistered(s)
       val docs = Tables.documents(s, dir)
       val firstDoc = docs
-        .select(explode(TextFunctions.wordShingles(col("text"), 3)).as("term"), col("doc_id"))
+        .select(explode(graft.functions.HashedShingles(col("text"), 3)).as("term"), col("doc_id"))
         .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
       val buckets = firstDoc
         .groupBy((floor(col("first_doc") / 50) * 50 + 50).cast("long").as("docs_processed"))
@@ -776,6 +809,67 @@ object SparkEntry {
         sum(col("new_terms")).over(Window.orderBy(col("docs_processed"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
         .orderBy("docs_processed")
+    }),
+
+    // SCD Type-2 history over the same CDC change batch as cdc_merge:
+    // every version row gets [valid_from, valid_to) from a per-key lead
+    // window (one shuffle on the key, no second exchange — the window
+    // reuses the hash partitioning). MERGE answers "latest state";
+    // this answers "state as of any seq" with a range predicate.
+    "orders_history_scd2" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val versions = o
+        .withColumn("_op", lit("u")).withColumn("_seq", lit(-1L))
+        .unionByName(cdcChangeBatch(o))
+      graft.operators.Scd2.history(versions, "o_orderkey", "_seq")
+        .select(col("o_orderkey"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("o_orderstatus"), col("_op").as("op"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
+
+    // Z-order (Morton) layout keys: interleave 16-bit (user bucket,
+    // minute-of-day) so sorting by zkey makes parquet row-group min/max
+    // ranges narrow in BOTH dimensions — two-predicate file skipping
+    // (the OPTIMIZE ZORDER trick). Pure shift/mask integer arithmetic,
+    // bit-identical on any engine; ZOrderSpec proves the roundtrip and
+    // the layout win, this row pins the key values themselves.
+    "events_zorder" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val x = (col("user_id") % 65536).cast("long")
+      val y = (hour(col("ts")) * 60 + minute(col("ts"))).cast("long")
+      e.select(col("event_id"), x.as("x"), y.as("y"),
+        graft.operators.ZOrder.interleave16(x, y).as("zkey"))
+        .orderBy("event_id")
+    }),
+
+    // Ordered funnel: how far each user gets through view → click →
+    // purchase, each stage strictly after the previous one's first
+    // completion (the windowFunnel/conversion-dashboard operator). ONE
+    // hash shuffle on user_id — per-user stage-time arrays aggregate
+    // map-side, the k-stage recurrence folds over those tiny arrays.
+    "events_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(Tables.events(s, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // The corpus mixture report: per (lang, source) document and
+    // whitespace-token counts plus each cell's share of all tokens —
+    // the composition table every training-data pipeline publishes
+    // next to its mixing weights. One partial-aggregated shuffle on
+    // the group key; the 1-row total broadcasts back.
+    "corpus_mix_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cells = docs
+        .select(col("lang"), col("source"),
+          coalesce(size(TextFunctions.tokens(col("text"))).cast("long"), lit(0L)).as("n_toks"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      val total = cells.agg(sum(col("n_tokens")).as("total_tokens"))
+      cells.crossJoin(broadcast(total))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("total_tokens").cast("double"), 4)
+            .as("token_share"))
+        .orderBy("lang", "source")
     }),
 
     // Frequent-items (heavy hitters) via a Misra-Gries mergeable sketch:
@@ -2095,26 +2189,63 @@ object SparkEntry {
         |FROM s ORDER BY shard, pos""".stripMargin,
 
     "cdc_merge" ->
-      """WITH changes AS (
-        |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus,
-        |         o_totalprice + 100.0 AS o_totalprice, o_orderpriority,
-        |         'u' AS _op, 1 AS _seq FROM orders WHERE o_orderkey % 10 = 3
-        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |         o_orderpriority, 'd', 1 FROM orders WHERE o_orderkey % 10 = 7
-        |  UNION ALL SELECT o_orderkey, o_custkey, 'U2', o_totalprice,
-        |         o_orderpriority, 'u', 2 FROM orders WHERE o_orderkey % 100 = 3
-        |  UNION ALL SELECT o_orderkey, o_custkey, 'R', o_totalprice,
-        |         o_orderpriority, 'u', 2 FROM orders WHERE o_orderkey % 100 = 17
-        |  UNION ALL SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
-        |         o_orderpriority, 'u', 1 FROM orders WHERE o_orderkey % 1000 = 1),
-        |allr AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |         o_orderpriority, 'u' AS _op, -1 AS _seq FROM orders
-        |  UNION ALL SELECT * FROM changes),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
-        |        ORDER BY _seq DESC, _op DESC) AS rn FROM allr)
-        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
-        |FROM r WHERE rn = 1 AND _op = 'u' ORDER BY o_orderkey""".stripMargin,
+      s"""WITH changes AS ($cdcChangesSql),
+         |allr AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderpriority, 'u' AS _op, -1 AS _seq FROM orders
+         |  UNION ALL SELECT * FROM changes),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+         |        ORDER BY _seq DESC, _op DESC) AS rn FROM allr)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+         |FROM r WHERE rn = 1 AND _op = 'u' ORDER BY o_orderkey""".stripMargin,
+
+    "orders_history_scd2" ->
+      s"""WITH changes AS ($cdcChangesSql),
+         |v AS (
+         |  SELECT o_orderkey, o_orderstatus, 'u' AS _op, -1 AS _seq FROM orders
+         |  UNION ALL SELECT o_orderkey, o_orderstatus, _op, _seq FROM changes)
+         |SELECT o_orderkey, CAST(_seq AS BIGINT) AS valid_from,
+         |  CAST(lead(_seq) OVER w AS BIGINT) AS valid_to,
+         |  (lead(_seq) OVER w IS NULL) AS is_current,
+         |  o_orderstatus, _op AS op
+         |FROM v WINDOW w AS (PARTITION BY o_orderkey ORDER BY _seq)
+         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "events_zorder" -> {
+      val x = "(user_id % 65536)"
+      val y = "(hour(ts) * 60 + minute(ts))"
+      s"""SELECT event_id, $x AS x, $y AS y,
+         |  ${graft.operators.ZOrder.interleave16Sql(x, y)} AS zkey
+         |FROM events ORDER BY event_id""".stripMargin
+    },
+
+    "events_funnel" ->
+      """WITH f AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tu
+        |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |a AS (SELECT user_id,
+        |        list_sort(list(tu) FILTER (WHERE event_type = 'view')) AS a1,
+        |        list_sort(list(tu) FILTER (WHERE event_type = 'click')) AS a2,
+        |        list_sort(list(tu) FILTER (WHERE event_type = 'purchase')) AS a3
+        |      FROM f GROUP BY user_id),
+        |s1 AS (SELECT user_id, a2, a3, a1[1] AS t1 FROM a),
+        |s2 AS (SELECT user_id, a3, t1, (list_filter(a2, x -> x > t1))[1] AS t2 FROM s1),
+        |s3 AS (SELECT user_id, t1, t2, (list_filter(a3, x -> x > t2))[1] AS t3 FROM s2)
+        |SELECT user_id, t1, t2, t3,
+        |  CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END)
+        |     + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+        |     + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS reached
+        |FROM s3 ORDER BY user_id""".stripMargin,
+
+    "corpus_mix_report" ->
+      s"""WITH c AS (SELECT lang, source,
+         |    coalesce(len(${toksSql("text")}), 0) AS n_toks
+         |  FROM documents),
+         |g AS (SELECT lang, source, count(*) AS n_docs, sum(n_toks) AS n_tokens
+         |      FROM c GROUP BY lang, source),
+         |t AS (SELECT sum(n_tokens) AS total_tokens FROM g)
+         |SELECT lang, source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 4) AS token_share
+         |FROM g CROSS JOIN t ORDER BY lang, source""".stripMargin,
 
     // Anti-join truth: the bloom prefilter is invisible to the result.
     "docs_denylist_bloom" ->

@@ -178,7 +178,17 @@ object TextSearch {
     * as Salting.saltedSum).
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val post = postings(docs, idCol, textCol)
+    // Term IDENTITY never reaches the output — only counts do, and
+    // counts are hash-invariant. xxhash64 the term right after the
+    // explode so every shuffle and the vocab join carry 8-byte longs
+    // instead of strings (same discipline as the hashed dedup shingles;
+    // collisions ~|vocab|²/2^64 are the accepted sketch contract).
+    val toks = TextFunctions.tokens(col(textCol))
+    val post = docs
+      .select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("t"))
+      .select(col("doc_id"), col("dl"), xxhash64(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
     val ctf = post.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val total = ctf.agg(sum(col("ctf")).as("n_total"))
     post.join(ctf, Seq("term"))

@@ -94,4 +94,31 @@ class CdcMergeSpec extends GraftSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       "one shuffle on the merge key; partial max_by must run map-side")
   }
+
+  test("SCD2 history: validity intervals chain per key, current row open-ended") {
+    val versions = Seq(
+      (1L, "v0", 0.0, "u", -1L), (1L, "v1", 1.0, "u", 1L), (1L, "gone", 0.0, "d", 2L),
+      (2L, "only", 9.0, "u", -1L))
+      .toDF("k", "s", "v", "_op", "_seq")
+    val out = graft.operators.Scd2.history(versions, "k", "_seq")
+      .select($"k", $"valid_from", $"valid_to", $"is_current", $"s")
+      .orderBy("k", "valid_from")
+      .as[(Long, Long, Option[Long], Boolean, String)].collect()
+    assert(out === Array(
+      (1L, -1L, Some(1L), false, "v0"),
+      (1L, 1L, Some(2L), false, "v1"),
+      (1L, 2L, None, true, "gone"),
+      (2L, -1L, None, true, "only")))
+  }
+
+  test("SCD2 plan: the lead window reuses the key exchange (one shuffle)") {
+    val versions = Seq((1L, "a", 1.0, "u", 1L)).toDF("k", "s", "v", "_op", "_seq")
+    val p = graft.operators.Scd2.history(versions, "k", "_seq")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "partitioning by key must be shared by the window; a second exchange " +
+        "means the window re-shuffled")
+    assert(!p.contains("Exchange SinglePartition"),
+      "no global-window funnel")
+  }
 }
