@@ -435,6 +435,71 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
+    // TPC-H Q6: forecasting-revenue-change — pure scan + filter + one
+    // 1-row aggregate, the pushdown benchmark (every predicate reaches
+    // the parquet scan; no shuffle at all beyond the final 1-row agg).
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")) === 1995 &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(14,2)") *
+          col("l_discount").cast("decimal(6,4)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q13 (adapted to the reduced schema: priority exclusion
+    // stands in for the comment filter): how many customers placed
+    // 0, 1, 2... orders. LEFT join so zero-order customers survive,
+    // then the two-level count-of-counts aggregation.
+    "q13_order_distribution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15: top supplier(s) by quarterly revenue — the
+    // revenue-view + max-equality shape (ties all surface; revenue is
+    // rounded decimal so the equality is engine-stable).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
+      val supRev = Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")) === 1995 && quarter(col("l_shipdate")) === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(rev), 2).cast("double").as("total_revenue"))
+      supRev.crossJoin(broadcast(supRev.agg(max(col("total_revenue")).as("mx"))))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (adapted: brand filter only — no container column):
+    // revenue lost to small-quantity orders below 20% of each part's
+    // average quantity. The per-part threshold is EXACT on both engines
+    // because quantities are integral doubles (sum < 2^53 is
+    // order-independent; avg = one division; ×0.2 one more op), so the
+    // boundary comparison cannot flip. Threshold frame is |brand parts|
+    // rows → broadcast back; lineitem side scans once per use.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val joined = li.join(broadcast(
+        Tables.part(s, dir).filter(col("p_brand") === "Brand#4")),
+        col("l_partkey") === col("p_partkey"))
+      val thresh = joined.groupBy(col("l_partkey").as("tp"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
+      joined.join(broadcast(thresh), col("l_partkey") === col("tp"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg((round(sum(col("l_extendedprice").cast("decimal(14,2)")), 2).cast("double")
+          / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // session_window sessionization.
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
 
@@ -1924,6 +1989,47 @@ object SparkEntry {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |         * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1995 AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'),
+        |pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |       FROM customer LEFT JOIN o ON c_custkey = o_custkey
+        |       GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM pc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH sr AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE year(l_shipdate) = 1995 AND quarter(l_shipdate) = 1
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM sr JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM sr)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH j AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#4'),
+        |t AS (SELECT l_partkey AS tp, avg(l_quantity) * 0.2 AS qty_thresh
+        |      FROM j GROUP BY l_partkey)
+        |SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM j JOIN t ON l_partkey = tp
+        |WHERE l_quantity < qty_thresh""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),

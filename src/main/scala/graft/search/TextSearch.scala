@@ -43,18 +43,28 @@ object TextSearch {
 
   /** Inverted index with doc length: (doc_id, term, tf, dl). dl is
     * computed inline from the token array so no extra join touches the
-    * corpus.
+    * corpus. `term` is the token's xxhash64 — term IDENTITY never
+    * reaches any scorer's output (only doc ids and closed-form weights
+    * of tf/df/dl/N do, all hash-invariant), so every postings shuffle
+    * and vocab join carries 8-byte longs instead of strings; query
+    * terms go through the SAME hash, so equi-joins are unchanged
+    * (collisions ~|vocab|²/2^64, the accepted sketch contract shared
+    * with the hashed dedup shingles).
     */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+    docs.select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("t"))
+      .select(col("doc_id"), col("dl"), xxhash64(col("t")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
   }
 
-  /** Distinct (query_id, term) pairs from a (query_id, query_text) frame. */
+  /** Distinct (query_id, term-hash) pairs from a (query_id, query_text)
+    * frame — hashed with the same xxhash64 as [[postings]].
+    */
   def queryTerms(queries: DataFrame): DataFrame =
-    queries.select(col("query_id"), explode(TextFunctions.tokens(col("query_text"))).as("term"))
+    queries.select(col("query_id"), explode(TextFunctions.tokens(col("query_text"))).as("t"))
+      .select(col("query_id"), xxhash64(col("t")).as("term"))
       .distinct()
 
   /** 1-row (n_docs, avgdl) corpus stats frame. */
@@ -178,17 +188,7 @@ object TextSearch {
     * as Salting.saltedSum).
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Term IDENTITY never reaches the output — only counts do, and
-    // counts are hash-invariant. xxhash64 the term right after the
-    // explode so every shuffle and the vocab join carry 8-byte longs
-    // instead of strings (same discipline as the hashed dedup shingles;
-    // collisions ~|vocab|²/2^64 are the accepted sketch contract).
-    val toks = TextFunctions.tokens(col(textCol))
-    val post = docs
-      .select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("t"))
-      .select(col("doc_id"), col("dl"), xxhash64(col("t")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val post = postings(docs, idCol, textCol) // hashed terms — see postings()
     val ctf = post.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val total = ctf.agg(sum(col("ctf")).as("n_total"))
     post.join(ctf, Seq("term"))

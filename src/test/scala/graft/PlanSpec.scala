@@ -187,6 +187,18 @@ class PlanSpec extends GraftSpec {
       "the rank window must partition by the range-bucket id")
   }
 
+  test("q6_forecast_revenue: every predicate reaches the parquet scan, no hash shuffle") {
+    val p = plan("q6_forecast_revenue")
+    // the rendered PushedFilters list truncates, so assert on a prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)") &&
+      p.contains("GreaterThanOrEqual(l_discou"),
+      "the discount range must push into the parquet reader")
+    assert("l_quantity#\\d+ < 24.0".r.findFirstIn(p).nonEmpty,
+      "quantity bound must survive into the scan filter")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a scan + 1-row aggregate must not hash-shuffle anything")
+  }
+
   test("cdc_merge: union + per-key max_by, no join node, one hash shuffle") {
     val p = plan("cdc_merge")
     assert(!p.contains("Join"),
