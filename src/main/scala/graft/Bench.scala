@@ -104,11 +104,17 @@ object Bench {
         } catch { case _: Throwable => times.put(n, -1.0) }
       }
       val t0 = System.nanoTime()
-      val cacheBuilder = "dedup_ngram_jaccard"
-      if (pooledNames.contains(cacheBuilder)) runOne(cacheBuilder)
+      // Shared-cache builders run to completion BEFORE their dependents
+      // are submitted — persist() does not dedupe in-flight partition
+      // computation (the r5 4× stampede): dedup_ngram_jaccard feeds the
+      // pair-list cache, search_bm25 materializes the shared inverted
+      // index for the vsm/rrf/logprob scorers.
+      val cacheBuilders = Seq("dedup_ngram_jaccard", "search_bm25")
+        .filter(pooledNames.contains)
+      cacheBuilders.foreach(runOne)
       serialNames.foreach(runOne)
       val pool = Executors.newFixedThreadPool(threads)
-      pooledNames.filterNot(_ == cacheBuilder).foreach(n => pool.execute(() => runOne(n)))
+      pooledNames.filterNot(cacheBuilders.contains).foreach(n => pool.execute(() => runOne(n)))
       pool.shutdown()
       pool.awaitTermination(2, TimeUnit.HOURS)
       val wall = (System.nanoTime() - t0) / 1e9

@@ -73,6 +73,16 @@ object TextSearch {
       count(lit(1)).cast("double").as("n_docs"),
       avg(size(TextFunctions.tokens(col(textCol))).cast("double")).as("avgdl"))
 
+  /** The materialized search index: (postings, corpus stats). A search
+    * system builds its inverted index ONCE and serves every scorer from
+    * it (the reference's ChromaDB collection is exactly such a
+    * persistent index); callers that run several scorers over one
+    * corpus should build this once — persisted — and use the `*From`
+    * variants (SparkEntry does, via its shared-index cache).
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) =
+    (postings(docs, idCol, textCol), corpusStats(docs, textCol))
+
   /** Per-term document frequency from the postings list (vocab-sized). */
   private def docFreq(post: DataFrame): DataFrame =
     post.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -157,8 +167,12 @@ object TextSearch {
     */
   def hybridRrf(docs: DataFrame, idCol: String, textCol: String, queries: DataFrame,
                 k: Int = 10): DataFrame = {
-    val post = postings(docs, idCol, textCol)
-    val stats = corpusStats(docs, textCol)
+    val (post, stats) = buildIndex(docs, idCol, textCol)
+    hybridRrfFrom(post, stats, queries, k)
+  }
+
+  def hybridRrfFrom(post: DataFrame, stats: DataFrame, queries: DataFrame,
+                    k: Int): DataFrame = {
     val b = bm25From(post, stats, queries, k = -1)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm25"))
     val v = vsmCosineFrom(post, stats, queries, k = -1)
@@ -187,8 +201,10 @@ object TextSearch {
     * if a single term's postings overflow a partition — same discipline
     * as Salting.saltedSum).
     */
-  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val post = postings(docs, idCol, textCol) // hashed terms — see postings()
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramLogProbFrom(postings(docs, idCol, textCol))
+
+  def unigramLogProbFrom(post: DataFrame): DataFrame = {
     val ctf = post.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val total = ctf.agg(sum(col("ctf")).as("n_total"))
     post.join(ctf, Seq("term"))

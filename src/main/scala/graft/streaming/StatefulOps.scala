@@ -352,4 +352,61 @@ object StatefulOps {
     changes.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(emit)
   }
+
+  final case class FunnelTimes(times: List[Long])
+  final case class FunnelOut(user_id: Long, reached: Long, times: Seq[Long])
+
+  /** Continuous ordered-funnel tracking — the streaming twin of
+    * [[graft.operators.Funnel]]: per-user state is the prefix of stage
+    * completion times reached so far (≤ k longs). Each batch's events
+    * are processed in (ts, event_id) order; a stage-i event extends the
+    * prefix when stages 1..i-1 are complete and its ts is strictly
+    * later than t_{i-1}. Greedy first-valid in ascending ts order IS
+    * the batch min-valid recurrence, so with in-order arrival (per
+    * user, across batches) the final emission per user equals the
+    * batch funnel exactly — StatefulOpsSpec asserts it on the events
+    * fixture. Out-of-order arrival across batches shares the usual
+    * streaming reordering caveat with streamAsofViews: an earlier
+    * event arriving after a later stage was locked in cannot rewrite
+    * it (append-style monotone state, O(k) per user).
+    */
+  def streamFunnel(
+      spark: SparkSession,
+      parquetDir: String,
+      queryName: String,
+      stages: Seq[String],
+      glob: String = "events.parquet"): StreamingQuery = {
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    val typed = eventStream(spark, parquetDir, glob)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[EventRow]
+
+    def emit(userId: Long, events: Iterator[EventRow],
+        state: GroupState[FunnelTimes]): Iterator[FunnelOut] = {
+      val sorted = events.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      var times = state.getOption.map(_.times).getOrElse(Nil)
+      sorted.foreach { e =>
+        val i = stageIdx(e.event_type)
+        if (i == times.length && (times.isEmpty || e.ts_us > times.last))
+          times = times :+ e.ts_us
+      }
+      if (state.getOption.map(_.times).contains(times) || times.isEmpty) Iterator.empty
+      else {
+        state.update(FunnelTimes(times))
+        Iterator.single(FunnelOut(userId, times.length.toLong, times))
+      }
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(emit)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -26,6 +26,28 @@ class StatefulOpsSpec extends GraftSpec {
     assert(stream.except(batch).count() === 0)
   }
 
+  test("streaming funnel: final per-user emission equals the batch funnel") {
+    val stages = Seq("view", "click", "purchase")
+    val q = StatefulOps.streamFunnel(spark, sfDir, "funnel_stream", stages)
+    q.processAllAvailable()
+    q.stop()
+    // emissions are monotone in reached → the max-reached row per user
+    // is the final state (what a last-write-wins sink keeps)
+    val stream = spark.table("funnel_stream")
+      .groupBy($"user_id")
+      .agg(max_by(struct($"reached", $"times"), $"reached").as("w"))
+      .select($"user_id", $"w.reached".as("reached"),
+        get($"w.times", lit(0)).as("t1"),
+        get($"w.times", lit(1)).as("t2"),
+        get($"w.times", lit(2)).as("t3"))
+    val batch = graft.operators.Funnel.funnel(
+      events, "user_id", "event_type", "ts", stages)
+      .filter($"reached" > 0) // the stream never emits a 0-stage user
+      .select($"user_id", $"reached", $"t1", $"t2", $"t3")
+    assert(stream.count() === batch.count())
+    assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0)
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per (user, type)") {
     val q = StatefulOps.streamDedupWithinWatermark(spark, sfDir, "dedup_stream")
     q.processAllAvailable()
