@@ -523,6 +523,39 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q8 (adapted names): a nation's market share inside one
+    // region's market for one part type, per year. The deep star join:
+    // every dimension (filtered part, region-restricted customers,
+    // supplier→nation) BROADCASTS; only lineitem⋈orders is a real
+    // shuffle pair — the 100 TB plan leaves the two fact tables
+    // hash-partitioned on orderkey and moves nothing else.
+    "q8_market_share" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
+      val regionCust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val natRev = sum(when(col("supp_nation") === "NATION_2", rev)
+        .otherwise(lit(0).cast("decimal(14,2)")))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(rev), 2).cast("double").as("total_revenue"),
+          round(natRev, 2).cast("double").as("nation_revenue"))
+        .select(col("o_year"), col("total_revenue"), col("nation_revenue"),
+          round(col("nation_revenue") / col("total_revenue"), 4).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
     // session_window sessionization.
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
 
@@ -861,6 +894,37 @@ object SparkEntry {
           col("m.c_label").as("assigned_label"),
           round(sqrt(col("m.d2")), 4).as("dist"))
         .orderBy("vec_id")
+    }),
+
+    // Product-quantization codes (the memory half of IVF-PQ, the
+    // canonical 100 TB ANN layout): 64-dim vectors → 4 blocks × 16
+    // dims, each block assigned to its nearest per-label seed
+    // subvector. The 40-row codebook broadcasts; the ×10 expansion per
+    // (vector, block) collapses in the partial argmin BEFORE the
+    // exchange. Seed-vector codebooks (min vec_id per label) keep the
+    // floats exact on both engines — same discipline as
+    // embedding_centroid_assign. A 64-dim float vector (256 B) becomes
+    // 4 bytes of codes.
+    "embedding_pq_codes" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      def subBlocks = array((0 until 4).map(b =>
+        slice(col("embedding"), b * 16 + 1, 16)): _*)
+      val seeds = emb.groupBy(col("label")).agg(min(col("vec_id")).as("seed_id"))
+      val codebook = emb.select(col("vec_id").as("seed_id"), col("embedding"))
+        .join(broadcast(seeds), Seq("seed_id"))
+        .select(col("label").cast("long").as("code"),
+          posexplode(subBlocks).as(Seq("block", "csub")))
+      val sub = emb.select(col("vec_id"),
+        posexplode(subBlocks).as(Seq("block", "sub")))
+      sub.join(broadcast(codebook), Seq("block"))
+        .select(col("vec_id"), col("block").cast("long").as("block"), col("code"),
+          graft.functions.VectorExpressions.l2Sq(col("sub"), col("csub")).as("d2"))
+        .groupBy(col("vec_id"), col("block"))
+        .agg(min(struct(col("d2"), col("code"))).as("m"))
+        .select(col("vec_id"), col("block"), col("m.code").as("code"),
+          round(sqrt(col("m.d2")), 4).as("dist"))
+        .orderBy("vec_id", "block")
     }),
 
     // Perplexity-proxy quality signal: per-doc mean unigram
@@ -2061,6 +2125,27 @@ object SparkEntry {
         |FROM j JOIN t ON l_partkey = tp
         |WHERE l_quantity < qty_thresh""".stripMargin,
 
+    "q8_market_share" ->
+      """WITH ac AS (SELECT c_custkey FROM customer
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey),
+        |j AS (SELECT year(o_orderdate) AS o_year, supp_nation,
+        |        CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) AS rev
+        |      FROM lineitem
+        |      JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN ac ON o_custkey = c_custkey
+        |      JOIN sn ON l_suppkey = s_suppkey),
+        |g AS (SELECT CAST(o_year AS BIGINT) AS o_year,
+        |        CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue,
+        |        CAST(round(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END), 2) AS DOUBLE) AS nation_revenue
+        |      FROM j GROUP BY o_year)
+        |SELECT o_year, total_revenue, nation_revenue,
+        |  round(nation_revenue / total_revenue, 4) AS mkt_share
+        |FROM g ORDER BY o_year""".stripMargin,
+
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
         |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
@@ -2412,6 +2497,23 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM d)
         |SELECT vec_id, true_label, c_label AS assigned_label, round(sqrt(d2), 4) AS dist
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "embedding_pq_codes" ->
+      """WITH seeds AS (SELECT label, min(vec_id) AS seed_id FROM embeddings GROUP BY label),
+        |blocks AS (SELECT unnest(range(0, 4)) AS block),
+        |cb AS (SELECT CAST(s.label AS BIGINT) AS code, b.block,
+        |         e.embedding[(b.block*16+1):(b.block*16+16)] AS csub
+        |       FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id CROSS JOIN blocks b),
+        |sub AS (SELECT vec_id, b.block, embedding[(b.block*16+1):(b.block*16+16)] AS sub
+        |        FROM embeddings CROSS JOIN blocks b),
+        |d AS (SELECT sub.vec_id, sub.block, cb.code,
+        |        list_sum(list_transform(range(1, 17),
+        |          i -> (CAST(sub.sub[i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE))
+        |             * (CAST(sub.sub[i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE)))) AS d2
+        |      FROM sub JOIN cb ON sub.block = cb.block),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, block ORDER BY d2, code) AS rn FROM d)
+        |SELECT vec_id, CAST(block AS BIGINT) AS block, code, round(sqrt(d2), 4) AS dist
+        |FROM r WHERE rn = 1 ORDER BY vec_id, block""".stripMargin,
 
     "doc_unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id,

@@ -199,6 +199,13 @@ class PlanSpec extends GraftSpec {
       "a scan + 1-row aggregate must not hash-shuffle anything")
   }
 
+  test("q8_market_share: every dimension broadcasts; only the fact pair may shuffle") {
+    val p = plan("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "part, region-restricted customers, supplier-nation, and nation dims must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("cdc_merge: union + per-key max_by, no join node, one hash shuffle") {
     val p = plan("cdc_merge")
     assert(!p.contains("Join"),
