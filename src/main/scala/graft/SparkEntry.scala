@@ -927,6 +927,54 @@ object SparkEntry {
         .orderBy("vec_id", "block")
     }),
 
+    // PQ asymmetric-distance search (the query half of IVF-PQ): the
+    // query computes its 40 block-distances to the codebook ONCE (one
+    // tiny broadcast frame), then every vector's approximate distance
+    // is 4 table lookups + 3 adds over its stored codes — no float
+    // vectors are touched at query time, which is the whole point of
+    // PQ at 100 TB (the scan reads 4-byte codes, not 256-byte
+    // vectors). The 4-term sum is written left-associated so both
+    // engines add in the identical order; ties (vectors sharing all 4
+    // codes — common inside a label) break on vec_id.
+    "ann_pq_top10" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      def subBlocks(c: org.apache.spark.sql.Column) = array((0 until 4).map(b =>
+        slice(c, b * 16 + 1, 16)): _*)
+      val seeds = emb.groupBy(col("label")).agg(min(col("vec_id")).as("seed_id"))
+      val codebook = emb.select(col("vec_id").as("seed_id"), col("embedding"))
+        .join(broadcast(seeds), Seq("seed_id"))
+        .select(col("label").cast("long").as("code"),
+          posexplode(subBlocks(col("embedding"))).as(Seq("block", "csub")))
+      // per-vector codes, pivoted to one row (c0..c3)
+      val codes = emb.select(col("vec_id"),
+        posexplode(subBlocks(col("embedding"))).as(Seq("block", "sub")))
+        .join(broadcast(codebook), Seq("block"))
+        .select(col("vec_id"), col("block"), col("code"),
+          graft.functions.VectorExpressions.l2Sq(col("sub"), col("csub")).as("d2"))
+        .groupBy(col("vec_id"))
+        .pivot(col("block"), Seq(0, 1, 2, 3))
+        .agg(min(struct(col("d2"), col("code"))).getField("code"))
+        .select(col("vec_id"), col("0").as("c0"), col("1").as("c1"),
+          col("2").as("c2"), col("3").as("c3"))
+      // query's 40 block-distances to the codebook
+      val qd = codebook
+        .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qemb"))))
+        .select(col("block"), col("code"),
+          graft.functions.VectorExpressions.l2Sq(
+            element_at(subBlocks(col("qemb")), col("block") + 1), col("csub")).as("qd2"))
+      def qdB(b: Int) = broadcast(qd.filter(col("block") === b)
+        .select(col("code").as(s"c$b"), col("qd2").as(s"qd$b")))
+      val adc = codes
+        .join(qdB(0), Seq("c0")).join(qdB(1), Seq("c1"))
+        .join(qdB(2), Seq("c2")).join(qdB(3), Seq("c3"))
+        .select(col("vec_id"),
+          (((col("qd0") + col("qd1")) + col("qd2")) + col("qd3")).as("d2"))
+      adc.orderBy(round(sqrt(col("d2")), 6), col("vec_id")).limit(10)
+        .select(col("vec_id"), round(sqrt(col("d2")), 4).as("dist"))
+    }),
+
     // Perplexity-proxy quality signal: per-doc mean unigram
     // log-likelihood under the corpus MLE LM (see TextSearch Scaladoc
     // for the shuffle budget). The low tail is the gibberish filter.
@@ -2514,6 +2562,41 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, block ORDER BY d2, code) AS rn FROM d)
         |SELECT vec_id, CAST(block AS BIGINT) AS block, code, round(sqrt(d2), 4) AS dist
         |FROM r WHERE rn = 1 ORDER BY vec_id, block""".stripMargin,
+
+    "ann_pq_top10" ->
+      """WITH seeds AS (SELECT label, min(vec_id) AS seed_id FROM embeddings GROUP BY label),
+        |blocks AS (SELECT unnest(range(0, 4)) AS block),
+        |cb AS (SELECT CAST(s.label AS BIGINT) AS code, b.block,
+        |         e.embedding[(b.block*16+1):(b.block*16+16)] AS csub
+        |       FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id CROSS JOIN blocks b),
+        |sub AS (SELECT vec_id, b.block, embedding[(b.block*16+1):(b.block*16+16)] AS sub
+        |        FROM embeddings CROSS JOIN blocks b),
+        |d AS (SELECT sub.vec_id, sub.block, cb.code,
+        |        list_sum(list_transform(range(1, 17),
+        |          i -> (CAST(sub.sub[i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE))
+        |             * (CAST(sub.sub[i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE)))) AS d2
+        |      FROM sub JOIN cb ON sub.block = cb.block),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, block ORDER BY d2, code) AS rn FROM d),
+        |codes AS (SELECT vec_id,
+        |    max(CASE WHEN block = 0 THEN code END) AS c0,
+        |    max(CASE WHEN block = 1 THEN code END) AS c1,
+        |    max(CASE WHEN block = 2 THEN code END) AS c2,
+        |    max(CASE WHEN block = 3 THEN code END) AS c3
+        |  FROM r WHERE rn = 1 GROUP BY vec_id),
+        |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+        |qd AS (SELECT cb.block, cb.code,
+        |        list_sum(list_transform(range(1, 17),
+        |          i -> (CAST(qemb[cb.block*16 + i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE))
+        |             * (CAST(qemb[cb.block*16 + i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE)))) AS qd2
+        |       FROM cb CROSS JOIN q),
+        |a AS (SELECT codes.vec_id, (((q0.qd2 + q1.qd2) + q2.qd2) + q3.qd2) AS d2
+        |      FROM codes
+        |      JOIN qd q0 ON q0.block = 0 AND q0.code = codes.c0
+        |      JOIN qd q1 ON q1.block = 1 AND q1.code = codes.c1
+        |      JOIN qd q2 ON q2.block = 2 AND q2.code = codes.c2
+        |      JOIN qd q3 ON q3.block = 3 AND q3.code = codes.c3)
+        |SELECT vec_id, round(sqrt(d2), 4) AS dist FROM a
+        |ORDER BY round(sqrt(d2), 6), vec_id LIMIT 10""".stripMargin,
 
     "doc_unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id,
