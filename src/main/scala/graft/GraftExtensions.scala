@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, FloatVecL2Sq, HashedShinglesExpr, LangIdExpr, SimHash64Expr}
+import graft.functions.{BloomMightContainLong, FloatVecDot, FloatVecL2Sq, HashedShinglesExpr, LangIdExpr, SimHash64Expr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions at session build time, so a SQL-only user gets
@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_lang_id"),
       info("graft_lang_id", "stopword-profile language id"),
       (exprs: Seq[Expression]) => LangIdExpr(exprs(0))))
+    e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "bloom-filter might-contain probe over serialized sketch bytes"),
+      (exprs: Seq[Expression]) => BloomMightContainLong(exprs(0), exprs(1))))
   }
 }

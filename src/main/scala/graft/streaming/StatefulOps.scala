@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import graft.model.Schemas
 
@@ -402,6 +402,57 @@ object StatefulOps {
 
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(emit)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  final case class TwsUserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Per-user running stats on Spark 4's transformWithState — the
+    * successor API to mapGroupsWithState (SPARK-46815, "arbitrary
+    * stateful processing v2"): typed composite state (ValueState /
+    * ListState / MapState) with per-state TTL, timers decoupled from
+    * output mode, and schema-evolvable state. Requires the RocksDB
+    * state-store provider (the at-scale store anyway — the spec sets
+    * it); semantics here mirror streamUserAggregates so the batch
+    * groupBy stays the oracle.
+    */
+  private class UserStatsProcessor
+      extends StatefulProcessor[Long, EventRow, TwsUserStats] {
+    @transient private var stats: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[(Long, Double)]("stats",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[TwsUserStats] = {
+      var (n, s) = if (stats.exists()) stats.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; s += e.value }
+      stats.update((n, s))
+      Iterator.single(TwsUserStats(key, n, s))
+    }
+  }
+
+  /** transformWithState twin of streamUserAggregates (counts + sums per
+    * user, Update mode, emissions monotone in n_events).
+    */
+  def streamUserStatsTws(
+      spark: SparkSession,
+      parquetDir: String,
+      queryName: String,
+      glob: String = "events.parquet"): StreamingQuery = {
+    import spark.implicits._
+    eventStream(spark, parquetDir, glob)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
       .writeStream
       .outputMode(OutputMode.Update)
       .format("memory")

@@ -44,4 +44,19 @@ class SqlSurfaceSpec extends GraftSpec {
       .groupBy($"lang").count()
     assert(lang.withColumnRenamed("n", "count").except(dfCounts).count() === 0)
   }
+
+  test("graft_bloom_contains is SQL-callable with hex-literal sketch bytes") {
+    graft.functions.BloomExpressions.ensureRegistered(spark)
+    val bf = Seq(42L, 7L).toDF("id").stat.bloomFilter("id", 2L, 0.01)
+    val hex = graft.functions.BloomExpressions.serialize(bf)
+      .map(b => f"$b%02X").mkString
+    val out = spark.sql(
+      s"SELECT graft_bloom_contains(42L, X'$hex') AS hit42, " +
+        s"graft_bloom_contains(424242L, X'$hex') AS hitMiss")
+      .collect()(0)
+    assert(out.getBoolean(0) === true, "inserted key must probe true via SQL")
+    // 424242 may be a false positive in principle, but at fpp 0.01 with
+    // 2 keys the sketch is large enough that this is deterministic-safe
+    assert(out.getBoolean(1) === false)
+  }
 }

@@ -26,6 +26,32 @@ class StatefulOpsSpec extends GraftSpec {
     assert(stream.except(batch).count() === 0)
   }
 
+  test("transformWithState per-user stats equal the batch groupBy (Spark 4 state API)") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StatefulOps.streamUserStatsTws(spark, sfDir, "user_stats_tws")
+      q.processAllAvailable()
+      q.stop()
+      // Update-mode emissions are monotone in n_events → final = max
+      val stream = spark.table("user_stats_tws")
+        .groupBy($"user_id")
+        .agg(max_by(struct($"n_events", $"sum_value"), $"n_events").as("w"))
+        .select($"user_id", $"w.n_events".as("n_events"),
+          round($"w.sum_value", 4).as("sum_value"))
+      val batch = events.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+      assert(stream.count() === batch.count())
+      assert(stream.except(batch).count() === 0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel: final per-user emission equals the batch funnel") {
     val stages = Seq("view", "click", "purchase")
     val q = StatefulOps.streamFunnel(spark, sfDir, "funnel_stream", stages)
