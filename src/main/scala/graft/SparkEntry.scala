@@ -975,6 +975,25 @@ object SparkEntry {
         .select(col("vec_id"), round(sqrt(col("d2")), 4).as("dist"))
     }),
 
+    // PQ codebook TRAINING (per-block Lloyd iterations seeded from the
+    // oracle-exact seed codebook). Float means can't be bit-compared
+    // across engines, but Lloyd's invariant can: per-block distortion
+    // is non-increasing across iterations (both half-steps are
+    // projections). Emits that verdict per (block, iter), computed
+    // from the real distributed distortions in-query; the oracle pins
+    // TRUE — same discipline as distinct_users_approx's 3·rsd bound.
+    "pq_train_monotone" -> ((s, dir) => {
+      import s.implicits._
+      val (_, dists) = graft.search.Pq.train(s, Tables.embeddings(s, dir),
+        m = 4, w = 16, iters = 3)
+      val rows = for {
+        b <- 0 until 4
+        i <- 1 to 3
+      } yield (b.toLong, i.toLong,
+        dists(i)(b) <= dists(i - 1)(b) * (1 + 1e-12) + 1e-9)
+      rows.toDF("block", "iter", "within_bound").orderBy("block", "iter")
+    }),
+
     // Perplexity-proxy quality signal: per-doc mean unigram
     // log-likelihood under the corpus MLE LM (see TextSearch Scaladoc
     // for the shuffle budget). The low tail is the gibberish filter.
@@ -2597,6 +2616,14 @@ object SparkEntry {
         |      JOIN qd q3 ON q3.block = 3 AND q3.code = codes.c3)
         |SELECT vec_id, round(sqrt(d2), 4) AS dist FROM a
         |ORDER BY round(sqrt(d2), 6), vec_id LIMIT 10""".stripMargin,
+
+    // Lloyd monotonicity is a theorem; the oracle pins the verdicts.
+    "pq_train_monotone" ->
+      """SELECT CAST(b.block AS BIGINT) AS block, CAST(i.iter AS BIGINT) AS iter,
+        |  TRUE AS within_bound
+        |FROM (SELECT unnest(range(0, 4)) AS block) b
+        |CROSS JOIN (SELECT unnest(range(1, 4)) AS iter) i
+        |ORDER BY block, iter""".stripMargin,
 
     "doc_unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id,

@@ -77,6 +77,21 @@ class PqSpec extends GraftSpec {
     assert(mismatches === 0L)
   }
 
+  test("Lloyd training cuts seed-codebook distortion >20% and never regresses") {
+    val (_, d) = graft.search.Pq.train(spark, emb, m = 4, w = 16, iters = 3)
+    val start = d.head.values.sum
+    val end = d.last.values.sum
+    // measured 571.5 → 394.8 (−31%) on this fixture; 20% is the safe floor
+    assert(end <= 0.8 * start,
+      s"3 Lloyd iterations should cut distortion well past 20%: $start -> $end")
+    d.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b.values.sum <= a.values.sum + 1e-6,
+          "per-iteration distortion must be non-increasing (Lloyd invariant)")
+      case _ => ()
+    }
+  }
+
   test("codes compress 64 floats to 4 small ints: every code fits a byte") {
     val bad = codes.filter($"code" < 0 || $"code" > 255).count()
     assert(bad === 0L)
