@@ -64,9 +64,23 @@ object SparkEntry {
     */
   private val ngramPairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def sharedNgramPairs(spark: SparkSession, dir: String): DataFrame =
-    ngramPairsCache.computeIfAbsent(System.identityHashCode(spark) + "|" + dir, _ =>
+    ngramPairsCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ =>
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.6)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Stable cache key for a session: a UUID minted once per session
+    * INSTANCE in an identity-keyed map — unlike a raw identityHashCode
+    * key, which a GC'd session's successor can alias, silently serving a
+    * dead session's persisted frames to a live one. The strong key
+    * reference pins the map entry until [[clearCaches]] (which Bench and
+    * Verify call on teardown) — the already-documented lifecycle of
+    * every cache below; aliasing, the correctness hazard, is what this
+    * removes.
+    */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[SparkSession, String]())
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
   /** Unpersists and drops every shared-computation cache entry. Call from
     * long-lived hosts (Bench/Verify do, on teardown) so cached pair lists
@@ -89,7 +103,32 @@ object SparkEntry {
       catch { case _: Throwable => () }
       it2.remove()
     }
+    pqCodebookCache.clear() // driver-side Seqs, nothing persisted
+    sessionIds.clear()
   }
+
+  /** PQ geometry shared by the trained-codebook queries: 64 dims → 16
+    * blocks × 4 dims, 64 codes/block, 2 Lloyd iterations. 16×1-byte
+    * codes per vector (16× compression); chosen because at this shape
+    * the ADC top-50 candidate set provably contains the exact top-10 on
+    * the fixtures (re-rank recall@10 = 1.0 — docs/CURVES.md).
+    */
+  private val PqM = 16
+  private val PqW = 4
+  private val PqK = 64
+  private val PqIters = 2
+
+  /** Trained PQ codebook per (session, dir) — training is deterministic
+    * (fixed-point Lloyd, see [[graft.search.Pq]]), so caching only saves
+    * the repeated training passes when embedding_pq_codes / ann_pq_top10
+    * run in one session. Value is a driver-side m×k×w Seq, O(codebook).
+    */
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long, Seq[Double])]]()
+  private def trainedPqCodebook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+    pqCodebookCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ =>
+      graft.search.Pq.train(spark, Tables.embeddings(spark, dir),
+        m = PqM, w = PqW, k = PqK, iters = PqIters)._1)
 
   /** One materialized inverted index per (session, dir), serving the
     * whole retrieval family (BM25 / VSM / RRF / unigram-LM) — a search
@@ -102,7 +141,7 @@ object SparkEntry {
   private val searchIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
   private def sharedSearchIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    searchIndexCache.computeIfAbsent(System.identityHashCode(spark) + "|" + dir, _ => {
+    searchIndexCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ => {
       val (post, stats) = TextSearch.buildIndex(Tables.documents(spark, dir), "doc_id", "text")
       (post.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), stats)
     })
@@ -120,6 +159,52 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Squared L2 between a quantized BIGINT sublist and a DOUBLE centroid
+    * sublist — the DuckDB twin of graft_l2sq_d over [[graft.search.Pq]]
+    * frames (same left fold, same widening).
+    */
+  private def pqD2Sql(a: String, b: String, w: Int): String =
+    s"list_sum(list_transform(range(1, ${w + 1}), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])))"
+
+  /** CTE chain replaying [[graft.search.Pq.train]] bit-for-bit in DuckDB:
+    * quantize (floor(x·2^20) — exact for float inputs), seed codebook
+    * (codes 0..k-1 = subvectors of vec_id 0..k-1), then `iters`
+    * assign/re-center rounds. Every data-dependent reduction is exact
+    * (BIGINT sums; one double division per centroid dim), so `cb$iters`
+    * here and the trained codebook on the Spark side are the SAME
+    * doubles — the whole point of fixed-point Lloyd. Yields CTEs:
+    * qe, blocks, sub, cb0, a1, m1, cb1, …, cb$iters.
+    */
+  private def pqTrainCtesSql(m: Int, w: Int, k: Int, iters: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""qe AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS emb_q FROM embeddings)""".stripMargin
+    ctes += s"blocks AS (SELECT unnest(range(0, $m)) AS block)"
+    ctes += s"""sub AS (SELECT vec_id, b.block,
+      |  emb_q[(b.block*$w+1):(b.block*$w+$w)] AS sub FROM qe CROSS JOIN blocks b)""".stripMargin
+    ctes += s"""cb0 AS (SELECT block, CAST(vec_id AS BIGINT) AS code,
+      |  list_transform(sub, x -> CAST(x AS DOUBLE)) AS csub FROM sub WHERE vec_id < $k)""".stripMargin
+    for (it <- 1 to iters) {
+      val prev = s"cb${it - 1}"
+      ctes += s"""a$it AS (SELECT vec_id, block, code FROM (
+        |  SELECT s.vec_id, s.block, c.code,
+        |    row_number() OVER (PARTITION BY s.vec_id, s.block
+        |                       ORDER BY ${pqD2Sql("s.sub", "c.csub", w)} ASC, c.code ASC) AS rn
+        |  FROM sub s JOIN $prev c ON s.block = c.block) WHERE rn = 1)""".stripMargin
+      ctes += s"""m$it AS (SELECT a.block, a.code, d.i AS dim,
+        |    CAST(sum(s.sub[d.i]) AS DOUBLE) / count(*) AS mv
+        |  FROM a$it a JOIN sub s ON s.vec_id = a.vec_id AND s.block = a.block
+        |  CROSS JOIN (SELECT unnest(range(1, ${w + 1})) AS i) d
+        |  GROUP BY a.block, a.code, d.i)""".stripMargin
+      ctes += s"""cb$it AS (SELECT p.block, p.code, COALESCE(n.csub, p.csub) AS csub
+        |  FROM $prev p LEFT JOIN (
+        |    SELECT block, code, list(mv ORDER BY dim) AS csub FROM m$it GROUP BY block, code) n
+        |  ON n.block = p.block AND n.code = p.code)""".stripMargin
+    }
+    ctes.result().mkString(",\n")
+  }
 
   /** (t, sign-vector) VALUES rows replaying RpLsh's SplitMix64 ±1 signs
     * (shared by the ann_rplsh_top10 and recall_curve oracles).
@@ -896,98 +981,78 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    // Product-quantization codes (the memory half of IVF-PQ, the
-    // canonical 100 TB ANN layout): 64-dim vectors → 4 blocks × 16
-    // dims, each block assigned to its nearest per-label seed
-    // subvector. The 40-row codebook broadcasts; the ×10 expansion per
-    // (vector, block) collapses in the partial argmin BEFORE the
-    // exchange. Seed-vector codebooks (min vec_id per label) keep the
-    // floats exact on both engines — same discipline as
-    // embedding_centroid_assign. A 64-dim float vector (256 B) becomes
-    // 4 bytes of codes.
+    // Product-quantization codes from the TRAINED codebook (the memory
+    // half of IVF-PQ, the canonical 100 TB ANN layout): 64-dim vectors
+    // → 16 blocks × 4 dims, 64 Lloyd-trained codes per block. Training
+    // is fixed-point (see graft.search.Pq) so the DuckDB oracle replays
+    // the full trainer — seed, 2 assign/re-center rounds, final
+    // assignment — bit-for-bit. The m×k-row codebook broadcasts; the
+    // ×64 expansion per (vector, block) collapses in the partial argmin
+    // BEFORE the exchange. A 64-dim float vector (256 B) becomes 16
+    // bytes of codes.
     "embedding_pq_codes" -> ((s, dir) => {
-      graft.functions.VectorExpressions.ensureRegistered(s)
       val emb = Tables.embeddings(s, dir)
-      def subBlocks = array((0 until 4).map(b =>
-        slice(col("embedding"), b * 16 + 1, 16)): _*)
-      val seeds = emb.groupBy(col("label")).agg(min(col("vec_id")).as("seed_id"))
-      val codebook = emb.select(col("vec_id").as("seed_id"), col("embedding"))
-        .join(broadcast(seeds), Seq("seed_id"))
-        .select(col("label").cast("long").as("code"),
-          posexplode(subBlocks).as(Seq("block", "csub")))
-      val sub = emb.select(col("vec_id"),
-        posexplode(subBlocks).as(Seq("block", "sub")))
-      sub.join(broadcast(codebook), Seq("block"))
+      val cbDf = graft.search.Pq.codebookDf(s, trainedPqCodebook(s, dir))
+      val sub = graft.search.Pq.subFrame(graft.search.Pq.quantize(emb), PqM, PqW)
+      graft.search.Pq.assignments(sub, cbDf)
         .select(col("vec_id"), col("block").cast("long").as("block"), col("code"),
-          graft.functions.VectorExpressions.l2Sq(col("sub"), col("csub")).as("d2"))
-        .groupBy(col("vec_id"), col("block"))
-        .agg(min(struct(col("d2"), col("code"))).as("m"))
-        .select(col("vec_id"), col("block"), col("m.code").as("code"),
-          round(sqrt(col("m.d2")), 4).as("dist"))
+          round(sqrt(col("d2")) / graft.search.Pq.QScale, 4).as("dist"))
         .orderBy("vec_id", "block")
     }),
 
-    // PQ asymmetric-distance search (the query half of IVF-PQ): the
-    // query computes its 40 block-distances to the codebook ONCE (one
-    // tiny broadcast frame), then every vector's approximate distance
-    // is 4 table lookups + 3 adds over its stored codes — no float
-    // vectors are touched at query time, which is the whole point of
-    // PQ at 100 TB (the scan reads 4-byte codes, not 256-byte
-    // vectors). The 4-term sum is written left-associated so both
-    // engines add in the identical order; ties (vectors sharing all 4
-    // codes — common inside a label) break on vec_id.
+    // PQ asymmetric-distance search over the TRAINED codebook, with
+    // exact re-rank (IVFADC+R): the query computes its m×k block
+    // distances ONCE (tiny broadcast LUT), every vector's approximate
+    // distance is 16 lookups summed in fixed block order, the ADC
+    // top-50 candidates re-rank against their full float vectors, and
+    // the exact top-10 comes out. At 100 TB the candidate scan reads
+    // 16-byte codes, not 256-byte vectors; only 50 full vectors are
+    // ever fetched per query — and on the fixtures the candidate set
+    // provably contains the exact top-10 (recall@10 = 1.0,
+    // docs/CURVES.md), vs 0.3 for the round-7 untrained ADC.
     "ann_pq_top10" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
       val emb = Tables.embeddings(s, dir)
-      def subBlocks(c: org.apache.spark.sql.Column) = array((0 until 4).map(b =>
-        slice(c, b * 16 + 1, 16)): _*)
-      val seeds = emb.groupBy(col("label")).agg(min(col("vec_id")).as("seed_id"))
-      val codebook = emb.select(col("vec_id").as("seed_id"), col("embedding"))
-        .join(broadcast(seeds), Seq("seed_id"))
-        .select(col("label").cast("long").as("code"),
-          posexplode(subBlocks(col("embedding"))).as(Seq("block", "csub")))
-      // per-vector codes, pivoted to one row (c0..c3)
-      val codes = emb.select(col("vec_id"),
-        posexplode(subBlocks(col("embedding"))).as(Seq("block", "sub")))
-        .join(broadcast(codebook), Seq("block"))
-        .select(col("vec_id"), col("block"), col("code"),
-          graft.functions.VectorExpressions.l2Sq(col("sub"), col("csub")).as("d2"))
-        .groupBy(col("vec_id"))
-        .pivot(col("block"), Seq(0, 1, 2, 3))
-        .agg(min(struct(col("d2"), col("code"))).getField("code"))
-        .select(col("vec_id"), col("0").as("c0"), col("1").as("c1"),
-          col("2").as("c2"), col("3").as("c3"))
-      // query's 40 block-distances to the codebook
-      val qd = codebook
-        .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qemb"))))
+      val cbDf = graft.search.Pq.codebookDf(s, trainedPqCodebook(s, dir))
+      val sub = graft.search.Pq.subFrame(graft.search.Pq.quantize(emb), PqM, PqW)
+      val codes = graft.search.Pq.assignments(sub, cbDf)
+        .select(col("vec_id"), col("block"), col("code"))
+      val qd = sub.filter(col("vec_id") === 0)
+        .join(broadcast(cbDf), Seq("block"))
         .select(col("block"), col("code"),
-          graft.functions.VectorExpressions.l2Sq(
-            element_at(subBlocks(col("qemb")), col("block") + 1), col("csub")).as("qd2"))
-      def qdB(b: Int) = broadcast(qd.filter(col("block") === b)
-        .select(col("code").as(s"c$b"), col("qd2").as(s"qd$b")))
-      val adc = codes
-        .join(qdB(0), Seq("c0")).join(qdB(1), Seq("c1"))
-        .join(qdB(2), Seq("c2")).join(qdB(3), Seq("c3"))
+          graft.functions.VectorExpressions.l2SqD(col("sub"), col("csub")).as("qd2"))
+      // ADC: 16 LUT hits per vector, folded in block order (both engines
+      // add the identical doubles in the identical order).
+      val adc = codes.join(broadcast(qd), Seq("block", "code"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("block"), col("qd2")))).as("a"))
         .select(col("vec_id"),
-          (((col("qd0") + col("qd1")) + col("qd2")) + col("qd3")).as("d2"))
-      adc.orderBy(round(sqrt(col("d2")), 6), col("vec_id")).limit(10)
-        .select(col("vec_id"), round(sqrt(col("d2")), 4).as("dist"))
+          aggregate(transform(col("a"), x => x.getField("qd2")),
+            lit(0.0), (acc, v) => acc + v).as("d2"))
+      val cand = adc.orderBy(col("d2"), col("vec_id")).limit(50)
+        .select(col("vec_id"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+      cand.join(emb, Seq("vec_id")).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          sqrt(graft.functions.VectorExpressions.l2Sq(col("embedding"), col("qemb"))).as("dist"))
+        .orderBy(round(col("dist"), 6), col("vec_id")).limit(10)
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
 
-    // PQ codebook TRAINING (per-block Lloyd iterations seeded from the
-    // oracle-exact seed codebook). Float means can't be bit-compared
-    // across engines, but Lloyd's invariant can: per-block distortion
-    // is non-increasing across iterations (both half-steps are
-    // projections). Emits that verdict per (block, iter), computed
-    // from the real distributed distortions in-query; the oracle pins
-    // TRUE — same discipline as distinct_users_approx's 3·rsd bound.
+    // PQ codebook TRAINING invariant (fixed-point Lloyd at the search
+    // geometry): per-block distortion is non-increasing across
+    // iterations (both half-steps are projections). Emits that verdict
+    // per (block, iter), computed from the real distributed distortions
+    // in-query; the oracle pins TRUE — same discipline as
+    // distinct_users_approx's 3·rsd bound. (The codebook VALUES are
+    // oracle-checked for real in embedding_pq_codes / ann_pq_top10,
+    // whose DuckDB oracles replay the trainer bit-for-bit.)
     "pq_train_monotone" -> ((s, dir) => {
       import s.implicits._
       val (_, dists) = graft.search.Pq.train(s, Tables.embeddings(s, dir),
-        m = 4, w = 16, iters = 3)
+        m = PqM, w = PqW, k = PqK, iters = 3)
       val rows = for {
-        b <- 0 until 4
+        b <- 0 until PqM
         i <- 1 to 3
       } yield (b.toLong, i.toLong,
         dists(i)(b) <= dists(i - 1)(b) * (1 + 1e-12) + 1e-9)
@@ -2566,64 +2631,44 @@ object SparkEntry {
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "embedding_pq_codes" ->
-      """WITH seeds AS (SELECT label, min(vec_id) AS seed_id FROM embeddings GROUP BY label),
-        |blocks AS (SELECT unnest(range(0, 4)) AS block),
-        |cb AS (SELECT CAST(s.label AS BIGINT) AS code, b.block,
-        |         e.embedding[(b.block*16+1):(b.block*16+16)] AS csub
-        |       FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id CROSS JOIN blocks b),
-        |sub AS (SELECT vec_id, b.block, embedding[(b.block*16+1):(b.block*16+16)] AS sub
-        |        FROM embeddings CROSS JOIN blocks b),
-        |d AS (SELECT sub.vec_id, sub.block, cb.code,
-        |        list_sum(list_transform(range(1, 17),
-        |          i -> (CAST(sub.sub[i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE))
-        |             * (CAST(sub.sub[i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE)))) AS d2
-        |      FROM sub JOIN cb ON sub.block = cb.block),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, block ORDER BY d2, code) AS rn FROM d)
-        |SELECT vec_id, CAST(block AS BIGINT) AS block, code, round(sqrt(d2), 4) AS dist
-        |FROM r WHERE rn = 1 ORDER BY vec_id, block""".stripMargin,
+      s"""WITH ${pqTrainCtesSql(PqM, PqW, PqK, PqIters)},
+         |final AS (SELECT vec_id, block, code, d2 FROM (
+         |    SELECT s.vec_id, s.block, c.code, ${pqD2Sql("s.sub", "c.csub", PqW)} AS d2,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.block
+         |                         ORDER BY ${pqD2Sql("s.sub", "c.csub", PqW)} ASC, c.code ASC) AS rn
+         |    FROM sub s JOIN cb$PqIters c ON s.block = c.block) WHERE rn = 1)
+         |SELECT vec_id, CAST(block AS BIGINT) AS block, code,
+         |  round(sqrt(d2) / 1048576.0, 4) AS dist
+         |FROM final ORDER BY vec_id, block""".stripMargin,
 
     "ann_pq_top10" ->
-      """WITH seeds AS (SELECT label, min(vec_id) AS seed_id FROM embeddings GROUP BY label),
-        |blocks AS (SELECT unnest(range(0, 4)) AS block),
-        |cb AS (SELECT CAST(s.label AS BIGINT) AS code, b.block,
-        |         e.embedding[(b.block*16+1):(b.block*16+16)] AS csub
-        |       FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id CROSS JOIN blocks b),
-        |sub AS (SELECT vec_id, b.block, embedding[(b.block*16+1):(b.block*16+16)] AS sub
-        |        FROM embeddings CROSS JOIN blocks b),
-        |d AS (SELECT sub.vec_id, sub.block, cb.code,
-        |        list_sum(list_transform(range(1, 17),
-        |          i -> (CAST(sub.sub[i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE))
-        |             * (CAST(sub.sub[i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE)))) AS d2
-        |      FROM sub JOIN cb ON sub.block = cb.block),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, block ORDER BY d2, code) AS rn FROM d),
-        |codes AS (SELECT vec_id,
-        |    max(CASE WHEN block = 0 THEN code END) AS c0,
-        |    max(CASE WHEN block = 1 THEN code END) AS c1,
-        |    max(CASE WHEN block = 2 THEN code END) AS c2,
-        |    max(CASE WHEN block = 3 THEN code END) AS c3
-        |  FROM r WHERE rn = 1 GROUP BY vec_id),
-        |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
-        |qd AS (SELECT cb.block, cb.code,
-        |        list_sum(list_transform(range(1, 17),
-        |          i -> (CAST(qemb[cb.block*16 + i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE))
-        |             * (CAST(qemb[cb.block*16 + i] AS DOUBLE) - CAST(cb.csub[i] AS DOUBLE)))) AS qd2
-        |       FROM cb CROSS JOIN q),
-        |a AS (SELECT codes.vec_id, (((q0.qd2 + q1.qd2) + q2.qd2) + q3.qd2) AS d2
-        |      FROM codes
-        |      JOIN qd q0 ON q0.block = 0 AND q0.code = codes.c0
-        |      JOIN qd q1 ON q1.block = 1 AND q1.code = codes.c1
-        |      JOIN qd q2 ON q2.block = 2 AND q2.code = codes.c2
-        |      JOIN qd q3 ON q3.block = 3 AND q3.code = codes.c3)
-        |SELECT vec_id, round(sqrt(d2), 4) AS dist FROM a
-        |ORDER BY round(sqrt(d2), 6), vec_id LIMIT 10""".stripMargin,
+      s"""WITH ${pqTrainCtesSql(PqM, PqW, PqK, PqIters)},
+         |final AS (SELECT vec_id, block, code FROM (
+         |    SELECT s.vec_id, s.block, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.block
+         |                         ORDER BY ${pqD2Sql("s.sub", "c.csub", PqW)} ASC, c.code ASC) AS rn
+         |    FROM sub s JOIN cb$PqIters c ON s.block = c.block) WHERE rn = 1),
+         |qd AS (SELECT c.block, c.code, ${pqD2Sql("q.sub", "c.csub", PqW)} AS qd2
+         |       FROM cb$PqIters c
+         |       JOIN (SELECT block, sub FROM sub WHERE vec_id = 0) q ON q.block = c.block),
+         |adc AS (SELECT f.vec_id, list_sum(list(q.qd2 ORDER BY f.block)) AS d2
+         |        FROM final f JOIN qd q ON q.block = f.block AND q.code = f.code
+         |        GROUP BY f.vec_id),
+         |cand AS (SELECT vec_id FROM adc ORDER BY d2, vec_id LIMIT 50),
+         |qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${l2Sql("e.embedding", "qemb")}, 4) AS dist
+         |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
+         |ORDER BY round(${l2Sql("e.embedding", "qemb")}, 6), e.vec_id LIMIT 10""".stripMargin,
 
     // Lloyd monotonicity is a theorem; the oracle pins the verdicts.
+    // (Codebook VALUES are oracle-replayed in embedding_pq_codes /
+    // ann_pq_top10.)
     "pq_train_monotone" ->
-      """SELECT CAST(b.block AS BIGINT) AS block, CAST(i.iter AS BIGINT) AS iter,
-        |  TRUE AS within_bound
-        |FROM (SELECT unnest(range(0, 4)) AS block) b
-        |CROSS JOIN (SELECT unnest(range(1, 4)) AS iter) i
-        |ORDER BY block, iter""".stripMargin,
+      s"""SELECT CAST(b.block AS BIGINT) AS block, CAST(i.iter AS BIGINT) AS iter,
+         |  TRUE AS within_bound
+         |FROM (SELECT unnest(range(0, $PqM)) AS block) b
+         |CROSS JOIN (SELECT unnest(range(1, 4)) AS iter) i
+         |ORDER BY block, iter""".stripMargin,
 
     "doc_unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id,

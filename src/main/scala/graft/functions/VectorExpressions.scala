@@ -120,18 +120,67 @@ case class FloatVecDot(left: Expression, right: Expression) extends FloatVecBina
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Squared L2 over array<double> inputs — the fixed-point PQ training
+  * path works in quantized integer-valued doubles (see [[graft.search.Pq]]),
+  * where the float accessor would be a type error. Same left-fold order
+  * as [[FloatVecL2Sq]]; inputs already double so no widening step.
+  */
+case class DoubleVecL2Sq(left: Expression, right: Expression) extends FloatVecBinary {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"DoubleVecL2Sq requires array<double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = checkedLength("graft_l2sq_d", x, y)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |${lengthGuard("graft_l2sq_d", n, a, b)}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Session registration + Column API for the codegen'd expressions. */
 object VectorExpressions {
-  /** Idempotently register graft_l2sq / graft_dot in the session's
-    * function registry (also makes them SQL-callable).
+  /** Idempotently register graft_l2sq / graft_dot / graft_l2sq_d in the
+    * session's function registry (also makes them SQL-callable).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2sq", exprs => FloatVecL2Sq(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq_d", exprs => DoubleVecL2Sq(exprs(0), exprs(1)), "scala_udf")
   }
 
   def l2Sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def l2SqD(a: Column, b: Column): Column = call_function("graft_l2sq_d", a, b)
 }

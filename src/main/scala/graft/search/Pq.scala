@@ -6,87 +6,134 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorExpressions
 
 /** Product-quantization codebook training: per-block Lloyd (k-means)
-  * iterations seeded from the per-label seed subvectors.
+  * iterations in FIXED-POINT arithmetic, so the whole trainer is
+  * deterministic across engines, partitionings, and summation orders —
+  * the property a reproducible 100 TB index build wants, and the
+  * property that lets a SQL oracle replay training bit-for-bit.
   *
-  * Each iteration is two distributed passes per the WHOLE vector set —
-  * assign (broadcast codebook, codegen'd l2, partial argmin before the
-  * exchange) and re-center (explode to (block, code, dim), one avg
-  * aggregate) — plus two TINY driver collects: the k×m×w codebook
-  * (10×4×16 floats here) and the m distortion scalars. That driver
-  * traffic is O(codebook), never O(data): the same shape MLlib's
-  * KMeans uses, kept explicit here so the iteration count and
-  * arithmetic stay deterministic.
+  * Why fixed point: a float mean's value depends on summation order, so
+  * a plain Lloyd trainer can never be cross-engine-compared (round 7
+  * verified only the monotonicity INVARIANT). Quantizing inputs to
+  * integers makes every data-dependent reduction exact:
   *
-  * Training quality is NOT oracle-checkable (a float mean's value
-  * depends on summation order, so no cross-engine bit-parity), but
-  * Lloyd's INVARIANT is: per-block distortion is non-increasing across
-  * iterations (both half-steps are projections). The pq_train_monotone
-  * query emits exactly that verdict per (block, iter) — computed from
-  * real distortions in-query, pinned to literal TRUE by the oracle —
-  * the same discipline as distinct_users_approx's error bound.
+  *   - inputs: xq = floor(x · 2^20) — exact, because a float scaled by a
+  *     power of two is exactly representable in double, and floor of an
+  *     exact double is unambiguous (`round` would hang tie behavior on
+  *     engine-specific half-rules);
+  *   - re-center sums: Σ xq over a cluster accumulates in BIGINT — exact
+  *     in ANY order (the one reduction that is order-sensitive in float
+  *     Lloyd); the centroid is CAST(Σ AS DOUBLE)/n, a single correctly-
+  *     rounded division → identical bits on every engine;
+  *   - distances: (xq − c)² folded left-to-right over w dims (the same
+  *     fold-order contract [[graft.functions.FloatVecL2Sq]] shares with
+  *     the DuckDB `list_sum` mirror), codegen'd via graft_l2sq_d;
+  *   - assignment argmin ties break on code — exact doubles, so the
+  *     comparison itself is deterministic.
+  *
+  * Each iteration is two distributed passes over the subvector frame —
+  * assign (broadcast codebook, partial argmin before the exchange) and
+  * re-center (one sum/count aggregate) — plus two TINY driver collects:
+  * the m×k×w codebook and the m distortion scalars. Driver traffic is
+  * O(codebook), never O(data): the same shape MLlib's KMeans uses, kept
+  * explicit so the arithmetic stays replayable.
+  *
+  * Reference context: the reference's ChromaDB collections use HNSW
+  * (chromadb_speed_experiment.py:260-266); PQ is the standard
+  * alternative memory layout at 100 TB scale (codes are m bytes vs 4·d
+  * float bytes), trained here, searched in SparkEntry's ann_pq_top10
+  * via ADC + exact re-rank (IVFADC+R, Jégou et al., TPAMI'11).
   */
 object Pq {
 
-  /** (vec_id, block, sub) exploded subvector frame. */
-  def subFrame(emb: DataFrame, m: Int, w: Int): DataFrame =
+  /** 2^20: 20 fractional bits of quantization. */
+  val QScale: Double = 1048576.0
+
+  /** Quantized embedding frame: (vec_id, emb_q array<double> holding
+    * exact integers floor(x·2^20)).
+    */
+  def quantize(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-      posexplode(array((0 until m).map(b => slice(col("embedding"), b * w + 1, w)): _*))
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(QScale)).cast("double")).as("emb_q"))
+
+  /** (vec_id, block, sub) exploded quantized-subvector frame. */
+  def subFrame(embQ: DataFrame, m: Int, w: Int): DataFrame =
+    embQ.select(col("vec_id"),
+      posexplode(array((0 until m).map(b => slice(col("emb_q"), b * w + 1, w)): _*))
         .as(Seq("block", "sub")))
 
-  /** Seed codebook rows collected to the driver: (block, code, centroid). */
-  def seedCodebook(emb: DataFrame, m: Int, w: Int): Seq[(Int, Long, Seq[Float])] = {
-    val seeds = emb.groupBy(col("label")).agg(min(col("vec_id")).as("seed_id"))
-    emb.select(col("vec_id").as("seed_id"), col("embedding"))
-      .join(broadcast(seeds), Seq("seed_id"))
-      .select(col("label").cast("long").as("code"),
-        posexplode(array((0 until m).map(b => slice(col("embedding"), b * w + 1, w)): _*))
-          .as(Seq("block", "csub")))
+  /** Seed codebook: code c of every block = the quantized subvector of
+    * vec_id c, for c < k (deterministic, oracle-expressible; requires
+    * ids 0..k-1 present — the fixtures' ids are contiguous from 0).
+    * Collected to the driver: k×m rows.
+    */
+  def seedCodebook(sub: DataFrame, k: Int): Seq[(Int, Long, Seq[Double])] =
+    sub.filter(col("vec_id") < k)
+      .select(col("block"), col("vec_id").cast("long").as("code"), col("sub"))
       .collect()
-      .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Float](2)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
       .toSeq
+
+  /** Driver codebook → broadcastable frame (block, code, csub). */
+  def codebookDf(spark: SparkSession, cb: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cb.toDF("block", "code", "csub")
   }
 
-  /** `iters` Lloyd iterations. Returns (final codebook, per-iteration
-    * distortions): distortions(i) = Σ_blocks-map of block → Σ min-d²
-    * AFTER the assignment of iteration i (i = 0 is the seed
-    * assignment).
+  /** Nearest-code assignment of every (vec, block) subvector:
+    * (vec_id, block, code, d2). Broadcast codebook, ×k expansion
+    * collapsed by the partial argmin BEFORE the exchange; ties on code.
     */
-  def train(spark: SparkSession, emb: DataFrame, m: Int, w: Int, iters: Int)
-      : (Seq[(Int, Long, Seq[Float])], Seq[Map[Int, Double]]) = {
-    import spark.implicits._
+  def assignments(sub: DataFrame, cbDf: DataFrame): DataFrame =
+    sub.join(broadcast(cbDf), Seq("block"))
+      .select(col("vec_id"), col("block"), col("code"),
+        VectorExpressions.l2SqD(col("sub"), col("csub")).as("d2"))
+      .groupBy(col("vec_id"), col("block"))
+      .agg(min(struct(col("d2"), col("code"))).as("m"))
+      .select(col("vec_id"), col("block"),
+        col("m.code").as("code"), col("m.d2").as("d2"))
+
+  /** Train m blocks × k codes for `iters` Lloyd iterations over the
+    * quantized subvectors. Returns (final codebook, per-assignment
+    * distortions): distortions has iters+1 entries — entry i is the
+    * per-block Σ min-d² measured under codebook i (entry 0 = seed
+    * assignment), and the LAST entry is measured under the RETURNED
+    * codebook (the final pass records distortion only and does not
+    * re-center — a trailing M-step nobody measures would be wasted
+    * work and would leave the returned codebook a half-step past the
+    * last distortion).
+    */
+  def train(spark: SparkSession, emb: DataFrame, m: Int, w: Int, k: Int, iters: Int)
+      : (Seq[(Int, Long, Seq[Double])], Seq[Map[Int, Double]]) = {
     VectorExpressions.ensureRegistered(spark)
-    val sub = subFrame(emb, m, w)
+    val sub = subFrame(quantize(emb), m, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var cb = seedCodebook(emb, m, w)
+      var cb = seedCodebook(sub, k)
       val distortions = Seq.newBuilder[Map[Int, Double]]
-      for (_ <- 0 to iters) {
-        val cbDf = cb.toDF("block", "code", "csub")
-        val assigned = sub.join(broadcast(cbDf), Seq("block"))
-          .select(col("vec_id"), col("block"), col("code"),
-            VectorExpressions.l2Sq(col("sub"), col("csub")).as("d2"))
-          .groupBy(col("vec_id"), col("block"))
-          .agg(min(struct(col("d2"), col("code"))).as("m"))
-          .select(col("vec_id"), col("block"),
-            col("m.code").as("code"), col("m.d2").as("d2"))
+      for (i <- 0 to iters) {
+        val assigned = assignments(sub, codebookDf(spark, cb))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           distortions += assigned.groupBy(col("block")).agg(sum(col("d2")).as("dist"))
             .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-          // re-center: mean per (block, code, dim), float-cast once
-          val means = assigned.join(sub, Seq("vec_id", "block"))
-            .select(col("block"), col("code"), posexplode(col("sub")).as(Seq("dim", "v")))
-            .groupBy(col("block"), col("code"), col("dim"))
-            .agg(avg(col("v")).as("mv"))
-            .groupBy(col("block"), col("code"))
-            .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("a"))
-            .select(col("block"), col("code"),
-              transform(col("a"), x => x.getField("mv").cast("float")).as("csub"))
-            .collect()
-            .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Float](2)))
-            .toMap
-          // empty clusters keep their previous centroid (standard Lloyd)
-          cb = cb.map { case (b, c, prev) => (b, c, means.getOrElse((b, c), prev)) }
+          if (i < iters) {
+            // re-center: exact BIGINT sums per (block, code, dim), one
+            // double division at the end — order-independent.
+            val means = assigned.join(sub, Seq("vec_id", "block"))
+              .select(col("block"), col("code"), posexplode(col("sub")).as(Seq("dim", "v")))
+              .groupBy(col("block"), col("code"), col("dim"))
+              .agg((sum(col("v").cast("long")).cast("double") / count(lit(1))).as("mv"))
+              .groupBy(col("block"), col("code"))
+              .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("a"))
+              .select(col("block"), col("code"),
+                transform(col("a"), x => x.getField("mv")).as("csub"))
+              .collect()
+              .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2)))
+              .toMap
+            // empty clusters keep their previous centroid (standard Lloyd)
+            cb = cb.map { case (b, c, prev) => (b, c, means.getOrElse((b, c), prev)) }
+          }
         } finally assigned.unpersist(blocking = false)
       }
       (cb, distortions.result())

@@ -78,10 +78,9 @@ class PqSpec extends GraftSpec {
   }
 
   test("Lloyd training cuts seed-codebook distortion >20% and never regresses") {
-    val (_, d) = graft.search.Pq.train(spark, emb, m = 4, w = 16, iters = 3)
+    val (_, d) = graft.search.Pq.train(spark, emb, m = 16, w = 4, k = 64, iters = 3)
     val start = d.head.values.sum
     val end = d.last.values.sum
-    // measured 571.5 → 394.8 (−31%) on this fixture; 20% is the safe floor
     assert(end <= 0.8 * start,
       s"3 Lloyd iterations should cut distortion well past 20%: $start -> $end")
     d.sliding(2).foreach {
@@ -90,6 +89,25 @@ class PqSpec extends GraftSpec {
           "per-iteration distortion must be non-increasing (Lloyd invariant)")
       case _ => ()
     }
+  }
+
+  test("trained codebook is identical across two training runs (fixed-point determinism)") {
+    val (cb1, _) = graft.search.Pq.train(spark, emb, m = 16, w = 4, k = 64, iters = 2)
+    val (cb2, _) = graft.search.Pq.train(spark, emb, m = 16, w = 4, k = 64, iters = 2)
+    assert(cb1 === cb2,
+      "fixed-point Lloyd must produce bit-identical codebooks on every run")
+  }
+
+  test("trained-PQ ADC + exact re-rank reaches recall@10 >= 0.9 (vs 0.3 untrained)") {
+    val pq = SparkEntry.queries("ann_pq_top10")(spark, sfDir)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qemb"))
+    val exact = emb.crossJoin(broadcast(q))
+      .select($"vec_id", VectorExpressions.l2Sq($"embedding", $"qemb").as("d2"))
+      .orderBy($"d2", $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (pq & exact).size / 10.0
+    assert(recall >= 0.9, s"trained-PQ re-rank recall@10 = $recall, expected >= 0.9")
   }
 
   test("codes compress 64 floats to 4 small ints: every code fits a byte") {
