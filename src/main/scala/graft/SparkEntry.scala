@@ -2722,19 +2722,27 @@ object SparkEntry {
          |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk, round(score, 4) AS score
          |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
+    // Capped RRF: each scorer contributes its top-1000 (100·k) list; a
+    // doc absent from one list contributes 0 (rank sentinel 0) — the
+    // exact mirror of TextSearch.hybridRrfFrom's candMult contract.
     "search_hybrid_rrf" ->
       s"""$searchCteSql,
          |$bm25ScoredSql,
          |$vsmScoredSql,
-         |b AS (SELECT query_id, doc_id,
+         |b AS (SELECT query_id, doc_id, rk_bm25 FROM (
+         |      SELECT query_id, doc_id,
          |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rk_bm25
-         |      FROM bscored),
-         |v AS (SELECT query_id, doc_id,
+         |      FROM bscored) WHERE rk_bm25 <= 1000),
+         |v AS (SELECT query_id, doc_id, rk_vsm FROM (
+         |      SELECT query_id, doc_id,
          |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rk_vsm
-         |      FROM vscored),
-         |f AS (SELECT query_id, doc_id, rk_bm25, rk_vsm,
-         |        1.0 / (60.0 + rk_bm25) + 1.0 / (60.0 + rk_vsm) AS rrf
-         |      FROM b JOIN v USING (query_id, doc_id)),
+         |      FROM vscored) WHERE rk_vsm <= 1000),
+         |f AS (SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+         |        COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         |        COALESCE(rk_bm25, 0) AS rk_bm25, COALESCE(rk_vsm, 0) AS rk_vsm,
+         |        (CASE WHEN COALESCE(rk_bm25, 0) > 0 THEN 1.0 / (60.0 + rk_bm25) ELSE 0.0 END)
+         |      + (CASE WHEN COALESCE(rk_vsm, 0) > 0 THEN 1.0 / (60.0 + rk_vsm) ELSE 0.0 END) AS rrf
+         |      FROM b FULL JOIN v ON b.query_id = v.query_id AND b.doc_id = v.doc_id),
          |r AS (SELECT query_id, doc_id, rk_bm25, rk_vsm, rrf,
          |        row_number() OVER (PARTITION BY query_id ORDER BY round(rrf, 6) DESC, doc_id ASC) AS rk
          |      FROM f)

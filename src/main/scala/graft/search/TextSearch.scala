@@ -87,15 +87,21 @@ object TextSearch {
   private def docFreq(post: DataFrame): DataFrame =
     post.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+  /** Per-query top-k by score. k must be positive: the `rk <= k` filter
+    * on row_number is what lets Spark rewrite the window to
+    * WindowGroupLimit (per-partition top-k heap, O(k) state per
+    * partition) — an unfiltered ranking would fully sort every
+    * candidate doc per query partition, the one plan shape that cannot
+    * survive a common term's millions-row posting list at 100 TB.
+    */
   private def rankTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, s"rankTopK needs a positive cap, got $k")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col(scoreCol), 6).desc, col("doc_id").asc)
-    val ranked = scored.withColumn("rk", row_number().over(w))
-    if (k > 0) ranked.filter(col("rk") <= k) else ranked
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
-  /** Okapi BM25 top-k per query. k <= 0 returns the full candidate
-    * ranking (used by [[hybridRrf]]).
+  /** Okapi BM25 top-k per query.
     *
     * score(q,d) = Σ_{t ∈ q ∩ d} ln(1 + (N − df + 0.5)/(df + 0.5)) ·
     *              tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
@@ -157,30 +163,44 @@ object TextSearch {
   }
 
   /** Reciprocal-rank fusion of the BM25 and VSM rankings:
-    * rrf(q,d) = 1/(60 + rank_bm25) + 1/(60 + rank_vsm).
+    * rrf(q,d) = 1/(60 + rank_bm25) + 1/(60 + rank_vsm),
+    * where each scorer contributes its top-k′ list (k′ = candMult·k)
+    * and a doc absent from one list contributes 0 from it (rank
+    * reported as the 0 sentinel) — standard capped RRF, fusing ranked
+    * LISTS, not full rankings. Round 7 fused the FULL rankings (k=-1),
+    * which forced an uncapped row_number over every candidate doc per
+    * query — the suite's slowest plan, and a scale-killer once one
+    * common query term matches millions of docs. With the cap, both
+    * scorers go through WindowGroupLimit (TextSearchSpec pins capped ≡
+    * full on the fused top-k; PlanSpec pins the plan shape).
     *
-    * Both scorers share one candidate set (docs with ≥1 query term —
-    * BM25's ln(1+x) idf and the smooth VSM idf are both strictly
-    * positive), so the rank frames inner-join 1:1 on (query_id, doc_id)
-    * and the fusion never drops a candidate. The shared postings/stats
-    * frames are computed once.
+    * Why the result is still "never drops a candidate" in practice: a
+    * doc outside BOTH top-k′ lists scores < 2/(RrfK + k′), below any
+    * doc inside one list's top (k′−RrfK)… with candMult=100·k the
+    * fused top-k is identical to full-ranking fusion unless both lists
+    * are adversarially interleaved past rank 1000 — the spec asserts
+    * equality empirically on the fixtures.
     */
   def hybridRrf(docs: DataFrame, idCol: String, textCol: String, queries: DataFrame,
-                k: Int = 10): DataFrame = {
+                k: Int = 10, candMult: Int = 100): DataFrame = {
     val (post, stats) = buildIndex(docs, idCol, textCol)
-    hybridRrfFrom(post, stats, queries, k)
+    hybridRrfFrom(post, stats, queries, k, candMult)
   }
 
   def hybridRrfFrom(post: DataFrame, stats: DataFrame, queries: DataFrame,
-                    k: Int): DataFrame = {
-    val b = bm25From(post, stats, queries, k = -1)
+                    k: Int, candMult: Int = 100): DataFrame = {
+    val kPrime = k * candMult
+    val b = bm25From(post, stats, queries, k = kPrime)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm25"))
-    val v = vsmCosineFrom(post, stats, queries, k = -1)
+    val v = vsmCosineFrom(post, stats, queries, k = kPrime)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_vsm"))
-    val fused = b.join(v, Seq("query_id", "doc_id"))
-      .withColumn("rrf",
-        lit(1.0) / (lit(RrfK.toDouble) + col("rk_bm25")) +
-          lit(1.0) / (lit(RrfK.toDouble) + col("rk_vsm")))
+    def contrib(rk: org.apache.spark.sql.Column) =
+      when(rk > 0, lit(1.0) / (lit(RrfK.toDouble) + rk)).otherwise(lit(0.0))
+    val fused = b.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("rk_bm25"), lit(0)).as("rk_bm25"),
+        coalesce(col("rk_vsm"), lit(0)).as("rk_vsm"))
+      .withColumn("rrf", contrib(col("rk_bm25")) + contrib(col("rk_vsm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("rrf"), 6).desc, col("doc_id").asc)
     fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

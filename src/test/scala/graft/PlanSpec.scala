@@ -24,6 +24,26 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("WindowGroupLimit"), "per-query top-k must heap-limit before the final sort")
   }
 
+  test("every search-family ranking goes through WindowGroupLimit (incl. both RRF scorers)") {
+    // Round 7's RRF fused FULL rankings (k=-1): no rk<=k filter, so the
+    // scorers' windows could not rewrite to WindowGroupLimit and fully
+    // sorted every candidate per query — the suite's slowest plan and a
+    // scale-killer at 100 TB. The candMult cap restores the rewrite;
+    // this pin keeps it: every ranking window in all three search
+    // plans must be heap-limited (the un-rewritten shape would show a
+    // Window node whose row_number output is not group-limited first).
+    for (q <- Seq("search_bm25", "search_vsm_cosine", "search_hybrid_rrf")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q: ranking must heap-limit, not full-sort")
+    }
+    // the RRF plan ranks twice (BM25 + VSM) before the fusion window;
+    // both capped scorers must WindowGroupLimit, not just one
+    val rrf = plan("search_hybrid_rrf")
+    val hits = "WindowGroupLimit".r.findAllIn(rrf).size
+    assert(hits >= 4, // 2 scorers × (partial + final) in the default rewrite
+      s"both RRF scorer rankings must be group-limited, saw $hits WindowGroupLimit nodes")
+  }
+
   test("knn_exact_multi: query side broadcast, window group limit partial") {
     val p = plan("knn_exact_multi")
     assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")

@@ -60,9 +60,10 @@ class TextSearchSpec extends GraftSpec {
   }
 
   test("hybrid rrf: candidate sets of the two scorers coincide; fusion keeps their union") {
-    val b = TextSearch.bm25(docs, "doc_id", "text", queries, -1)
+    // a cap far past any candidate-set size stands in for the full ranking
+    val b = TextSearch.bm25(docs, "doc_id", "text", queries, 1000000)
       .select("query_id", "doc_id")
-    val v = TextSearch.vsmCosine(docs, "doc_id", "text", queries, -1)
+    val v = TextSearch.vsmCosine(docs, "doc_id", "text", queries, 1000000)
       .select("query_id", "doc_id")
     assert(b.exceptAll(v).isEmpty && v.exceptAll(b).isEmpty,
       "BM25 and VSM must rank the same candidate set (docs sharing >=1 term)")
@@ -75,5 +76,18 @@ class TextSearchSpec extends GraftSpec {
     val fused1 = fused.filter(col("rk") === 1).select("query_id", "doc_id")
     assert(both1.exceptAll(fused1).isEmpty,
       "a doc that is rank-1 under both scorers must be fused rank-1")
+  }
+
+  test("capped RRF (candMult=100) fuses to exactly the full-ranking top-10") {
+    // The scale contract: ranking each scorer only to k' = 100·k (so
+    // WindowGroupLimit applies) must not change the fused top-k — a doc
+    // outside both top-k' lists cannot outscore one inside (its rrf is
+    // < 2/(60+k')), and the fixtures have no adversarial interleaving
+    // past rank 1000. Capped and effectively-uncapped fusion must agree
+    // on every output column.
+    val capped = TextSearch.hybridRrf(docs, "doc_id", "text", queries, 10, candMult = 100)
+    val full = TextSearch.hybridRrf(docs, "doc_id", "text", queries, 10, candMult = 1000000)
+    assert(capped.exceptAll(full).isEmpty && full.exceptAll(capped).isEmpty,
+      "capped RRF must reproduce the full-ranking fused top-10 on the fixtures")
   }
 }
