@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import graft.model.Schemas
 
@@ -458,6 +458,134 @@ object StatefulOps {
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  final case class TwsActivity(user_id: Long, n_events: Long, n_types: Long,
+      n_purchases: Long, sum_purchases: Double)
+
+  /** transformWithState with COMPOSITE state — the part of the v2 API
+    * ValueState alone doesn't exercise: a ListState accumulating the
+    * user's purchase values (append-only, iterated in append order)
+    * and a MapState of per-event-type counts (point lookups + updates,
+    * no read-modify-write of a whole blob — the reason MapState exists:
+    * in RocksDB each map key is its own store row, so a 1M-key map
+    * costs one row write per touched key, not a 1M-entry deserialize).
+    */
+  private class UserActivityProcessor
+      extends StatefulProcessor[Long, EventRow, TwsActivity] {
+    @transient private var purchases: ListState[Double] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      purchases = getHandle.getListState[Double]("purchases",
+        Encoders.scalaDouble, TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[TwsActivity] = {
+      rows.foreach { e =>
+        val prev = if (typeCounts.containsKey(e.event_type))
+          typeCounts.getValue(e.event_type) else 0L
+        typeCounts.updateValue(e.event_type, prev + 1)
+        if (e.event_type == "purchase") purchases.appendValue(e.value)
+      }
+      val counts = typeCounts.values().toSeq
+      val bought = purchases.get().toSeq
+      Iterator.single(TwsActivity(key, counts.sum, counts.size.toLong,
+        bought.size.toLong, bought.sum))
+    }
+  }
+
+  /** Per-user activity profile on ListState + MapState (Update mode,
+    * emissions monotone in n_events — the batch groupBy is the oracle
+    * in StatefulOpsSpec).
+    */
+  def streamUserActivityTws(
+      spark: SparkSession,
+      parquetDir: String,
+      queryName: String,
+      glob: String = "events.parquet"): StreamingQuery = {
+    import spark.implicits._
+    eventStream(spark, parquetDir, glob)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserActivityProcessor, TimeMode.None(), OutputMode.Update())
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  final case class KeyTs(user_id: Long, ts_us: Long)
+  final case class IdleFlush(user_id: Long, n_events: Long, expired_at_ms: Long)
+
+  /** transformWithState with EVENT-TIME TIMERS — the v2 API's
+    * replacement for GroupStateTimeout: one live timer per key at
+    * last-seen + idle, re-registered on every batch (explicit
+    * listTimers/deleteTimer bookkeeping — timers are per-key
+    * multi-valued, unlike the single mapGroupsWithState timeout).
+    * When the watermark passes a timer, handleExpiredTimer emits the
+    * key's final count and CLEARS its state — the bounded-state
+    * contract: an idle key costs nothing after its flush.
+    */
+  private class IdleFlushProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, KeyTs, IdleFlush] {
+    @transient private var stats: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[(Long, Long)]("stats",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyTs],
+        timerValues: TimerValues): Iterator[IdleFlush] = {
+      var (n, last) = if (stats.exists()) stats.get() else (0L, Long.MinValue)
+      rows.foreach { e => n += 1; last = math.max(last, e.ts_us) }
+      stats.update((n, last))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last / 1000L + idleMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[IdleFlush] = {
+      val n = if (stats.exists()) stats.get()._1 else 0L
+      stats.clear()
+      Iterator.single(IdleFlush(key, n, expiredTimerInfo.getExpiryTimeInMs))
+    }
+  }
+
+  /** Idle-key flush on transformWithState event-time timers: `events`
+    * is any STREAMING frame with (user_id, ts) columns (the spec drives
+    * it from a MemoryStream so the watermark advance — and therefore
+    * timer expiry — is deterministic). Emits one (user_id, n_events)
+    * row per key once the watermark passes last-seen + idleMs, then
+    * drops the key's state.
+    */
+  def streamIdleFlushTws(
+      events: DataFrame,
+      queryName: String,
+      watermark: String = "10 minutes",
+      idleMs: Long = 60L * 60 * 1000): StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[KeyTs]
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleFlushProcessor(idleMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
       .start()
   }
 }

@@ -52,6 +52,74 @@ class StatefulOpsSpec extends GraftSpec {
     }
   }
 
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState ListState+MapState activity profile equals the batch groupBy") {
+    withRocksDb {
+      val q = StatefulOps.streamUserActivityTws(spark, sfDir, "user_activity_tws")
+      q.processAllAvailable()
+      // plan pin: the v2 stateful operator must actually be
+      // TransformWithStateExec (not a fallback to the v1 operator)
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(baos)) { q.explain() }
+      assert(baos.toString.contains("TransformWithState"),
+        s"expected TransformWithStateExec in the streaming plan:\n${baos.toString.take(2000)}")
+      q.stop()
+      // Update-mode emissions are monotone in n_events → final = max
+      val stream = spark.table("user_activity_tws")
+        .groupBy($"user_id")
+        .agg(max_by(struct($"n_events", $"n_types", $"n_purchases", $"sum_purchases"),
+          $"n_events").as("w"))
+        .select($"user_id", $"w.n_events".as("n_events"), $"w.n_types".as("n_types"),
+          $"w.n_purchases".as("n_purchases"),
+          round($"w.sum_purchases", 4).as("sum_purchases"))
+      val batch = events.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"event_type").as("n_types"),
+          count(when($"event_type" === "purchase", 1)).as("n_purchases"),
+          round(coalesce(sum(when($"event_type" === "purchase", $"value")), lit(0.0)), 4)
+            .as("sum_purchases"))
+      assert(stream.count() === batch.count())
+      assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0)
+    }
+  }
+
+  test("transformWithState event-time timers flush idle keys and clear their state") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, Long)]
+      val src = ms.toDF().toDF("user_id", "ts_sec")
+        .withColumn("ts", timestamp_seconds($"ts_sec"))
+      val q = StatefulOps.streamIdleFlushTws(src, "idle_flush_tws",
+        watermark = "10 minutes", idleMs = 60L * 60 * 1000)
+      val t0 = 1700000000L
+      ms.addData((1L, t0), (1L, t0 + 60), (2L, t0))
+      q.processAllAvailable()
+      // nothing can have expired yet: watermark is still at batch-1 max - 10 min
+      assert(spark.table("idle_flush_tws").count() === 0)
+      // a much-later event pushes the watermark past user 1/2's
+      // last-seen + 1h timers; user 99's own timer stays in the future
+      ms.addData((99L, t0 + 5 * 3600))
+      q.processAllAvailable()
+      q.stop()
+      val flushed = spark.table("idle_flush_tws")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toMap
+      assert(flushed === Map(1L -> 2L, 2L -> 1L),
+        s"users 1 and 2 must flush exactly once with their full counts, got $flushed")
+    }
+  }
+
   test("streaming funnel: final per-user emission equals the batch funnel") {
     val stages = Seq("view", "click", "purchase")
     val q = StatefulOps.streamFunnel(spark, sfDir, "funnel_stream", stages)
