@@ -93,12 +93,12 @@ object Bench {
     // concurrently recomputes the most expensive intermediate once per
     // consumer (the r5 stampede). The builder's time carries the build
     // cost; dependents read the cache.
-    def runPass(): (Double, Map[String, Double]) = {
+    def runPass(dir: String): (Double, Map[String, Double]) = {
       val times = new ConcurrentHashMap[String, Double]()
       def runOne(n: String): Unit = {
         val s0 = System.nanoTime()
         try {
-          SparkEntry.queries(n)(spark, sfDir)
+          SparkEntry.queries(n)(spark, dir)
             .write.format("noop").mode("overwrite").save()
           times.put(n, (System.nanoTime() - s0) / 1e9)
         } catch { case _: Throwable => times.put(n, -1.0) }
@@ -132,12 +132,25 @@ object Bench {
     val minPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "6").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    // Full-suite UNMEASURED warm-up at the smallest sibling SF: codegen
+    // and JIT compile per PLAN SHAPE, not per data size, so one ~20s
+    // pass at sf0.001 warms the code cache for all 121 query plans and
+    // the first measured pass at the target SF no longer pays the
+    // cold-start tax the r7 driver run showed (pass walls
+    // 350.8/103.0/79.1 — pass 1 burned most of the budget, leaving only
+    // 3 samples for the min). Caches built for the warm dir are dropped
+    // before measurement so the target passes build their own.
+    val warmDir = sys.env.get("SPARK_GRAFT_BENCH_WARM_DIR").orElse {
+      Option(java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent)
+        .map(_.resolve("sf0.001").toString)
+    }.filter(d => d != sfDir && java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    warmDir.foreach { d => runPass(d); SparkEntry.clearCaches() }
     val bench0 = System.nanoTime()
     def benchElapsed: Double = (System.nanoTime() - bench0) / 1e9
     val results = scala.collection.mutable.ArrayBuffer.empty[(Double, Map[String, Double])]
     while (results.size < minPasses ||
         (results.size < maxPasses && benchElapsed < budgetSec)) {
-      results += runPass()
+      results += runPass(sfDir)
     }
     val wall = results.map(_._1).min
     val times = new ConcurrentHashMap[String, Double]()
@@ -154,7 +167,7 @@ object Bench {
     val passWalls = results.map(r => math.round(r._1 * 100) / 100.0).mkString("[", ",", "]")
     val detail = s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""threads":$threads,"passes":${results.size},"pass_walls":$passWalls,"sum_queries":$sumQ,""" +
-      s""""note":"value = min suite wall over ${results.size} passes at ${threads}-way concurrency (min is stall-robust on this intermittently-frozen host); per-query = min across passes; sum_queries = per-query sum (upper bound on serial cost)"}"""
+      s""""note":"value = min suite wall over ${results.size} passes at ${threads}-way concurrency, after one unmeasured full-suite warm-up pass${warmDir.map(d => s" at $d").getOrElse("")} (min is stall-robust on this intermittently-frozen host); per-query = min across passes; sum_queries = per-query sum (upper bound on serial cost)"}"""
     // Per-query detail goes to a sidecar file AND an early stdout line;
     // the driver's parser reads only the LAST stdout line through a
     // 2,000-char tail window, so the final line must stay tiny (the

@@ -559,6 +559,84 @@ object SparkEntry {
     // stands in for the comment filter): how many customers placed
     // 0, 1, 2... orders. LEFT join so zero-order customers survive,
     // then the two-level count-of-counts aggregation.
+    // TPC-H Q4 (shaped: the fixture lineitem has no commit/receipt
+    // dates, so "late" is proxied by returned items): orders in one
+    // quarter having at least one returned lineitem, counted per
+    // priority. Left-semi join = EXISTS — the probe never duplicates an
+    // order however many lineitems match, and at scale it shuffles only
+    // orderkeys, not lineitem payload.
+    "q4_priority_exists" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      val returned = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q11 (shaped: no partsupp fixture, so supplier account
+    // balance stands in for ps_supplycost·ps_availqty): per-nation
+    // supplier value, keeping nations above a fixed fraction of the
+    // GLOBAL total — the group-agg-vs-global-scalar-subquery shape. The
+    // total is a 1-row broadcast, so the HAVING adds no shuffle of the
+    // fact side; sums are decimal-exact and the one double multiply is
+    // mirrored op-for-op in the oracle so the threshold cannot flip.
+    "q11_supplier_value" -> ((s, dir) => {
+      val joined = Tables.supplier(s, dir).join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      val perNation = joined.groupBy(col("n_name"))
+        .agg(round(sum(col("s_acctbal").cast("decimal(14,2)")), 2).cast("double").as("acct_value"))
+      val total = perNation
+        .agg(sum(col("acct_value").cast("decimal(16,2)")).cast("double").as("total_value"))
+      perNation.crossJoin(broadcast(total))
+        .filter(col("acct_value") > col("total_value") * 0.04)
+        .select(col("n_name"), col("acct_value"))
+        .orderBy(col("acct_value").desc, col("n_name"))
+    }),
+
+    // TPC-H Q16 (shaped: no partsupp/supplier link, so the NOT-IN
+    // excluded set comes from the part table itself): brand/type
+    // breadth for parts whose brand never ships a large PROMO part.
+    // The broadcast left-anti join IS NOT IN here because p_brand is
+    // non-null (null-free columns make NOT IN and anti-join agree; the
+    // oracle uses the literal NOT IN subquery).
+    "q16_brand_breadth" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val excluded = p.filter(col("p_type") === "PROMO" && col("p_size") > 40)
+        .select(col("p_brand")).distinct()
+      p.join(broadcast(excluded), Seq("p_brand"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("p_size")).as("size_breadth"),
+          count(lit(1)).as("part_count"))
+        .orderBy(col("part_count").desc, col("p_brand"), col("p_type"))
+    }),
+
+    // TPC-H Q22 (shaped: country code = nation key — no phone column —
+    // and dormancy = no orders since 2000-01-01, because every fixture
+    // customer has SOME order): wealthy customers (above the
+    // positive-balance average) with no recent orders, per nation.
+    // Scalar subquery as a 1-row broadcast + anti-join on recent order
+    // keys; the average is computed as exact-decimal-sum / count with
+    // ONE double division so both engines see the identical boundary.
+    "q22_dormant_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(14,2)")).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+        .select(col("o_custkey")).distinct()
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(14,2)")), 2).cast("double").as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     "q13_order_distribution" -> ((s, dir) => {
       val o = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
       val perCust = Tables.customer(s, dir)
@@ -1158,15 +1236,19 @@ object SparkEntry {
 
     // Frequent-items (heavy hitters) via a Misra-Gries mergeable sketch:
     // tokens with frequency > 2% of the corpus, sketch estimate
-    // cross-checked against the exact count in-query. m=64 > |vocab|
-    // puts the sketch in its exact, partitioning-invariant regime (the
-    // oracle asserts n_est = n_exact and the bound holds); the
-    // approximate regime (m << cardinality) is bound-asserted on
-    // synthetic Zipf data in FrequentItemsSpec.
+    // cross-checked against the exact count in-query. m is DERIVED as
+    // max(64, |vocab|) so the sketch is in its exact,
+    // partitioning-invariant regime by construction (the oracle asserts
+    // n_est = n_exact) — a fixed m=64 would silently turn merge-order-
+    // dependent (flaky, not failing) the day the fixture vocabulary
+    // outgrew it. The approximate regime (m << cardinality) is
+    // bound-asserted on synthetic Zipf data in FrequentItemsSpec.
     "token_heavy_hitters" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-      val sk = graft.operators.FrequentItems.sketch(toks, "token", 64)
+      val nVocab = toks.agg(countDistinct(col("token"))).head().getLong(0)
+      val m = math.max(64L, nVocab).toInt // O(1) driver scalar, never O(data)
+      val sk = graft.operators.FrequentItems.sketch(toks, "token", m)
         .withColumnRenamed("item", "token")
       val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
       val total = toks.agg(count(lit(1)).as("n_total"))
@@ -1175,7 +1257,7 @@ object SparkEntry {
         .join(sk, Seq("token"), "left")
         .select(col("token"), col("n_exact"),
           coalesce(col("n_est"), lit(0L)).as("n_est"),
-          (col("n_exact") - coalesce(col("n_est"), lit(0L)) <= col("n_total") / 65.0 &&
+          (col("n_exact") - coalesce(col("n_est"), lit(0L)) <= col("n_total") / (m + 1).toDouble &&
             coalesce(col("n_est"), lit(0L)) <= col("n_exact")).as("within_bound"))
         .orderBy("token")
     }),
@@ -2224,6 +2306,47 @@ object SparkEntry {
         |WHERE year(l_shipdate) = 1995 AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
 
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q11_supplier_value" ->
+      """WITH pn AS (
+        |  SELECT n_name,
+        |    CAST(round(sum(CAST(s_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE) AS acct_value
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |t AS (SELECT CAST(sum(CAST(acct_value AS DECIMAL(16,2))) AS DOUBLE) AS total_value FROM pn)
+        |SELECT n_name, acct_value FROM pn CROSS JOIN t
+        |WHERE acct_value > total_value * 0.04
+        |ORDER BY acct_value DESC, n_name""".stripMargin,
+
+    "q16_brand_breadth" ->
+      """SELECT p_brand, p_type,
+        |  count(DISTINCT p_size) AS size_breadth, count(*) AS part_count
+        |FROM part
+        |WHERE p_brand NOT IN (SELECT DISTINCT p_brand FROM part
+        |                      WHERE p_type = 'PROMO' AND p_size > 40)
+        |GROUP BY p_brand, p_type
+        |ORDER BY part_count DESC, p_brand, p_type""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0),
+        |r AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, count(*) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE) AS totacctbal
+        |FROM customer CROSS JOIN a
+        |WHERE c_acctbal > avg_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM r)
+        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin,
+
     "q13_order_distribution" ->
       """WITH o AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'),
         |pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
@@ -2536,7 +2659,9 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "corpus_shuffle" ->
-      """WITH s AS (SELECT doc_id, (doc_id * 2654435761) % 1048576 AS h FROM documents)
+      """WITH s AS (SELECT doc_id,
+        |  ((xor(xor(doc_id, doc_id >> 20), doc_id >> 40) % 1048576) * 2654435761) >> 32 AS h
+        |  FROM documents)
         |SELECT doc_id, h % 8 AS shard,
         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,

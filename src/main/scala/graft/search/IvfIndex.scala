@@ -81,9 +81,17 @@ object IvfIndex {
   def writePartitioned(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
-  /** Search against the partitioned index with static partition pruning:
-    * probe cells are resolved first (queries × centroids — tiny, driver
-    * -side), then pushed as a partition filter on the scan.
+  /** Search against the partitioned index with DYNAMIC partition
+    * pruning: the probe frame (queries × centroids — tiny, broadcast) is
+    * equi-joined to the cell-partitioned scan on the partition column,
+    * and Catalyst's PartitionPruning rule reuses the broadcast as a
+    * runtime partition filter on the scan — only probed cells are read,
+    * with NO separate driver job enumerating cell ids first (pre-r8 this
+    * collected the probe cells and pushed a static `isin`: one extra
+    * job per search and the dominant ~430ms fixed term in the probe
+    * latency curve at small n — docs/CURVES.md). SearchSpec pins
+    * `dynamicpruning` in the scan's PartitionFilters so a Catalyst
+    * regression can't silently fall back to a full scan.
     */
   def searchPartitioned(
       spark: org.apache.spark.sql.SparkSession,
@@ -100,12 +108,10 @@ object IvfIndex {
       .withColumn("crk", row_number().over(wC))
       .filter(col("crk") <= nprobe)
       .select(col("qid"), col("qemb"), col("cid").as("cell"))
-    val cells = probes.select("cell").distinct()
-      .collect().map(_.get(0)).toSeq
-    val pruned = spark.read.parquet(indexPath).filter(col("cell").isin(cells: _*))
+    val index = spark.read.parquet(indexPath)
     val wK = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id").asc)
     broadcast(probes)
-      .join(pruned, Seq("cell"))
+      .join(index, Seq("cell"))
       .withColumn("dist", l2Fast(col("qemb"), col("embedding")))
       .withColumn("rk", row_number().over(wK))
       .filter(col("rk") <= k)

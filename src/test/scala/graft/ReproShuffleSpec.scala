@@ -45,6 +45,23 @@ class ReproShuffleSpec extends GraftSpec {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("hash is ANSI-safe for huge ids and spreads ids congruent mod 2^20") {
+    import spark.implicits._
+    // The pre-r8 hash (id * 2654435761 % 2^20) collided EVERY id in this
+    // congruence class into one h (periodic strided epoch order past ~1M
+    // rows) and threw ARITHMETIC_OVERFLOW under ANSI for ids >= ~3.5e9.
+    val ids = (0L until 64L).map(i => 7L + i * ReproShuffle.HashMod) ++
+      Seq(5000000000L, (1L << 62) + 11L)
+    val df = ids.toDF("id")
+    val out = ReproShuffle.assign(df, "id", 8).select("id", "shard", "pos")
+    assert(out.count() == ids.length) // no overflow on 62-bit ids
+    val nShards = out.select("shard").distinct().count()
+    assert(nShards >= 6, s"congruent-mod-2^20 ids must spread over shards, got $nShards of 8")
+    val nHashes = ReproShuffle.assign(df, "id", 8)
+      .select(col("pos")).distinct().count() // dense ranks ⇒ ties broke by id only if h collided
+    assert(nHashes >= 1)
+  }
+
   test("observe: pipeline quality metrics ride the main pass for free") {
     val docs = Tables.documents(spark, sfDir)
     val obs = Observation("quality")

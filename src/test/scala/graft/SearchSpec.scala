@@ -83,9 +83,17 @@ class SearchSpec extends GraftSpec {
     IvfIndex.writePartitioned(assigned, out)
     val inMem = IvfIndex.search(queries, assigned, cent, k = 5, nprobe = 2)
       .select("qid", "vec_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val onDisk = IvfIndex.searchPartitioned(spark, out, queries, cent, k = 5, nprobe = 2)
+    val onDiskDf = IvfIndex.searchPartitioned(spark, out, queries, cent, k = 5, nprobe = 2)
+    val onDisk = onDiskDf
       .select("qid", "vec_id", "rk").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(onDisk === inMem)
+    // r8: the probe is a single job — the broadcast probe side becomes a
+    // RUNTIME partition filter (DPP) instead of a separate driver job
+    // enumerating cells. Pin the dynamic filter on the scan so a
+    // Catalyst regression can't silently fall back to a full scan.
+    val planStr = onDiskDf.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamicpruning in the IVF probe scan's PartitionFilters:\n${planStr.take(3000)}")
     // the probe's scan selects strictly fewer files than the full index
     // (real partition pruning, checked on the physical scan node)
     import org.apache.spark.sql.execution.FileSourceScanExec
