@@ -82,19 +82,57 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long and truncate to micro-precision timestamps
-    * (identical to what micro-resolution engines like DuckDB see).
+  /** Normalize the events `ts` column to a session-TZ TIMESTAMP regardless
+    * of the fixture's physical encoding. The driver has shipped three so
+    * far: TIMESTAMP(NANOS) (readable only as long via the nanosAsLong
+    * legacy flag), timestamp[us] without a timezone (read as
+    * TIMESTAMP_NTZ), and plain TIMESTAMP. The NTZ→TIMESTAMP cast is
+    * value-preserving because the session timezone is pinned to UTC
+    * (build.sbt -Dspark.sql.session.timeZone=UTC).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    case TimestampType => df
+    case _ => // TIMESTAMP_NTZ (and any future encoding castable to timestamp)
+      df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+  }
+
+  /** events.parquet: single load site for all batch consumers; see
+    * [[normalizeEventTs]] for the encoding zoo.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, sfDir, "events")
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
-    }
+    normalizeEventTs(load(spark, sfDir, "events"))
+  }
+
+  /** Shared streaming source over an events-shaped parquet directory —
+    * the single stream-side loader (streaming/EventOps, streaming/
+    * StatefulOps delegate here). `readStream` requires a declared schema,
+    * and declaring the wrong physical `ts` type fails analysis, so probe
+    * the actual footer type with a cheap batch schema read first, declare
+    * exactly that, then normalize via [[normalizeEventTs]].
+    */
+  def eventStream(
+      spark: SparkSession,
+      parquetDir: String,
+      glob: String = "events.parquet",
+      options: Map[String, String] = Map.empty): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physicalTs = spark.read
+      .option("pathGlobFilter", glob)
+      .parquet(parquetDir)
+      .schema("ts").dataType
+    val readSchema = StructType(Schemas.events.map {
+      case f if f.name == "ts" => f.copy(dataType = physicalTs)
+      case f => f
+    })
+    val reader = spark.readStream
+      .schema(readSchema)
+      .option("pathGlobFilter", glob)
+    val withOpts = options.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+    normalizeEventTs(withOpts.parquet(parquetDir))
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.model.Schemas
 
 /** Event-time operators over the events table. The reference is batch-only
   * (SURVEY.md §2.10) — these are the generalized-engine extension. Every
@@ -85,24 +84,11 @@ object EventOps {
     * processAllAvailable() + the `queryName` memory table.
     *
     * The file source needs a *directory*; the fixture dir mixes tables, so
-    * a glob filter selects the events file. The TIMESTAMP(NANOS) column is
-    * declared long and truncated to micros, as in [[graft.model.Tables.events]].
+    * a glob filter selects the events file. Timestamp-encoding handling
+    * (nanos-as-long / NTZ / plain) lives in [[graft.model.Tables.eventStream]].
     */
-  /** Shared streaming source over the events fixture (TIMESTAMP(NANOS)
-    * declared long, truncated to micros — as in [[graft.model.Tables.events]]).
-    */
-  private def eventStream(spark: SparkSession, parquetDir: String, glob: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = org.apache.spark.sql.types.StructType(Schemas.events.map {
-      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
-    spark.readStream
-      .schema(nanosSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(parquetDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventStream(spark: SparkSession, parquetDir: String, glob: String): DataFrame =
+    graft.model.Tables.eventStream(spark, parquetDir, glob)
 
   def streamTumblingCounts(
       spark: SparkSession,
@@ -192,29 +178,9 @@ object EventOps {
       outDir: String,
       checkpointDir: String,
       glob: String = "events.parquet",
-      maxFilesPerTrigger: Int = 1,
-      nanosTs: Boolean = true): StreamingQuery = {
-    // nanosTs: the raw fixture carries TIMESTAMP(NANOS) (read as long,
-    // truncated to micros); re-landed copies carry plain timestamps.
-    val stream = if (nanosTs) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val nanosSchema = org.apache.spark.sql.types.StructType(Schemas.events.map {
-        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      })
-      spark.readStream
-        .schema(nanosSchema)
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(parquetDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else {
-      spark.readStream
-        .schema(Schemas.events)
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(parquetDir)
-    }
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val stream = graft.model.Tables.eventStream(spark, parquetDir, glob,
+      options = Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString))
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark2 = batch.sparkSession

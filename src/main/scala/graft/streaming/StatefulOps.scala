@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
-import graft.model.Schemas
 
 /** Custom-state streaming operators (SURVEY.md §2.10's generalized
   * extension): KeyValueGroupedDataset.mapGroupsWithState for arbitrary
@@ -17,18 +16,8 @@ object StatefulOps {
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double, ts_us: Long)
   final case class UserAgg(user_id: Long, n_events: Long, sum_value: Double, last_ts_us: Long)
 
-  private def eventStream(spark: SparkSession, parquetDir: String, glob: String) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = org.apache.spark.sql.types.StructType(Schemas.events.map {
-      case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
-    spark.readStream
-      .schema(nanosSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(parquetDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventStream(spark: SparkSession, parquetDir: String, glob: String): DataFrame =
+    graft.model.Tables.eventStream(spark, parquetDir, glob)
 
   /** Per-user running aggregate via explicit GroupState — the
     * mapGroupsWithState shape for state Spark's built-in aggs can't

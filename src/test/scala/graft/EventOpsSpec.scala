@@ -131,7 +131,7 @@ class EventOpsSpec extends GraftSpec {
     val out = base.resolve("silver").toString
     val ckpt = base.resolve("ckpt").toString
     val q = EventOps.streamUpsertLatestByUser(spark, srcDir, out, ckpt,
-      glob = "*.parquet", nanosTs = false)
+      glob = "*.parquet")
     q.processAllAvailable()
     q.stop()
     val silver = spark.read.parquet(out)
