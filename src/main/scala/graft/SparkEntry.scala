@@ -118,17 +118,30 @@ object SparkEntry {
   private val PqK = 64
   private val PqIters = 2
 
-  /** Trained PQ codebook per (session, dir) — training is deterministic
-    * (fixed-point Lloyd, see [[graft.search.Pq]]), so caching only saves
-    * the repeated training passes when embedding_pq_codes / ann_pq_top10
-    * run in one session. Value is a driver-side m×k×w Seq, O(codebook).
+  /** Extra Lloyd iterations trained beyond the search codebook, solely
+    * to witness monotonicity over a longer trajectory in
+    * pq_train_monotone. One iters=PqTrainIters run serves both: the
+    * search codebook is the trajectory's iteration-PqIters snapshot
+    * (bit-identical to a standalone iters=PqIters run — fixed-point
+    * Lloyd is deterministic), so the suite trains exactly once.
     */
-  private val pqCodebookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long, Seq[Double])]]()
-  private def trainedPqCodebook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+  private val PqTrainIters = 3
+
+  /** Trained PQ trajectory per (session, dir) — training is
+    * deterministic (fixed-point Lloyd, see [[graft.search.Pq]]), so
+    * caching only saves the repeated training passes when
+    * embedding_pq_codes / ann_pq_top10 / pq_train_monotone run in one
+    * session. Value is driver-side Seqs, O(codebook × iters).
+    */
+  private val pqCodebookCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Seq[(Int, Long, Seq[Double])]], Seq[Map[Int, Double]])]()
+  private def trainedPqTrajectory(spark: SparkSession, dir: String)
+      : (Seq[Seq[(Int, Long, Seq[Double])]], Seq[Map[Int, Double]]) =
     pqCodebookCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ =>
-      graft.search.Pq.train(spark, Tables.embeddings(spark, dir),
-        m = PqM, w = PqW, k = PqK, iters = PqIters)._1)
+      graft.search.Pq.trainTrajectory(spark, Tables.embeddings(spark, dir),
+        m = PqM, w = PqW, k = PqK, iters = PqTrainIters))
+  private def trainedPqCodebook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+    trainedPqTrajectory(spark, dir)._1(PqIters)
 
   /** One materialized inverted index per (session, dir), serving the
     * whole retrieval family (BM25 / VSM / RRF / unigram-LM) — a search
@@ -1127,11 +1140,10 @@ object SparkEntry {
     // whose DuckDB oracles replay the trainer bit-for-bit.)
     "pq_train_monotone" -> ((s, dir) => {
       import s.implicits._
-      val (_, dists) = graft.search.Pq.train(s, Tables.embeddings(s, dir),
-        m = PqM, w = PqW, k = PqK, iters = 3)
+      val dists = trainedPqTrajectory(s, dir)._2
       val rows = for {
         b <- 0 until PqM
-        i <- 1 to 3
+        i <- 1 to PqTrainIters
       } yield (b.toLong, i.toLong,
         dists(i)(b) <= dists(i - 1)(b) * (1 + 1e-12) + 1e-9)
       rows.toDF("block", "iter", "within_bound").orderBy("block", "iter")

@@ -105,13 +105,29 @@ object Pq {
     */
   def train(spark: SparkSession, emb: DataFrame, m: Int, w: Int, k: Int, iters: Int)
       : (Seq[(Int, Long, Seq[Double])], Seq[Map[Int, Double]]) = {
+    val (cbs, dists) = trainTrajectory(spark, emb, m, w, k, iters)
+    (cbs.last, dists)
+  }
+
+  /** [[train]], but returning the FULL trajectory: codebooks(i) is the
+    * codebook distortions(i) was measured under (codebooks(0) = seed,
+    * codebooks(iters) = final). Because fixed-point Lloyd is
+    * deterministic, codebooks(j) of an iters=n run is bit-identical to
+    * `train(..., iters = j)._1` — so one long run can serve every
+    * consumer that wants a shorter one (the search codebook at j=2 and
+    * the 3-iteration monotonicity trajectory share one training).
+    */
+  def trainTrajectory(spark: SparkSession, emb: DataFrame, m: Int, w: Int, k: Int, iters: Int)
+      : (Seq[Seq[(Int, Long, Seq[Double])]], Seq[Map[Int, Double]]) = {
     VectorExpressions.ensureRegistered(spark)
     val sub = subFrame(quantize(emb), m, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cb = seedCodebook(sub, k)
+      val codebooks = Seq.newBuilder[Seq[(Int, Long, Seq[Double])]]
       val distortions = Seq.newBuilder[Map[Int, Double]]
       for (i <- 0 to iters) {
+        codebooks += cb
         val assigned = assignments(sub, codebookDf(spark, cb))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -136,7 +152,7 @@ object Pq {
           }
         } finally assigned.unpersist(blocking = false)
       }
-      (cb, distortions.result())
+      (codebooks.result(), distortions.result())
     } finally sub.unpersist(blocking = false)
   }
 }
