@@ -650,6 +650,62 @@ object SparkEntry {
         .orderBy("cntrycode")
     }),
 
+    // TPC-H Q2 shape: correlated scalar MIN subquery — the classic
+    // decorrelation test the suite lacked. lineitem's (partkey,
+    // suppkey) pairs stand in for partsupp (no partsupp fixture);
+    // supplycost = cheapest observed unit price. Written in SQL ON
+    // PURPOSE so Catalyst's subquery decorrelation actually runs: the
+    // per-part correlated min must become ONE aggregated join, never a
+    // per-row subquery (PlanSpec pins it). Unit-price division and min
+    // are bit-identical on both engines (same double operands), so the
+    // supplycost equality filter is exact.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_q2_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("g_q2_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("g_q2_supplier")
+      s.sql("""
+        WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                           min(l_extendedprice / l_quantity) AS supplycost
+                    FROM g_q2_lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+               round(ps.supplycost, 4) AS supplycost
+        FROM ps JOIN g_q2_part p ON p.p_partkey = ps.partkey
+                JOIN g_q2_supplier s ON s.s_suppkey = ps.suppkey
+        WHERE p.p_size <= 10
+          AND ps.supplycost = (SELECT min(ps2.supplycost) FROM ps ps2
+                               WHERE ps2.partkey = ps.partkey)
+        ORDER BY p.p_partkey, s.s_suppkey""")
+    }),
+
+    // TPC-H Q20 shape: nested IN plus a correlated aggregate subquery
+    // in the filter (a supplier qualifies when it shipped >12% of a
+    // part's total quantity — availqty stands in via shipped volume).
+    // Quantity sums run in DECIMAL so both engines compare exact
+    // numbers. SQL on purpose: Catalyst must decorrelate the per-part
+    // total into an aggregated join and lower the INs to semi joins
+    // (PlanSpec pins the shape).
+    "q20_excess_shippers" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_q20_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("g_q20_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("g_q20_supplier")
+      s.sql("""
+        WITH cand AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+          FROM g_q20_lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM g_q20_part
+                              WHERE p_name LIKE '%widget%')
+          GROUP BY l_partkey, l_suppkey)
+        SELECT s.s_suppkey, s.s_name
+        FROM g_q20_supplier s
+        WHERE s.s_suppkey IN (
+          SELECT c.suppkey FROM cand c
+          WHERE c.qty > (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) * 0.12
+                         FROM g_q20_lineitem l2
+                         WHERE l2.l_partkey = c.partkey))
+        ORDER BY s.s_suppkey""")
+    }),
+
     "q13_order_distribution" -> ((s, dir) => {
       val o = Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT")
       val perCust = Tables.customer(s, dir)
@@ -1592,6 +1648,23 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // Incremental index maintenance (§2.10 streaming twin of the S8/M4
+    // bulk build): frozen seed-centroid codebook, embeddings shattered
+    // into 4 source files and streamed one file per micro-batch through
+    // a foreachBatch cell-assignment append (streaming/
+    // IndexMaintenance.scala). Because assignment is per-row under a
+    // frozen codebook, the final index table equals the bulk assignment
+    // no matter how rows were split into batches — the oracle
+    // recomputes it from scratch; IndexMaintenanceSpec additionally
+    // proves >1 micro-batch actually ran.
+    "ann_index_stream_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = IvfIndex.seedCentroids(emb, 8)
+      graft.streaming.IndexMaintenance.maintainFromBatch(s, emb, cent)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy("vec_id")
+    }),
+
     // F7 projection + vector norms (column pruning on the wide table).
     "vector_norms" -> ((s, dir) => {
       graft.functions.VectorExpressions.ensureRegistered(s)
@@ -2359,6 +2432,34 @@ object SparkEntry {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM r)
         |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin,
 
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |                   min(l_extendedprice / l_quantity) AS supplycost
+        |            FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+        |       round(ps.supplycost, 4) AS supplycost
+        |FROM ps JOIN part p ON p.p_partkey = ps.partkey
+        |        JOIN supplier s ON s.s_suppkey = ps.suppkey
+        |WHERE p.p_size <= 10
+        |  AND ps.supplycost = (SELECT min(ps2.supplycost) FROM ps ps2
+        |                       WHERE ps2.partkey = ps.partkey)
+        |ORDER BY p.p_partkey, s.s_suppkey""".stripMargin,
+
+    "q20_excess_shippers" ->
+      """WITH cand AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT c.suppkey FROM cand c
+        |  WHERE c.qty > (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2))) * 0.12
+        |                 FROM lineitem l2 WHERE l2.l_partkey = c.partkey))
+        |ORDER BY s.s_suppkey""".stripMargin,
+
     "q13_order_distribution" ->
       """WITH o AS (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'),
         |pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
@@ -3090,6 +3191,15 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
     },
+
+    // the streamed-append index must equal the bulk assignment (same
+    // cent/argmin/tie rules as ann_ivf_top5's asg CTE)
+    "ann_index_stream_append" ->
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cemb")} AS cdist FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rk FROM a) WHERE rk = 1)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM asg ORDER BY vec_id""".stripMargin,
 
     // invariant oracle: every non-blank doc embeds to a unit vector (a
     // blank doc would produce the zero vector; fixtures have none, but

@@ -59,6 +59,25 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k must be heap-based, not global sort")
   }
 
+  test("q2/q20: correlated subqueries decorrelate to aggregated joins") {
+    // Both queries are written as SQL with correlated scalar subqueries
+    // (q2: per-part min supplycost; q20: per-part total quantity) — the
+    // optimizer must rewrite them into ONE aggregate joined back on the
+    // correlation key. A surviving per-row subquery re-scans lineitem
+    // once per outer row: instant death at 100 TB.
+    for (q <- Seq("q2_min_cost_supplier", "q20_excess_shippers")) {
+      val p = plan(q)
+      assert(!p.contains("Subquery"),
+        s"$q: no per-row subquery may survive decorrelation")
+      assert(p.contains("HashAggregate"),
+        s"$q: the correlated aggregate must run as a real aggregate")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the decorrelated aggregate (part-grained, small) must broadcast-join back")
+    }
+    assert(plan("q20_excess_shippers").contains("LeftSemi"),
+      "q20's IN predicates must lower to semi joins")
+  }
+
   test("dedup_exact: single aggregation with map-side partial") {
     val p = plan("dedup_exact")
     // partial + final pair: two HashAggregates around one exchange

@@ -120,6 +120,68 @@ class StatefulOpsSpec extends GraftSpec {
     }
   }
 
+  test("timer expiry set at each watermark crossing equals a batch-computed oracle") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val idleMs = 3600L * 1000
+      val delayMs = 600L * 1000
+      val base = 1700000000000L
+      // 40 keys with staggered last-seen times, all inside a 45-minute
+      // span: the first batch's watermark (max ts − 10 min) sits below
+      // every timer (last + 1 h), so nothing may fire early.
+      val fed = for {
+        u <- 1L to 40L
+        i <- 0L until (u % 5 + 1)
+      } yield (u, base + u * 60000L + i * 10000L)
+      val ms = MemoryStream[(Long, Long)]
+      val src = ms.toDF().toDF("user_id", "ts_ms")
+        .withColumn("ts", timestamp_millis($"ts_ms"))
+      val q = StatefulOps.streamIdleFlushTws(src, "idle_flush_oracle",
+        watermark = "10 minutes", idleMs = idleMs)
+      try {
+        ms.addData(fed: _*)
+        q.processAllAvailable()
+        assert(spark.table("idle_flush_oracle").count() === 0,
+          "no timer may fire before the watermark crosses it")
+
+        // THE batch oracle frame: per-key event count and timer
+        // (last-seen + idle) from the exact rows fed to the stream.
+        val oracle = fed.toDF("user_id", "ts_ms").groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            (max($"ts_ms") + idleMs).as("expired_at_ms"))
+        val timers = oracle.select($"expired_at_ms").as[Long].collect().sorted
+        // a watermark strictly between two adjacent timers: exactly the
+        // keys at-or-below it must flush, never one more or one fewer
+        val tA = timers(timers.length / 2 - 1)
+        val tB = timers(timers.length / 2)
+        assert(tB - tA >= 2, "fixture spacing guarantees a gap")
+        val wm1 = tA + (tB - tA) / 2
+        ms.addData((9001L, wm1 + delayMs)) // fresh key; sets watermark = wm1
+        q.processAllAvailable()
+        val emitted1 = spark.table("idle_flush_oracle")
+          .select($"user_id", $"n_events", $"expired_at_ms")
+        val want1 = oracle.filter($"expired_at_ms" <= wm1)
+        assert(emitted1.count() === want1.count(),
+          s"watermark $wm1 must flush exactly the ${want1.count()} keys whose timers it crossed")
+        assert(emitted1.except(want1).isEmpty && want1.except(emitted1).isEmpty)
+
+        // push the watermark past every remaining timer (including the
+        // first pusher's own): the full oracle set must now have fired,
+        // each key exactly once, at exactly its registered expiry.
+        ms.addData((9002L, wm1 + delayMs + 100L * 86400000L))
+        q.processAllAvailable()
+        val wantAll = oracle.unionByName(
+          Seq((9001L, 1L, wm1 + delayMs + idleMs))
+            .toDF("user_id", "n_events", "expired_at_ms"))
+        val emittedAll = spark.table("idle_flush_oracle")
+          .select($"user_id", $"n_events", $"expired_at_ms")
+        assert(emittedAll.count() === wantAll.count(), "each key flushes exactly once")
+        assert(emittedAll.except(wantAll).isEmpty && wantAll.except(emittedAll).isEmpty)
+      } finally q.stop()
+    }
+  }
+
   test("streaming funnel: final per-user emission equals the batch funnel") {
     val stages = Seq("view", "click", "purchase")
     val q = StatefulOps.streamFunnel(spark, sfDir, "funnel_stream", stages)
