@@ -1186,6 +1186,54 @@ object SparkEntry {
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
 
+    // IVFADC end-to-end (Jégou et al., TPAMI'11 — the full production
+    // ANN pipeline, composing the pieces the suite verifies separately):
+    // the IVF coarse probe prunes the corpus to nprobe=2 of 8 cells
+    // (at 100 TB: partition pruning on the cell-partitioned codes
+    // table, ~75% of the scan never read), PQ ADC ranks the survivors
+    // from 16 one-byte codes per vector (float vectors untouched), and
+    // a top-50 exact re-rank restores recall. Every stage is the
+    // already-hash-matched building block (ann_ivf_top5's assignment,
+    // ann_pq_top10's trained-codebook ADC), so the composition's oracle
+    // is their composed SQL.
+    "ann_ivfpq_top10" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val cent = IvfIndex.seedCentroids(emb, 8)
+      val assigned = IvfIndex.assign(emb, cent).select(col("vec_id"), col("cell"))
+      val qEmb = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+      val probed = cent.crossJoin(broadcast(qEmb))
+        .select(col("cid"),
+          sqrt(graft.functions.VectorExpressions.l2Sq(col("cemb"), col("qemb"))).as("cdist"))
+        .orderBy(col("cdist"), col("cid")).limit(2)
+        .select(col("cid").cast("long").as("cell"))
+      val survivors = assigned.join(broadcast(probed),
+        assigned("cell").cast("long") === probed("cell"))
+        .select(assigned("vec_id"))
+      val cbDf = graft.search.Pq.codebookDf(s, trainedPqCodebook(s, dir))
+      val sub = graft.search.Pq.subFrame(graft.search.Pq.quantize(emb), PqM, PqW)
+      val codes = graft.search.Pq.assignments(sub, cbDf)
+        .select(col("vec_id"), col("block"), col("code"))
+        .join(survivors, Seq("vec_id")) // the pruned scan at scale
+      val qd = sub.filter(col("vec_id") === 0)
+        .join(broadcast(cbDf), Seq("block"))
+        .select(col("block"), col("code"),
+          graft.functions.VectorExpressions.l2SqD(col("sub"), col("csub")).as("qd2"))
+      val adc = codes.join(broadcast(qd), Seq("block", "code"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("block"), col("qd2")))).as("a"))
+        .select(col("vec_id"),
+          aggregate(transform(col("a"), x => x.getField("qd2")),
+            lit(0.0), (acc, v) => acc + v).as("d2"))
+      val cand = adc.orderBy(col("d2"), col("vec_id")).limit(50)
+        .select(col("vec_id"))
+      cand.join(emb, Seq("vec_id")).crossJoin(broadcast(qEmb))
+        .select(col("vec_id"),
+          sqrt(graft.functions.VectorExpressions.l2Sq(col("embedding"), col("qemb"))).as("dist"))
+        .orderBy(round(col("dist"), 6), col("vec_id")).limit(10)
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
+
     // PQ codebook TRAINING invariant (fixed-point Lloyd at the search
     // geometry): per-block distortion is non-increasing across
     // iterations (both half-steps are projections). Emits that verdict
@@ -2894,6 +2942,37 @@ object SparkEntry {
          |        GROUP BY f.vec_id),
          |cand AS (SELECT vec_id FROM adc ORDER BY d2, vec_id LIMIT 50),
          |qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${l2Sql("e.embedding", "qemb")}, 4) AS dist
+         |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
+         |ORDER BY round(${l2Sql("e.embedding", "qemb")}, 6), e.vec_id LIMIT 10""".stripMargin,
+
+    // IVFADC = ann_ivf_top5's cell assignment/probe CTEs composed with
+    // ann_pq_top10's trained-codebook ADC CTEs, ADC restricted to the
+    // probed cells' survivors.
+    "ann_ivfpq_top10" ->
+      s"""WITH ${pqTrainCtesSql(PqM, PqW, PqK, PqIters)},
+         |cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |ca AS (SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cemb")} AS cdist FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rk FROM ca) WHERE rk = 1),
+         |qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |probes AS (SELECT cid AS cell FROM (
+         |  SELECT c.cid, ${l2Sql("c.cemb", "qemb")} AS cdist FROM cent c CROSS JOIN qv)
+         |  ORDER BY cdist, cid LIMIT 2),
+         |survivors AS (SELECT vec_id FROM asg JOIN probes USING (cell)),
+         |final AS (SELECT vec_id, block, code FROM (
+         |    SELECT s.vec_id, s.block, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.block
+         |                         ORDER BY ${pqD2Sql("s.sub", "c.csub", PqW)} ASC, c.code ASC) AS rn
+         |    FROM sub s JOIN cb$PqIters c ON s.block = c.block
+         |    WHERE s.vec_id IN (SELECT vec_id FROM survivors)) WHERE rn = 1),
+         |qd AS (SELECT c.block, c.code, ${pqD2Sql("q.sub", "c.csub", PqW)} AS qd2
+         |       FROM cb$PqIters c
+         |       JOIN (SELECT block, sub FROM sub WHERE vec_id = 0) q ON q.block = c.block),
+         |adc AS (SELECT f.vec_id, list_sum(list(q.qd2 ORDER BY f.block)) AS d2
+         |        FROM final f JOIN qd q ON q.block = f.block AND q.code = f.code
+         |        GROUP BY f.vec_id),
+         |cand AS (SELECT vec_id FROM adc ORDER BY d2, vec_id LIMIT 50)
          |SELECT e.vec_id, round(${l2Sql("e.embedding", "qemb")}, 4) AS dist
          |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
          |ORDER BY round(${l2Sql("e.embedding", "qemb")}, 6), e.vec_id LIMIT 10""".stripMargin,

@@ -78,6 +78,19 @@ class PlanSpec extends GraftSpec {
       "q20's IN predicates must lower to semi joins")
   }
 
+  test("ann_ivfpq_top10: cell prune and ADC LUT are broadcast equi-joins, never cartesian") {
+    val p = plan("ann_ivfpq_top10")
+    // cell pruning must be the (tiny) probed-cells broadcast equi-join —
+    // at 100 TB this becomes partition pruning on the cell-partitioned
+    // codes table; a cartesian here reads the whole corpus per query
+    assert(p.contains("BroadcastHashJoin [cast(cell"),
+      "probed cells must prune via a broadcast equi-join on cell")
+    assert(p.contains("BroadcastHashJoin [block"),
+      "the ADC lookup table must broadcast onto the codes")
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast cartesian anywhere in the IVFADC pipeline")
+  }
+
   test("dedup_exact: single aggregation with map-side partial") {
     val p = plan("dedup_exact")
     // partial + final pair: two HashAggregates around one exchange

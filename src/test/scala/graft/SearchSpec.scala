@@ -151,4 +151,23 @@ class SearchSpec extends GraftSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(rows(got) === rows(again))
   }
+
+  test("IVFADC composition clears a recall floor against exact search") {
+    import org.apache.spark.sql.functions.{broadcast, col, sqrt}
+    // the full production pipeline: coarse probe (2/8 cells) → ADC over
+    // trained codes → exact re-rank. Measured 1.0 at sf0.001/sf0.01;
+    // the floor is intentionally looser so codebook/centroid tweaks
+    // don't break the build over a fixture wiggle.
+    val ivfpq = SparkEntry.queries("ann_ivfpq_top10")(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    val exact = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        sqrt(graft.functions.VectorExpressions.l2Sq(col("embedding"), col("qemb"))).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = ivfpq.intersect(exact).size / 10.0
+    assert(recall >= 0.8, s"ivfadc recall@10 = $recall")
+  }
 }
