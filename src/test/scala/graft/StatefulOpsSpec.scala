@@ -182,6 +182,23 @@ class StatefulOpsSpec extends GraftSpec {
     }
   }
 
+  test("transformWithState lowers to TransformWithStateExec (streaming plan pin)") {
+    withRocksDb {
+      val q = StatefulOps.streamUserStatsTws(spark, sfDir, "tws_plan_pin")
+      try {
+        q.processAllAvailable()
+        val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+          .streamingQuery.lastExecution.executedPlan.toString
+        assert(exec.contains("TransformWithState"),
+          "expected the v2 stateful operator node in the executed micro-batch plan")
+        // the stateful exchange must be the keyed hash partitioning the
+        // state store requires — state rows live with their key forever
+        assert(exec.contains("REQUIRED_BY_STATEFUL_OPERATOR"),
+          "the key exchange must be the stateful operator's required distribution")
+      } finally q.stop()
+    }
+  }
+
   test("streaming funnel: final per-user emission equals the batch funnel") {
     val stages = Seq("view", "click", "purchase")
     val q = StatefulOps.streamFunnel(spark, sfDir, "funnel_stream", stages)
