@@ -67,6 +67,43 @@ class FixtureSchemaSpec extends GraftSpec {
     assert(c("c_acctbal").isInstanceOf[NumericType])
   }
 
+  test("the three historical ts encodings normalize to identical instants") {
+    // The driver has shipped events.ts as TIMESTAMP(NANOS) (readable
+    // only as a nanos long), timestamp[us]/NTZ, and could ship plain
+    // TIMESTAMP next. Materialize the SAME logical events in all three
+    // encodings and prove the loader yields identical rows for each.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    val micros = Seq(1700000000000000L, 1700000000123456L, 1700003600999999L)
+    val rows = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us, i.toLong * 7, s"t$i", i * 1.5, s"""{"k":$i}""")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_enc")
+    def dirFor(name: String): String = {
+      val d = base.resolve(name); java.nio.file.Files.createDirectory(d); d.toString
+    }
+    val nanosDir = dirFor("nanos")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts") * 1000L) // nanos-as-long encoding
+      .write.parquet(s"$nanosDir/events.parquet")
+    val ntzDir = dirFor("ntz")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+      .write.parquet(s"$ntzDir/events.parquet")
+    val tsDir = dirFor("ts")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .write.parquet(s"$tsDir/events.parquet")
+    val loaded = Seq(nanosDir, ntzDir, tsDir).map { d =>
+      Tables.events(spark, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val want = rows.map(r => (r._1, r._2)).toSet
+    for ((got, enc) <- loaded.zip(Seq("nanos-long", "ntz", "timestamp")))
+      assert(got === want, s"$enc encoding drifted after normalization")
+  }
+
   test("all three scale fixtures agree on the events ts encoding") {
     // If the driver regenerates only SOME scales, Verify (sf0.01) and Bench
     // (sf0.1) would diverge from the sf0.001 tests — catch that skew here.
