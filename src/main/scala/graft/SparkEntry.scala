@@ -99,8 +99,10 @@ object SparkEntry {
     val it2 = searchIndexCache.entrySet().iterator()
     while (it2.hasNext) {
       val e = it2.next()
-      try e.getValue._1.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      e.getValue.persistedFrames.foreach { f =>
+        try f.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
       it2.remove()
     }
     pqCodebookCache.clear() // driver-side Seqs, nothing persisted
@@ -151,12 +153,31 @@ object SparkEntry {
     * count-sized, spills rather than OOMs); the 1-row stats frame is
     * cheap but rides along so every scorer shares one build.
     */
+  /** The materialized retrieval index: postings plus every doc-side
+    * frame that is a pure function of them — BM25's idf, VSM's idf /
+    * tf·idf weights / per-doc norms. A real search system computes all
+    * of these at index-build time (the norms are the one aggregate that
+    * must touch every term of every doc); caching only the postings
+    * made each VSM/RRF query repeat that full-postings pass.
+    */
+  private[graft] final case class SearchIndexBundle(
+      post: DataFrame, stats: DataFrame, bm25Idf: DataFrame,
+      vsmIdf: DataFrame, vsmWeighted: DataFrame, vsmDocNorm: DataFrame) {
+    def persistedFrames: Seq[DataFrame] =
+      Seq(post, bm25Idf, vsmIdf, vsmWeighted, vsmDocNorm)
+  }
+
   private val searchIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
-  private def sharedSearchIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    new java.util.concurrent.ConcurrentHashMap[String, SearchIndexBundle]()
+  private def sharedSearchIndex(spark: SparkSession, dir: String): SearchIndexBundle =
     searchIndexCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val (post, stats) = TextSearch.buildIndex(Tables.documents(spark, dir), "doc_id", "text")
-      (post.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), stats)
+      val p = post.persist(lvl)
+      val (vIdf, weighted, docNorm) = TextSearch.vsmDocSide(p, stats)
+      SearchIndexBundle(p, stats,
+        TextSearch.bm25Idf(p, stats).persist(lvl),
+        vIdf.persist(lvl), weighted.persist(lvl), docNorm.persist(lvl))
     })
 
   /** DuckDB L2 distance between two array columns, arithmetic mirrored
@@ -1257,7 +1278,7 @@ object SparkEntry {
     // log-likelihood under the corpus MLE LM (see TextSearch Scaladoc
     // for the shuffle budget). The low tail is the gibberish filter.
     "doc_unigram_logprob" -> ((s, dir) =>
-      TextSearch.unigramLogProbFrom(sharedSearchIndex(s, dir)._1)
+      TextSearch.unigramLogProbFrom(sharedSearchIndex(s, dir).post)
         .select(col("doc_id"), col("n_tokens"), round(col("mean_logprob"), 4).as("mean_logprob"))
         .orderBy("doc_id")),
 
@@ -1382,8 +1403,8 @@ object SparkEntry {
     // materialized inverted index (broadcast query-term probe;
     // WindowGroupLimit top-k).
     "search_bm25" -> ((s, dir) => {
-      val (post, stats) = sharedSearchIndex(s, dir)
-      TextSearch.bm25From(post, stats, searchQueryFrame(s), 10)
+      val idx = sharedSearchIndex(s, dir)
+      TextSearch.bm25FromIdf(idx.post, idx.bm25Idf, searchQueryFrame(s), 10)
         .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("rk"),
           round(col("score"), 4).as("score"))
         .orderBy("query_id", "rk")
@@ -1392,8 +1413,9 @@ object SparkEntry {
     // Vector-space-model TF-IDF cosine top-10: the sparse counterpart of
     // knn_cosine_top10, dot product over shared terms only.
     "search_vsm_cosine" -> ((s, dir) => {
-      val (post, stats) = sharedSearchIndex(s, dir)
-      TextSearch.vsmCosineFrom(post, stats, searchQueryFrame(s), 10)
+      val idx = sharedSearchIndex(s, dir)
+      TextSearch.vsmCosineFromParts(idx.vsmIdf, idx.vsmWeighted, idx.vsmDocNorm,
+        searchQueryFrame(s), 10)
         .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("rk"),
           round(col("score"), 4).as("score"))
         .orderBy("query_id", "rk")
@@ -1402,8 +1424,9 @@ object SparkEntry {
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 and VSM
     // rankings (the Elasticsearch/Weaviate hybrid-endpoint shape).
     "search_hybrid_rrf" -> ((s, dir) => {
-      val (post, stats) = sharedSearchIndex(s, dir)
-      TextSearch.hybridRrfFrom(post, stats, searchQueryFrame(s), 10)
+      val idx = sharedSearchIndex(s, dir)
+      TextSearch.hybridRrfFromParts(idx.post, idx.bm25Idf, idx.vsmIdf,
+        idx.vsmWeighted, idx.vsmDocNorm, searchQueryFrame(s), 10)
         .select(col("query_id"), col("doc_id"), col("rk").cast("long").as("rk"),
           col("rk_bm25").cast("long").as("rk_bm25"), col("rk_vsm").cast("long").as("rk_vsm"),
           round(col("rrf"), 6).as("rrf"))

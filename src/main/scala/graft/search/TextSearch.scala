@@ -110,11 +110,21 @@ object TextSearch {
            k: Int = 10): DataFrame =
     bm25From(postings(docs, idCol, textCol), corpusStats(docs, textCol), queries, k)
 
-  def bm25From(post: DataFrame, stats: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val idf = docFreq(post).crossJoin(stats)
+  /** BM25's vocab-sized (term, idf, avgdl) frame — a pure function of
+    * the postings, so an index owner materializes it once (see
+    * SparkEntry's shared bundle) instead of re-aggregating the full
+    * postings list per query.
+    */
+  def bm25Idf(post: DataFrame, stats: DataFrame): DataFrame =
+    docFreq(post).crossJoin(stats)
       .select(col("term"),
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
         col("avgdl"))
+
+  def bm25From(post: DataFrame, stats: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bm25FromIdf(post, bm25Idf(post, stats), queries, k)
+
+  def bm25FromIdf(post: DataFrame, idf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val matched = post
       .join(broadcast(queryTerms(queries)), Seq("term"))
       .join(broadcast(idf), Seq("term"))
@@ -138,7 +148,13 @@ object TextSearch {
                 k: Int = 10): DataFrame =
     vsmCosineFrom(postings(docs, idCol, textCol), corpusStats(docs, textCol), queries, k)
 
-  def vsmCosineFrom(post: DataFrame, stats: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** VSM's doc-side frames — smooth idf (vocab-sized), tf·idf weighted
+    * postings, per-doc norms. All pure functions of the postings; the
+    * norms are the one aggregate that must touch EVERY term of every
+    * doc, which is exactly why an index owner materializes them at
+    * build time rather than per query.
+    */
+  def vsmDocSide(post: DataFrame, stats: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val idf = docFreq(post).crossJoin(stats.select(col("n_docs")))
       .select(col("term"),
         (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
@@ -147,6 +163,16 @@ object TextSearch {
       .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("w"))
     val docNorm = weighted.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
+    (idf, weighted, docNorm)
+  }
+
+  def vsmCosineFrom(post: DataFrame, stats: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val (idf, weighted, docNorm) = vsmDocSide(post, stats)
+    vsmCosineFromParts(idf, weighted, docNorm, queries, k)
+  }
+
+  def vsmCosineFromParts(idf: DataFrame, weighted: DataFrame, docNorm: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     // Query-side weights and norms: vocab-sized frames.
     val qw = queryTerms(queries).join(broadcast(idf), Seq("term"))
       .select(col("query_id"), col("term"), col("idf").as("qw"))
@@ -189,10 +215,18 @@ object TextSearch {
 
   def hybridRrfFrom(post: DataFrame, stats: DataFrame, queries: DataFrame,
                     k: Int, candMult: Int = 100): DataFrame = {
+    val (idf, weighted, docNorm) = vsmDocSide(post, stats)
+    hybridRrfFromParts(post, bm25Idf(post, stats), idf, weighted, docNorm,
+      queries, k, candMult)
+  }
+
+  def hybridRrfFromParts(post: DataFrame, bIdf: DataFrame, vIdf: DataFrame,
+      weighted: DataFrame, docNorm: DataFrame, queries: DataFrame,
+      k: Int, candMult: Int = 100): DataFrame = {
     val kPrime = k * candMult
-    val b = bm25From(post, stats, queries, k = kPrime)
+    val b = bm25FromIdf(post, bIdf, queries, k = kPrime)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_bm25"))
-    val v = vsmCosineFrom(post, stats, queries, k = kPrime)
+    val v = vsmCosineFromParts(vIdf, weighted, docNorm, queries, k = kPrime)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_vsm"))
     def contrib(rk: org.apache.spark.sql.Column) =
       when(rk > 0, lit(1.0) / (lit(RrfK.toDouble) + rk)).otherwise(lit(0.0))
