@@ -107,9 +107,11 @@ object Bench {
       // Shared-cache builders run to completion BEFORE their dependents
       // are submitted — persist() does not dedupe in-flight partition
       // computation (the r5 4× stampede): dedup_ngram_jaccard feeds the
-      // pair-list cache, search_bm25 materializes the shared inverted
-      // index for the vsm/rrf/logprob scorers.
-      val cacheBuilders = Seq("dedup_ngram_jaccard", "search_bm25")
+      // pair-list cache; search_bm25 materializes the shared postings +
+      // its idf frame, and search_vsm_cosine the VSM doc-side frames
+      // (weights + norms — bm25 never touches them), so the rrf/logprob
+      // consumers find every bundle frame already computed.
+      val cacheBuilders = Seq("dedup_ngram_jaccard", "search_bm25", "search_vsm_cosine")
         .filter(pooledNames.contains)
       cacheBuilders.foreach(runOne)
       serialNames.foreach(runOne)

@@ -90,4 +90,25 @@ class TextSearchSpec extends GraftSpec {
     assert(capped.exceptAll(full).isEmpty && full.exceptAll(capped).isEmpty,
       "capped RRF must reproduce the full-ranking fused top-10 on the fixtures")
   }
+
+  test("bundled FromParts scorers are row-identical to the unbundled paths") {
+    // SparkEntry serves vsm/rrf from pre-materialized doc-side frames;
+    // this differential pins that the split introduced no arithmetic
+    // or ordering drift against the original single-call formulation.
+    val (post, stats) = TextSearch.buildIndex(docs, "doc_id", "text")
+    val (vIdf, weighted, docNorm) = TextSearch.vsmDocSide(post, stats)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"doc_id", $"rk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val vsmA = rows(TextSearch.vsmCosineFrom(post, stats, queries, 10))
+    val vsmB = rows(TextSearch.vsmCosineFromParts(vIdf, weighted, docNorm, queries, 10))
+    assert(vsmA === vsmB)
+    val bmA = rows(TextSearch.bm25From(post, stats, queries, 10))
+    val bmB = rows(TextSearch.bm25FromIdf(post, TextSearch.bm25Idf(post, stats), queries, 10))
+    assert(bmA === bmB)
+    val rrfA = rows(TextSearch.hybridRrfFrom(post, stats, queries, 10))
+    val rrfB = rows(TextSearch.hybridRrfFromParts(post,
+      TextSearch.bm25Idf(post, stats), vIdf, weighted, docNorm, queries, 10))
+    assert(rrfA === rrfB)
+  }
 }
