@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed by batched
   * per-partition transforms.
   *
-  * The decode step itself is STUBBED (no image/audio libraries in this
-  * environment — see [[DecodeStub]]); everything Spark-side is real:
-  * schema, binary column handling, partition-batched UDF shape, and the
-  * metadata extraction that IS engine-portable (sizes, digests, magic
-  * bytes). At 100 TB the payloads live in parquet binary columns (or
-  * object-store paths) and the per-partition transform is the unit of
-  * parallelism — identical plumbing to what mapInPandas does in PySpark.
+  * IMAGE decode and resize are REAL for JDK-supported formats
+  * (PNG/BMP/GIF/JPEG via javax.imageio + headless AWT — zero new
+  * dependencies; see [[decodeImages]]/[[resizeImages]], proven on real
+  * PNG bytes in MultimodalSpec). Audio/video decode remains STUBBED
+  * (no codec library in this environment — see [[DecodeStub]]);
+  * everything Spark-side is real either way: schema, binary column
+  * handling, partition-batched UDF shape, and the metadata extraction
+  * that IS engine-portable (sizes, digests, magic bytes). At 100 TB
+  * the payloads live in parquet binary columns (or object-store paths)
+  * and the per-partition transform is the unit of parallelism —
+  * identical plumbing to what mapInPandas does in PySpark.
   */
 object Multimodal {
 
@@ -85,6 +89,85 @@ object Multimodal {
             s"transform(sequence(0, int(n_frames) - 1), i -> substring(payload, i * $stride + 1, $frameLen))")))
       .select(col("id"), col("n_frames"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
       .withColumn("frame_md5", md5(col("frame")))
+  }
+
+  final case class ImageInfo(
+      id: Long, is_image: Boolean, width: Int, height: Int, mean_rgb: Array[Float])
+
+  /** REAL image decode for JDK-supported formats (PNG / BMP / GIF /
+    * JPEG via javax.imageio — zero new dependencies; the same
+    * headless-JDK contract ChartSink already relies on). Emits
+    * dimensions plus a mean-RGB feature vector; a payload ImageIO
+    * cannot parse (including every text-derived fixture payload)
+    * degrades to is_image = false with empty features instead of
+    * failing the partition — the per-row error-capture contract the
+    * ingest path (S2) uses. Batched per partition like every other
+    * media transform; a native decoder for formats the JDK lacks slots
+    * into the same signature.
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageInfo] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            if (img == null) ImageInfo(r.id, is_image = false, 0, 0, Array.empty)
+            else {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (img.getWidth.toLong * img.getHeight).max(1L).toFloat
+              ImageInfo(r.id, is_image = true, img.getWidth, img.getHeight,
+                Array(sr / n, sg / n, sb / n))
+            }
+          } catch {
+            case _: Exception => ImageInfo(r.id, is_image = false, 0, 0, Array.empty)
+          }
+        }
+      }
+  }
+
+  /** REAL thumbnail resize via headless-AWT bilinear scaling, re-encoded
+    * as PNG bytes. Non-image payloads pass through as empty thumbnails
+    * (same degrade-don't-fail contract as [[decodeImages]]).
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      outW: Int = 16, outH: Int = 16): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    require(outW > 0 && outH > 0, "thumbnail dims must be positive")
+    media.select(col("id"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val thumb =
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+              if (img == null) Array.empty[Byte]
+              else {
+                val out = new java.awt.image.BufferedImage(
+                  outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                try {
+                  g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, outW, outH, null)
+                } finally g.dispose()
+                val baos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", baos)
+                baos.toByteArray
+              }
+            } catch { case _: Exception => Array.empty[Byte] }
+          (r.id, thumb)
+        }
+      }
   }
 
   /** Resize stub — the image-thumbnail shape: payload bytes reduced to a

@@ -54,4 +54,48 @@ class MultimodalSpec extends GraftSpec {
     val out = Multimodal.resizeStub(spark, one).head()
     assert(out._2.forall(_ == 42))
   }
+
+  /** A solid-color PNG, generated with the same JDK ImageIO the decoder
+    * uses — real image bytes without any fixture or external library.
+    */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("decodeImages: real PNG bytes yield dims and mean color; text payloads degrade") {
+    val rows = Seq(
+      (1L, pngBytes(8, 4, 0xff0000)),  // solid red
+      (2L, pngBytes(3, 5, 0x0080ff)),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val decoded = Multimodal.decodeImages(spark, rows.toDF("id", "payload"))
+      .collect().map(i => i.id -> i).toMap
+    assert(decoded(1L).is_image && decoded(1L).width === 8 && decoded(1L).height === 4)
+    assert(decoded(1L).mean_rgb.toSeq === Seq(255f, 0f, 0f))
+    assert(decoded(2L).is_image && decoded(2L).width === 3 && decoded(2L).height === 5)
+    assert(decoded(2L).mean_rgb.toSeq === Seq(0f, 128f, 255f))
+    assert(!decoded(3L).is_image && decoded(3L).mean_rgb.isEmpty)
+  }
+
+  test("resizeImages: thumbnail roundtrips through the decoder at the target dims") {
+    val rows = Seq(
+      (1L, pngBytes(32, 16, 0x00ff00)), // solid green survives scaling exactly
+      (2L, "still not an image".getBytes("UTF-8")))
+    val thumbs = Multimodal.resizeImages(spark, rows.toDF("id", "payload"), outW = 4, outH = 4)
+      .collect().toMap
+    assert(thumbs(2L).isEmpty, "non-image payloads degrade to empty thumbnails")
+    val back = Multimodal.decodeImages(spark,
+      Seq((1L, thumbs(1L))).toDF("id", "payload")).head()
+    assert(back.is_image && back.width === 4 && back.height === 4)
+    assert(back.mean_rgb.toSeq === Seq(0f, 255f, 0f))
+  }
+
+  test("decodeImages over the fixture corpus: every text payload degrades, none throws") {
+    val decoded = Multimodal.decodeImages(spark, media)
+    assert(decoded.filter(_.is_image).count() === 0)
+    assert(decoded.count() === media.count())
+  }
 }
