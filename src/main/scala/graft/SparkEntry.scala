@@ -671,6 +671,40 @@ object SparkEntry {
         .orderBy("cntrycode")
     }),
 
+    // TPC-H Q9 shape: profit by nation and year. supplycost reuses the
+    // q2 stand-in (min observed unit price per (part, supp) — no
+    // partsupp fixture), cast DECIMAL(18,6) so the per-line profit and
+    // its sum are exact decimals on both engines (a double supplycost
+    // would make Σ order-dependent). Dims broadcast; the one fact-fact
+    // join (lineitem ⋈ orders for the year) shuffles on orderkey, the
+    // classic q9 backbone. The supplycost frame is partsupp-grained
+    // (|pairs| << |lineitem|) → broadcast, like q17's threshold frame.
+    "q9_profit_by_nation_year" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      // Exact cross-engine arithmetic via integer MICRO-units: a
+      // double->DECIMAL cast of the unit-price ratio rounds differently
+      // per engine at the 6th decimal, but floor(x * 1e6) of the SAME
+      // double is bit-identical everywhere (the engine-stable floor
+      // rounding contract used across the suite), and from there every
+      // sum is an exact BIGINT.
+      val sc = li.groupBy(col("l_partkey").as("sc_part"), col("l_suppkey").as("sc_supp"))
+        .agg(floor(min(col("l_extendedprice") / col("l_quantity")) * 1000000L)
+          .cast("long").as("sc_micros"))
+      li.join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(sc),
+          col("l_partkey") === col("sc_part") && col("l_suppkey") === col("sc_supp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(((sum(
+          (col("l_extendedprice").cast("decimal(14,2)")
+            * (lit(1) - col("l_discount").cast("decimal(6,4)")) * 1000000L).cast("long")
+            - col("sc_micros") * col("l_quantity").cast("long"))
+          .cast("double")) / 1000000.0).as("profit"))
+        .orderBy("nation", "o_year")
+    }),
+
     // TPC-H Q2 shape: correlated scalar MIN subquery — the classic
     // decorrelation test the suite lacked. lineitem's (partkey,
     // suppkey) pairs stand in for partsupp (no partsupp fixture);
@@ -1205,6 +1239,41 @@ object SparkEntry {
           sqrt(graft.functions.VectorExpressions.l2Sq(col("embedding"), col("qemb"))).as("dist"))
         .orderBy(round(col("dist"), 6), col("vec_id")).limit(10)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
+
+    // REAL image decode under oracle check: render one solid-color PNG
+    // per document with closed-form dims/color from doc_id (JDK ImageIO,
+    // in the same per-partition batch the decoder uses), decode it back
+    // with Multimodal.decodeImages, and emit the recovered dims + mean
+    // RGB. A solid color's mean is exactly the color and the dims are
+    // exactly the render dims, so DuckDB pins the whole encode→decode
+    // path with pure arithmetic — the multimodal component's first
+    // hash-matched row that exercises actual image bytes.
+    "multimodal_decode_rgb" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 2 + (id % 6).toInt
+            val h = 2 + (id % 4).toInt
+            val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            (id, baos.toByteArray)
+          }
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.decodeImages(s, media)
+        .filter(col("is_image"))
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          element_at(col("mean_rgb"), 1).cast("long").as("r"),
+          element_at(col("mean_rgb"), 2).cast("long").as("g"),
+          element_at(col("mean_rgb"), 3).cast("long").as("b"))
+        .orderBy("doc_id")
     }),
 
     // IVFADC end-to-end (Jégou et al., TPAMI'11 — the full production
@@ -2503,6 +2572,22 @@ object SparkEntry {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM r)
         |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin,
 
+    "q9_profit_by_nation_year" ->
+      """WITH sc AS (SELECT l_partkey AS sc_part, l_suppkey AS sc_supp,
+        |    CAST(floor(min(l_extendedprice / l_quantity) * 1000000) AS BIGINT) AS sc_micros
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(6,4))) * 1000000 AS BIGINT)
+        |      - sc.sc_micros * CAST(l.l_quantity AS BIGINT)) AS DOUBLE) / 1000000 AS profit
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN sc ON sc.sc_part = l.l_partkey AND sc.sc_supp = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year""".stripMargin,
+
     "q2_min_cost_supplier" ->
       """WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
         |                   min(l_extendedprice / l_quantity) AS supplycost
@@ -2968,6 +3053,16 @@ object SparkEntry {
          |SELECT e.vec_id, round(${l2Sql("e.embedding", "qemb")}, 4) AS dist
          |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
          |ORDER BY round(${l2Sql("e.embedding", "qemb")}, 6), e.vec_id LIMIT 10""".stripMargin,
+
+    // the decoder must recover exactly the closed-form render params
+    "multimodal_decode_rgb" ->
+      """SELECT doc_id,
+        |  CAST(2 + doc_id % 6 AS BIGINT) AS width,
+        |  CAST(2 + doc_id % 4 AS BIGINT) AS height,
+        |  CAST(doc_id % 256 AS BIGINT) AS r,
+        |  CAST((doc_id * 7) % 256 AS BIGINT) AS g,
+        |  CAST((doc_id * 13) % 256 AS BIGINT) AS b
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // IVFADC = ann_ivf_top5's cell assignment/probe CTEs composed with
     // ann_pq_top10's trained-codebook ADC CTEs, ADC restricted to the
