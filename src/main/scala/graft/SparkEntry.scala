@@ -497,15 +497,20 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
-    // Broadcast-join pipeline: TPC-H Q3-shaped top-revenue orders.
+    // TPC-H Q3-shaped top-revenue orders. NO broadcast hints: the
+    // customer segment (~1/5 of customer) and the semi-reduced orders
+    // (~20% of orders) both grow linearly with SF, so a forced
+    // broadcast would OOM at 100×. AQE picks broadcast at fixture
+    // scale on its own and degrades to shuffled hash join at scale —
+    // exactly the adaptive behavior we want.
     "q3_top_orders" -> ((s, dir) => {
       val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, dir)
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
       val rev = col("l_extendedprice").cast("decimal(14,2)") *
         (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
       Tables.lineitem(s, dir)
-        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(rev), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -675,10 +680,13 @@ object SparkEntry {
     // q2 stand-in (min observed unit price per (part, supp) — no
     // partsupp fixture), cast DECIMAL(18,6) so the per-line profit and
     // its sum are exact decimals on both engines (a double supplycost
-    // would make Σ order-dependent). Dims broadcast; the one fact-fact
-    // join (lineitem ⋈ orders for the year) shuffles on orderkey, the
-    // classic q9 backbone. The supplycost frame is partsupp-grained
-    // (|pairs| << |lineitem|) → broadcast, like q17's threshold frame.
+    // would make Σ order-dependent). Only true dimension tables
+    // (supplier, nation) carry broadcast hints. The supplycost frame
+    // is partsupp-grained — 80M rows at TPC-H sf100, linear in SF —
+    // so it is NOT hinted: AQE broadcasts it at fixture scale and
+    // falls back to a shuffled hash join on the composite key at
+    // 100×, the plan you want. The fact-fact join (lineitem ⋈
+    // orders) shuffles on orderkey, the classic q9 backbone.
     "q9_profit_by_nation_year" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       // Exact cross-engine arithmetic via integer MICRO-units: a
@@ -692,7 +700,7 @@ object SparkEntry {
           .cast("long").as("sc_micros"))
       li.join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(sc),
+        .join(sc,
           col("l_partkey") === col("sc_part") && col("l_suppkey") === col("sc_supp"))
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"),
@@ -794,8 +802,10 @@ object SparkEntry {
     // average quantity. The per-part threshold is EXACT on both engines
     // because quantities are integral doubles (sum < 2^53 is
     // order-independent; avg = one division; ×0.2 one more op), so the
-    // boundary comparison cannot flip. Threshold frame is |brand parts|
-    // rows → broadcast back; lineitem side scans once per use.
+    // boundary comparison cannot flip. The filtered-part dim (1/25 of
+    // part) broadcasts; the per-part threshold frame is |brand parts|
+    // rows — still linear in SF, so it carries NO hint and AQE decides
+    // (broadcast at fixture scale, shuffled hash join at 100×).
     "q17_small_qty_revenue" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val joined = li.join(broadcast(
@@ -803,7 +813,7 @@ object SparkEntry {
         col("l_partkey") === col("p_partkey"))
       val thresh = joined.groupBy(col("l_partkey").as("tp"))
         .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
-      joined.join(broadcast(thresh), col("l_partkey") === col("tp"))
+      joined.join(thresh, col("l_partkey") === col("tp"))
         .filter(col("l_quantity") < col("qty_thresh"))
         .agg((round(sum(col("l_extendedprice").cast("decimal(14,2)")), 2).cast("double")
           / 7.0).as("avg_yearly"),
@@ -833,7 +843,11 @@ object SparkEntry {
         .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")),
           col("l_partkey") === col("p_partkey"))
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+        // regionCust is customer-grained (~1/5 of customer, linear in
+        // SF) → no hint; AQE broadcasts at fixture scale, shuffles at
+        // 100×. suppNation is supplier-grained (SF×10k, the smallest
+        // linear table, ~40 B/row projected) → hint stays.
+        .join(regionCust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(round(sum(rev), 2).cast("double").as("total_revenue"),
@@ -2052,13 +2066,15 @@ object SparkEntry {
     }),
 
     // TPC-H Q19 shape: disjunctive multi-attribute predicate over a
-    // broadcast part join — the OR-of-ANDs is a single codegen'd filter,
-    // and the partkey equi-join stays a broadcast hash join.
+    // part join — the OR-of-ANDs is a single codegen'd filter. part is
+    // UNFILTERED here and grows SF×200k (20M rows at sf100), so no
+    // broadcast hint: AQE broadcasts at fixture scale and falls back
+    // to a shuffled hash join on partkey at 100×.
     "q19_disjunctive" -> ((s, dir) => {
       val rev = col("l_extendedprice").cast("decimal(14,2)") *
         (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
             col("l_quantity").between(1, 11)) ||
@@ -2077,8 +2093,9 @@ object SparkEntry {
     "q14_promo_share" -> ((s, dir) => {
       val rev = col("l_extendedprice").cast("decimal(14,2)") *
         (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
+      // Unfiltered part (SF×200k) — no hint; AQE decides (see q19).
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
         .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
         .agg(sum(when(col("p_type") === "PROMO", rev)).as("promo"), sum(rev).as("total"))
         .select(col("ship_year"),

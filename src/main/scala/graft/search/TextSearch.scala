@@ -125,9 +125,13 @@ object TextSearch {
     bm25FromIdf(post, bm25Idf(post, stats), queries, k)
 
   def bm25FromIdf(post: DataFrame, idf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val matched = post
-      .join(broadcast(queryTerms(queries)), Seq("term"))
-      .join(broadcast(idf), Seq("term"))
+    // Restrict the vocab-sized idf to the query's terms BEFORE any
+    // broadcast: `term` is unique in idf (docFreq groups by it), so the
+    // equi-join is ≤ |query terms| rows — bounded by query length, not
+    // by corpus vocabulary. Broadcasting the FULL idf would ship the
+    // whole vocab to every executor at 100 TB.
+    val qidf = idf.join(broadcast(queryTerms(queries)), Seq("term"))
+    val matched = post.join(broadcast(qidf), Seq("term"))
     val scored = matched
       .withColumn("w", col("idf") * col("tf") * lit(K1 + 1.0) /
         (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
@@ -158,8 +162,12 @@ object TextSearch {
     val idf = docFreq(post).crossJoin(stats.select(col("n_docs")))
       .select(col("term"),
         (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
-    // Doc-side weights over the FULL postings list (norms need every term).
-    val weighted = post.join(broadcast(idf), Seq("term"))
+    // Doc-side weights over the FULL postings list (norms need every
+    // term), so this join genuinely touches the whole vocab — NO
+    // broadcast hint: AQE broadcasts the idf at fixture scale and falls
+    // back to the term-key shuffle join at 100-TB vocab sizes (this is
+    // the one-time index build, where a shuffle is the right price).
+    val weighted = post.join(idf, Seq("term"))
       .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("w"))
     val docNorm = weighted.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
@@ -173,8 +181,10 @@ object TextSearch {
 
   def vsmCosineFromParts(idf: DataFrame, weighted: DataFrame, docNorm: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
-    // Query-side weights and norms: vocab-sized frames.
-    val qw = queryTerms(queries).join(broadcast(idf), Seq("term"))
+    // Query-side weights and norms: idf restricted to the query's terms
+    // (≤ |query terms| rows — term is unique in idf), never the full
+    // vocab frame (see bm25FromIdf).
+    val qw = idf.join(broadcast(queryTerms(queries)), Seq("term"))
       .select(col("query_id"), col("term"), col("idf").as("qw"))
     val qNorm = qw.groupBy(col("query_id")).agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
     val dot = weighted.join(broadcast(qw), Seq("term"))

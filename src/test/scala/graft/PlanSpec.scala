@@ -286,4 +286,76 @@ class PlanSpec extends GraftSpec {
       "a partial min must run below the exchange so the ×k BNLJ expansion " +
         "collapses back to one row per vector before any shuffle")
   }
+
+  test("broadcast-hint lint: no hint may wrap an unbounded fact-table frame") {
+    // Round-9 verdict: forced broadcast() on SF-proportional frames (q9's
+    // partsupp-grained aggregate, q3's customer segment) is the one class
+    // of scale-killer that survives correctness checks — the hint works at
+    // fixture scale and OOMs at 100×. This gate makes the one-time audit
+    // permanent: EVERY declared query's analyzed plan is walked; inside a
+    // broadcast-hinted subtree, every scan of a fact table (the tables
+    // that grow with corpus size) must sit below a cardinality bound the
+    // rule can see — a Filter, a grand (group-less) Aggregate, or a
+    // Limit. Frames bounded for reasons the rule cannot see are
+    // allowlisted WITH the reason; a stale allowlist entry fails too, so
+    // the list cannot rot.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, GlobalLimit, LocalLimit, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val facts = Set("lineitem", "orders", "events", "documents", "embeddings")
+    val allow: Map[String, String] = Map(
+      // grouped on `lang`: the domain is the fixed language-ID codebook
+      // (dozens of rows at ANY corpus size — grouping key, not row count,
+      // bounds these)
+      "docs_temperature_mix" -> "per-language rate table (≤ #languages rows)",
+      // seeds: grouped on `label` (10 fixture classes); cent: embeddings
+      // equi-joined to those ≤10 seed ids — both label-grained
+      "embedding_centroid_assign" -> "per-label seed/centroid frames (≤ #labels rows)",
+      // per-language sufficient-statistics frame
+      "doc_length_zscore" -> "per-language stats table (≤ #languages rows)",
+      // distinct event_type — the closed event-taxonomy domain
+      "events_daily_dense" -> "event-type dimension (≤ #event types rows)",
+      // the broadcast frames are idf/weights/norms equi-joined down to the
+      // query's terms first (term is UNIQUE in idf, so the join is
+      // ≤ |query terms| rows); the full-vocab doc-side join is un-hinted
+      // (AQE). The rule cannot see join-key uniqueness, hence allowlist.
+      "search_bm25" -> "idf restricted to query terms (≤ |query terms| rows)",
+      "search_vsm_cosine" -> "query-side idf/norm frames (≤ |query terms| rows)",
+      "search_hybrid_rrf" -> "query-side idf/norm frames of both scorers"
+    )
+    def unboundedFacts(p: LogicalPlan, bounded: Boolean): Seq[String] = p match {
+      case l: LogicalRelation =>
+        if (bounded) Nil
+        else l.relation match {
+          case f: HadoopFsRelation =>
+            f.location.rootPaths.toSeq.map(_.getName.stripSuffix(".parquet")).filter(facts)
+          case _ => Nil
+        }
+      case f: LFilter => unboundedFacts(f.child, bounded = true)
+      case a: Aggregate if a.groupingExpressions.isEmpty =>
+        unboundedFacts(a.child, bounded = true)
+      case g: GlobalLimit => unboundedFacts(g.child, bounded = true)
+      case loc: LocalLimit => unboundedFacts(loc.child, bounded = true)
+      case other => other.children.flatMap(unboundedFacts(_, bounded))
+    }
+    spark.catalog.clearCache()
+    // constructing this query runs a real AvailableNow stream; its hint
+    // posture (frozen broadcast codebook) is pinned in IndexMaintenanceSpec
+    val skip = Set("ann_index_stream_append")
+    val violations = scala.collection.mutable.SortedMap[String, Set[String]]()
+    for ((name, fn) <- SparkEntry.queries if !skip(name)) {
+      val analyzed = fn(spark, sfDir).queryExecution.analyzed
+      val bad = analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.nonEmpty =>
+          unboundedFacts(h.child, bounded = false)
+      }.flatten.toSet
+      if (bad.nonEmpty) violations(name) = bad
+    }
+    val unexplained = violations.keySet -- allow.keySet
+    assert(unexplained.isEmpty,
+      "broadcast hints over unbounded fact-table frames (un-hint them; AQE " +
+        "will still broadcast at fixture scale): " +
+        unexplained.toSeq.sorted.map(n => s"$n(${violations(n).mkString(",")})").mkString("; "))
+    val stale = allow.keySet -- violations.keySet
+    assert(stale.isEmpty, s"allowlist entries no longer needed — remove: $stale")
+  }
 }
