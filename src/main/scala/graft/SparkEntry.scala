@@ -1267,6 +1267,7 @@ object SparkEntry {
       import s.implicits._
       val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .mapPartitions { it =>
+          graft.multimodal.Multimodal.disableImageIoDiskCache()
           it.map { id =>
             val w = 2 + (id % 6).toInt
             val h = 2 + (id % 4).toInt

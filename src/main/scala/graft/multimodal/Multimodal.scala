@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO defaults to a DISK-backed stream cache — one temp file per
+    * encode/decode call, which dominates runtime for small images (the
+    * pixel work is microseconds; the file create/delete is not). All
+    * payloads here are in-memory byte arrays, so the memory cache is
+    * strictly better. Executor-side JVM-global, idempotent.
+    */
+  def disableImageIoDiskCache(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRecord(id: Long, payload: Array[Byte])
   final case class MediaFeatures(id: Long, byte_len: Int, features: Array[Float])
 
@@ -109,25 +117,33 @@ object Multimodal {
     import spark.implicits._
     media.select(col("id"), col("payload")).as[MediaRecord]
       .mapPartitions { it =>
+        disableImageIoDiskCache()
         it.map { r =>
           try {
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
             if (img == null) ImageInfo(r.id, is_image = false, 0, 0, Array.empty)
             else {
+              // Bulk row reads: one getRGB call per ROW into a reused
+              // buffer, not one per pixel — same ARGB int per pixel
+              // (identical mean values), ~width× fewer raster-accessor
+              // crossings on the hot path.
+              val w = img.getWidth
+              val h = img.getHeight
+              val row = new Array[Int](w)
               var (sr, sg, sb) = (0L, 0L, 0L)
               var y = 0
-              while (y < img.getHeight) {
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
                 var x = 0
-                while (x < img.getWidth) {
-                  val rgb = img.getRGB(x, y)
+                while (x < w) {
+                  val rgb = row(x)
                   sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
                   x += 1
                 }
                 y += 1
               }
-              val n = (img.getWidth.toLong * img.getHeight).max(1L).toFloat
-              ImageInfo(r.id, is_image = true, img.getWidth, img.getHeight,
-                Array(sr / n, sg / n, sb / n))
+              val n = (w.toLong * h).max(1L).toFloat
+              ImageInfo(r.id, is_image = true, w, h, Array(sr / n, sg / n, sb / n))
             }
           } catch {
             case _: Exception => ImageInfo(r.id, is_image = false, 0, 0, Array.empty)
@@ -146,6 +162,7 @@ object Multimodal {
     require(outW > 0 && outH > 0, "thumbnail dims must be positive")
     media.select(col("id"), col("payload")).as[MediaRecord]
       .mapPartitions { it =>
+        disableImageIoDiskCache()
         it.map { r =>
           val thumb =
             try {
