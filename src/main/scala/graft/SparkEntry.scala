@@ -1339,6 +1339,60 @@ object SparkEntry {
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
 
+    // IVFADC, batched — the reference's experiments always sweep 5
+    // queries (chromadb_acc_experiment.py:857-863), so the production
+    // form is the BATCH probe: per-query probe cells come from one
+    // WindowGroupLimit over the (8-centroid × 5-query) broadcast
+    // product, and ALL queries share ONE codes scan — the query batch
+    // fans out as a tiny (qid, cell) broadcast onto the cell-pruned
+    // codes, never as per-query re-scans. The ADC LUT is 5×16×64 rows
+    // broadcast; re-rank is per-query WindowGroupLimit over ≤250
+    // candidate vectors.
+    "ann_ivfpq_multi" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val cent = IvfIndex.seedCentroids(emb, 8)
+      val assigned = IvfIndex.assign(emb, cent).select(col("vec_id"), col("cell"))
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cid"))
+      val probed = cent.crossJoin(broadcast(qs))
+        .select(col("qid"), col("cid"),
+          sqrt(graft.functions.VectorExpressions.l2Sq(col("cemb"), col("qemb"))).as("cdist"))
+        .withColumn("rk", row_number().over(wProbe)).filter(col("rk") <= 2)
+        .select(col("qid"), col("cid").cast("long").as("cell"))
+      val survivors = assigned.join(broadcast(probed),
+        assigned("cell").cast("long") === probed("cell"))
+        .select(col("qid"), assigned("vec_id"))
+      val cbDf = graft.search.Pq.codebookDf(s, trainedPqCodebook(s, dir))
+      val sub = graft.search.Pq.subFrame(graft.search.Pq.quantize(emb), PqM, PqW)
+      val codes = graft.search.Pq.assignments(sub, cbDf)
+        .select(col("vec_id"), col("block"), col("code"))
+        .join(survivors, Seq("vec_id")) // one shared scan; qid fans out here
+      val qd = sub.filter(col("vec_id") < 5)
+        .join(broadcast(cbDf), Seq("block"))
+        .select(col("vec_id").as("qid"), col("block"), col("code"),
+          graft.functions.VectorExpressions.l2SqD(col("sub"), col("csub")).as("qd2"))
+      val adc = codes.join(broadcast(qd), Seq("qid", "block", "code"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("block"), col("qd2")))).as("a"))
+        .select(col("qid"), col("vec_id"),
+          aggregate(transform(col("a"), x => x.getField("qd2")),
+            lit(0.0), (acc, v) => acc + v).as("d2"))
+      val wCand = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+      val cand = adc.withColumn("crk", row_number().over(wCand)).filter(col("crk") <= 50)
+        .select(col("qid"), col("vec_id"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(round(col("dist"), 6), col("vec_id"))
+      cand.join(emb, Seq("vec_id")).join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          sqrt(graft.functions.VectorExpressions.l2Sq(col("embedding"), col("qemb"))).as("dist"))
+        .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("qid", "rk")
+    }),
+
     // PQ codebook TRAINING invariant (fixed-point Lloyd at the search
     // geometry): per-block distortion is non-increasing across
     // iterations (both half-steps are projections). Emits that verdict
@@ -3112,6 +3166,46 @@ object SparkEntry {
          |SELECT e.vec_id, round(${l2Sql("e.embedding", "qemb")}, 4) AS dist
          |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
          |ORDER BY round(${l2Sql("e.embedding", "qemb")}, 6), e.vec_id LIMIT 10""".stripMargin,
+
+    // Batched IVFADC: the 5-query sweep form — per-query probes/ranks
+    // are windows partitioned by qid; codes are computed once for the
+    // union of all survivors, exactly like the Spark plan's shared scan.
+    "ann_ivfpq_multi" ->
+      s"""WITH ${pqTrainCtesSql(PqM, PqW, PqK, PqIters)},
+         |cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |ca AS (SELECT e.vec_id, c.cid, ${l2Sql("e.embedding", "c.cemb")} AS cdist FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rk FROM ca) WHERE rk = 1),
+         |qv AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |probes AS (SELECT qid, cid AS cell FROM (
+         |  SELECT q.qid, c.cid,
+         |    row_number() OVER (PARTITION BY q.qid
+         |                       ORDER BY ${l2Sql("c.cemb", "q.qemb")}, c.cid) AS rk
+         |  FROM cent c CROSS JOIN qv q) WHERE rk <= 2),
+         |survivors AS (SELECT qid, vec_id FROM asg JOIN probes USING (cell)),
+         |final AS (SELECT vec_id, block, code FROM (
+         |    SELECT s.vec_id, s.block, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.block
+         |                         ORDER BY ${pqD2Sql("s.sub", "c.csub", PqW)} ASC, c.code ASC) AS rn
+         |    FROM sub s JOIN cb$PqIters c ON s.block = c.block
+         |    WHERE s.vec_id IN (SELECT vec_id FROM survivors)) WHERE rn = 1),
+         |qd AS (SELECT q.vec_id AS qid, c.block, c.code, ${pqD2Sql("q.sub", "c.csub", PqW)} AS qd2
+         |       FROM cb$PqIters c
+         |       JOIN (SELECT vec_id, block, sub FROM sub WHERE vec_id < 5) q ON q.block = c.block),
+         |adc AS (SELECT s.qid, f.vec_id, list_sum(list(q.qd2 ORDER BY f.block)) AS d2
+         |        FROM survivors s JOIN final f ON f.vec_id = s.vec_id
+         |        JOIN qd q ON q.qid = s.qid AND q.block = f.block AND q.code = f.code
+         |        GROUP BY s.qid, f.vec_id),
+         |cand AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS crk
+         |  FROM adc) WHERE crk <= 50)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, dist FROM (
+         |  SELECT cand.qid, e.vec_id,
+         |    row_number() OVER (PARTITION BY cand.qid
+         |                       ORDER BY round(${l2Sql("e.embedding", "q.qemb")}, 6), e.vec_id) AS rk,
+         |    round(${l2Sql("e.embedding", "q.qemb")}, 4) AS dist
+         |  FROM cand JOIN embeddings e USING (vec_id) JOIN qv q ON q.qid = cand.qid)
+         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     // Lloyd monotonicity is a theorem; the oracle pins the verdicts.
     // (Codebook VALUES are oracle-replayed in embedding_pq_codes /

@@ -91,6 +91,24 @@ class PlanSpec extends GraftSpec {
       "no unbroadcast cartesian anywhere in the IVFADC pipeline")
   }
 
+  test("ann_ivfpq_multi: batched probe shares one codes scan, per-query windows group-limit") {
+    val p = plan("ann_ivfpq_multi")
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast cartesian anywhere in the batched IVFADC pipeline")
+    assert(p.contains("BroadcastHashJoin [cast(cell"),
+      "the (qid, cell) probe table must prune via a broadcast equi-join on cell")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query probe/candidate/re-rank top-k must heap-limit, not full-sort")
+    // one scan of the embeddings table feeds the codes for ALL 5 queries —
+    // scans appear once per logical ROLE (centroids, assign, query batch,
+    // codes, LUT, re-rank), the same set as the single-query plan; a
+    // per-query fan-out would multiply the count by the batch size
+    val scans = "Scan parquet".r.findAllIn(p).size
+    val single = "Scan parquet".r.findAllIn(plan("ann_ivfpq_top10")).size
+    assert(scans <= single + 2,
+      s"batched plan has $scans scans vs $single single-query — batch must not re-scan per query")
+  }
+
   test("dedup_exact: single aggregation with map-side partial") {
     val p = plan("dedup_exact")
     // partial + final pair: two HashAggregates around one exchange
