@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -15,13 +16,25 @@ import graft.model.Schemas
   * Shape: the centroid codebook is FROZEN (trained once on the base
   * corpus, broadcast — retraining per batch would re-shuffle every
   * existing cell), and each arriving micro-batch of vectors is assigned
-  * to its nearest cell and appended to the index table. At 100 TB the
-  * appended table is partitioned by cell id, so this IS the physical
-  * partition-pruned layout ann_ivf_top5 probes; per-batch work is
-  * O(batch × k) with no shuffle wider than the batch, and the stream
-  * carries no state at all — the checkpoint's file ledger is the only
-  * bookkeeping, which is what makes the append idempotent under retry
-  * (exactly-once file-source semantics).
+  * to its nearest cell and appended to the index table, laid out
+  * `batch_id=N/cell=C/` so probes partition-prune on cell. Per-batch
+  * work is O(batch × k) with no shuffle wider than the batch and the
+  * stream carries no state.
+  *
+  * Retry semantics: foreachBatch is AT-LEAST-ONCE — a crash after the
+  * write commits but before the checkpoint batch commits re-runs the
+  * batch. The write is therefore a DYNAMIC PARTITION OVERWRITE keyed on
+  * batch_id: a re-run of batch N replaces exactly the `batch_id=N/...`
+  * directories it wrote the first time (the frozen codebook makes the
+  * re-run's content identical), so the sink is effectively exactly-once.
+  * [[IndexMaintenanceSpec]] replays a batch against a committed index
+  * to prove no duplication.
+  *
+  * Growth: one micro-batch appends ≥1 file per touched cell, so the
+  * table accretes small files — the classic streaming-sink death at
+  * 100 TB. [[compactIndex]] folds the batch history into one file per
+  * cell; the compacted table answers the same probes identically
+  * (equivalence pinned in IndexMaintenanceSpec).
   *
   * Equivalence contract (pinned in IndexMaintenanceSpec and the
   * `ann_index_stream_append` CORRECTNESS row): because assignment is
@@ -31,12 +44,33 @@ import graft.model.Schemas
   */
 object IndexMaintenance {
 
-  /** Stream embeddings-shaped parquet files from `srcDir` and append
-    * each micro-batch's (vec_id, cell, batch_id) cell assignments to
-    * the parquet index table at `indexDir`. `centroids` must be a
-    * small (cid, cemb) frame — it is broadcast into every batch's
-    * assignment join. batch_id is retained so tests can prove the
-    * incremental path actually ran more than one batch.
+  /** Assign one micro-batch to cells and commit it into the index table
+    * as a dynamic partition overwrite of `batch_id=<batchId>`. Public so
+    * the retry-idempotency contract is testable without crashing a real
+    * stream: calling this twice with the same (batch, batchId) leaves
+    * the table exactly as one call does.
+    */
+  def appendBatch(
+      batch: DataFrame,
+      centroids: DataFrame,
+      indexDir: String,
+      batchId: Long): Unit = {
+    graft.search.IvfIndex.assign(batch, centroids)
+      .select(col("vec_id"), col("embedding"), lit(batchId).as("batch_id"), col("cell"))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell")
+      .parquet(indexDir)
+  }
+
+  /** Stream embeddings-shaped parquet files from `srcDir` and commit
+    * each micro-batch's cell assignments (vec_id, embedding, batch_id,
+    * cell) into the partitioned index table at `indexDir` via
+    * [[appendBatch]]. `centroids` must be a small (cid, cemb) frame —
+    * it is broadcast into every batch's assignment join. batch_id is
+    * retained so tests can prove the incremental path actually ran more
+    * than one batch (and it is the idempotency key — see object doc).
     */
   def streamIndexAppend(
       spark: SparkSession,
@@ -53,9 +87,7 @@ object IndexMaintenance {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.search.IvfIndex.assign(batch, centroids)
-          .select(col("vec_id"), col("cell"), lit(batchId).as("batch_id"))
-          .write.mode("append").parquet(indexDir)
+        appendBatch(batch.toDF(), centroids, indexDir, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -63,12 +95,44 @@ object IndexMaintenance {
       .start()
   }
 
+  /** Fold the streamed index's batch history into a compacted
+    * cell-partitioned table: one file per cell, batch_id dropped (WHICH
+    * batch a vector arrived in is lineage, not index content). The
+    * result is byte-for-byte the layout [[graft.search.IvfIndex.writePartitioned]]
+    * produces, so [[graft.search.IvfIndex.searchPartitioned]] probes it
+    * with dynamic partition pruning unchanged. Returns the compacted
+    * table's parquet file count.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String, outDir: String): Int = {
+    spark.read.parquet(indexDir)
+      .drop("batch_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    parquetFileCount(spark, outDir)
+  }
+
+  /** Parquet data files under a (possibly partitioned) table dir. */
+  def parquetFileCount(spark: SparkSession, dir: String): Int = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
   /** Run the whole maintenance cycle on a batch table: shatter `emb`
     * into `nFiles` source files under a temp dir, stream them through
     * [[streamIndexAppend]] one file per micro-batch, and return the
-    * final index table (vec_id, cell, batch_id). The caller projects
-    * away batch_id when determinism matters — WHICH batch a vector
-    * landed in depends on the repartition split; its cell does not.
+    * final (vec_id, cell, batch_id) assignments. The result is
+    * materialized off the temp files (localCheckpoint) and the temp dir
+    * — source copy, index, checkpoint — is deleted before returning, so
+    * repeated invocations (every bench round re-runs this) leave no
+    * disk residue. The caller projects away batch_id when determinism
+    * matters — WHICH batch a vector landed in depends on the
+    * repartition split; its cell does not.
     */
   def maintainFromBatch(
       spark: SparkSession,
@@ -79,9 +143,16 @@ object IndexMaintenance {
     val srcDir = base.resolve("src").toString
     val indexDir = base.resolve("index").toString
     val ckptDir = base.resolve("ckpt").toString
-    emb.repartition(nFiles).write.parquet(srcDir)
-    val q = streamIndexAppend(spark, srcDir, indexDir, ckptDir, centroids)
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(indexDir)
+    try {
+      emb.repartition(nFiles).write.parquet(srcDir)
+      val q = streamIndexAppend(spark, srcDir, indexDir, ckptDir, centroids)
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(indexDir)
+        .select(col("vec_id"), col("cell"), col("batch_id"))
+        .localCheckpoint(eager = true)
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 }
