@@ -28,20 +28,44 @@ import graft.functions.VectorExpressions
   */
 object IvfAdc {
 
-  def search(
-      queries: DataFrame, // (qid, qemb)
+  /** The built index: cell assignments + PQ codes of one collection,
+    * plus the frames/constants every search against it shares. Building
+    * this is the INDEXING cost (the reference pays it at collection
+    * insert time, chromadb_speed_experiment.py:260-290) — callers cache
+    * both frames so per-query latency measures search, not re-indexing.
+    */
+  final case class Index(
+      emb: DataFrame, // (vec_id, embedding)
+      assigned: DataFrame, // (vec_id, cell)
+      codes: DataFrame, // (vec_id, block, code)
+      centroids: DataFrame,
+      codebookDf: DataFrame,
+      m: Int,
+      w: Int)
+
+  def buildIndex(
       collection: DataFrame, // (vec_id, embedding)
       centroids: DataFrame, // (cid, cemb)
       codebookDf: DataFrame, // (block, code, csub) — trained PQ codebook
       m: Int,
-      w: Int,
+      w: Int): Index = {
+    VectorExpressions.ensureRegistered(collection.sparkSession)
+    val emb = collection.select(col("vec_id"), col("embedding"))
+    val assigned = IvfIndex.assign(emb, centroids).select(col("vec_id"), col("cell"))
+    val codes = Pq.assignments(Pq.subFrame(Pq.quantize(emb), m, w), codebookDf)
+      .select(col("vec_id"), col("block"), col("code"))
+    Index(emb, assigned, codes, centroids, codebookDf, m, w)
+  }
+
+  /** Search a prebuilt [[Index]]. */
+  def searchIndex(
+      queries: DataFrame, // (qid, qemb)
+      index: Index,
       nprobe: Int,
       rerank: Int,
       k: Int): DataFrame = {
-    val spark = queries.sparkSession
-    VectorExpressions.ensureRegistered(spark)
-    val emb = collection.select(col("vec_id"), col("embedding"))
-    val assigned = IvfIndex.assign(emb, centroids).select(col("vec_id"), col("cell"))
+    import index.{assigned, centroids, codebookDf, emb, m, w}
+    VectorExpressions.ensureRegistered(queries.sparkSession)
 
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cid"))
     val probed = centroids.crossJoin(broadcast(queries))
@@ -53,9 +77,7 @@ object IvfAdc {
       assigned("cell").cast("long") === probed("cell"))
       .select(col("qid"), assigned("vec_id"))
 
-    val sub = Pq.subFrame(Pq.quantize(emb), m, w)
-    val codes = Pq.assignments(sub, codebookDf)
-      .select(col("vec_id"), col("block"), col("code"))
+    val codes = index.codes
       .join(survivors, Seq("vec_id")) // one shared codes scan; qid fans out here
     val qSub = queries.select(col("qid"),
       posexplode(array((0 until m).map(b =>
@@ -81,4 +103,18 @@ object IvfAdc {
       .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
         round(col("dist"), 4).as("dist"))
   }
+
+  /** One-shot convenience: build the index and search it. */
+  def search(
+      queries: DataFrame,
+      collection: DataFrame,
+      centroids: DataFrame,
+      codebookDf: DataFrame,
+      m: Int,
+      w: Int,
+      nprobe: Int,
+      rerank: Int,
+      k: Int): DataFrame =
+    searchIndex(queries, buildIndex(collection, centroids, codebookDf, m, w),
+      nprobe, rerank, k)
 }
