@@ -23,10 +23,12 @@ import graft.model.Schemas
   *
   * Retry semantics: foreachBatch is AT-LEAST-ONCE — a crash after the
   * write commits but before the checkpoint batch commits re-runs the
-  * batch. The write is therefore a DYNAMIC PARTITION OVERWRITE keyed on
-  * batch_id: a re-run of batch N replaces exactly the `batch_id=N/...`
-  * directories it wrote the first time (the frozen codebook makes the
-  * re-run's content identical), so the sink is effectively exactly-once.
+  * batch. The write is therefore an OVERWRITE of the batch's own
+  * `batch_id=N/` directory: a re-run of batch N replaces the whole
+  * subtree it wrote the first time (the frozen codebook makes the
+  * re-run's content identical), so the sink is effectively exactly-once
+  * — at a per-batch commit cost of one directory swap instead of a
+  * table-wide dynamic-partition staging pass.
   * [[IndexMaintenanceSpec]] replays a batch against a committed index
   * to prove no duplication.
   *
@@ -44,11 +46,17 @@ import graft.model.Schemas
   */
 object IndexMaintenance {
 
-  /** Assign one micro-batch to cells and commit it into the index table
-    * as a dynamic partition overwrite of `batch_id=<batchId>`. Public so
-    * the retry-idempotency contract is testable without crashing a real
-    * stream: calling this twice with the same (batch, batchId) leaves
-    * the table exactly as one call does.
+  /** Assign one micro-batch to cells and commit it as a full overwrite
+    * of the per-batch directory `indexDir/batch_id=<batchId>/` (cell
+    * subdirs inside; batch_id surfaces as a discovered partition column
+    * when the table root is read). Overwriting the batch's own directory
+    * is the cheapest idempotent commit: a retry replaces the WHOLE
+    * batch_id=N subtree — including cells the retry no longer touches —
+    * without the table-wide staging/rename pass a dynamic partition
+    * overwrite runs per micro-batch. Public so the retry-idempotency
+    * contract is testable without crashing a real stream: calling this
+    * twice with the same (batch, batchId) leaves the table exactly as
+    * one call does.
     */
   def appendBatch(
       batch: DataFrame,
@@ -56,12 +64,11 @@ object IndexMaintenance {
       indexDir: String,
       batchId: Long): Unit = {
     graft.search.IvfIndex.assign(batch, centroids)
-      .select(col("vec_id"), col("embedding"), lit(batchId).as("batch_id"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
       .write
       .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "cell")
-      .parquet(indexDir)
+      .partitionBy("cell")
+      .parquet(s"$indexDir/batch_id=$batchId")
   }
 
   /** Stream embeddings-shaped parquet files from `srcDir` and commit

@@ -42,7 +42,7 @@ class IndexMaintenanceSpec extends GraftSpec {
 
   test("replaying a committed batch is idempotent (at-least-once retry)") {
     // foreachBatch retries re-run a batch AFTER its write committed; the
-    // dynamic partition overwrite keyed on batch_id must replace, not
+    // per-batch directory overwrite keyed on batch_id must replace, not
     // append. Simulate the retry by invoking the batch writer twice.
     val indexDir = java.nio.file.Files.createTempDirectory("graft_idx_retry").toString
     val half = emb.filter(col("vec_id") % 2 === 0)
