@@ -1127,6 +1127,14 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")),
 
+    // Deterministic 90/5/5 train/val/test split by stable id hash (NOT
+    // randomSplit — a document's split never changes as the corpus
+    // grows, so eval sets stay frozen; see operators/HashSplit).
+    "corpus_split_assign" -> ((s, dir) =>
+      graft.operators.HashSplit.assign(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
     // CDC merge (the Delta/Iceberg MERGE shape on immutable storage):
     // a deterministic change batch — wave-1 updates (key%10=3), wave-1
     // deletes (key%10=7), wave-2 re-updates (key%100=3, overriding
@@ -3006,6 +3014,15 @@ object SparkEntry {
         |SELECT doc_id, h % 8 AS shard,
         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "corpus_split_assign" ->
+      """WITH s AS (SELECT doc_id,
+        |  (((xor(xor(doc_id, doc_id >> 20), doc_id >> 40) % 1048576) * 2654435761) >> 32) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "cdc_merge" ->
       s"""WITH changes AS ($cdcChangesSql),

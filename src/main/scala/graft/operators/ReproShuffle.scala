@@ -40,14 +40,21 @@ object ReproShuffle {
   val HashMult = 2654435761L // Knuth multiplicative constant (2^32 / φ)
   val HashMod = 1048576L // 2^20 buckets: collisions are fine (id tiebreak)
 
+  /** The portable per-id hash above as a Column: h ∈ [0, 2^20), exact in
+    * Spark and DuckDB for any non-negative long id. Shared by the
+    * shuffle (shard/pos) and [[HashSplit]] (train/val/test assignment).
+    */
+  def portableHash(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val id = idCol.cast("long")
+    val folded = id.bitwiseXOR(shiftright(id, 20)).bitwiseXOR(shiftright(id, 40))
+    shiftright((folded % lit(HashMod)) * lit(HashMult), 32)
+  }
+
   /** Adds (shard, pos) to df: shard ∈ [0, nShards), pos = 1-based rank
     * inside the shard in shuffled order.
     */
   def assign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
-    val id = col(idCol).cast("long")
-    val folded = id.bitwiseXOR(shiftright(id, 20)).bitwiseXOR(shiftright(id, 40))
-    val h = shiftright((folded % lit(HashMod)) * lit(HashMult), 32)
-    df.withColumn("__h", h)
+    df.withColumn("__h", portableHash(col(idCol)))
       .withColumn("shard", (col("__h") % nShards).cast("long"))
       .withColumn("pos",
         row_number().over(Window.partitionBy(col("shard"))

@@ -62,6 +62,26 @@ class ReproShuffleSpec extends GraftSpec {
     assert(nHashes >= 1)
   }
 
+  test("hash split: stable under corpus growth, ratios near 90/5/5, deterministic") {
+    import graft.operators.HashSplit
+    val docs = Tables.documents(spark, sfDir)
+    val full = HashSplit.assign(docs, "doc_id").select("doc_id", "split")
+    // the property that motivates hashing over randomSplit: restricting
+    // the corpus to a subset must not move any surviving doc's split
+    val subset = HashSplit.assign(docs.filter(col("doc_id") % 3 =!= 0), "doc_id")
+      .select("doc_id", "split")
+    assert(subset.join(full, Seq("doc_id"))
+      .filter(subset("split") =!= full("split")).isEmpty)
+    // ratio sanity: train within a loose band of 90% (small-n binomial)
+    val n = full.count().toDouble
+    val train = full.filter(col("split") === "train").count().toDouble
+    assert(train / n > 0.8 && train / n < 0.97, s"train frac ${train / n}")
+    assert(full.select("split").distinct().count() == 3)
+    // deterministic under repartitioning
+    val again = HashSplit.assign(docs.repartition(7), "doc_id").select("doc_id", "split")
+    assert(full.exceptAll(again).isEmpty && again.exceptAll(full).isEmpty)
+  }
+
   test("observe: pipeline quality metrics ride the main pass for free") {
     val docs = Tables.documents(spark, sfDir)
     val obs = Observation("quality")
