@@ -440,6 +440,28 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // Matryoshka-style truncated-dimension search (Kusupati et al.,
+    // NeurIPS'22): rank by cosine over the first 16 of 64 dims and
+    // report Recall@{5,10} vs the full-dim cosine ground truth — the
+    // accuracy cost of a 4× cheaper scan (4× fewer FLOPs and 4× less
+    // memory bandwidth per candidate at 100 TB; the standard coarse
+    // pass before full-dim re-rank when embeddings are MRL-trained).
+    // Pure composition: slice() + the existing exact-kNN and recall ops.
+    // On this isotropic fixture recall@10 measures 0.1-0.4 — CORRECT and
+    // expected: random embeddings spread information uniformly across
+    // dims, so a 16/64 prefix keeps ~1/4 of the signal. MRL-trained
+    // embeddings front-load it; the row demonstrates the operator and
+    // its measurement, not a recall claim about untrained vectors.
+    "ann_mrl_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 5)
+      val truncate = (df: DataFrame, c: String) =>
+        df.withColumn(c, slice(col(c), 1, 16))
+      val gt = KnnExact.topKCosine(q, emb, 10)
+      val ret = KnnExact.topKCosine(truncate(q, "qemb"), truncate(emb, "embedding"), 10)
+      RecallAtK.evaluate(gt, ret, Seq(5, 10)).orderBy("qid")
+    }),
+
     // J3 + A10: Recall@K of cosine ranking vs L2 ground truth.
     "recall_l2_vs_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -2485,6 +2507,22 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim FROM embeddings c, q),
          |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    "ann_mrl_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb, embedding[1:16] AS qemb16 FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim_full,
+         |        ${cosSql("q.qemb16", "c.emb16")} AS sim_t
+         |      FROM (SELECT vec_id, embedding, embedding[1:16] AS emb16 FROM embeddings) c, q),
+         |gt AS (SELECT qid, list(vec_id ORDER BY rk) AS ids FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim_full DESC, vec_id) AS rk FROM d) WHERE rk <= 10 GROUP BY qid),
+         |rt AS (SELECT qid, list(vec_id ORDER BY rk) AS ids FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim_t DESC, vec_id) AS rk FROM d) WHERE rk <= 10 GROUP BY qid)
+         |SELECT gt.qid,
+         |  round(CASE WHEN len(gt.ids[1:5]) = 0 OR len(rt.ids[1:5]) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(gt.ids[1:5], rt.ids[1:5])) AS DOUBLE) / CAST(len(gt.ids[1:5]) AS DOUBLE) END, 4) AS recall_5,
+         |  round(CASE WHEN len(gt.ids[1:10]) = 0 OR len(rt.ids[1:10]) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(gt.ids[1:10], rt.ids[1:10])) AS DOUBLE) / CAST(len(gt.ids[1:10]) AS DOUBLE) END, 4) AS recall_10
+         |FROM gt JOIN rt ON gt.qid = rt.qid ORDER BY gt.qid""".stripMargin,
 
     "recall_l2_vs_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
