@@ -24,6 +24,27 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- helpers
 
+  /** The end-to-end keep DECISION a training-data pipeline ships
+    * (shared by `corpus_keep_list` and `corpus_build_summary`): valid
+    * (non-empty) ∧ quality_score ≥ 0.8 ∧ not dropped by near-dup
+    * clustering (cluster members other than the min-id representative).
+    * Composes three individually-oracle-checked stages; the anti-join
+    * is the same resume/skip shape as orders_anti.
+    */
+  private def keepListFrame(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.ensureRegistered(s)
+    val docs = Tables.documents(s, dir)
+    val quality = TextAnalysis.qualityFeatures(docs, "text")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        length(trim(col("text"))) > 0)
+      .filter(col("quality_score") >= 0.8)
+      .select(col("doc_id"), col("quality_score"))
+    val dropped = Clusters.connectedComponents(sharedNgramPairs(s, dir))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    quality.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Query-vector side for kNN queries: the first `n` collection vectors. */
   private def queryVectors(spark: SparkSession, dir: String, n: Int): DataFrame =
     Tables.embeddings(spark, dir)
@@ -316,6 +337,35 @@ object SparkEntry {
   private val shinglesSql: String =
     "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
       "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+
+  /** CTE chain for the keep decision (valid ∧ quality ≥ 0.8 ∧ not
+    * near-dup-dropped) — shared by the `corpus_keep_list` and
+    * `corpus_build_summary` oracles. Use as
+    * `WITH RECURSIVE \$keepListCtesSql <final select over s/drop_ids>`.
+    */
+  private def keepListCtesSql: String =
+    s"""t AS (SELECT doc_id, $shinglesSql AS sh
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |      FROM t a, t b WHERE a.doc_id < b.doc_id
+       |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+       |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+       |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+       |      UNION
+       |      SELECT e.u, r.v FROM e JOIN r ON e.v = r.u),
+       |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+       |drop_ids AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+       |tq AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents
+       |       WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(trim(text)) > 0),
+       |f AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS raw_distinct,
+       |  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '${TextFunctions.punctClassSql}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS raw_punct
+       |  FROM tq),
+       |s AS (SELECT doc_id, floor(least(1.0, greatest(0.0,
+       |    0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * raw_distinct + 0.3 * (1.0 - raw_punct))) * 10000.0 + 0.5) / 10000.0 AS quality_score
+       |  FROM f)""".stripMargin
 
   /** Exact-jaccard near-dup pair SQL (oracle for both the all-pairs and
     * the MinHash-LSH operator — LSH recall is 1.0 at this threshold/band
@@ -963,18 +1013,25 @@ object SparkEntry {
     // (cluster members other than the min-id representative). Composes
     // three already-oracle-checked stages; the anti-join is the same
     // resume/skip shape as orders_anti.
-    "corpus_keep_list" -> ((s, dir) => {
-      graft.functions.TextExpressions.ensureRegistered(s)
-      val docs = Tables.documents(s, dir)
-      val quality = TextAnalysis.qualityFeatures(docs, "text")
-        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
-          length(trim(col("text"))) > 0)
-        .filter(col("quality_score") >= 0.8)
-        .select(col("doc_id"), col("quality_score"))
-      val dropped = Clusters.connectedComponents(sharedNgramPairs(s, dir))
-        .filter(col("id") =!= col("label"))
-        .select(col("id").as("doc_id"))
-      quality.join(dropped, Seq("doc_id"), "left_anti").orderBy("doc_id")
+    "corpus_keep_list" -> ((s, dir) =>
+      keepListFrame(s, dir).orderBy("doc_id")),
+
+    // The WHOLE corpus build in one declared plan — the summary a
+    // training run reads before touching data: validity + quality bar +
+    // near-dup drop (the keep list above), then the deterministic hash
+    // train/val/test split, rolled up to docs/tokens per (split, lang).
+    // Every stage is individually oracle-checked elsewhere; this row
+    // checks their COMPOSITION end-to-end. Scale shape: the keep
+    // decision and split are the per-row/banded plans already audited,
+    // and the final rollup is one ~15-group hash aggregate.
+    "corpus_build_summary" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val kept = keepListFrame(s, dir).select("doc_id")
+      val split = graft.operators.HashSplit.assign(kept.join(docs, Seq("doc_id")), "doc_id")
+      split.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens(col("text")))).cast("long").as("n_tokens"))
+        .orderBy("split", "lang")
     }),
 
     // Benchmark decontamination: corpus docs sharing any word-3-gram with
@@ -2919,31 +2976,24 @@ object SparkEntry {
     },
 
     "corpus_keep_list" -> {
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
-         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM t a, t b WHERE a.doc_id < b.doc_id
-         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
-         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
-         |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
-         |      UNION
-         |      SELECT e.u, r.v FROM e JOIN r ON e.v = r.u),
-         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
-         |drop_ids AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
-         |tq AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents
-         |       WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(trim(text)) > 0),
-         |f AS (SELECT doc_id,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS raw_distinct,
-         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '${TextFunctions.punctClassSql}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS raw_punct
-         |  FROM tq),
-         |s AS (SELECT doc_id, floor(least(1.0, greatest(0.0,
-         |    0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * raw_distinct + 0.3 * (1.0 - raw_punct))) * 10000.0 + 0.5) / 10000.0 AS quality_score
-         |  FROM f)
+      s"""WITH RECURSIVE $keepListCtesSql
          |SELECT doc_id, quality_score FROM s
          |WHERE quality_score >= 0.8 AND doc_id NOT IN (SELECT doc_id FROM drop_ids)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_build_summary" -> {
+      s"""WITH RECURSIVE $keepListCtesSql,
+         |keep AS (SELECT doc_id FROM s
+         |  WHERE quality_score >= 0.8 AND doc_id NOT IN (SELECT doc_id FROM drop_ids)),
+         |sp AS (SELECT doc_id,
+         |  (((xor(xor(doc_id, doc_id >> 20), doc_id >> 40) % 1048576) * 2654435761) >> 32) % 100 AS bucket
+         |  FROM keep)
+         |SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |  d.lang, count(*) AS n_docs, CAST(sum(len(d.toks)) AS BIGINT) AS n_tokens
+         |FROM sp JOIN (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents) d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "corpus_decontaminate" ->
