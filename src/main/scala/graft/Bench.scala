@@ -42,8 +42,8 @@ object Bench {
     * (LPT minimizes makespan on a fixed pool).
     */
   private val heavyFirst = Seq(
-    "q9_profit_by_nation_year", "ann_ivfpq_multi", "multimodal_decode_rgb",
-    "ann_index_stream_append", "q2_min_cost_supplier",
+    "dedup_stream_maintain", "q9_profit_by_nation_year", "ann_ivfpq_multi",
+    "multimodal_decode_rgb", "ann_index_stream_append", "q2_min_cost_supplier",
     "dedup_clusters", "dedup_drop_list",
     "ann_ivf_top5", "dedup_exact", "dedup_minhash",
     "embed_tfidf", "quality_score", "lineitem_corr", "dedup_simhash",

@@ -1084,6 +1084,19 @@ object SparkEntry {
         .orderBy("new_id", "old_id")
     }),
 
+    // STREAMING dedup maintenance (streaming/DedupMaintenance): the
+    // corpus arrives in micro-batches; each batch is shingled once,
+    // flagged against the stored posting table (new×stored only, plus
+    // in-batch pairs), and folded into the store — per-batch-directory
+    // idempotent commits, same discipline as ann_index_stream_append.
+    // Each qualifying pair is emitted exactly once (by its
+    // later-arriving member), so the streamed union equals the batch
+    // all-pairs result for ANY batching — the oracle is the SAME SQL as
+    // dedup_ngram_jaccard.
+    "dedup_stream_maintain" -> ((s, dir) =>
+      graft.streaming.DedupMaintenance.maintainFromBatch(s, Tables.documents(s, dir))
+        .orderBy("id_a", "id_b")),
+
     // Boilerplate stripping: delete the corpus's top-5 most frequent
     // bigrams (template phrases) from every document, then re-normalize
     // whitespace — the cross-document repeated-span removal step. The
@@ -2874,6 +2887,10 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardPairsSql(0.6),
+
+    // Streamed maintenance emits exactly the batch all-pairs set (the
+    // equivalence contract in streaming/DedupMaintenance) — same oracle.
+    "dedup_stream_maintain" -> jaccardPairsSql(0.6),
 
     "dedup_minhash" -> jaccardPairsSql(0.6),
 

@@ -87,21 +87,58 @@ object Dedup {
       n: Int,
       threshold: Double,
       idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    jaccardAcrossPostings(
+      hashedPostings(newDocs, n, idCol, textCol),
+      hashedPostings(corpus, n, idCol, textCol),
+      threshold)
+      .select(col("id_x").as("new_id"), col("id_y").as("old_id"), col("jaccard"))
+
+  /** The (id, sz, s) hashed-shingle posting list of a document frame —
+    * the STORED form of a corpus for incremental dedup: a new batch
+    * computes only its own postings and equi-joins a posting table that
+    * was written once (at 100 TB: bucketed by `s`), never re-shingling
+    * the corpus. Shared by [[ngramJaccardAgainst]] and
+    * [[graft.streaming.DedupMaintenance]].
+    */
+  def hashedPostings(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    graft.functions.HashedShingles.ensureRegistered(corpus.sparkSession)
-    def posts(df: DataFrame) = df
+    graft.functions.HashedShingles.ensureRegistered(docs.sparkSession)
+    docs
       .select(col(idCol).as("id"), graft.functions.HashedShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-    posts(newDocs).as("x")
-      .join(posts(corpus).as("y"), col("x.s") === col("y.s"))
-      .groupBy(col("x.id").as("new_id"), col("y.id").as("old_id"))
-      .agg(count(lit(1)).as("inter"), first(col("x.sz")).as("sz_new"), first(col("y.sz")).as("sz_old"))
-      .withColumn("jac",
-        col("inter").cast("double") / (col("sz_new") + col("sz_old") - col("inter")).cast("double"))
-      .filter(col("jac") >= threshold)
-      .select(col("new_id"), col("old_id"), round(col("jac"), 4).as("jaccard"))
   }
+
+  /** Jaccard-thresholded pairs across two DISJOINT posting frames (every
+    * x-doc against every co-occurring y-doc): (id_x, id_y, jaccard).
+    * Same Σ df_x·df_y equi-join cost model as [[ngramJaccardAgainst]].
+    */
+  def jaccardAcrossPostings(x: DataFrame, y: DataFrame, threshold: Double): DataFrame =
+    x.as("x")
+      .join(y.as("y"), col("x.s") === col("y.s"))
+      .groupBy(col("x.id").as("id_x"), col("y.id").as("id_y"))
+      .agg(count(lit(1)).as("inter"), first(col("x.sz")).as("sz_x"), first(col("y.sz")).as("sz_y"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz_x") + col("sz_y") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("id_x"), col("id_y"), round(col("jac"), 4).as("jaccard"))
+
+  /** Jaccard-thresholded pairs WITHIN one posting frame, id_a < id_b —
+    * the posting-level core of [[ngramJaccardPairs]].
+    */
+  def jaccardWithinPostings(posts: DataFrame, threshold: Double): DataFrame =
+    posts.as("x")
+      .join(posts.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"), first(col("x.sz")).as("sz_a"), first(col("y.sz")).as("sz_b"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
 
   /** Shared inverted-index co-occurrence: (id_a, id_b, |A∩B|, |A|, |B|)
     * for every pair sharing ≥ 1 shingle.

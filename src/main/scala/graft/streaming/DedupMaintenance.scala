@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.dedup.Dedup
+import graft.model.Schemas
+
+/** Incremental near-dup maintenance — the streaming twin of
+  * [[graft.dedup.Dedup.ngramJaccardAgainst]] (the batch daily-ingest
+  * shape). A production corpus is appended to continuously; re-pairing
+  * the whole corpus against itself per ingest wave is the scale killer,
+  * so the stream keeps the corpus as a STORED posting table and each
+  * arriving micro-batch is shingled once, flagged against the store,
+  * and folded into it.
+  *
+  * Per micro-batch N, with P = the batch's (id, sz, s) postings and
+  * S = the union of postings from batches < N:
+  *   1. cross pairs  = jaccardAcrossPostings(P, S)  — new × stored only,
+  *      cost Σ_s df_new(s)·df_old(s), the old×old quadrant never runs;
+  *   2. within pairs = jaccardWithinPostings(P)     — dups arriving in
+  *      the same wave;
+  *   3. both commit (normalized to id_a = least, id_b = greatest) as an
+  *      overwrite of `pairsDir/batch_id=N/`, and P commits as an
+  *      overwrite of `storeDir/batch_id=N/` — the same per-batch-
+  *      directory idempotent commit as [[IndexMaintenance.appendBatch]]
+  *      (foreachBatch is at-least-once; a replayed batch replaces its
+  *      own subtrees, and the store read is pinned to batch_id < N so a
+  *      retry never pairs a batch against its own half-committed
+  *      postings).
+  *
+  * Equivalence contract (pinned in DedupMaintenanceSpec and the
+  * `dedup_stream_maintain` CORRECTNESS row): each qualifying pair is
+  * emitted EXACTLY once — by the micro-batch its later-arriving member
+  * arrives in — so the union of per-batch pair sets equals the batch
+  * all-pairs [[graft.dedup.Dedup.ngramJaccardPairs]] result REGARDLESS
+  * of how (or in what order) documents were split into micro-batches.
+  *
+  * At 100 TB: the store is the posting table bucketed by shingle hash
+  * `s`, so the per-batch cross join is bucket-pruned and co-located;
+  * store growth is one cell-less directory per batch, folded by the
+  * same small-files compaction discipline as the ANN index table.
+  */
+object DedupMaintenance {
+
+  /** Flag one micro-batch against the stored postings and commit both
+    * the pair flags and the batch's postings as idempotent per-batch
+    * directory overwrites. Public so the retry contract is testable
+    * without crashing a real stream.
+    */
+  def appendBatch(
+      batch: DataFrame,
+      storeDir: String,
+      pairsDir: String,
+      batchId: Long,
+      n: Int = 3,
+      threshold: Double = 0.6): Unit = {
+    val spark = batch.sparkSession
+    // The batch postings feed three consumers (cross join, within join
+    // ×2 sides, store write); localCheckpoint computes them once and
+    // severs the re-read of the streaming source.
+    val posts = Dedup.hashedPostings(batch, n).localCheckpoint(eager = true)
+    val store = readStore(spark, storeDir, beforeBatch = batchId)
+    val cross = Dedup.jaccardAcrossPostings(posts, store, threshold)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("jaccard"))
+    val within = Dedup.jaccardWithinPostings(posts, threshold)
+    cross.unionByName(within)
+      .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    posts.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+  }
+
+  /** Stored postings from batches strictly before `beforeBatch` (the
+    * retry guard: a replayed batch must not see its own postings).
+    * Empty-store reads return an empty (id, sz, s) frame.
+    */
+  def readStore(spark: SparkSession, storeDir: String, beforeBatch: Long): DataFrame = {
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sz", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.LongType))))
+    else
+      spark.read.parquet(storeDir)
+        .filter(col("batch_id") < beforeBatch)
+        .select(col("id"), col("sz"), col("s"))
+  }
+
+  /** Stream documents-shaped parquet files from `srcDir`, flagging each
+    * micro-batch and folding it into the posting store via
+    * [[appendBatch]].
+    */
+  def streamDedup(
+      spark: SparkSession,
+      srcDir: String,
+      storeDir: String,
+      pairsDir: String,
+      checkpointDir: String,
+      n: Int = 3,
+      threshold: Double = 0.6,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.readStream
+      .schema(Schemas.documents)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        appendBatch(batch.toDF(), storeDir, pairsDir, batchId, n, threshold)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Run the whole maintenance cycle on a batch table: shatter `docs`
+    * into `nFiles` source files, stream them one file per micro-batch,
+    * and return the union of per-batch pair flags (id_a, id_b, jaccard)
+    * — by the equivalence contract, exactly the all-pairs near-dup set.
+    * Temp dirs (source copy, store, pairs, checkpoint) are deleted
+    * before returning.
+    */
+  def maintainFromBatch(
+      spark: SparkSession,
+      docs: DataFrame,
+      nFiles: Int = 4,
+      n: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_maint")
+    val srcDir = base.resolve("src").toString
+    val storeDir = base.resolve("store").toString
+    val pairsDir = base.resolve("pairs").toString
+    val ckptDir = base.resolve("ckpt").toString
+    try {
+      docs.repartition(nFiles).write.parquet(srcDir)
+      val q = streamDedup(spark, srcDir, storeDir, pairsDir, ckptDir, n, threshold)
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(pairsDir)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .localCheckpoint(eager = true)
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+}
