@@ -91,6 +91,24 @@ object DedupMaintenance {
         .select(col("id"), col("sz"), col("s"))
   }
 
+  /** Fold the posting store's batch history into a compacted table
+    * hash-partitioned on the shingle hash `s` — the bucketed-by-`s`
+    * layout the 100 TB posture note promises (each future batch's
+    * cross join then co-locates per bucket), and the small-files fold
+    * (one file per bucket instead of one directory per batch). The
+    * compacted table answers [[graft.dedup.Dedup.jaccardAcrossPostings]]
+    * identically (pinned in DedupMaintenanceSpec). Returns the
+    * compacted file count.
+    */
+  def compactStore(spark: SparkSession, storeDir: String, outDir: String,
+                   buckets: Int = 32): Int = {
+    spark.read.parquet(storeDir)
+      .drop("batch_id")
+      .repartition(buckets, col("s"))
+      .write.mode("overwrite").parquet(outDir)
+    IndexMaintenance.parquetFileCount(spark, outDir)
+  }
+
   /** Stream documents-shaped parquet files from `srcDir`, flagging each
     * micro-batch and folding it into the posting store via
     * [[appendBatch]].

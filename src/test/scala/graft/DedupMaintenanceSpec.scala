@@ -43,6 +43,27 @@ class DedupMaintenanceSpec extends GraftSpec {
     assert(!after.exists(r => r.getLong(0) === r.getLong(1)), "no self-pairs")
   }
 
+  test("compacted store has fewer files and flags a new batch identically") {
+    val base = java.nio.file.Files.createTempDirectory("graft_dedup_compact")
+    val storeDir = base.resolve("store").toString
+    val pairsDir = base.resolve("pairs").toString
+    val outDir = base.resolve("compact").toString
+    (0 until 4).foreach { i =>
+      DedupMaintenance.appendBatch(docs.filter(col("doc_id") % 4 === i),
+        storeDir, pairsDir, batchId = i.toLong)
+    }
+    val filesBefore = graft.streaming.IndexMaintenance.parquetFileCount(spark, storeDir)
+    val filesAfter = DedupMaintenance.compactStore(spark, storeDir, outDir, buckets = 2)
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count (before=$filesBefore after=$filesAfter)")
+    val probe = Dedup.hashedPostings(docs.filter(col("doc_id") < 50), 3)
+    val viaStore = Dedup.jaccardAcrossPostings(probe,
+      spark.read.parquet(storeDir).select("id", "sz", "s"), 0.6)
+    val viaCompact = Dedup.jaccardAcrossPostings(probe,
+      spark.read.parquet(outDir), 0.6)
+    assert(viaCompact.exceptAll(viaStore).isEmpty && viaStore.exceptAll(viaCompact).isEmpty)
+  }
+
   test("store holds one posting set per batch and the union covers the corpus") {
     val base = java.nio.file.Files.createTempDirectory("graft_dedup_store")
     val storeDir = base.resolve("store").toString
