@@ -512,6 +512,22 @@ object SparkEntry {
       RecallAtK.evaluate(gt, ret, Seq(5, 10)).orderBy("qid")
     }),
 
+    // Order-aware quality of the same truncated-dim ranking: MRR,
+    // Precision@10, nDCG@10 vs the full-dim cosine ground truth —
+    // recall says IF the true neighbors surface, nDCG says WHERE. The
+    // log2 discount table is Java-computed literals in BOTH engines
+    // (graft.eval.RankingMetrics), so there is no cross-engine log
+    // parity hazard; all joins run on ≤k-row-per-query frames.
+    "ann_mrl_rank_quality" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 5)
+      val truncate = (df: DataFrame, c: String) =>
+        df.withColumn(c, slice(col(c), 1, 16))
+      val gt = KnnExact.topKCosine(q, emb, 10)
+      val ret = KnnExact.topKCosine(truncate(q, "qemb"), truncate(emb, "embedding"), 10)
+      graft.eval.RankingMetrics.evaluate(gt, ret, 10).orderBy("qid")
+    }),
+
     // J3 + A10: Recall@K of cosine ranking vs L2 ground truth.
     "recall_l2_vs_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -969,6 +985,19 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.cosineLshPairs(plantedEmbeddings(s, dir), 0.9,
         bands = 20, bitsPerBand = 16, dim = 64).orderBy("id_a", "id_b")),
+
+    // SemDeDup (Abbas et al. '23): cluster-confined semantic dedup at
+    // cos >= 0.7 — a threshold where hyperplane banding provably cannot
+    // prune (see above), but nearest-seed cell confinement still cuts
+    // the pair space to Σ|cell|². Runs over plantedEmbeddings; a twin
+    // is caught iff the ±1/64 perturbation keeps it in its original's
+    // cell — measured recall 0.88 at sf0.01 (precision 1.0; the paper's
+    // regime co-assigns verbatim copies, this fixture's isotropic
+    // vectors sit nearer cell boundaries — bounds asserted in
+    // DedupSpec).
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(plantedEmbeddings(s, dir), numSeeds = 10, threshold = 0.7)
+        .orderBy("vec_id")),
 
     // Language-ID heuristic.
     "lang_id" -> ((s, dir) => {
@@ -2594,6 +2623,35 @@ object SparkEntry {
          |    ELSE CAST(len(list_intersect(gt.ids[1:10], rt.ids[1:10])) AS DOUBLE) / CAST(len(gt.ids[1:10]) AS DOUBLE) END, 4) AS recall_10
          |FROM gt JOIN rt ON gt.qid = rt.qid ORDER BY gt.qid""".stripMargin,
 
+    // MRR / Precision@10 / nDCG@10 over the same two rankings as
+    // ann_mrl_recall. The discount and ideal-DCG tables are the SAME
+    // Java doubles as RankingMetrics.discounts (Double.toString
+    // round-trips bit-exactly), so no log() runs in either engine.
+    "ann_mrl_rank_quality" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb, embedding[1:16] AS qemb16 FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim_full,
+         |        ${cosSql("q.qemb16", "c.emb16")} AS sim_t
+         |      FROM (SELECT vec_id, embedding, embedding[1:16] AS emb16 FROM embeddings) c, q),
+         |gt AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim_full DESC, vec_id) AS rk FROM d) WHERE rk <= 10),
+         |rt AS (SELECT qid, vec_id, rk FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim_t DESC, vec_id) AS rk FROM d) WHERE rk <= 10),
+         |disc(rk, disc) AS (VALUES ${graft.eval.RankingMetrics.discountsSql(10)}),
+         |ideal(n_rel, idcg) AS (VALUES ${graft.eval.RankingMetrics.idealDcgSql(10)}),
+         |nrel AS (SELECT qid, CAST(count(*) AS INT) AS n_rel FROM gt GROUP BY qid),
+         |j AS (SELECT r.qid, r.rk,
+         |        CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |      FROM rt r LEFT JOIN gt g ON r.qid = g.qid AND r.vec_id = g.vec_id),
+         |a AS (SELECT j.qid,
+         |        max(CASE WHEN rel = 1 THEN CAST(1.0 AS DOUBLE) / j.rk ELSE CAST(0 AS DOUBLE) END) AS mrr_raw,
+         |        CAST(sum(rel) AS DOUBLE) / 10 AS prec,
+         |        sum(CASE WHEN rel = 1 THEN disc.disc ELSE CAST(0 AS DOUBLE) END) AS dcg
+         |      FROM j JOIN disc ON j.rk = disc.rk GROUP BY j.qid)
+         |SELECT a.qid, CAST(n.n_rel AS BIGINT) AS n_rel, round(mrr_raw, 4) AS mrr,
+         |  round(prec, 4) AS precision_10, round(dcg / i.idcg, 4) AS ndcg_10
+         |FROM a JOIN nrel n ON a.qid = n.qid JOIN ideal i ON n.n_rel = i.n_rel
+         |ORDER BY a.qid""".stripMargin,
+
     "recall_l2_vs_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
          |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist,
@@ -2942,6 +3000,37 @@ object SparkEntry {
          |p AS (SELECT id_a, id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
          |      FROM cand JOIN aug a ON cand.id_a = a.vec_id JOIN aug b ON cand.id_b = b.vec_id)
          |SELECT id_a, id_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup: nearest-seed assignment (exact float-array L2, ties to
+    // the lowest seed) replayed literally, then within-cell pairs at
+    // cos >= 0.7 and keep-lowest-id. Same aug CTE as
+    // dedup_embedding_cosine.
+    "dedup_semantic" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(range(1, 65), i -> CAST(CAST(embedding[i] AS DOUBLE) + ($pertSql)[i] AS FLOAT))
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS seed_id, embedding AS c_emb FROM aug WHERE vec_id < 10),
+         |d AS (SELECT a.vec_id, s.seed_id,
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(s.c_emb[i] AS DOUBLE))
+         |             * (CAST(a.embedding[i] AS DOUBLE) - CAST(s.c_emb[i] AS DOUBLE)))) AS d2
+         |      FROM aug a CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, CAST(seed_id AS BIGINT) AS cell FROM (
+         |          SELECT vec_id, seed_id,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, seed_id ASC) AS rn
+         |          FROM d) WHERE rn = 1),
+         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.cell,
+         |        ${cosSql("a.embedding", "b.embedding")} AS cos
+         |      FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |      JOIN aug a ON x.vec_id = a.vec_id JOIN aug b ON y.vec_id = b.vec_id),
+         |hits AS (SELECT id_a, id_b, cell, cos,
+         |           row_number() OVER (PARTITION BY id_b ORDER BY id_a ASC) AS rn
+         |         FROM p WHERE cos >= 0.7)
+         |SELECT id_b AS vec_id, cell, id_a AS dup_of, round(cos, 4) AS cosine
+         |FROM hits WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "lang_id" -> {
       val langs = TextAnalysis.stopwords.map { case (lang, words) =>

@@ -379,4 +379,72 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
   }
+
+  /** Nearest-seed cluster assignment shared by [[semanticDedup]]: each
+    * vector to the closest of the `numSeeds` lowest-id vectors (exact
+    * float arrays, so L2 distances are bit-identical across engines;
+    * ties break to the lowest seed id). The seed frame broadcasts and
+    * the ×numSeeds expansion collapses in the partial min aggregate
+    * BEFORE the exchange — same shape as the IVF coarse assignment.
+    */
+  def seedAssign(
+      embeddings: DataFrame,
+      numSeeds: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(embeddings.sparkSession)
+    import graft.functions.VectorExpressions.{l2Sq => fl2}
+    val seeds = embeddings.filter(col(idCol) < numSeeds)
+      .select(col(idCol).as("seed_id"), col(embCol).as("c_emb"))
+    embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .crossJoin(broadcast(seeds))
+      .select(col("id"), col("emb"), col("seed_id"), fl2(col("emb"), col("c_emb")).as("d2"))
+      .groupBy(col("id"), col("emb"))
+      .agg(min(struct(col("d2"), col("seed_id"))).as("m"))
+      .select(col("id"), col("emb"), col("m.seed_id").cast("long").as("cell"))
+  }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic near-dup
+    * removal via CLUSTER-CONFINED pairwise cosine — assign every vector
+    * to its nearest seed centroid, compare pairs only inside a cell,
+    * drop the higher id of every pair at or above the threshold. Returns
+    * the drop list: (vec_id, cell, dup_of, cosine) where dup_of is the
+    * lowest-id duplicate partner.
+    *
+    * Complements [[cosineLshPairs]]: hyperplane banding only prunes at
+    * HIGH thresholds (per-bit collision is 0.5 even for orthogonal
+    * vectors — see [[cosineLshCandidates]]), while cluster confinement
+    * prunes at ANY threshold — it is the standard shape for semantic
+    * dedup at cos ~0.7, where banding cannot help. Cost is Σ_c |c|²
+    * instead of n²: with k ≈ √n balanced cells the pair join is ~n^1.5
+    * candidate rows, every join an equi-join on the cell id (no
+    * cartesian; the seed expansion is a broadcast BNLJ that collapses
+    * pre-exchange). At 100 TB the assignment is one linear pass against
+    * broadcast centroids and the pairwise stage shuffles each cell to
+    * one place — cells cap at centroid count, and oversized cells are
+    * split by re-clustering in practice (the paper's k is 110k for
+    * LAION — cells of ~10⁴ — so the quadratic term stays bounded).
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      numSeeds: Int,
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.{dot => fdot}
+    val assigned = seedAssign(embeddings, numSeeds, idCol, embCol)
+      .withColumn("nrm", sqrt(fdot(col("emb"), col("emb"))))
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", fdot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_b").as("vec_id"), col("cell"))
+      .agg(min(struct(col("id_a"), col("cos"))).as("m"))
+      .select(col("vec_id"), col("cell"), col("m.id_a").as("dup_of"),
+        round(col("m.cos"), 4).as("cosine"))
+  }
 }

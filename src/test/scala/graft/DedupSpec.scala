@@ -101,6 +101,43 @@ class DedupSpec extends GraftSpec {
     assert(r1.toSet === r2.toSet)
   }
 
+  test("semantic dedup drops exactly the all-pairs duplicates, cell-confined") {
+    val base = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val pert = array((0 until 64).map(i => lit(graft.search.RpLsh.sign(9999, i) / 64.0)): _*)
+    val planted = base.unionByName(base.select(
+      ($"vec_id" + lit(1000000L)).as("vec_id"),
+      zip_with($"embedding", pert, (x, p) => x + p).cast("array<float>").as("embedding")))
+
+    val sem = Dedup.semanticDedup(planted, numSeeds = 10, threshold = 0.7)
+    val semDrops = sem.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    // ground truth: unrestricted all-pairs at the same threshold,
+    // keep-lowest-id → drop (id_b, min id_a).
+    val exactDrops = Dedup.embeddingCosinePairs(planted, 0.7)
+      .groupBy($"id_b").agg(min($"id_a").as("dup_of"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDrops.nonEmpty, "planted input should contain semantic dups")
+
+    // cell confinement NEVER invents a drop (precision 1.0)...
+    assert(semDrops.subsetOf(exactDrops))
+    // ...and recovers the large majority: a twin is only lost when its
+    // original sits close enough to a cell boundary that the ±1/64
+    // perturbation flips its nearest seed (~10% of isotropic fixture
+    // vectors; measured 0.898 at sf0.001). Real corpora dedup at much
+    // larger k where verbatim copies co-assign — this measures the
+    // tradeoff honestly rather than tuning it away.
+    val recall = semDrops.size.toDouble / exactDrops.size
+    assert(recall >= 0.8, s"cell-confined recall $recall")
+
+    // the recovered dups are exactly twin pairs
+    assert(semDrops.forall { case (v, d) => v === d + 1000000L })
+
+    // the seed expansion is a broadcast BNLJ, the pair stage an
+    // equi-join on the cell — never a cartesian
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("stop-shingle cap only removes pairs, never admits new ones") {
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.6)
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
