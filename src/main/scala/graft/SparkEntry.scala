@@ -1549,6 +1549,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), round(col("mean_logprob"), 4).as("mean_logprob"))
         .orderBy("doc_id")),
 
+    // DSIR-style importance weights (Xie et al. '23): per-token
+    // log-likelihood ratio of an add-one-smoothed target unigram LM
+    // (here: the English slice) vs the raw LM (everything else) — the
+    // score a 100 TB pretraining pipeline sorts on to select raw data
+    // that looks like the trusted domain. Counts are exact BIGINTs and
+    // ln() sees bit-identical ratio doubles in both engines
+    // (graft.textual.ImportanceSampling).
+    "corpus_dsir_weights" -> ((s, dir) =>
+      graft.textual.ImportanceSampling
+        .logRatioWeights(Tables.documents(s, dir), col("lang") === "en")
+        .withColumn("logratio_per_token", round(col("logratio_per_token"), 4))
+        .orderBy("doc_id")),
+
     // Heaps-law vocabulary growth: distinct word-3-gram count at every
     // 50-document ingest checkpoint, from each shingle's FIRST occurrence
     // (min doc_id) — one vocab-sized aggregate, then a running sum over
@@ -3440,6 +3453,28 @@ object SparkEntry {
          |  round(sum(tf * ln(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE))) / dl, 4) AS mean_logprob
          |FROM post JOIN ctf USING (term) CROSS JOIN tot
          |GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
+
+    // DSIR weights: string-term replay of the hashed-postings pipeline
+    // (counts are hash-invariant). The smoothed ratio is a quotient of
+    // exact integer products, so ln() input is bit-identical.
+    "corpus_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, (lang = 'en') AS is_t,
+         |    len(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS dl,
+         |    unnest(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |post AS (SELECT doc_id, is_t, dl, term, count(*) AS tf FROM tok GROUP BY doc_id, is_t, dl, term),
+         |bt AS (SELECT term,
+         |         sum(CASE WHEN is_t THEN tf ELSE 0 END) AS ct,
+         |         sum(CASE WHEN NOT is_t THEN tf ELSE 0 END) AS cr
+         |       FROM post GROUP BY term),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM bt),
+         |lr AS (SELECT term,
+         |         ln(CAST((ct + 1) * (nr + v) AS DOUBLE) / CAST((cr + 1) * (nt + v) AS DOUBLE)) AS lr
+         |       FROM bt CROSS JOIN tot)
+         |SELECT doc_id, is_t AS is_target, CAST(dl AS BIGINT) AS n_tokens,
+         |  round(sum(tf * lr) / dl, 4) AS logratio_per_token
+         |FROM post JOIN lr USING (term)
+         |GROUP BY doc_id, is_t, dl ORDER BY doc_id""".stripMargin,
 
     "vocab_growth" ->
       s"""WITH tok AS (SELECT doc_id,

@@ -1,0 +1,66 @@
+package graft.textual
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** DSIR-style data selection via importance resampling (Xie et al.,
+  * NeurIPS'23): score every document by how target-domain-like its
+  * unigram distribution is — the per-token log-likelihood ratio between
+  * an add-one-smoothed target LM and raw LM, both estimated from the
+  * corpus itself. Selection then keeps the highest-weight raw documents
+  * (or Gumbel-resamples on the weights); this operator produces the
+  * weights, the selection being a plain ORDER BY/filter on top.
+  *
+  * Float discipline (the doc_unigram_logprob pattern): every count is
+  * an exact BIGINT; the smoothed ratio ((c_t+1)(N_r+V)) / ((c_r+1)(N_t+V))
+  * is a quotient of exact integer products (< 2^53), so `ln` sees a
+  * bit-identical double in both engines; the final per-doc sum rounds
+  * at 4 decimals.
+  *
+  * Scale posture: two linear hash shuffles (postings by term, weights
+  * by doc) — identical shape to the unigram-LM scorer. Terms are
+  * xxhash64-hashed before any shuffle (the dedup-family discipline;
+  * DSIR itself hashes into 10k buckets — counts are hash-invariant, so
+  * the string-term DuckDB oracle still matches). The totals frame is
+  * one broadcast row; the per-term log-ratio table is vocab-sized and
+  * joins the postings on the term shuffle key.
+  */
+object ImportanceSampling {
+
+  /** Per-document importance weights. `isTarget` marks the documents
+    * whose distribution defines the target LM (e.g. a trusted corpus
+    * slice); all other documents form the raw LM. Output: (doc_id,
+    * is_target, n_tokens, logratio_per_token) — positive ⇒ more
+    * target-like than raw. Empty documents carry no tokens and drop.
+    */
+  def logRatioWeights(
+      docs: DataFrame,
+      isTarget: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val post = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        size(toks).as("dl"), explode(toks).as("t"))
+      .select(col("doc_id"), col("is_t"), col("dl"), xxhash64(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("is_t"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = post.groupBy(col("term")).agg(
+      sum(when(col("is_t"), col("tf")).otherwise(lit(0L))).as("ct"),
+      sum(when(!col("is_t"), col("tf")).otherwise(lit(0L))).as("cr"))
+    val totals = byTerm.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+    val lr = byTerm.crossJoin(broadcast(totals))
+      .select(col("term"),
+        log(((col("ct") + 1) * (col("nr") + col("v"))).cast("double") /
+          ((col("cr") + 1) * (col("nt") + col("v"))).cast("double")).as("lr"))
+    post.join(lr, Seq("term"))
+      .groupBy(col("doc_id"), col("is_t"), col("dl"))
+      .agg(sum(col("tf") * col("lr")).as("ll"))
+      .select(col("doc_id"), col("is_t").as("is_target"),
+        col("dl").cast("long").as("n_tokens"),
+        (col("ll") / col("dl")).as("logratio_per_token"))
+  }
+}
