@@ -1183,6 +1183,40 @@ object SparkEntry {
           col("chunk_text"))
         .orderBy("doc_id", "chunk_id")),
 
+    // End-to-end RAG retrieval — the reference's primary use case
+    // (embed pages, retrieve top chunks for a query;
+    // chromadb_acc_experiment.py's query loop) re-expressed over the
+    // chunked corpus: split docs into 64/48 sliding chunks, score
+    // chunks with the VSM cosine retriever (chunk-level TF-IDF index),
+    // keep each doc's best chunk, return the top-5 docs per query with
+    // the chunk that won. Pure composition: chunkTokens + the generic
+    // vsmCosine over a (chunk_key, chunk_text) frame + two
+    // WindowGroupLimit passes on the ≤50-row-per-query candidate list.
+    // The chunk index shuffles on the hashed term like the doc index —
+    // same linear scale shape, ~len/stride × the postings.
+    "rag_chunk_retrieve" -> ((s, dir) => {
+      val chunks = TextAnalysis.chunkTokens(Tables.documents(s, dir), "text",
+        size = 64, stride = 48)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+          col("chunk_text"))
+      val ranked = TextSearch.vsmCosine(chunks, "chunk_key", "chunk_text",
+        searchQueryFrame(s), 50)
+      val perDoc = Window.partitionBy(col("query_id"), col("src_doc")).orderBy(col("rk"))
+      val perQuery = Window.partitionBy(col("query_id")).orderBy(col("rk"))
+      ranked
+        .withColumn("src_doc", expr("doc_id div 1000"))
+        .withColumn("chunk_id", expr("doc_id % 1000"))
+        .withColumn("c_rn", row_number().over(perDoc))
+        .filter(col("c_rn") === 1)
+        .withColumn("doc_rk", row_number().over(perQuery))
+        .filter(col("doc_rk") <= 5)
+        .select(col("query_id"), col("src_doc").as("doc_id"),
+          col("doc_rk").cast("long").as("doc_rk"),
+          col("chunk_id").cast("long").as("best_chunk"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "doc_rk")
+    }),
+
     // Temperature-balanced language mix (the mT5 discipline): downsample
     // each language toward counts ∝ n_l^α (α = 0.5) without upsampling —
     // keep fraction f_l = sqrt(n_min / n_l), so the rarest language keeps
@@ -1558,9 +1592,26 @@ object SparkEntry {
     // (graft.textual.ImportanceSampling).
     "corpus_dsir_weights" -> ((s, dir) =>
       graft.textual.ImportanceSampling
-        .logRatioWeights(Tables.documents(s, dir), col("lang") === "en")
+        .logRatioWeightsFrom(sharedSearchIndex(s, dir).post,
+          Tables.documents(s, dir).select(col("doc_id"), (col("lang") === "en").as("is_t")))
         .withColumn("logratio_per_token", round(col("logratio_per_token"), 4))
         .orderBy("doc_id")),
+
+    // The selection half of DSIR: Gumbel top-100 on the UNROUNDED
+    // weights — sampling without replacement ∝ exp(weight), with the
+    // Gumbel noise derived from the suite's deterministic multiplicative
+    // hash coin so the oracle replays the exact draw. Executes as
+    // TakeOrderedAndProject (per-partition heaps), never a global sort.
+    "corpus_dsir_resample" -> ((s, dir) => {
+      val w = graft.textual.ImportanceSampling
+        .logRatioWeightsFrom(sharedSearchIndex(s, dir).post,
+          Tables.documents(s, dir).select(col("doc_id"), (col("lang") === "en").as("is_t")))
+      graft.textual.ImportanceSampling.gumbelTopK(w, 100)
+        .select(col("doc_id"), col("is_target"), col("n_tokens"),
+          round(col("logratio_per_token"), 4).as("logratio_per_token"),
+          round(col("gkey"), 4).as("gkey"))
+        .orderBy("doc_id")
+    }),
 
     // Heaps-law vocabulary growth: distinct word-3-gram count at every
     // 50-document ingest checkpoint, from each shingle's FIRST occurrence
@@ -3190,6 +3241,50 @@ object SparkEntry {
          |  array_to_string(chunk, ' ') AS chunk_text
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // RAG composition: the chunk CTE from docs_chunk_overlap feeds a
+    // chunk-keyed clone of the VSM CTE chain (same formulas as
+    // search_vsm_cosine), then best-chunk-per-doc and top-5 docs.
+    "rag_chunk_retrieve" -> {
+      val ws = graft.functions.TextFunctions.wsPatternSql
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+         |  FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id * 1000 + (start // 48) AS ck,
+         |    list_slice(toks, start + 1, least(start + 64, len(toks))) AS chunk
+         |  FROM s),
+         |tok AS (SELECT ck, len(chunk) AS dl, unnest(chunk) AS term FROM c),
+         |post AS (SELECT ck, dl, term, count(*) AS tf FROM tok GROUP BY ck, dl, term),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    avg(CAST(len(chunk) AS DOUBLE)) AS avgdl FROM c),
+         |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+         |qt AS (SELECT DISTINCT query_id, unnest(regexp_split_to_array(trim(query_text), '$ws')) AS term
+         |       FROM (VALUES ('q1', 'hash join merge'), ('q2', 'slow scan filter'),
+         |                    ('q3', 'spark window sort table'), ('q4', 'customer zzzunseen batch'))
+         |            AS qq(query_id, query_text)),
+         |vidf AS (SELECT term, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf FROM dfreq CROSS JOIN stats),
+         |wgt AS (SELECT ck, post.term, tf * idf AS w FROM post JOIN vidf ON post.term = vidf.term),
+         |dnorm AS (SELECT ck, sqrt(sum(w * w)) AS dnorm FROM wgt GROUP BY ck),
+         |qwt AS (SELECT query_id, qt.term, idf AS qw FROM qt JOIN vidf ON qt.term = vidf.term),
+         |qnorm AS (SELECT query_id, sqrt(sum(qw * qw)) AS qnorm FROM qwt GROUP BY query_id),
+         |dotp AS (SELECT query_id, wgt.ck, sum(w * qw) AS dot
+         |         FROM wgt JOIN qwt ON wgt.term = qwt.term GROUP BY query_id, wgt.ck),
+         |vscored AS (SELECT query_id, ck, dot / (dnorm * qnorm) AS score
+         |            FROM dotp JOIN dnorm USING (ck) JOIN qnorm USING (query_id)),
+         |r AS (SELECT query_id, ck, score,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, ck ASC) AS rk
+         |      FROM vscored),
+         |cand AS (SELECT * FROM r WHERE rk <= 50),
+         |best AS (SELECT query_id, ck // 1000 AS doc_id, ck % 1000 AS chunk_id, rk, score,
+         |           row_number() OVER (PARTITION BY query_id, ck // 1000 ORDER BY rk) AS c_rn
+         |         FROM cand),
+         |dr AS (SELECT query_id, doc_id, chunk_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY rk) AS doc_rk
+         |       FROM best WHERE c_rn = 1)
+         |SELECT query_id, doc_id, CAST(doc_rk AS BIGINT) AS doc_rk,
+         |  CAST(chunk_id AS BIGINT) AS best_chunk, round(score, 4) AS score
+         |FROM dr WHERE doc_rk <= 5 ORDER BY query_id, doc_rk""".stripMargin
+    },
+
     "docs_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
         |m AS (SELECT min(n_l) AS n_min FROM c),
@@ -3475,6 +3570,33 @@ object SparkEntry {
          |  round(sum(tf * lr) / dl, 4) AS logratio_per_token
          |FROM post JOIN lr USING (term)
          |GROUP BY doc_id, is_t, dl ORDER BY doc_id""".stripMargin,
+
+    // Gumbel top-100 selection over the unrounded DSIR weights; the
+    // uniform is the exact dyadic hash coin, so -ln(-ln(u)) is
+    // bit-replayable.
+    "corpus_dsir_resample" ->
+      s"""WITH tok AS (SELECT doc_id, (lang = 'en') AS is_t,
+         |    len(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS dl,
+         |    unnest(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |post AS (SELECT doc_id, is_t, dl, term, count(*) AS tf FROM tok GROUP BY doc_id, is_t, dl, term),
+         |bt AS (SELECT term,
+         |         sum(CASE WHEN is_t THEN tf ELSE 0 END) AS ct,
+         |         sum(CASE WHEN NOT is_t THEN tf ELSE 0 END) AS cr
+         |       FROM post GROUP BY term),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM bt),
+         |lr AS (SELECT term,
+         |         ln(CAST((ct + 1) * (nr + v) AS DOUBLE) / CAST((cr + 1) * (nt + v) AS DOUBLE)) AS lr
+         |       FROM bt CROSS JOIN tot),
+         |w AS (SELECT doc_id, is_t, dl, sum(tf * lr) / dl AS wgt
+         |      FROM post JOIN lr USING (term) GROUP BY doc_id, is_t, dl),
+         |g AS (SELECT doc_id, is_t, dl, wgt,
+         |        wgt + (-ln(-ln(CAST((doc_id * 2654435761) % 65536 + 1 AS DOUBLE) / 65537.0))) AS gkey
+         |      FROM w),
+         |sel AS (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 100)
+         |SELECT doc_id, is_t AS is_target, CAST(dl AS BIGINT) AS n_tokens,
+         |  round(wgt, 4) AS logratio_per_token, round(gkey, 4) AS gkey
+         |FROM sel ORDER BY doc_id""".stripMargin,
 
     "vocab_growth" ->
       s"""WITH tok AS (SELECT doc_id,

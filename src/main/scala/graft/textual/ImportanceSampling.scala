@@ -47,6 +47,21 @@ object ImportanceSampling {
       .select(col("doc_id"), col("is_t"), col("dl"), xxhash64(col("t")).as("term"))
       .groupBy(col("doc_id"), col("is_t"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    weightsFromPost(post)
+  }
+
+  /** [[logRatioWeights]] over an EXISTING postings frame (doc_id, dl,
+    * term, tf) — e.g. the search family's shared materialized index —
+    * plus a (doc_id, is_t) flag frame, skipping re-tokenization. The
+    * flag join is a plain doc_id equi-join with NO broadcast hint: the
+    * flag frame is one row per document (linear in the corpus), so AQE
+    * may broadcast it at fixture scale but must be free to shuffle at
+    * 100 TB.
+    */
+  def logRatioWeightsFrom(post: DataFrame, flags: DataFrame): DataFrame =
+    weightsFromPost(post.join(flags, Seq("doc_id")))
+
+  private def weightsFromPost(post: DataFrame): DataFrame = {
     val byTerm = post.groupBy(col("term")).agg(
       sum(when(col("is_t"), col("tf")).otherwise(lit(0L))).as("ct"),
       sum(when(!col("is_t"), col("tf")).otherwise(lit(0L))).as("cr"))
@@ -62,5 +77,29 @@ object ImportanceSampling {
       .select(col("doc_id"), col("is_t").as("is_target"),
         col("dl").cast("long").as("n_tokens"),
         (col("ll") / col("dl")).as("logratio_per_token"))
+  }
+
+  /** The resampling half of DSIR: sample `n` documents without
+    * replacement with probability ∝ exp(weight / temperature) via the
+    * Gumbel top-k trick — key = w/T + Gumbel(0,1), take the n largest
+    * keys. The Gumbel draw is DETERMINISTIC: the suite's multiplicative
+    * hash coin maps doc_id to an exact dyadic uniform in (0,1), so
+    * g = -ln(-ln(u)) is replayable bit-for-bit by the oracle. Top-k
+    * executes as TakeOrderedAndProject — per-partition heaps, no global
+    * sort materialization — so selection over 100 TB of weights is one
+    * linear pass.
+    */
+  def gumbelTopK(
+      weights: DataFrame,
+      n: Int,
+      temperature: Double = 1.0,
+      idCol: String = "doc_id",
+      weightCol: String = "logratio_per_token"): DataFrame = {
+    val u = (((col(idCol) * lit(2654435761L)) % 65536) + 1).cast("double") / lit(65537.0)
+    val g = -log(-log(u))
+    weights
+      .withColumn("gkey", col(weightCol) / temperature + g)
+      .orderBy(col("gkey").desc, col(idCol))
+      .limit(n)
   }
 }

@@ -35,6 +35,32 @@ class ImportanceSamplingSpec extends GraftSpec {
     assert(means(true) - means(false) > 0.001)
   }
 
+  test("gumbel top-k selects n docs, biased toward high weights, as a heap take") {
+    val w = ImportanceSampling.logRatioWeights(
+      Tables.documents(spark, sfDir), $"lang" === "en")
+    val sel = ImportanceSampling.gumbelTopK(w, 100)
+    val rows = sel.collect()
+    assert(rows.length === 100)
+    assert(rows.map(_.getLong(0)).distinct.length === 100)
+
+    // exp-weight bias: the selected set's mean weight exceeds the
+    // population mean (weights differ by fractions of a nat, so the
+    // bias is small but must be positive in expectation; the fixed
+    // hash coin makes this deterministic, not flaky)
+    val selMean = rows.map(_.getDouble(3)).sum / rows.length
+    val popMean = w.agg(avg($"logratio_per_token")).collect().head.getDouble(0)
+    assert(selMean > popMean,
+      s"selected mean $selMean should exceed population mean $popMean")
+
+    // determinism: two runs select the identical set
+    val again = ImportanceSampling.gumbelTopK(w, 100).collect().map(_.getLong(0)).toSet
+    assert(again === rows.map(_.getLong(0)).toSet)
+
+    // scale posture: top-k is a TakeOrdered, never a global Sort+Limit
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("every document with tokens gets exactly one weight row") {
     val docs = Tables.documents(spark, sfDir)
     val nonEmpty = docs.filter(length(trim($"text")) > 0).count()
