@@ -628,6 +628,43 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Bucketed co-located join — the storage-layout lever for a join
+    // repeated at 100 TB: both sides are written bucketBy the join key
+    // (16 buckets, sorted), so the join reads bucket-aligned files and
+    // needs NO per-query exchange on either side (the no-shuffle plan
+    // is pinned in BucketingSpec; here defaults stay on so AQE remains
+    // free). The write cost is the point: paid once at layout time,
+    // amortized over every subsequent join. Result == the plain join
+    // (the oracle); tables + files are dropped after the tiny aggregate
+    // is checkpointed, leaving no residue across runs.
+    "join_bucketed_revenue" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      val tag = "g" + Integer.toHexString(dir.hashCode).replace('-', 'n')
+      val liT = s"li_bkt_$tag"
+      val ordT = s"ord_bkt_$tag"
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").option("path", s"$tmp/$liT")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", s"$tmp/$ordT")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+      val rev = col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
+      val res = s.table(liT)
+        .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(rev), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+        .localCheckpoint(true)
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+      s.sql(s"DROP TABLE IF EXISTS $ordT")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // J4 anti-join: orders with no lineitems (skip-existing pattern).
     "orders_anti" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -2784,6 +2821,14 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
         |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
         |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+
+    // The bucketed join must return exactly what the plain join does.
+    "join_bucketed_revenue" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
 
     "parts_by_brand" ->
       """SELECT p_brand, count(*) AS n_parts,
