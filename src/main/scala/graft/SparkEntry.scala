@@ -1232,12 +1232,22 @@ object SparkEntry {
     // The chunk index shuffles on the hashed term like the doc index —
     // same linear scale shape, ~len/stride × the postings.
     "rag_chunk_retrieve" -> ((s, dir) => {
-      val chunks = TextAnalysis.chunkTokens(Tables.documents(s, dir), "text",
+      val chunks = TextAnalysis.chunkTokenArrays(Tables.documents(s, dir), "text",
         size = 64, stride = 48)
         .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
-          col("chunk_text"))
-      val ranked = TextSearch.vsmCosine(chunks, "chunk_key", "chunk_text",
-        searchQueryFrame(s), 50)
+          col("chunk_toks"))
+      // chunk postings straight from the token arrays (no string
+      // re-join + re-split), hashed like every search-family shuffle
+      val post = chunks
+        .select(col("chunk_key").as("doc_id"),
+          size(col("chunk_toks")).as("dl"), explode(col("chunk_toks")).as("t"))
+        .select(col("doc_id"), col("dl"), xxhash64(col("t")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val stats = chunks.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(size(col("chunk_toks")).cast("double")).as("avgdl"))
+      val ranked = TextSearch.vsmCosineFrom(post, stats, searchQueryFrame(s), 50)
       val perDoc = Window.partitionBy(col("query_id"), col("src_doc")).orderBy(col("rk"))
       val perQuery = Window.partitionBy(col("query_id")).orderBy(col("rk"))
       ranked
@@ -1326,6 +1336,28 @@ object SparkEntry {
       graft.operators.HashSplit.assign(Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
+
+    // Leakage-safe split: near-duplicate documents must never straddle
+    // train/test (a test doc with a train near-twin inflates eval — the
+    // Lee et al. dedup finding). Composition: every doc splits by its
+    // near-dup CLUSTER representative's hash (its own id when
+    // unclustered), so whole clusters move together. Reuses the shared
+    // pair-list cache and the exact split hash of corpus_split_assign —
+    // one left join over the (tiny) cluster-label frame, no new shuffle
+    // shape.
+    "corpus_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val labels = Clusters.connectedComponents(sharedNgramPairs(s, dir))
+        .withColumnRenamed("id", "doc_id")
+      val rep = docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("rep_id"))
+      rep
+        .withColumn("bucket",
+          graft.operators.ReproShuffle.portableHash(col("rep_id")) % lit(100L))
+        .withColumn("split", graft.operators.HashSplit.splitLabel(col("bucket"), 90, 5))
+        .select(col("doc_id"), col("rep_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    }),
 
     // CDC merge (the Delta/Iceberg MERGE shape on immutable storage):
     // a deterministic change batch — wave-1 updates (key%10=3), wave-1
@@ -3370,6 +3402,30 @@ object SparkEntry {
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Cluster labels via the dedup_clusters recursive CTE, then the
+    // corpus_split_assign hash applied to the representative id.
+    "corpus_leakage_safe_split" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM t a, t b WHERE a.doc_id < b.doc_id
+         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+         |      UNION
+         |      SELECT e.u, r.v FROM e JOIN r ON e.v = r.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS label FROM r GROUP BY u),
+         |rep AS (SELECT d.doc_id, COALESCE(lab.label, d.doc_id) AS rep_id
+         |        FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+         |s AS (SELECT doc_id, rep_id,
+         |  (((xor(xor(rep_id, rep_id >> 20), rep_id >> 40) % 1048576) * 2654435761) >> 32) % 100 AS bucket
+         |  FROM rep)
+         |SELECT doc_id, rep_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "cdc_merge" ->
       s"""WITH changes AS ($cdcChangesSql),

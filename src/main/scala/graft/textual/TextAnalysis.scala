@@ -143,7 +143,18 @@ object TextAnalysis {
     * slice): no shuffle, scan-parallel at any scale.
     */
   def chunkTokens(df: DataFrame, textCol: String,
-                  size: Int, stride: Int): DataFrame = {
+                  size: Int, stride: Int): DataFrame =
+    chunkTokenArrays(df, textCol, size, stride)
+      .withColumn("chunk_text", concat_ws(" ", col("chunk_toks")))
+      .drop("chunk_toks")
+
+  /** [[chunkTokens]] with the token ARRAY retained instead of re-joined
+    * to a string — the form downstream token consumers (chunk-level
+    * postings, embedders) want: re-splitting `chunk_text` would redo
+    * the tokenizer's work on every chunk.
+    */
+  def chunkTokenArrays(df: DataFrame, textCol: String,
+                       size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
     val toks = tokens(col(textCol))
@@ -153,11 +164,10 @@ object TextAnalysis {
         explode(sequence(lit(0),
           org.apache.spark.sql.functions.size(col("_toks")) - 1, lit(stride))))
       .withColumn("chunk_id", (col("_start") / stride).cast("long"))
-      .withColumn("_chunk", slice(col("_toks"), col("_start") + 1, lit(size)))
+      .withColumn("chunk_toks", slice(col("_toks"), col("_start") + 1, lit(size)))
       .withColumn("n_chunk_tokens",
-        org.apache.spark.sql.functions.size(col("_chunk")).cast("long"))
-      .withColumn("chunk_text", concat_ws(" ", col("_chunk")))
-      .drop("_toks", "_start", "_chunk")
+        org.apache.spark.sql.functions.size(col("chunk_toks")).cast("long"))
+      .drop("_toks", "_start")
   }
 
   def normalized(df: DataFrame, textCol: String): DataFrame =

@@ -82,6 +82,30 @@ class ReproShuffleSpec extends GraftSpec {
     assert(full.exceptAll(again).isEmpty && again.exceptAll(full).isEmpty)
   }
 
+  test("leakage-safe split keeps every near-dup cluster inside one split") {
+    import graft.operators.HashSplit
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, 3, 0.6)
+    val labels = graft.dedup.Clusters.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val rep = docs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("rep_id"))
+    val split = rep
+      .withColumn("bucket", ReproShuffle.portableHash(col("rep_id")) % lit(100L))
+      .withColumn("split", HashSplit.splitLabel(col("bucket"), 90, 5))
+
+    // the invariant the query exists for: no cluster straddles splits
+    val straddlers = split.groupBy(col("rep_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(straddlers.isEmpty)
+
+    // and the invariant is non-vacuous: the fixture has multi-doc
+    // clusters, i.e. docs whose split is decided by ANOTHER doc's id
+    val clustered = split.filter(col("doc_id") =!= col("rep_id")).count()
+    assert(clustered > 0, "fixture should contain near-dup clusters")
+  }
+
   test("observe: pipeline quality metrics ride the main pass for free") {
     val docs = Tables.documents(spark, sfDir)
     val obs = Observation("quality")
