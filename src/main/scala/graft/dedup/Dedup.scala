@@ -383,9 +383,14 @@ object Dedup {
   /** Nearest-seed cluster assignment shared by [[semanticDedup]]: each
     * vector to the closest of the `numSeeds` lowest-id vectors (exact
     * float arrays, so L2 distances are bit-identical across engines;
-    * ties break to the lowest seed id). The seed frame broadcasts and
-    * the ×numSeeds expansion collapses in the partial min aggregate
-    * BEFORE the exchange — same shape as the IVF coarse assignment.
+    * ties break to the lowest seed id). The seed vectors are collected
+    * to the driver — O(numSeeds) rows, the same bounded-collect
+    * discipline as the PQ codebook — and the argmin is ONE narrow
+    * codegen'd projection (`array_min` over per-seed (d2, seed_id)
+    * structs): no join, no aggregate, no shuffle. That matters because
+    * [[semanticDedup]] self-joins this frame, and Spark recomputes an
+    * unshared subtree once per join side — a projection re-runs for
+    * pennies, a BNLJ + aggregate would re-run the expensive way.
     */
   def seedAssign(
       embeddings: DataFrame,
@@ -395,13 +400,17 @@ object Dedup {
     graft.functions.VectorExpressions.ensureRegistered(embeddings.sparkSession)
     import graft.functions.VectorExpressions.{l2Sq => fl2}
     val seeds = embeddings.filter(col(idCol) < numSeeds)
-      .select(col(idCol).as("seed_id"), col(embCol).as("c_emb"))
+      .select(col(idCol).cast("long").as("seed_id"), col(embCol).as("c_emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(seeds.nonEmpty, s"no seed vectors with $idCol < $numSeeds")
+    val cands = seeds.map { case (sid, emb) =>
+      struct(fl2(col("emb"), typedLit(emb)).as("d2"), lit(sid).as("seed_id"))
+    }
     embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .crossJoin(broadcast(seeds))
-      .select(col("id"), col("emb"), col("seed_id"), fl2(col("emb"), col("c_emb")).as("d2"))
-      .groupBy(col("id"), col("emb"))
-      .agg(min(struct(col("d2"), col("seed_id"))).as("m"))
-      .select(col("id"), col("emb"), col("m.seed_id").cast("long").as("cell"))
+      .select(col("id"), col("emb"),
+        array_min(array(cands: _*)).getField("seed_id").as("cell"))
   }
 
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic near-dup
