@@ -126,6 +126,13 @@ object SparkEntry {
       }
       it2.remove()
     }
+    val it3 = chunkIndexCache.entrySet().iterator()
+    while (it3.hasNext) {
+      val e = it3.next()
+      try e.getValue._1.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      it3.remove()
+    }
     pqCodebookCache.clear() // driver-side Seqs, nothing persisted
     sessionIds.clear()
   }
@@ -199,6 +206,33 @@ object SparkEntry {
       SearchIndexBundle(p, stats,
         TextSearch.bm25Idf(p, stats).persist(lvl),
         vIdf.persist(lvl), weighted.persist(lvl), docNorm.persist(lvl))
+    })
+
+  /** Chunk-level postings + stats per (session, dir) — the VSM scorer
+    * references its postings input from four sub-frames (idf, weights,
+    * norms, dot), and an unpersisted chunk index would be re-derived
+    * once per reference (tokenize + explode + aggregate ×4). Same
+    * lifecycle as [[sharedSearchIndex]]; unpersisted by clearCaches.
+    */
+  private val chunkIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private def sharedChunkIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    chunkIndexCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ => {
+      val chunks = TextAnalysis.chunkTokenArrays(Tables.documents(spark, dir), "text",
+        size = 64, stride = 48)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+          col("chunk_toks"))
+      val post = chunks
+        .select(col("chunk_key").as("doc_id"),
+          size(col("chunk_toks")).as("dl"), explode(col("chunk_toks")).as("t"))
+        .select(col("doc_id"), col("dl"), xxhash64(col("t")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = chunks.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(size(col("chunk_toks")).cast("double")).as("avgdl"))
+      (post, stats)
     })
 
   /** DuckDB L2 distance between two array columns, arithmetic mirrored
@@ -1232,21 +1266,11 @@ object SparkEntry {
     // The chunk index shuffles on the hashed term like the doc index —
     // same linear scale shape, ~len/stride × the postings.
     "rag_chunk_retrieve" -> ((s, dir) => {
-      val chunks = TextAnalysis.chunkTokenArrays(Tables.documents(s, dir), "text",
-        size = 64, stride = 48)
-        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
-          col("chunk_toks"))
       // chunk postings straight from the token arrays (no string
-      // re-join + re-split), hashed like every search-family shuffle
-      val post = chunks
-        .select(col("chunk_key").as("doc_id"),
-          size(col("chunk_toks")).as("dl"), explode(col("chunk_toks")).as("t"))
-        .select(col("doc_id"), col("dl"), xxhash64(col("t")).as("term"))
-        .groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val stats = chunks.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        avg(size(col("chunk_toks")).cast("double")).as("avgdl"))
+      // re-join + re-split), hashed like every search-family shuffle,
+      // persisted once per (session, dir) — the scorer references them
+      // from four sub-frames
+      val (post, stats) = sharedChunkIndex(s, dir)
       val ranked = TextSearch.vsmCosineFrom(post, stats, searchQueryFrame(s), 50)
       val perDoc = Window.partitionBy(col("query_id"), col("src_doc")).orderBy(col("rk"))
       val perQuery = Window.partitionBy(col("query_id")).orderBy(col("rk"))
