@@ -1057,6 +1057,35 @@ object SparkEntry {
       Dedup.cosineLshPairs(plantedEmbeddings(s, dir), 0.9,
         bands = 20, bitsPerBand = 16, dim = 64).orderBy("id_a", "id_b")),
 
+    // Embedding drift monitor — the data-quality check an embedding
+    // pipeline runs between snapshots (model refresh, upstream corpus
+    // shift): per-dimension mean of a baseline cohort vs a current
+    // cohort (even/odd vec_id split here) and the shift. Float sums
+    // are order-dependent, so every element is quantized
+    // floor(v·2^20) → exact BIGINT sums (the suite's fixed-point
+    // discipline); means are exact-int divisions mirrored op-for-op.
+    // One 64-key aggregate after map-side partials — a linear scan at
+    // any scale.
+    "embedding_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+        .select((col("dim0") + 1).cast("long").as("dim"),
+          (col("vec_id") % 2 === 0).as("is_base"),
+          floor(col("v").cast("double") * 1048576.0).cast("long").as("q"))
+      e.groupBy(col("dim"))
+        .agg(
+          sum(when(col("is_base"), col("q")).otherwise(lit(0L))).as("sb"),
+          sum(when(col("is_base"), lit(1L)).otherwise(lit(0L))).as("nb"),
+          sum(when(!col("is_base"), col("q")).otherwise(lit(0L))).as("sc"),
+          sum(when(!col("is_base"), lit(1L)).otherwise(lit(0L))).as("nc"))
+        .select(col("dim"),
+          round(col("sb").cast("double") / 1048576.0 / col("nb"), 6).as("mean_base"),
+          round(col("sc").cast("double") / 1048576.0 / col("nc"), 6).as("mean_cur"),
+          round(col("sc").cast("double") / 1048576.0 / col("nc")
+            - col("sb").cast("double") / 1048576.0 / col("nb"), 6).as("shift"))
+        .orderBy("dim")
+    }),
+
     // SemDeDup (Abbas et al. '23): cluster-confined semantic dedup at
     // cos >= 0.7 — a threshold where hyperplane banding provably cannot
     // prune (see above), but nearest-seed cell confinement still cuts
@@ -2485,6 +2514,28 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("kept_id"))
         .orderBy("doc_id")),
 
+    // Quality-aware representative selection: production dedup keeps
+    // the BEST cluster member, not the lowest id (the min-id rule is a
+    // determinism convention, not a curation policy). Per near-dup
+    // cluster: member count + the member with the highest quality_score
+    // (engine-stable 4-decimal rounding; doc_id breaks ties). Reuses
+    // the shared pair-list cache and the quality features — one extra
+    // doc_id equi-join and a cluster-keyed argmax, partial-aggregated.
+    "dedup_rep_quality" -> ((s, dir) => {
+      val labels = Clusters.connectedComponents(sharedNgramPairs(s, dir))
+        .withColumnRenamed("id", "doc_id")
+      val q = TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("quality_score"))
+      labels.join(q, Seq("doc_id"))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          min(struct((-col("quality_score")).as("nq"), col("doc_id").as("kept"))).as("m"))
+        .select(col("cluster_id"), col("n_members"),
+          col("m.kept").as("kept_id"), (-col("m.nq")).as("kept_quality"))
+        .orderBy("cluster_id")
+    }),
+
     // Same labels, but forced through the distributed large-star/
     // small-star path (maxDriverEdges = 0) — the O(log n)-round engine
     // that runs when the pair graph outgrows one machine. dedup_clusters
@@ -3166,6 +3217,24 @@ object SparkEntry {
          |      FROM cand JOIN aug a ON cand.id_a = a.vec_id JOIN aug b ON cand.id_b = b.vec_id)
          |SELECT id_a, id_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
+    // Drift monitor: same fixed-point quantization, exact BIGINT sums,
+    // identical division order.
+    "embedding_drift" ->
+      """WITH e AS (SELECT CAST(i AS BIGINT) AS dim, vec_id % 2 = 0 AS is_base,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings, range(1, 65) t(i)),
+        |a AS (SELECT dim,
+        |    sum(CASE WHEN is_base THEN q ELSE 0 END) AS sb,
+        |    sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN NOT is_base THEN q ELSE 0 END) AS sc,
+        |    sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS nc
+        |  FROM e GROUP BY dim)
+        |SELECT dim,
+        |  round(CAST(sb AS DOUBLE) / 1048576.0 / nb, 6) AS mean_base,
+        |  round(CAST(sc AS DOUBLE) / 1048576.0 / nc, 6) AS mean_cur,
+        |  round(CAST(sc AS DOUBLE) / 1048576.0 / nc - CAST(sb AS DOUBLE) / 1048576.0 / nb, 6) AS shift
+        |FROM a ORDER BY dim""".stripMargin,
+
     // SemDeDup: nearest-seed assignment (exact float-array L2, ties to
     // the lowest seed) replayed literally, then within-cell pairs at
     // cos >= 0.7 and keep-lowest-id. Same aug CTE as
@@ -3384,6 +3453,38 @@ object SparkEntry {
          |SELECT query_id, doc_id, CAST(doc_rk AS BIGINT) AS doc_rk,
          |  CAST(chunk_id AS BIGINT) AS best_chunk, round(score, 4) AS score
          |FROM dr WHERE doc_rk <= 5 ORDER BY query_id, doc_rk""".stripMargin
+    },
+
+    // Quality-aware representative: the dedup_clusters label CTE joined
+    // with the quality_score formula; argmax via row_number (quality
+    // DESC, doc_id ASC) — the exact twin of min(struct(-q, id)).
+    "dedup_rep_quality" -> {
+      val allStop = TextAnalysis.stopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM t a, t b WHERE a.doc_id < b.doc_id
+         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+         |      UNION
+         |      SELECT e.u, r.v FROM e JOIN r ON e.v = r.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS label FROM r GROUP BY u),
+         |tq AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  floor(least(1.0, greatest(0.0,
+         |    0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+         |  + 0.3 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END)
+         |  + 0.3 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '${TextFunctions.punctClassSql}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END))))
+         |    * 10000.0 + 0.5) / 10000.0 AS quality_score
+         |  FROM tq),
+         |j AS (SELECT lab.doc_id, lab.label, q.quality_score FROM lab JOIN q USING (doc_id)),
+         |c AS (SELECT label, count(*) AS n FROM j GROUP BY label),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY quality_score DESC, doc_id ASC) AS rn FROM j)
+         |SELECT rk.label AS cluster_id, c.n AS n_members, rk.doc_id AS kept_id,
+         |  rk.quality_score AS kept_quality
+         |FROM rk JOIN c ON rk.label = c.label WHERE rn = 1 ORDER BY cluster_id""".stripMargin
     },
 
     "docs_temperature_mix" ->
