@@ -38,4 +38,12 @@ class BucketingSpec extends GraftSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("the declared bucketed-join query cleans up its tables and files") {
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
+    val df = SparkEntry.queries("join_bucketed_revenue")(spark, sfDir)
+    assert(df.count() > 0)
+    val after = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(after === before, s"tables leaked: ${after -- before}")
+  }
 }

@@ -376,4 +376,18 @@ class PlanSpec extends GraftSpec {
     val stale = allow.keySet -- violations.keySet
     assert(stale.isEmpty, s"allowlist entries no longer needed — remove: $stale")
   }
+
+  test("corpus_dsir_resample: gumbel top-k is a TakeOrdered heap, never a global sort-limit") {
+    val p = plan("corpus_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "selection over weights must run as per-partition heaps")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_semantic: assignment is an inlined projection, pairs an equi-join") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the nearest-seed argmin must be the array_min projection, not a join")
+  }
 }
