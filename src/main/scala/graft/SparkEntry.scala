@@ -514,6 +514,26 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // Hard-negative mining — the contrastive-training data op: for each
+    // query vector, the top-5 MOST similar vectors of a DIFFERENT label
+    // (close but wrong — the negatives that actually teach an embedding
+    // model). Same broadcast + WindowGroupLimit shape as exact kNN; the
+    // label-exclusion predicate runs before the ranking window so
+    // excluded pairs never reach the heaps. The negative's label rides
+    // a post-ranking join over the ≤k·queries row result.
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+          col("label").as("qlabel"))
+      KnnExact.topKCosineWhere(q, emb, 5, col("label") =!= col("qlabel"))
+        .join(emb.select(col("vec_id"), col("label").cast("long").as("neg_label")),
+          Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(col("sim"), 4).as("sim"), col("neg_label"))
+        .orderBy("qid", "rk")
+    }),
+
     // Cosine-similarity top-k variant.
     "knn_cosine_top10" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -2514,6 +2534,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("label").as("kept_id"))
         .orderBy("doc_id")),
 
+    // Dedup telemetry: the cluster-size histogram a dedup run reports
+    // (how much mass sits in big near-dup families decides banding/df
+    // caps at the next scale-up). Tiny label-frame aggregate off the
+    // shared pair cache.
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Clusters.clusters(sharedNgramPairs(s, dir))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")),
+
     // Quality-aware representative selection: production dedup keeps
     // the BEST cluster member, not the lowest id (the min-id rule is a
     // determinism convention, not a curation policy). Per near-dup
@@ -2859,6 +2891,19 @@ object SparkEntry {
          |  round(prec, 4) AS precision_10, round(dcg / i.idcg, 4) AS ndcg_10
          |FROM a JOIN nrel n ON a.qid = n.qid JOIN ideal i ON n.n_rel = i.n_rel
          |ORDER BY a.qid""".stripMargin,
+
+    // Hard negatives: same cosine ranking as knn_cosine_top10 with the
+    // same-label pairs excluded before ranking.
+    "ann_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb, label AS qlabel FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, CAST(c.label AS BIGINT) AS neg_label,
+         |        ${cosSql("q.qemb", "c.embedding")} AS sim
+         |      FROM embeddings c, q WHERE c.label <> q.qlabel),
+         |r AS (SELECT qid, vec_id, neg_label, sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+         |      FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim, neg_label
+         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     "recall_l2_vs_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
@@ -3454,6 +3499,23 @@ object SparkEntry {
          |  CAST(chunk_id AS BIGINT) AS best_chunk, round(score, 4) AS score
          |FROM dr WHERE doc_rk <= 5 ORDER BY query_id, doc_rk""".stripMargin
     },
+
+    // Cluster-size histogram off the same label CTE.
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM t a, t b WHERE a.doc_id < b.doc_id
+         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+         |      UNION
+         |      SELECT e.u, r.v FROM e JOIN r ON e.v = r.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u),
+         |s AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY cluster_id)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters
+         |FROM s GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     // Quality-aware representative: the dedup_clusters label CTE joined
     // with the quality_score formula; argmax via row_number (quality

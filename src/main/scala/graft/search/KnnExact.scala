@@ -40,10 +40,12 @@ object KnnExact {
       scoreAsc: (Column, Column) => Column,
       qEmbCol: String = "qemb",
       embCol: String = "embedding",
-      scoreName: String = "dist"): DataFrame = {
+      scoreName: String = "dist",
+      pairFilter: Column = lit(true)): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(collection.sparkSession)
     val scored = broadcast(queries)
       .crossJoin(collection)
+      .filter(pairFilter)
       .withColumn(scoreName, scoreAsc(col(qEmbCol), col(embCol)))
     // Deterministic tie-break on id: numpy argsort in the reference is
     // stable; Spark sort is not — (score, id) ordering keeps both engines
@@ -72,6 +74,24 @@ object KnnExact {
       qidCol: String = "qid",
       idCol: String = "vec_id"): DataFrame =
     topKBy(queries, collection, k, qidCol, idCol, (q, c) => -cosineFast(q, c), scoreName = "negsim")
+      .withColumn("sim", -col("negsim"))
+      .drop("negsim")
+
+  /** Cosine top-k restricted by a per-pair predicate over (query cols ×
+    * collection cols) — e.g. hard-negative mining, where the candidate
+    * must NOT share the query's class. The predicate runs between the
+    * broadcast expansion and the ranking window, so excluded pairs never
+    * reach the top-k heaps.
+    */
+  def topKCosineWhere(
+      queries: DataFrame,
+      collection: DataFrame,
+      k: Int,
+      pairFilter: Column,
+      qidCol: String = "qid",
+      idCol: String = "vec_id"): DataFrame =
+    topKBy(queries, collection, k, qidCol, idCol, (q, c) => -cosineFast(q, c),
+      scoreName = "negsim", pairFilter = pairFilter)
       .withColumn("sim", -col("negsim"))
       .drop("negsim")
 
