@@ -1221,6 +1221,28 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Curriculum packing — easiest-first data ordering (curriculum
+    // learning prep): within each language, docs sort by unigram-LM
+    // typicality (higher mean logprob = more in-distribution = easier)
+    // and THEN greedy-pack into 256-token bins, so early bins hold the
+    // easy mass. The sort key is the ROUNDED mean logprob (the
+    // engine-stable 4-decimal value the oracle shares) with doc_id
+    // tie-break; packing reuses the single-exchange mapPartitions scan.
+    // Empty docs carry no LM score and are not packed (unlike the
+    // ingest-order corpus_pack_greedy, which packs them at weight 0).
+    "corpus_curriculum_pack" -> ((s, dir) => {
+      val lp = TextSearch.unigramLogProbFrom(sharedSearchIndex(s, dir).post)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_logprob"), 4).as("lp4"))
+      val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val counted = lp.join(langs, Seq("doc_id"))
+        .withColumn("curr_key", struct((-col("lp4")).as("nlp"), col("doc_id").as("id")))
+      graft.operators.Packing
+        .packGreedy(counted, "lang", "curr_key", "n_tokens", budget = 256L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("lp4"), col("bin_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // Incremental dedup: today's batch (doc_id >= 400) near-dup-checked
     // against the already-ingested corpus (doc_id < 400) ONLY — the
     // daily-ingest shape. Postings join is new×old (Σ df_new·df_old);
@@ -3414,6 +3436,32 @@ object SparkEntry {
          |    CASE WHEN s.cum > 0 AND s.cum + tc.n_tokens > 256 THEN tc.n_tokens ELSE s.cum + tc.n_tokens END
          |  FROM s JOIN tc ON tc.lang = s.lang AND tc.rn = s.rn + 1)
          |SELECT doc_id, lang, n_tokens, bin_id FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    // Curriculum pack: the unigram-LM CTE feeds the same greedy
+    // recursion as corpus_pack_greedy, ordered by (lp4 DESC, doc_id).
+    "corpus_curriculum_pack" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS dl,
+         |    unnest(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |post AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY doc_id, dl, term),
+         |ctf AS (SELECT term, sum(tf) AS ctf FROM post GROUP BY term),
+         |tot AS (SELECT sum(ctf) AS n_total FROM ctf),
+         |lp AS (SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+         |    round(sum(tf * ln(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE))) / dl, 4) AS lp4
+         |  FROM post JOIN ctf USING (term) CROSS JOIN tot GROUP BY doc_id, dl),
+         |tc AS (SELECT lp.doc_id, d.lang, lp.n_tokens, lp.lp4,
+         |    row_number() OVER (PARTITION BY d.lang ORDER BY lp.lp4 DESC, lp.doc_id) AS rn
+         |  FROM lp JOIN documents d USING (doc_id)),
+         |s AS (
+         |  SELECT lang, rn, doc_id, n_tokens, lp4, CAST(0 AS BIGINT) AS bin_id, n_tokens AS cum
+         |  FROM tc WHERE rn = 1
+         |  UNION ALL
+         |  SELECT tc.lang, tc.rn, tc.doc_id, tc.n_tokens, tc.lp4,
+         |    CASE WHEN s.cum > 0 AND s.cum + tc.n_tokens > 256 THEN s.bin_id + 1 ELSE s.bin_id END,
+         |    CASE WHEN s.cum > 0 AND s.cum + tc.n_tokens > 256 THEN tc.n_tokens ELSE s.cum + tc.n_tokens END
+         |  FROM s JOIN tc ON tc.lang = s.lang AND tc.rn = s.rn + 1)
+         |SELECT doc_id, lang, n_tokens, lp4, bin_id FROM s ORDER BY lang, doc_id""".stripMargin,
 
     "dedup_incremental" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
