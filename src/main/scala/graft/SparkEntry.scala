@@ -794,6 +794,53 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // TPC-H Q12 (shaped: no shipmode/commit dates in the fixture, so
+    // linestatus stands in for shipmode and "late" = shipped more than
+    // 90 days after the order date — an actual date computation the
+    // fixture supports). The shape is the point: fact-fact join +
+    // conditional two-way priority counts, one agg shuffle. Epoch
+    // arithmetic is exact integer seconds on both engines.
+    "q12_shipmode_priority" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate").cast("timestamp").cast("long") >
+          col("o_orderdate").cast("timestamp").cast("long") + 90L * 86400L)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q21 (shaped: returned lines proxy "kept waiting", the q4
+    // convention): suppliers whose returned line sits in a finished
+    // order that HAS another supplier's line but NO other supplier's
+    // returned line — the double-correlated EXISTS / NOT EXISTS.
+    // Expressed as one left-semi (other-supplier line exists) + one
+    // left-anti (no other-supplier returned line) on the orderkey with
+    // a supplier-inequality join condition — never a per-row subquery;
+    // only orderkey/suppkey pairs shuffle, and the supplier dimension
+    // broadcasts for the name.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val fOrders = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      l1
+        .join(l2, col("l_orderkey") === col("o2") && col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") && col("s3") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
     // TPC-H Q11 (shaped: no partsupp fixture, so supplier account
     // balance stands in for ps_supplycost·ps_availqty): per-nation
     // supplier value, keeping nations above a fixed fraction of the
@@ -3067,6 +3114,28 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_shipmode_priority" ->
+      """SELECT l.l_linestatus,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE epoch(l.l_shipdate) > epoch(o.o_orderdate) + 90 * 86400
+        |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin,
+
+    // The literal double-correlated EXISTS / NOT EXISTS form.
+    "q21_waiting_supplier" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10""".stripMargin,
 
     "q11_supplier_value" ->
       """WITH pn AS (
