@@ -390,4 +390,14 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "the nearest-seed argmin must be the array_min projection, not a join")
   }
+
+  test("q21: the double-correlated EXISTS pair runs as semi+anti joins, top-10 as a heap") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "EXISTS / NOT EXISTS must lower to semi and anti joins")
+    assert(!p.toLowerCase.contains("subqueryexec"),
+      "no per-row subquery may survive")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
