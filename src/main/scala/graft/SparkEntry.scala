@@ -1268,6 +1268,57 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // Signal-agreement check — do the two independent quality signals
+    // (heuristic quality_score, unigram-LM typicality) rank documents
+    // the same way? Exact-integer Spearman: both ranks come from
+    // DistributedRank (range-bucketed global row_number — NEVER a
+    // single-partition window), ranks are unique ints (doc_id
+    // tie-break), so Σd² and n(n²−1) are exact and ρ is a quotient of
+    // bit-identical doubles. The number a curation team reads before
+    // trusting one signal as a proxy for the other.
+    "quality_lm_spearman" -> ((s, dir) => {
+      val q = TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("quality_score"))
+      val lp = TextSearch.unigramLogProbFrom(sharedSearchIndex(s, dir).post)
+        .select(col("doc_id"), round(col("mean_logprob"), 4).as("lp4"))
+      val joined = q.join(lp, Seq("doc_id"))
+      val (r1, _) = graft.operators.DistributedRank
+        .withGlobalRowNumber(joined, "quality_score", "doc_id", "rank_q")
+      val (r2, _) = graft.operators.DistributedRank
+        .withGlobalRowNumber(r1, "lp4", "doc_id", "rank_lp")
+      r2.select((col("rank_q") - col("rank_lp")).as("d"))
+        .agg(sum(col("d") * col("d")).as("sd2"), count(lit(1)).as("n"))
+        .select(col("n"),
+          round(lit(1.0) - lit(6.0) * col("sd2").cast("double") /
+            (col("n") * (col("n") * col("n") - 1)).cast("double"), 6).as("spearman_rho"))
+    }),
+
+    // Cross-source contamination matrix — pairwise shingle overlap
+    // between ingest sources (which feeds licensing/provenance and
+    // mixture decisions). Postings are DISTINCT (source, shingle) —
+    // source grain, so the shingle join expands at most
+    // sources²-per-shingle, bounded by the source count, never the
+    // corpus; shingles ride the codegen'd 64-bit hash (counts are
+    // hash-invariant, string oracle).
+    "source_overlap_matrix" -> ((s, dir) => {
+      graft.functions.HashedShingles.ensureRegistered(s)
+      val posts = Tables.documents(s, dir)
+        .select(col("source"), explode(graft.functions.HashedShingles(col("text"), 3)).as("sh"))
+        .distinct()
+      val sizes = posts.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val a = posts.select(col("source").as("src_a"), col("sh"))
+      val b = posts.select(col("source").as("src_b"), col("sh"))
+      a.join(b, Seq("sh")).filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("source").as("src_a"), col("n_sh").as("na")), Seq("src_a"))
+        .join(sizes.select(col("source").as("src_b"), col("n_sh").as("nb")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("shared"),
+          round(col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared")).cast("double"), 4).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Curriculum packing — easiest-first data ordering (curriculum
     // learning prep): within each language, docs sort by unigram-LM
     // typicality (higher mean logprob = more in-distribution = easier)
@@ -3505,6 +3556,52 @@ object SparkEntry {
          |    CASE WHEN s.cum > 0 AND s.cum + tc.n_tokens > 256 THEN tc.n_tokens ELSE s.cum + tc.n_tokens END
          |  FROM s JOIN tc ON tc.lang = s.lang AND tc.rn = s.rn + 1)
          |SELECT doc_id, lang, n_tokens, bin_id FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    // Spearman: the quality and LM CTEs, global row_number ranks with
+    // doc_id tie-break, exact-integer ρ.
+    "quality_lm_spearman" ->
+      s"""WITH tq AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  floor(least(1.0, greatest(0.0,
+         |    0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+         |  + 0.3 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END)
+         |  + 0.3 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '${TextFunctions.punctClassSql}', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) END))))
+         |    * 10000.0 + 0.5) / 10000.0 AS quality_score
+         |  FROM tq),
+         |tok AS (SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS dl,
+         |    unnest(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |post AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY doc_id, dl, term),
+         |ctf AS (SELECT term, sum(tf) AS ctf FROM post GROUP BY term),
+         |tot AS (SELECT sum(ctf) AS n_total FROM ctf),
+         |lp AS (SELECT doc_id,
+         |    round(sum(tf * ln(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE))) / dl, 4) AS lp4
+         |  FROM post JOIN ctf USING (term) CROSS JOIN tot GROUP BY doc_id, dl),
+         |j AS (SELECT q.doc_id, q.quality_score, lp.lp4 FROM q JOIN lp USING (doc_id)),
+         |r AS (SELECT doc_id,
+         |        row_number() OVER (ORDER BY quality_score ASC, doc_id ASC) AS rank_q,
+         |        row_number() OVER (ORDER BY lp4 ASC, doc_id ASC) AS rank_lp
+         |      FROM j),
+         |a AS (SELECT count(*) AS n,
+         |        sum((rank_q - rank_lp) * (rank_q - rank_lp)) AS sd2 FROM r)
+         |SELECT n, round(CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE) * CAST(sd2 AS DOUBLE)
+         |  / CAST(n * (n * n - 1) AS DOUBLE), 6) AS spearman_rho
+         |FROM a""".stripMargin,
+
+    // Source overlap: DISTINCT (source, shingle) postings self-joined.
+    "source_overlap_matrix" ->
+      s"""WITH t AS (SELECT source, unnest($shinglesSql) AS sh
+         |  FROM (SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents)),
+         |p AS (SELECT DISTINCT source, sh FROM t WHERE sh IS NOT NULL),
+         |sizes AS (SELECT source, count(*) AS n_sh FROM p GROUP BY source),
+         |j AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+         |      FROM p a JOIN p b ON a.sh = b.sh AND a.source < b.source
+         |      GROUP BY a.source, b.source)
+         |SELECT j.src_a, j.src_b, j.shared,
+         |  round(CAST(j.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - j.shared AS DOUBLE), 4) AS jaccard
+         |FROM j JOIN sizes sa ON sa.source = j.src_a JOIN sizes sb ON sb.source = j.src_b
+         |ORDER BY j.src_a, j.src_b""".stripMargin,
 
     // Curriculum pack: the unigram-LM CTE feeds the same greedy
     // recursion as corpus_pack_greedy, ordered by (lp4 DESC, doc_id).
