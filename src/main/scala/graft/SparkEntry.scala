@@ -1268,6 +1268,30 @@ object SparkEntry {
         .orderBy("lang", "doc_id")
     }),
 
+    // S4 made oracle-visible — the full PDF roundtrip as a CORRECTNESS
+    // row (the multimodal_decode_rgb move): per English doc, WRITE a
+    // real two-page PDF (valid xref/page tree, Flate-compressed content
+    // streams) whose pages carry the doc's first token runs, then
+    // EXTRACT it back with the pure-JDK parser (ingest/SimplePdf). The
+    // oracle recomputes the expected page text from the same tokens in
+    // closed form, so a parser regression on stream decode, page order,
+    // escapes, or operator handling breaks the hash. Scan-parallel UDF,
+    // no shuffle before the final sort.
+    "pdf_extract_pages" -> ((s, dir) => {
+      val writeExtract = udf((text: String) => {
+        val toks = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        val pages = Seq(Seq(toks.take(4).mkString(" ")),
+          Seq(toks.slice(4, 8).mkString(" ")))
+        graft.ingest.SimplePdf.extractPages(
+          graft.ingest.SimplePdfWriter.write(pages, compress = true))
+      })
+      Tables.documents(s, dir)
+        .filter(col("lang") === "en" && col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(writeExtract(col("text"))).as(Seq("pos", "page_text")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("page_num"), col("page_text"))
+        .orderBy("doc_id", "page_num")
+    }),
+
     // Signal-agreement check — do the two independent quality signals
     // (heuristic quality_score, unigram-LM typicality) rank documents
     // the same way? Exact-integer Spearman: both ranks come from
@@ -3556,6 +3580,17 @@ object SparkEntry {
          |    CASE WHEN s.cum > 0 AND s.cum + tc.n_tokens > 256 THEN tc.n_tokens ELSE s.cum + tc.n_tokens END
          |  FROM s JOIN tc ON tc.lang = s.lang AND tc.rn = s.rn + 1)
          |SELECT doc_id, lang, n_tokens, bin_id FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    // PDF roundtrip: the expected page text in closed form from the
+    // same whitespace tokens the writer consumed.
+    "pdf_extract_pages" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
+         |  WHERE lang = 'en' AND doc_id < 100),
+         |p AS (SELECT doc_id, 1 AS page_num, array_to_string(toks[1:4], ' ') AS page_text FROM t
+         |      UNION ALL
+         |      SELECT doc_id, 2, array_to_string(toks[5:8], ' ') FROM t)
+         |SELECT doc_id, CAST(page_num AS BIGINT) AS page_num, page_text
+         |FROM p ORDER BY doc_id, page_num""".stripMargin,
 
     // Spearman: the quality and LM CTEs, global row_number ranks with
     // doc_id tie-break, exact-integer ρ.

@@ -1,0 +1,228 @@
+package graft.ingest
+
+import java.util.zip.Inflater
+
+/** Pure-JDK PDF text extraction for the common machine-written subset —
+  * the real implementation behind S4 (reference
+  * `create_collections.py:29-53`, PyPDF2 `page.extract_text()`), which
+  * was environment-blocked for external jars (no PDFBox in
+  * /opt/spark/jars or the offline caches, re-checked every round).
+  *
+  * SUPPORTED (the subset virtually every text-first, generator-written
+  * PDF uses): classic cross-reference tables (the parser scans `N G
+  * obj` spans directly and never needs the xref), page trees via
+  * /Pages /Kids with document-order fallback, content streams raw or
+  * /FlateDecode (java.util.zip.Inflater), text via Tj / ' / " / TJ
+  * with literal `(...)` strings (all escapes + octal) and `<hex>`
+  * strings, single-byte encodings read as Latin-1.
+  *
+  * NOT supported, by documented choice: encryption, object streams
+  * (/ObjStm), cross-reference streams as the ONLY copy of objects,
+  * CID/Type0 multi-byte fonts, /ToUnicode remapping. A page that needs
+  * those yields "" — the reference's own per-page failure placeholder
+  * semantics (cc:41-47), keeping page numbering aligned.
+  */
+object SimplePdf {
+
+  private val ObjRe =
+    """(?s)(\d+)\s+\d+\s+obj\b(.*?)endobj""".r
+
+  private final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
+
+  /** All `N G obj … endobj` spans. The byte array is viewed as
+    * ISO-8859-1 so regex offsets are byte offsets (1 char == 1 byte).
+    */
+  private def parseObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    ObjRe.findAllMatchIn(s).flatMap { m =>
+      val num = m.group(1).toInt
+      val body = m.group(2)
+      val streamIdx = body.indexOf("stream")
+      if (streamIdx < 0) Some(PdfObj(num, body, None))
+      else {
+        val dict = body.substring(0, streamIdx)
+        // stream data starts after "stream" + EOL; ends at "endstream"
+        var dataStart = streamIdx + "stream".length
+        if (dataStart < body.length && body.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < body.length && body.charAt(dataStart) == '\n') dataStart += 1
+        val endIdx = body.lastIndexOf("endstream")
+        if (endIdx < dataStart) Some(PdfObj(num, dict, None))
+        else {
+          val raw = body.substring(dataStart, endIdx)
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          Some(PdfObj(num, dict, Some(raw)))
+        }
+      }
+    }.map(o => o.num -> o).toMap
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && !inf.finished()) return out.toByteArray // dict needed / stalled
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  private def decodeStream(o: PdfObj): Option[String] =
+    o.stream.map { raw =>
+      val data = if (o.dict.contains("/FlateDecode")) inflate(raw) else raw
+      new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+
+  private val RefsRe = """(\d+)\s+\d+\s+R""".r
+
+  /** Page object numbers in /Pages-tree order (DFS over /Kids), falling
+    * back to document order for any /Type /Page not reachable from a
+    * tree root.
+    */
+  private def pageOrder(objs: Map[Int, PdfObj], docOrder: Seq[Int]): Seq[Int] = {
+    val isPage = (n: Int) => objs.get(n).exists(o =>
+      o.dict.contains("/Page") && !o.dict.contains("/Pages"))
+    val kids = (n: Int) => objs.get(n).toSeq.flatMap { o =>
+      val k = o.dict.indexOf("/Kids")
+      if (k < 0) Seq.empty
+      else RefsRe.findAllMatchIn(o.dict.substring(k)).map(_.group(1).toInt).toSeq
+    }
+    val roots = docOrder.filter(n => objs(n).dict.contains("/Pages"))
+    val seen = scala.collection.mutable.LinkedHashSet[Int]()
+    def dfs(n: Int): Unit =
+      if (isPage(n)) { seen += n } else kids(n).foreach(dfs)
+    roots.foreach(dfs)
+    docOrder.filter(isPage).foreach(seen += _) // unreachable pages, doc order
+    seen.toSeq
+  }
+
+  /** Text-showing extraction from one decoded content stream: a
+    * sequential tokenizer that collects `(…)`/`<…>` strings and flushes
+    * them on Tj / ' / " / TJ; Td, TD, T* and ET insert line breaks.
+    */
+  private[ingest] def textFromContent(content: String): String = {
+    val out = new StringBuilder
+    val pending = new StringBuilder
+    var i = 0
+    val n = content.length
+    def readLiteral(): Unit = { // at '(' — balanced with escapes
+      var depth = 1
+      i += 1
+      while (i < n && depth > 0) {
+        content.charAt(i) match {
+          case '\\' if i + 1 < n =>
+            content.charAt(i + 1) match {
+              case 'n' => pending += '\n'; i += 2
+              case 'r' => pending += '\r'; i += 2
+              case 't' => pending += '\t'; i += 2
+              case 'b' => pending += '\b'; i += 2
+              case 'f' => pending += '\f'; i += 2
+              case c @ ('(' | ')' | '\\') => pending += c; i += 2
+              case d if d >= '0' && d <= '7' => // octal, up to 3 digits
+                var j = i + 1; var v = 0
+                while (j < n && j < i + 4 && content.charAt(j) >= '0' && content.charAt(j) <= '7') {
+                  v = v * 8 + (content.charAt(j) - '0'); j += 1
+                }
+                pending += v.toChar; i = j
+              case _ => i += 2 // line continuation etc.
+            }
+          case '(' => depth += 1; pending += '('; i += 1
+          case ')' =>
+            depth -= 1; if (depth > 0) pending += ')'
+            i += 1
+          case c => pending += c; i += 1
+        }
+      }
+    }
+    def readHex(): Unit = { // at '<' (single, not '<<')
+      i += 1
+      val hex = new StringBuilder
+      while (i < n && content.charAt(i) != '>') {
+        val c = content.charAt(i)
+        if (Character.digit(c, 16) >= 0) hex += c
+        i += 1
+      }
+      i += 1 // '>'
+      val h = if (hex.length % 2 == 1) hex.append('0') else hex
+      var j = 0
+      while (j + 1 < h.length + 1 && j + 2 <= h.length) {
+        pending += Integer.parseInt(h.substring(j, j + 2), 16).toChar
+        j += 2
+      }
+    }
+    def flushShow(): Unit = { out ++= pending; pending.clear() }
+    def dropPending(): Unit = pending.clear()
+    while (i < n) {
+      content.charAt(i) match {
+        case '(' => readLiteral()
+        case '<' if i + 1 < n && content.charAt(i + 1) == '<' => i += 2
+        case '<' => readHex()
+        case '[' | ']' => i += 1 // TJ arrays: strings inside already collected
+        case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
+          val start = i
+          while (i < n && !content.charAt(i).isWhitespace &&
+            !"()<>[]/".contains(content.charAt(i))) i += 1
+          content.substring(start, i) match {
+            case "Tj" | "TJ" => flushShow()
+            case "'" => out += '\n'; flushShow()
+            case "\"" => out += '\n'; flushShow()
+            case "Td" | "TD" | "T*" => if (out.nonEmpty) out += '\n'
+            case "ET" => if (out.nonEmpty && out.last != '\n') out += '\n'
+            case "BI" => // inline image: skip to EI
+              val ei = content.indexOf("EI", i)
+              i = if (ei < 0) n else ei + 2
+              dropPending()
+            case _ => dropPending() // string was an operand of a non-show op
+          }
+        case '/' => // name token: consume so names never look like ops
+          i += 1
+          while (i < n && !content.charAt(i).isWhitespace &&
+            !"()<>[]/".contains(content.charAt(i))) i += 1
+        case _ => i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** All pages' text, reference placeholder semantics: unparseable page
+    * → "" at its index; unparseable document → Seq("").
+    */
+  def extractPages(bytes: Array[Byte]): Seq[String] =
+    try {
+      val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (!s.startsWith("%PDF")) return Seq("")
+      val objs = parseObjects(bytes)
+      val docOrder = {
+        val seen = scala.collection.mutable.LinkedHashSet[Int]()
+        ObjRe.findAllMatchIn(s).foreach(m => seen += m.group(1).toInt)
+        seen.toSeq
+      }
+      val pages = pageOrder(objs, docOrder)
+      if (pages.isEmpty) return Seq("")
+      pages.map { p =>
+        try {
+          val dict = objs(p).dict
+          val ci = dict.indexOf("/Contents")
+          if (ci < 0) ""
+          else {
+            val contentRefs = RefsRe.findAllMatchIn(dict.substring(ci)).map(_.group(1).toInt).toSeq
+            val text = contentRefs.flatMap(r => objs.get(r).flatMap(decodeStream))
+              .map(textFromContent).mkString("\n")
+            text.replaceAll("[ \\t]+\\n", "\n").trim
+          }
+        } catch { case _: Throwable => "" }
+      }
+    } catch { case _: Throwable => Seq("") }
+}
+
+/** [[PageExtractor]] backed by [[SimplePdf]] — drop-in for
+  * [[PdfIngest.ingestDirectory]] on real .pdf payloads.
+  */
+object SimplePdfExtractor extends PageExtractor {
+  def extractPages(fileName: String, payload: Array[Byte]): Seq[String] =
+    SimplePdf.extractPages(payload)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import graft.ingest.{PdfIngest, SimplePdf, SimplePdfExtractor, SimplePdfWriter}
+
+/** The extractor is exercised on genuine PDF bytes emitted by
+  * [[SimplePdfWriter]] (valid xref, page tree, optional Flate) — the
+  * same generate-then-decode discipline as MultimodalSpec's PNGs; no
+  * external jar anywhere in the loop.
+  */
+class SimplePdfSpec extends GraftSpec {
+
+  private def makePdf(pages: Seq[Seq[String]], compress: Boolean = false,
+                      contentOverride: Option[String] = None): Array[Byte] =
+    SimplePdfWriter.write(pages, compress, contentOverride)
+
+  test("multi-page roundtrip: written lines come back per page, in tree order") {
+    val pages = Seq(
+      Seq("Attention Is All You Need", "Vaswani et al. 2017"),
+      Seq("We propose a new architecture,", "the Transformer."),
+      Seq("Results on WMT14 En-De."))
+    val got = SimplePdf.extractPages(makePdf(pages))
+    assert(got === pages.map(_.mkString("\n")))
+  }
+
+  test("FlateDecode streams extract identically to raw streams") {
+    val pages = Seq(Seq("compressed page one"), Seq("and page (two) with \\ escapes"))
+    assert(SimplePdf.extractPages(makePdf(pages, compress = true)) ===
+      SimplePdf.extractPages(makePdf(pages)))
+    assert(SimplePdf.extractPages(makePdf(pages, compress = true)).head ===
+      "compressed page one")
+  }
+
+  test("TJ arrays, hex strings, quote operator and octal escapes all show") {
+    val content = "BT /F1 12 Tf 72 720 Td " +
+      "[(Kern) -120 (ed)] TJ " + // TJ array: strings concatenate, kerns drop
+      "T* (next\\040line) Tj " + // octal 040 = space
+      "<48492100> Tj " + // hex "HI!\0"
+      "(apostrophe) ' ET"
+    val got = SimplePdf.extractPages(
+      makePdf(Seq(Seq("ignored")), contentOverride = Some(content))).head
+    assert(got.contains("Kerned"))
+    assert(got.contains("next line"))
+    assert(got.contains("HI!"))
+    assert(got.contains("apostrophe"))
+  }
+
+  test("strings bound to non-show operators never leak into the text") {
+    // (skip) is an operand of an unsupported op and must be dropped
+    val content = "BT (skip) Tz 72 720 Td (keep) Tj ET"
+    val got = SimplePdf.extractPages(
+      makePdf(Seq(Seq("ignored")), contentOverride = Some(content))).head
+    assert(got === "keep")
+  }
+
+  test("failure placeholders: non-PDF payload and broken page keep alignment") {
+    assert(SimplePdf.extractPages("not a pdf at all".getBytes(ISO_8859_1)) === Seq(""))
+    // page 2's content object ref points nowhere -> "" but page list intact
+    val pdf = new String(makePdf(Seq(Seq("good page"), Seq("doomed"))), ISO_8859_1)
+    val broken = pdf.replace("/Contents 6 0 R", "/Contents 99 0 R").getBytes(ISO_8859_1)
+    assert(SimplePdf.extractPages(broken) === Seq("good page", ""))
+  }
+
+  test("ingestDirectory over real .pdf files yields reference-scheme page rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdfs")
+    java.nio.file.Files.write(dir.resolve("paper1.pdf"),
+      makePdf(Seq(Seq("alpha one"), Seq("alpha two"))))
+    java.nio.file.Files.write(dir.resolve("paper2.pdf"),
+      makePdf(Seq(Seq("beta solo")), compress = true))
+    try {
+      val rows = PdfIngest.ingestDirectory(spark, dir.toString, "*.pdf", SimplePdfExtractor)
+        .collect().map(r => (r.getString(0), r.getString(3))).sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        ("paper1_page_1", "alpha one"),
+        ("paper1_page_2", "alpha two"),
+        ("paper2_page_1", "beta solo")))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+}
