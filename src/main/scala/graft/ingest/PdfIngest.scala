@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Spark shape (SURVEY.md §2.11): binaryFile scan → extraction UDF
   * returning array<string> → posexplode — no custom Generator needed.
-  * The actual PDF parser is pluggable ([[PageExtractor]]); this
-  * environment ships no PDF library, so [[TextPayloadExtractor]] is the
-  * deterministic stand-in (the fixtures are pre-extracted text anyway,
-  * FIXTURES.md) — the Spark-side plumbing (scan, UDF signature, explode,
-  * id scheme, F1 filter) is the real, tested surface.
+  * The parser is pluggable ([[PageExtractor]]):
+  * [[SimplePdfExtractor]] is the REAL pure-JDK extractor for the
+  * common machine-written subset (raw/Flate streams, Tj/'/"/TJ text —
+  * see [[SimplePdf]]; proven on genuine PDFs in SimplePdfSpec and the
+  * oracle-checked `pdf_extract_pages` roundtrip);
+  * [[TextPayloadExtractor]] remains the extractor for the pre-extracted
+  * TEXT fixtures (FIXTURES.md), which are not PDF bytes at all.
   */
 trait PageExtractor extends Serializable {
   /** All pages of one document; parse failure of page i → "" at index i. */
