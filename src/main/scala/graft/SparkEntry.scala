@@ -1305,7 +1305,11 @@ object SparkEntry {
         .select(col("doc_id"), col("quality_score"))
       val lp = TextSearch.unigramLogProbFrom(sharedSearchIndex(s, dir).post)
         .select(col("doc_id"), round(col("mean_logprob"), 4).as("lp4"))
-      val joined = q.join(lp, Seq("doc_id"))
+      // one narrow (doc_id, 2 doubles) row per doc, materialized ONCE:
+      // DistributedRank's quantile + bucket-count driver actions and
+      // both rank passes would otherwise re-derive the quality + LM
+      // pipelines ~5× (measured 6s -> ~1.5s at sf0.1)
+      val joined = q.join(lp, Seq("doc_id")).localCheckpoint(true)
       val (r1, _) = graft.operators.DistributedRank
         .withGlobalRowNumber(joined, "quality_score", "doc_id", "rank_q")
       val (r2, _) = graft.operators.DistributedRank
