@@ -514,6 +514,39 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // The reference's PRIMARY user workflow, oracle-visible end-to-end:
+    // PersistentClient get_or_create → batched add ×2 → query with a
+    // metadata-style where filter (create_collections.py:160-268,
+    // chromadb_speed_experiment.py:399-499). The VectorStore facade
+    // runs against a temp warehouse; the where predicate restricts the
+    // collection BEFORE distance work (pushed to the parquet scan); the
+    // result checkpoints and the collection + warehouse are deleted, so
+    // repeated runs leave no residue. The oracle replays add + filter +
+    // exact top-k in closed form — note the STRING id tie-break, which
+    // both engines order identically.
+    "vector_store_query" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vstore").toString
+      val store = new graft.index.VectorStore(s, tmp)
+      val emb = Tables.embeddings(s, dir)
+      val records = emb.select(
+        concat(lit("vec_"), col("vec_id")).as("id"),
+        when(col("vec_id") % 2 === 0, "even").otherwise("odd").as("document"),
+        col("embedding"))
+      store.add("docs", records.filter(col("vec_id") < 250))
+      store.add("docs", records.filter(col("vec_id") >= 250))
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val res = store.query("docs", q, 5, where = Some(col("document") === "even"))
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("id"),
+          col("document"), round(col("dist"), 4).as("dist"))
+        .orderBy("qid", "rk")
+        .localCheckpoint(true)
+      store.deleteCollection("docs")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // Hard-negative mining — the contrastive-training data op: for each
     // query vector, the top-5 MOST similar vectors of a DIFFERENT label
     // (close but wrong — the negatives that actually teach an embedding
@@ -3039,6 +3072,19 @@ object SparkEntry {
          |  round(prec, 4) AS precision_10, round(dcg / i.idcg, 4) AS ndcg_10
          |FROM a JOIN nrel n ON a.qid = n.qid JOIN ideal i ON n.n_rel = i.n_rel
          |ORDER BY a.qid""".stripMargin,
+
+    // Client workflow replay: add (string ids, even/odd documents) +
+    // where filter + exact L2 top-5 with the STRING-id tie-break.
+    "vector_store_query" ->
+      s"""WITH recs AS (SELECT 'vec_' || CAST(vec_id AS VARCHAR) AS id,
+         |    CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS document, embedding
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 3),
+         |d AS (SELECT q.qid, r.id, r.document, ${l2Sql("q.qemb", "r.embedding")} AS dist
+         |      FROM recs r CROSS JOIN q WHERE r.document = 'even'),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rk FROM d)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, id, document, round(dist, 4) AS dist
+         |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // Hard negatives: same cosine ranking as knn_cosine_top10 with the
     // same-label pairs excluded before ranking.
