@@ -1777,6 +1777,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode, oracle-visible (the decode_rgb move): write a
+    // genuine 16-bit PCM WAV per doc — deterministic samples
+    // s_i = ((doc_id·31 + i·17) mod 2001) − 1000 at 8 kHz — and decode
+    // it back with the pure-JDK RIFF parser (Multimodal.decodeWav,
+    // cross-checked against the JDK's own AudioSystem in
+    // MultimodalSpec). RMS comes from an exact integer Σs², so the
+    // oracle recomputes every field in closed form. MP3/AAC stay out of
+    // scope (no codec library) — PCM WAV is what the JDK itself speaks.
+    "multimodal_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val samples = Array.tabulate(256)(i =>
+              (((id * 31 + i * 17) % 2001) - 1000).toShort)
+            (id, graft.multimodal.Multimodal.wavBytes(8000, 1, samples))
+          }
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.decodeWav(s, media)
+        .filter(col("is_audio"))
+        .select(col("id").as("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_samples"),
+          round(col("duration_ms"), 4).as("duration_ms"),
+          round(col("rms"), 4).as("rms"))
+        .orderBy("doc_id")
+    }),
+
     // IVFADC end-to-end (Jégou et al., TPAMI'11 — the full production
     // ANN pipeline, composing the pieces the suite verifies separately):
     // the IVF coarse probe prunes the corpus to nprobe=2 of 8 cells
@@ -4041,6 +4071,19 @@ object SparkEntry {
         |  CAST((doc_id * 7) % 256 AS BIGINT) AS g,
         |  CAST((doc_id * 13) % 256 AS BIGINT) AS b
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Audio: the synthesized sample formula replayed exactly — Σs² is
+    // an exact BIGINT on both engines, duration is exact rational.
+    "multimodal_audio_stats" ->
+      """WITH s AS (SELECT d.doc_id, ((d.doc_id * 31 + t.i * 17) % 2001) - 1000 AS smp
+        |  FROM documents d, range(0, 256) t(i) WHERE d.doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(256 AS BIGINT) AS n_samples,
+        |  round(CAST(256000 AS DOUBLE) / 8000, 4) AS duration_ms,
+        |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / 256), 4) AS rms
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // IVFADC = ann_ivf_top5's cell assignment/probe CTEs composed with
     // ann_pq_top10's trained-codebook ADC CTEs, ADC restricted to the

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * IMAGE decode and resize are REAL for JDK-supported formats
   * (PNG/BMP/GIF/JPEG via javax.imageio + headless AWT — zero new
   * dependencies; see [[decodeImages]]/[[resizeImages]], proven on real
-  * PNG bytes in MultimodalSpec). Audio/video decode remains STUBBED
-  * (no codec library in this environment — see [[DecodeStub]]);
+  * PNG bytes in MultimodalSpec). AUDIO decode is REAL for PCM WAV
+  * ([[decodeWav]] — RIFF walking + int16 samples are pure JDK,
+  * cross-checked against javax.sound's own reader and oracle-checked
+  * via `multimodal_audio_stats`); compressed audio (MP3/AAC) and VIDEO
+  * decode remain STUBBED (no codec library — see [[DecodeStub]]);
   * everything Spark-side is real either way: schema, binary column
   * handling, partition-batched UDF shape, and the metadata extraction
   * that IS engine-portable (sizes, digests, magic bytes). At 100 TB
@@ -147,6 +150,86 @@ object Multimodal {
             }
           } catch {
             case _: Exception => ImageInfo(r.id, is_image = false, 0, 0, Array.empty)
+          }
+        }
+      }
+  }
+
+  final case class AudioInfo(id: Long, is_audio: Boolean, sample_rate: Int,
+      channels: Int, n_samples: Long, duration_ms: Double, rms: Double)
+
+  /** Minimal RIFF/WAVE writer: 16-bit PCM little-endian — a genuine WAV
+    * any player (or the JDK's own AudioSystem, cross-checked in
+    * MultimodalSpec) reads. The generator half of the audio story, the
+    * same generate-then-decode discipline as the PNG and PDF paths.
+    */
+  def wavBytes(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode for PCM WAV — RIFF chunk walking and int16
+    * samples are pure JDK, so the "no codec library" constraint only
+    * ever applied to compressed formats (MP3/AAC stay out of scope).
+    * Emits format fields plus exact-integer RMS (Σs² is an exact long;
+    * one sqrt at the end). Non-WAV/compressed payloads degrade to
+    * is_audio = false — the decodeImages contract.
+    */
+  def decodeWav(spark: SparkSession, media: DataFrame): Dataset[AudioInfo] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          try {
+            val bb = java.nio.ByteBuffer.wrap(r.payload)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            def str4() = { val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII") }
+            if (str4() != "RIFF") AudioInfo(r.id, is_audio = false, 0, 0, 0L, 0.0, 0.0)
+            else {
+              bb.getInt // riff size
+              if (str4() != "WAVE") AudioInfo(r.id, is_audio = false, 0, 0, 0L, 0.0, 0.0)
+              else {
+                var (fmtOk, channels, rate, bits) = (false, 0, 0, 0)
+                var info: Option[AudioInfo] = None
+                while (info.isEmpty && bb.remaining() >= 8) {
+                  val cid = str4(); val len = bb.getInt
+                  cid match {
+                    case "fmt " =>
+                      val start = bb.position()
+                      val audioFormat = bb.getShort.toInt
+                      channels = bb.getShort.toInt
+                      rate = bb.getInt
+                      bb.getInt; bb.getShort // byteRate, blockAlign
+                      bits = bb.getShort.toInt
+                      fmtOk = audioFormat == 1 && bits == 16 && channels > 0 && rate > 0
+                      bb.position(start + len)
+                    case "data" if fmtOk =>
+                      val n = len / 2
+                      var sumSq = 0L
+                      var i = 0
+                      while (i < n) { val s = bb.getShort.toLong; sumSq += s * s; i += 1 }
+                      val frames = n.toLong / channels
+                      info = Some(AudioInfo(r.id, is_audio = true, rate, channels,
+                        frames, frames * 1000.0 / rate,
+                        math.sqrt(sumSq.toDouble / math.max(n, 1))))
+                    case _ =>
+                      bb.position(bb.position() + len + (len & 1))
+                  }
+                }
+                info.getOrElse(AudioInfo(r.id, is_audio = false, 0, 0, 0L, 0.0, 0.0))
+              }
+            }
+          } catch {
+            case _: Exception => AudioInfo(r.id, is_audio = false, 0, 0, 0L, 0.0, 0.0)
           }
         }
       }

