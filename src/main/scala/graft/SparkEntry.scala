@@ -1807,6 +1807,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL video decode, oracle-visible: write a genuine uncompressed
+    // AVI per doc (RIFF container, '00db' DIB frames — plays in any
+    // player) with 3 solid-color frames derived from (doc_id, frame),
+    // decode with the pure-JDK container parser (Multimodal.decodeAvi),
+    // explode per-frame mean-RGB features. Raw BGR frames are exact, so
+    // the oracle replays every field in closed form. Compressed codecs
+    // remain the documented stub — the container and frame plumbing is
+    // what this proves.
+    "multimodal_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 4 + (id % 4).toInt
+            val h = 3 + (id % 3).toInt
+            val frames = (0 until 3).map { f =>
+              ((((id + f * 37) % 256) << 16) | (((id * 5 + f) % 256) << 8) |
+                ((id * 11 + f * 3) % 256)).toInt
+            }
+            (id, graft.multimodal.Multimodal.aviBytes(w, h, fps = 10, frames))
+          }
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.decodeAvi(s, media)
+        .filter(col("is_video"))
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"), round(col("fps"), 4).as("fps"),
+          posexplode(col("frame_means")).as(Seq("frame_idx", "m")))
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"), col("fps"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          element_at(col("m"), 1).cast("long").as("r"),
+          element_at(col("m"), 2).cast("long").as("g"),
+          element_at(col("m"), 3).cast("long").as("b"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // IVFADC end-to-end (Jégou et al., TPAMI'11 — the full production
     // ANN pipeline, composing the pieces the suite verifies separately):
     // the IVF coarse probe prunes the corpus to nprobe=2 of 8 cells
@@ -4071,6 +4108,20 @@ object SparkEntry {
         |  CAST((doc_id * 7) % 256 AS BIGINT) AS g,
         |  CAST((doc_id * 13) % 256 AS BIGINT) AS b
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Video: solid frames → mean RGB is the frame color exactly.
+    "multimodal_video_frames" ->
+      """SELECT d.doc_id,
+        |  CAST(4 + d.doc_id % 4 AS BIGINT) AS width,
+        |  CAST(3 + d.doc_id % 3 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS n_frames,
+        |  round(CAST(100 AS DOUBLE) / 10, 4) AS fps,
+        |  CAST(f.f AS BIGINT) AS frame_idx,
+        |  CAST((d.doc_id + f.f * 37) % 256 AS BIGINT) AS r,
+        |  CAST((d.doc_id * 5 + f.f) % 256 AS BIGINT) AS g,
+        |  CAST((d.doc_id * 11 + f.f * 3) % 256 AS BIGINT) AS b
+        |FROM documents d, range(0, 3) f(f) WHERE d.doc_id < 60
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
 
     // Audio: the synthesized sample formula replayed exactly — Σs² is
     // an exact BIGINT on both engines, duration is exact rational.

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * PNG bytes in MultimodalSpec). AUDIO decode is REAL for PCM WAV
   * ([[decodeWav]] — RIFF walking + int16 samples are pure JDK,
   * cross-checked against javax.sound's own reader and oracle-checked
-  * via `multimodal_audio_stats`); compressed audio (MP3/AAC) and VIDEO
-  * decode remain STUBBED (no codec library — see [[DecodeStub]]);
+  * via `multimodal_audio_stats`). VIDEO decode is REAL for
+  * uncompressed-DIB AVI ([[decodeAvi]] — RIFF/LIST container walking +
+  * raw BGR frames, oracle-checked via `multimodal_video_frames`).
+  * Only COMPRESSED codecs (MP3/AAC/H.264/…) remain STUBBED — the one
+  * part that genuinely needs a native library (see [[DecodeStub]]);
   * everything Spark-side is real either way: schema, binary column
   * handling, partition-batched UDF shape, and the metadata extraction
   * that IS engine-portable (sizes, digests, magic bytes). At 100 TB
@@ -231,6 +234,131 @@ object Multimodal {
           } catch {
             case _: Exception => AudioInfo(r.id, is_audio = false, 0, 0, 0L, 0.0, 0.0)
           }
+        }
+      }
+  }
+
+  final case class VideoInfo(id: Long, is_video: Boolean, width: Int, height: Int,
+      n_frames: Int, fps: Double, frame_means: Array[Array[Float]])
+
+  /** Minimal AVI writer: RIFF 'AVI ' with one uncompressed-DIB video
+    * stream ('00db' frames, bottom-up BGR rows padded to 4 bytes — the
+    * standard any player accepts). `frames` are solid RGB ints here;
+    * arbitrary pixel buffers ride the same container.
+    */
+  def aviBytes(w: Int, h: Int, fps: Int, frames: Seq[Int]): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val frameBytes = rowBytes * h
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    def le(ints: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(ints.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ints.foreach(bb.putInt)
+      bb.array()
+    }
+    val avih = chunk("avih", le(1000000 / fps, frameBytes * fps, 0, 0x10,
+      frames.length, 0, 1, frameBytes, w, h, 0, 0, 0, 0))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+        le(0, 0, 0, 1, fps, 0, frames.length, frameBytes, -1, 0, 0))
+    val strf = chunk("strf", le(40, w, h, 1 | (24 << 16), 0, frameBytes, 0, 0, 0, 0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val frameChunks = frames.map { rgb =>
+      val data = new Array[Byte](frameBytes)
+      val (r, g, b) = (((rgb >> 16) & 0xff).toByte, ((rgb >> 8) & 0xff).toByte, (rgb & 0xff).toByte)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = y * rowBytes + x * 3
+          data(o) = b; data(o + 1) = g; data(o + 2) = r
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", data)
+    }
+    val movi = list("movi", frameChunks.reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    chunk("RIFF", body)
+  }
+
+  /** REAL video decode for uncompressed-DIB AVI — RIFF/LIST walking and
+    * raw BGR frames are pure JDK, the container half of video handling
+    * (compressed codecs are the part that genuinely needs a native
+    * library and stay stubbed). Emits header geometry, fps, and one
+    * exact mean-RGB feature vector per frame; anything that is not an
+    * uncompressed AVI degrades to is_video = false.
+    */
+  def decodeAvi(spark: SparkSession, media: DataFrame): Dataset[VideoInfo] = {
+    import spark.implicits._
+    val none = (id: Long) => VideoInfo(id, is_video = false, 0, 0, 0, 0.0, Array.empty)
+    media.select(col("id"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          try {
+            val bb = java.nio.ByteBuffer.wrap(r.payload)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            def str4() = { val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII") }
+            if (str4() != "RIFF") none(r.id)
+            else {
+              bb.getInt
+              if (str4() != "AVI ") none(r.id)
+              else {
+                var (w, h, bits, usPerFrame) = (0, 0, 0, 0)
+                val means = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+                def walk(end: Int): Unit =
+                  while (bb.position() + 8 <= end) {
+                    val cid = str4(); val len = bb.getInt
+                    val next = bb.position() + len + (len & 1)
+                    cid match {
+                      case "LIST" => str4(); walk(next)
+                      case "avih" =>
+                        usPerFrame = bb.getInt
+                        // skip maxBytesPerSec, padding, flags, totalFrames,
+                        // initialFrames, streams, suggestedBufferSize
+                        bb.position(bb.position() + 28)
+                        w = bb.getInt; h = bb.getInt
+                      case "strf" =>
+                        bb.getInt // biSize
+                        w = bb.getInt; h = bb.getInt
+                        bits = bb.getInt >>> 16 // planes | bitCount<<16
+                      case c if c.endsWith("db") && w > 0 && h > 0 && bits == 24 =>
+                        val rowBytes = (w * 3 + 3) & ~3
+                        var (sr, sg, sb) = (0L, 0L, 0L)
+                        val base = bb.position()
+                        var y = 0
+                        while (y < h) {
+                          var x = 0
+                          while (x < w) {
+                            val o = base + y * rowBytes + x * 3
+                            sb += bb.get(o) & 0xff
+                            sg += bb.get(o + 1) & 0xff
+                            sr += bb.get(o + 2) & 0xff
+                            x += 1
+                          }
+                          y += 1
+                        }
+                        val n = (w.toLong * h).toFloat
+                        means += Array(sr / n, sg / n, sb / n)
+                      case _ => ()
+                    }
+                    bb.position(next.min(end))
+                  }
+                walk(r.payload.length)
+                if (means.isEmpty || w <= 0 || h <= 0) none(r.id)
+                else VideoInfo(r.id, is_video = true, w, h, means.length,
+                  if (usPerFrame > 0) 1e6 / usPerFrame else 0.0, means.toArray)
+              }
+            }
+          } catch { case _: Exception => none(r.id) }
         }
       }
   }

@@ -120,6 +120,26 @@ class MultimodalSpec extends GraftSpec {
     assert(info.rms === expectedRms)
   }
 
+  test("decodeAvi: uncompressed AVI roundtrips geometry, fps, and exact frame colors") {
+    import spark.implicits._
+    val avi = Multimodal.aviBytes(w = 5, h = 3, fps = 25, frames = Seq(0xFF0000, 0x00FF00, 0x0000FF))
+    val v = Multimodal.decodeAvi(spark, Seq((9L, avi)).toDF("id", "payload")).head()
+    assert(v.is_video && v.width === 5 && v.height === 3)
+    assert(v.n_frames === 3 && v.fps === 25.0)
+    assert(v.frame_means.map(_.toSeq).toSeq === Seq(
+      Seq(255f, 0f, 0f), Seq(0f, 255f, 0f), Seq(0f, 0f, 255f)))
+
+    // width 3: row padding (9 -> 12 bytes) must not leak into means
+    val padded = Multimodal.aviBytes(w = 3, h = 2, fps = 10, frames = Seq(0x102030))
+    val p = Multimodal.decodeAvi(spark, Seq((1L, padded)).toDF("id", "payload")).head()
+    assert(p.frame_means.head.toSeq === Seq(0x10.toFloat, 0x20.toFloat, 0x30.toFloat))
+
+    // junk degrades, never throws
+    val junk = Multimodal.decodeAvi(spark,
+      Seq((2L, "RIFFxxxxWAVE".getBytes("UTF-8"))).toDF("id", "payload")).head()
+    assert(!junk.is_video)
+  }
+
   test("decodeWav: stereo frames, odd-chunk padding, and degrade paths") {
     import spark.implicits._
     val stereo = Multimodal.wavBytes(8000, 2, Array.tabulate(512)(i => i.toShort))
