@@ -153,4 +153,39 @@ class PropertySpec extends GraftSpec {
       assert(math.abs(r - v) <= 0.00005 + 1e-12, s"$v -> $r")
     }
   }
+
+  test("property: PDF write->extract roundtrips arbitrary printable pages") {
+    // printable ASCII incl. the chars the writer must escape: ( ) \
+    val line: Gen[String] = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (10, Gen.alphaNumChar), (2, Gen.const(' ')),
+        (1, Gen.oneOf('(', ')', '\\', '/', '[', ']', '<', '>')))).map(_.mkString))
+    val page: Gen[Seq[String]] =
+      Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, line)).map(_.toSeq)
+    val doc: Gen[Seq[Seq[String]]] =
+      Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, page)).map(_.toSeq)
+    cases(doc, 25).zipWithIndex.foreach { case (pages, i) =>
+      val compress = i % 2 == 0
+      val got = graft.ingest.SimplePdf.extractPages(
+        graft.ingest.SimplePdfWriter.write(pages, compress))
+      // extractor trims page text and collapses trailing line spaces
+      val want = pages.map(_.mkString("\n").replaceAll("[ \\t]+\\n", "\n").trim)
+      assert(got === want, s"case $i (compress=$compress)")
+    }
+  }
+
+  test("property: WAV write->decode preserves format and exact RMS for any samples") {
+    val samplesGen: Gen[Array[Short]] = Gen.chooseNum(1, 500).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Short.MinValue, Short.MaxValue))).map(_.toArray)
+    cases(samplesGen, 20).zipWithIndex.foreach { case (samples, i) =>
+      val rate = 4000 + 1000 * (i % 5)
+      val wav = graft.multimodal.Multimodal.wavBytes(rate, 1, samples)
+      val info = graft.multimodal.Multimodal
+        .decodeWav(spark, Seq((i.toLong, wav)).toDF("id", "payload")).head()
+      assert(info.is_audio && info.sample_rate === rate && info.channels === 1)
+      assert(info.n_samples === samples.length.toLong)
+      val rms = math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / samples.length)
+      assert(info.rms === rms, s"case $i")
+    }
+  }
 }
