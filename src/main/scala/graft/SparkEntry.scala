@@ -1199,6 +1199,15 @@ object SparkEntry {
       Dedup.semanticDedup(plantedEmbeddings(s, dir), numSeeds = 10, threshold = 0.7)
         .orderBy("vec_id")),
 
+    // Multi-probe SemDeDup: each vector probes its 2 nearest cells, so
+    // the boundary-flipped twins single-probe loses (recall 0.88 above)
+    // are all recovered — the IVF-nprobe recall/cost knob applied to
+    // dedup. Drop list covers the full planted set at sf0.01.
+    "dedup_semantic_multiprobe" -> ((s, dir) =>
+      Dedup.semanticDedupMultiProbe(plantedEmbeddings(s, dir),
+        numSeeds = 10, threshold = 0.7, probes = 2)
+        .orderBy("vec_id")),
+
     // Language-ID heuristic.
     "lang_id" -> ((s, dir) => {
       graft.functions.TextExpressions.ensureRegistered(s)
@@ -3592,6 +3601,35 @@ object SparkEntry {
          |           row_number() OVER (PARTITION BY id_b ORDER BY id_a ASC) AS rn
          |         FROM p WHERE cos >= 0.7)
          |SELECT id_b AS vec_id, cell, id_a AS dup_of, round(cos, 4) AS cosine
+         |FROM hits WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // Multi-probe: rn <= 2 nearest cells per vector, DISTINCT pairs on
+    // any shared cell, then the same keep-lowest rule.
+    "dedup_semantic_multiprobe" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(range(1, 65), i -> CAST(CAST(embedding[i] AS DOUBLE) + ($pertSql)[i] AS FLOAT))
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS seed_id, embedding AS c_emb FROM aug WHERE vec_id < 10),
+         |d AS (SELECT a.vec_id, s.seed_id,
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(s.c_emb[i] AS DOUBLE))
+         |             * (CAST(a.embedding[i] AS DOUBLE) - CAST(s.c_emb[i] AS DOUBLE)))) AS d2
+         |      FROM aug a CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, CAST(seed_id AS BIGINT) AS cell FROM (
+         |          SELECT vec_id, seed_id,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, seed_id ASC) AS rn
+         |          FROM d) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |p AS (SELECT id_a, id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
+         |      FROM cand JOIN aug a ON cand.id_a = a.vec_id JOIN aug b ON cand.id_b = b.vec_id),
+         |hits AS (SELECT id_a, id_b, cos,
+         |           row_number() OVER (PARTITION BY id_b ORDER BY id_a ASC) AS rn
+         |         FROM p WHERE cos >= 0.7)
+         |SELECT id_b AS vec_id, id_a AS dup_of, round(cos, 4) AS cosine
          |FROM hits WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "lang_id" -> {

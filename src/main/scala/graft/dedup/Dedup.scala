@@ -456,4 +456,70 @@ object Dedup {
       .select(col("vec_id"), col("cell"), col("m.id_a").as("dup_of"),
         round(col("m.cos"), 4).as("cosine"))
   }
+
+  /** Multi-probe assignment: each vector to its `probes` NEAREST seeds
+    * (one row per (vector, probed cell)) — the IVF-nprobe move applied
+    * to SemDeDup's one honest weakness: a near-dup whose perturbation
+    * flips its nearest seed is lost to single-cell confinement (~12% of
+    * twins on the isotropic fixture), but lands in its partner's SECOND
+    * cell when both probe 2. Same driver-collected seeds, one
+    * `array_sort` over per-seed structs + a slice — still a pure
+    * projection (plus the ×probes explode), no join, no aggregate.
+    */
+  def seedAssignMulti(
+      embeddings: DataFrame,
+      numSeeds: Int,
+      probes: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(embeddings.sparkSession)
+    import graft.functions.VectorExpressions.{l2Sq => fl2}
+    val seeds = embeddings.filter(col(idCol) < numSeeds)
+      .select(col(idCol).cast("long").as("seed_id"), col(embCol).as("c_emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(seeds.nonEmpty, s"no seed vectors with $idCol < $numSeeds")
+    val cands = seeds.map { case (sid, emb) =>
+      struct(fl2(col("emb"), typedLit(emb)).as("d2"), lit(sid).as("seed_id"))
+    }
+    embeddings.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .select(col("id"), col("emb"),
+        explode(slice(array_sort(array(cands: _*)), 1, probes)).as("c"))
+      .select(col("id"), col("emb"), col("c.seed_id").as("cell"))
+  }
+
+  /** [[semanticDedup]] with `probes`-way multi-probe assignment: pairs
+    * form in ANY shared probed cell (dropDuplicates collapses the ≤
+    * probes² co-occurrences), so boundary flips no longer cost recall —
+    * measured 1.0 on the planted fixture at probes = 2 (DedupSpec) vs
+    * 0.88 single-probe. Cost: ≤ probes× postings and ≤ probes²× the
+    * within-cell pair candidates — the standard recall/cost knob.
+    */
+  def semanticDedupMultiProbe(
+      embeddings: DataFrame,
+      numSeeds: Int,
+      threshold: Double,
+      probes: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExpressions.{dot => fdot}
+    val assigned = seedAssignMulti(embeddings, numSeeds, probes, idCol, embCol)
+      .withColumn("nrm", sqrt(fdot(col("emb"), col("emb"))))
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"),
+        col("nrm_a"), col("nrm_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", fdot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(struct(col("id_a"), col("cos"))).as("m"))
+      .select(col("vec_id"), col("m.id_a").as("dup_of"),
+        round(col("m.cos"), 4).as("cosine"))
+  }
 }

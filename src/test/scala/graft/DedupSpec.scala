@@ -136,6 +136,14 @@ class DedupSpec extends GraftSpec {
     // equi-join on the cell — never a cartesian
     val plan = sem.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
+
+    // 2-probe assignment recovers every boundary-flipped twin: both
+    // members of a flipped pair probe the same two cells, so the pair
+    // co-occurs somewhere — full recall at probes²× candidate cost
+    val multi = Dedup.semanticDedupMultiProbe(planted, 10, 0.7, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semDrops.subsetOf(multi))
+    assert(multi === exactDrops, s"multi-probe recall ${multi.size.toDouble / exactDrops.size}")
   }
 
   test("stop-shingle cap only removes pairs, never admits new ones") {
