@@ -510,11 +510,15 @@ object Dedup {
       col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),
       col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    // A pair sharing several probed cells appears once per shared cell
+    // with an IDENTICAL cosine — no explicit dedupe: the min(struct)
+    // aggregate collapses duplicates for free AFTER the threshold
+    // filter, so only surviving near-dup rows ever shuffle. (An earlier
+    // draft dropDuplicates'd the full candidate expansion while still
+    // carrying both embedding arrays — a probes²·Σ|cell|²-row wide
+    // shuffle that cost 9s at sf0.1 for identical output.)
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"),
-        col("nrm_a"), col("nrm_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", fdot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .groupBy(col("id_b").as("vec_id"))
