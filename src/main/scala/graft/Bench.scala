@@ -96,7 +96,7 @@ object Bench {
     // concurrently recomputes the most expensive intermediate once per
     // consumer (the r5 stampede). The builder's time carries the build
     // cost; dependents read the cache.
-    def runPass(dir: String): (Double, Map[String, Double]) = {
+    def runPass(dir: String, serial: Boolean = false): (Double, Map[String, Double]) = {
       val times = new ConcurrentHashMap[String, Double]()
       def runOne(n: String): Unit = {
         val s0 = System.nanoTime()
@@ -118,10 +118,14 @@ object Bench {
         .filter(pooledNames.contains)
       cacheBuilders.foreach(runOne)
       serialNames.foreach(runOne)
-      val pool = Executors.newFixedThreadPool(threads)
-      pooledNames.filterNot(cacheBuilders.contains).foreach(n => pool.execute(() => runOne(n)))
-      pool.shutdown()
-      pool.awaitTermination(2, TimeUnit.HOURS)
+      val rest = pooledNames.filterNot(cacheBuilders.contains)
+      if (serial) rest.foreach(runOne)
+      else {
+        val pool = Executors.newFixedThreadPool(threads)
+        rest.foreach(n => pool.execute(() => runOne(n)))
+        pool.shutdown()
+        pool.awaitTermination(2, TimeUnit.HOURS)
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       import scala.jdk.CollectionConverters._
       (wall, times.asScala.toMap)
@@ -152,11 +156,20 @@ object Bench {
     warmDir.foreach { d => runPass(d); SparkEntry.clearCaches() }
     val bench0 = System.nanoTime()
     def benchElapsed: Double = (System.nanoTime() - bench0) / 1e9
+    // One SEQUENTIAL sidecar pass runs after the concurrent passes (r10
+    // verdict: 12 of 131 queries regressed >1.5× in the 4-way numbers
+    // and nobody could tell host noise from real cost — a serial sample
+    // separates them: no slot contention, so a serial regression is a
+    // plan regression). Reserve budget for it so the extra concurrent
+    // passes can't starve it.
+    val serialSidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERIAL", "1") != "0"
+    val serialReserve = if (serialSidecar) 120.0 else 0.0
     val results = scala.collection.mutable.ArrayBuffer.empty[(Double, Map[String, Double])]
     while (results.size < minPasses ||
-        (results.size < maxPasses && benchElapsed < budgetSec)) {
+        (results.size < maxPasses && benchElapsed < budgetSec - serialReserve)) {
       results += runPass(sfDir)
     }
+    val serialPass = if (serialSidecar) Some(runPass(sfDir, serial = true)) else None
     val wall = results.map(_._1).min
     val times = new ConcurrentHashMap[String, Double]()
     SparkEntry.queries.keys.foreach { n =>
@@ -170,9 +183,14 @@ object Bench {
       .map(k => "\"" + k + "\":" + times.getOrDefault(k, -1.0)).mkString("{", ",", "}")
     val sumQ = math.round(sortedNames.map(n => math.max(times.getOrDefault(n, 0.0), 0.0)).sum * 100) / 100.0
     val passWalls = results.map(r => math.round(r._1 * 100) / 100.0).mkString("[", ",", "]")
+    val serialJson = serialPass.map { case (sw, st) =>
+      val sq = sortedNames
+        .map(k => "\"" + k + "\":" + st.getOrElse(k, -1.0)).mkString("{", ",", "}")
+      s""","serial_wall":${math.round(sw * 100) / 100.0},"serial_queries":$sq"""
+    }.getOrElse("")
     val detail = s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""threads":$threads,"passes":${results.size},"pass_walls":$passWalls,"sum_queries":$sumQ,""" +
-      s""""note":"value = min suite wall over ${results.size} passes at ${threads}-way concurrency, after one unmeasured full-suite warm-up pass${warmDir.map(d => s" at $d").getOrElse("")} (min is stall-robust on this intermittently-frozen host); per-query = min across passes; sum_queries = per-query sum (upper bound on serial cost)"}"""
+      s""""threads":$threads,"passes":${results.size},"pass_walls":$passWalls,"sum_queries":$sumQ$serialJson,""" +
+      s""""note":"value = min suite wall over ${results.size} passes at ${threads}-way concurrency, after one unmeasured full-suite warm-up pass${warmDir.map(d => s" at $d").getOrElse("")} (min is stall-robust on this intermittently-frozen host); per-query = min across passes; sum_queries = per-query sum (upper bound on serial cost); serial_queries = one contention-free sequential pass (separates host noise from plan cost)"}"""
     // Per-query detail goes to a sidecar file AND an early stdout line;
     // the driver's parser reads only the LAST stdout line through a
     // 2,000-char tail window, so the final line must stay tiny (the

@@ -214,13 +214,24 @@ object SparkEntry {
     * once per reference (tokenize + explode + aggregate ×4). Same
     * lifecycle as [[sharedSearchIndex]]; unpersisted by clearCaches.
     */
+  /** Chunk-key radix: chunk_key = doc_id * 2^20 + chunk_id. */
+  private val ChunkKeyBase = 1L << 20
+
   private val chunkIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
   private def sharedChunkIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     chunkIndexCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ => {
       val chunks = TextAnalysis.chunkTokenArrays(Tables.documents(spark, dir), "text",
         size = 64, stride = 48)
-        .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+        // 2^20 chunk slots per doc (≥ ~50M tokens at stride 48 before a
+        // collision is even possible) — doc_id*1000 silently collided at
+        // ≥1000 chunks, and both engines computed the SAME wrong src_doc,
+        // so the oracle could never catch it. The guard makes overflow
+        // loud instead of wrong.
+        .select((col("doc_id") * ChunkKeyBase +
+          when(col("chunk_id") < ChunkKeyBase, col("chunk_id"))
+            .otherwise(raise_error(concat(lit("chunk_id overflows key base: "),
+              col("chunk_id"))))).as("chunk_key"),
           col("chunk_toks"))
       val post = chunks
         .select(col("chunk_key").as("doc_id"),
@@ -1067,8 +1078,11 @@ object SparkEntry {
     // (broadcast at fixture scale, shuffled hash join at 100×).
     "q17_small_qty_revenue" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val joined = li.join(broadcast(
-        Tables.part(s, dir).filter(col("p_brand") === "Brand#4")),
+      // part is SF-proportional (the brand filter is a 1/|brands|
+      // constant, not a bound) → no hint; stats/AQE broadcast the
+      // filtered sliver at fixture scale and shuffle past the budget.
+      val joined = li.join(
+        Tables.part(s, dir).filter(col("p_brand") === "Brand#4"),
         col("l_partkey") === col("p_partkey"))
       val thresh = joined.groupBy(col("l_partkey").as("tp"))
         .agg((avg(col("l_quantity")) * 0.2).as("qty_thresh"))
@@ -1081,10 +1095,12 @@ object SparkEntry {
 
     // TPC-H Q8 (adapted names): a nation's market share inside one
     // region's market for one part type, per year. The deep star join:
-    // every dimension (filtered part, region-restricted customers,
-    // supplier→nation) BROADCASTS; only lineitem⋈orders is a real
-    // shuffle pair — the 100 TB plan leaves the two fact tables
-    // hash-partitioned on orderkey and moves nothing else.
+    // the supplier→nation dim broadcasts by hint (smallest linear
+    // table); filtered part and region-restricted customers are left to
+    // stats/AQE (SF-proportional — broadcast at fixture scale, shuffle
+    // at 100×); only lineitem⋈orders is a guaranteed shuffle pair — the
+    // 100 TB plan leaves the two fact tables hash-partitioned on
+    // orderkey and moves little else.
     "q8_market_share" -> ((s, dir) => {
       val rev = col("l_extendedprice").cast("decimal(14,2)") *
         (lit(1).cast("decimal(6,4)") - col("l_discount").cast("decimal(6,4)"))
@@ -1099,7 +1115,9 @@ object SparkEntry {
       val natRev = sum(when(col("supp_nation") === "NATION_2", rev)
         .otherwise(lit(0).cast("decimal(14,2)")))
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")),
+        // part is SF-proportional (~1/5 of part after the type filter)
+        // → no hint; stats broadcast it at fixture scale, shuffle at 100×.
+        .join(Tables.part(s, dir).filter(col("p_type") === "STANDARD"),
           col("l_partkey") === col("p_partkey"))
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         // regionCust is customer-grained (~1/5 of customer, linear in
@@ -1321,7 +1339,17 @@ object SparkEntry {
     // no shuffle before the final sort.
     "pdf_extract_pages" -> ((s, dir) => {
       val writeExtract = udf((text: String) => {
-        val toks = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        // EXACTLY TextFunctions.tokens semantics (= the oracle's
+        // toksSql): SQL trim strips SPACES only (not \t\n — Java
+        // String.trim strips ≤0x20), split keeps leading/trailing
+        // empty tokens (Spark SQL split limit -1), empty → [].
+        // Content assumption: SimplePdfWriter emits ISO-8859-1, so
+        // chars > 0xFF round-trip as '?' — fine for the en-doc
+        // fixture; a non-Latin-1 corpus needs a /ToUnicode writer.
+        val trimmed = text.replaceAll("\\A +", "").replaceAll(" +\\z", "")
+        val toks: Seq[String] =
+          if (trimmed.isEmpty) Seq.empty
+          else trimmed.split(graft.functions.TextFunctions.wsPattern, -1).toSeq
         val pages = Seq(Seq(toks.take(4).mkString(" ")),
           Seq(toks.slice(4, 8).mkString(" ")))
         graft.ingest.SimplePdf.extractPages(
@@ -1514,8 +1542,8 @@ object SparkEntry {
       val perDoc = Window.partitionBy(col("query_id"), col("src_doc")).orderBy(col("rk"))
       val perQuery = Window.partitionBy(col("query_id")).orderBy(col("rk"))
       ranked
-        .withColumn("src_doc", expr("doc_id div 1000"))
-        .withColumn("chunk_id", expr("doc_id % 1000"))
+        .withColumn("src_doc", expr(s"doc_id div $ChunkKeyBase"))
+        .withColumn("chunk_id", expr(s"doc_id % $ChunkKeyBase"))
         .withColumn("c_rn", row_number().over(perDoc))
         .filter(col("c_rn") === 1)
         .withColumn("doc_rk", row_number().over(perQuery))
@@ -1853,6 +1881,47 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // REAL compressed-codec decode, oracle-visible: write a genuine
+    // MJPEG AVI per doc ('00dc' chunks, each an independent JPEG from
+    // the JDK's own encoder — plays in any player), decode with the
+    // same pure-JDK container walker + per-frame ImageIO JPEG decode.
+    // Frames are solid GRAYS pinned to the centers of 8-wide buckets
+    // (gray = 8k+4): a solid gray survives the lossy round trip to
+    // within ±3 (chroma is exactly neutral; only luma DC quantization
+    // can move it), so floor(mean/8) recovers k exactly on any
+    // conformant JPEG codec and the oracle replays k in closed form.
+    // Geometry, frame count, fps, and codec tag are exact as in the
+    // DIB row. Only inter-frame codecs remain stubbed.
+    "multimodal_video_mjpeg" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 6 + (id % 5).toInt
+            val h = 5 + (id % 4).toInt
+            val frames = (0 until 3).map { f =>
+              val gray = 4 + 8 * (((id * 7 + f * 13) % 32).toInt)
+              (gray << 16) | (gray << 8) | gray
+            }
+            (id, graft.multimodal.Multimodal.aviMjpegBytes(w, h, fps = 10, frames))
+          }
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.decodeAvi(s, media)
+        .filter(col("is_video"))
+        .select(col("id").as("doc_id"), col("codec"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"), round(col("fps"), 4).as("fps"),
+          posexplode(col("frame_means")).as(Seq("frame_idx", "m")))
+        .select(col("doc_id"), col("codec"), col("width"), col("height"),
+          col("n_frames"), col("fps"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          floor(element_at(col("m"), 1) / 8).cast("long").as("r_bucket"),
+          floor(element_at(col("m"), 2) / 8).cast("long").as("g_bucket"),
+          floor(element_at(col("m"), 3) / 8).cast("long").as("b_bucket"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // IVFADC end-to-end (Jégou et al., TPAMI'11 — the full production
     // ANN pipeline, composing the pieces the suite verifies separately):
     // the IVF coarse probe prunes the corpus to nprobe=2 of 8 cells
@@ -1996,10 +2065,12 @@ object SparkEntry {
         .withColumn("logratio_per_token", round(col("logratio_per_token"), 4))
         .orderBy("doc_id")),
 
-    // The selection half of DSIR: Gumbel top-100 on the UNROUNDED
-    // weights — sampling without replacement ∝ exp(weight), with the
-    // Gumbel noise derived from the suite's deterministic multiplicative
-    // hash coin so the oracle replays the exact draw. Executes as
+    // The selection half of DSIR: Gumbel top-100 — sampling without
+    // replacement ∝ exp(weight), with the Gumbel noise derived from the
+    // suite's deterministic multiplicative hash coin so the oracle
+    // replays the exact draw. The sort key snaps the float-summed
+    // weight to the lp4 grid before adding the noise (see gumbelTopK),
+    // so boundary membership is accumulation-order-proof. Executes as
     // TakeOrderedAndProject (per-partition heaps), never a global sort.
     "corpus_dsir_resample" -> ((s, dir) => {
       val w = graft.textual.ImportanceSampling
@@ -3318,8 +3389,8 @@ object SparkEntry {
 
     "q12_shipmode_priority" ->
       """SELECT l.l_linestatus,
-        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE epoch(l.l_shipdate) > epoch(o.o_orderdate) + 90 * 86400
         |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin,
@@ -3868,7 +3939,7 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
          |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
          |  FROM t WHERE len(toks) > 0),
-         |c AS (SELECT doc_id * 1000 + (start // 48) AS ck,
+         |c AS (SELECT doc_id * 1048576 + (start // 48) AS ck,
          |    list_slice(toks, start + 1, least(start + 64, len(toks))) AS chunk
          |  FROM s),
          |tok AS (SELECT ck, len(chunk) AS dl, unnest(chunk) AS term FROM c),
@@ -3893,8 +3964,8 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, ck ASC) AS rk
          |      FROM vscored),
          |cand AS (SELECT * FROM r WHERE rk <= 50),
-         |best AS (SELECT query_id, ck // 1000 AS doc_id, ck % 1000 AS chunk_id, rk, score,
-         |           row_number() OVER (PARTITION BY query_id, ck // 1000 ORDER BY rk) AS c_rn
+         |best AS (SELECT query_id, ck // 1048576 AS doc_id, ck % 1048576 AS chunk_id, rk, score,
+         |           row_number() OVER (PARTITION BY query_id, ck // 1048576 ORDER BY rk) AS c_rn
          |         FROM cand),
          |dr AS (SELECT query_id, doc_id, chunk_id, score,
          |         row_number() OVER (PARTITION BY query_id ORDER BY rk) AS doc_rk
@@ -4161,6 +4232,23 @@ object SparkEntry {
         |FROM documents d, range(0, 3) f(f) WHERE d.doc_id < 60
         |ORDER BY d.doc_id, frame_idx""".stripMargin,
 
+    // MJPEG: solid gray 8k+4 → JPEG round-trip error < 4 → the 8-wide
+    // bucket index floor(mean/8) = k = (doc_id*7 + f*13) % 32 exactly,
+    // for all three channels (chroma of a gray frame is exactly
+    // neutral). Geometry / count / fps / codec replay in closed form.
+    "multimodal_video_mjpeg" ->
+      """SELECT d.doc_id, 'MJPG' AS codec,
+        |  CAST(6 + d.doc_id % 5 AS BIGINT) AS width,
+        |  CAST(5 + d.doc_id % 4 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS n_frames,
+        |  round(CAST(100 AS DOUBLE) / 10, 4) AS fps,
+        |  CAST(f.f AS BIGINT) AS frame_idx,
+        |  CAST((d.doc_id * 7 + f.f * 13) % 32 AS BIGINT) AS r_bucket,
+        |  CAST((d.doc_id * 7 + f.f * 13) % 32 AS BIGINT) AS g_bucket,
+        |  CAST((d.doc_id * 7 + f.f * 13) % 32 AS BIGINT) AS b_bucket
+        |FROM documents d, range(0, 3) f(f) WHERE d.doc_id < 40
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
+
     // Audio: the synthesized sample formula replayed exactly — Σs² is
     // an exact BIGINT on both engines, duration is exact rational.
     "multimodal_audio_stats" ->
@@ -4290,9 +4378,10 @@ object SparkEntry {
          |FROM post JOIN lr USING (term)
          |GROUP BY doc_id, is_t, dl ORDER BY doc_id""".stripMargin,
 
-    // Gumbel top-100 selection over the unrounded DSIR weights; the
-    // uniform is the exact dyadic hash coin, so -ln(-ln(u)) is
-    // bit-replayable.
+    // Gumbel top-100 selection; the uniform is the exact dyadic hash
+    // coin, so -ln(-ln(u)) is bit-replayable, and the weight snaps to
+    // the lp4 grid before the noise so the sort key matches Spark's
+    // bit-for-bit.
     "corpus_dsir_resample" ->
       s"""WITH tok AS (SELECT doc_id, (lang = 'en') AS is_t,
          |    len(regexp_split_to_array(trim(text), '${TextFunctions.wsPatternSql}')) AS dl,
@@ -4310,7 +4399,8 @@ object SparkEntry {
          |w AS (SELECT doc_id, is_t, dl, sum(tf * lr) / dl AS wgt
          |      FROM post JOIN lr USING (term) GROUP BY doc_id, is_t, dl),
          |g AS (SELECT doc_id, is_t, dl, wgt,
-         |        wgt + (-ln(-ln(CAST((doc_id * 2654435761) % 65536 + 1 AS DOUBLE) / 65537.0))) AS gkey
+         |        floor(wgt * 10000.0 + 0.5) / 10000.0
+         |          + (-ln(-ln(CAST((doc_id * 2654435761) % 65536 + 1 AS DOUBLE) / 65537.0))) AS gkey
          |      FROM w),
          |sel AS (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 100)
          |SELECT doc_id, is_t AS is_target, CAST(dl AS BIGINT) AS n_tokens,

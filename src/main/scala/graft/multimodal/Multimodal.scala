@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * cross-checked against javax.sound's own reader and oracle-checked
   * via `multimodal_audio_stats`). VIDEO decode is REAL for
   * uncompressed-DIB AVI ([[decodeAvi]] — RIFF/LIST container walking +
-  * raw BGR frames, oracle-checked via `multimodal_video_frames`).
-  * Only COMPRESSED codecs (MP3/AAC/H.264/…) remain STUBBED — the one
-  * part that genuinely needs a native library (see [[DecodeStub]]);
+  * raw BGR frames, oracle-checked via `multimodal_video_frames`) AND
+  * for MJPEG-in-AVI (per-frame JPEG through the JDK's own codec,
+  * oracle-checked via `multimodal_video_mjpeg`) — the first genuinely
+  * COMPRESSED path. Only inter-frame video codecs (H.264/VP9/…) and
+  * compressed audio (MP3/AAC) remain STUBBED — the parts that
+  * genuinely need a native library (see [[DecodeStub]]);
   * everything Spark-side is real either way: schema, binary column
   * handling, partition-batched UDF shape, and the metadata extraction
   * that IS engine-portable (sizes, digests, magic bytes). At 100 TB
@@ -238,8 +241,9 @@ object Multimodal {
       }
   }
 
-  final case class VideoInfo(id: Long, is_video: Boolean, width: Int, height: Int,
-      n_frames: Int, fps: Double, frame_means: Array[Array[Float]])
+  final case class VideoInfo(id: Long, is_video: Boolean, codec: String,
+      width: Int, height: Int, n_frames: Int, fps: Double,
+      frame_means: Array[Array[Float]])
 
   /** Minimal AVI writer: RIFF 'AVI ' with one uncompressed-DIB video
     * stream ('00db' frames, bottom-up BGR rows padded to 4 bytes — the
@@ -249,27 +253,6 @@ object Multimodal {
   def aviBytes(w: Int, h: Int, fps: Int, frames: Seq[Int]): Array[Byte] = {
     val rowBytes = (w * 3 + 3) & ~3
     val frameBytes = rowBytes * h
-    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
-      bb.array()
-    }
-    def list(kind: String, body: Array[Byte]): Array[Byte] =
-      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
-    def le(ints: Int*): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(ints.length * 4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      ints.foreach(bb.putInt)
-      bb.array()
-    }
-    val avih = chunk("avih", le(1000000 / fps, frameBytes * fps, 0, 0x10,
-      frames.length, 0, 1, frameBytes, w, h, 0, 0, 0, 0))
-    val strh = chunk("strh",
-      "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
-        le(0, 0, 0, 1, fps, 0, frames.length, frameBytes, -1, 0, 0))
-    val strf = chunk("strf", le(40, w, h, 1 | (24 << 16), 0, frameBytes, 0, 0, 0, 0))
-    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
     val frameChunks = frames.map { rgb =>
       val data = new Array[Byte](frameBytes)
       val (r, g, b) = (((rgb >> 16) & 0xff).toByte, ((rgb >> 8) & 0xff).toByte, (rgb & 0xff).toByte)
@@ -283,25 +266,95 @@ object Multimodal {
         }
         y += 1
       }
-      chunk("00db", data)
+      aviChunk("00db", data)
     }
-    val movi = list("movi", frameChunks.reduce(_ ++ _))
-    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-    chunk("RIFF", body)
+    aviContainer(w, h, fps, handler = "DIB ", biCompression = 0,
+      frameBytes = frameBytes, frameChunks = frameChunks)
   }
 
-  /** REAL video decode for uncompressed-DIB AVI — RIFF/LIST walking and
-    * raw BGR frames are pure JDK, the container half of video handling
-    * (compressed codecs are the part that genuinely needs a native
-    * library and stay stubbed). Emits header geometry, fps, and one
-    * exact mean-RGB feature vector per frame; anything that is not an
-    * uncompressed AVI degrades to is_video = false.
+  /** 'MJPG' biCompression fourcc, little-endian. */
+  val MjpgFourcc: Int = 'M' | ('J' << 8) | ('P' << 16) | ('G' << 24)
+
+  /** Solid-color JPEG via the JDK's own encoder (default quality) —
+    * the per-frame payload of an MJPEG stream.
+    */
+  def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    disableImageIoDiskCache()
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Minimal MJPEG-in-AVI writer: same RIFF container as [[aviBytes]]
+    * but each frame is an independent JPEG in a '00dc' chunk with the
+    * 'MJPG' handler/compression fourcc — the first COMPRESSED codec in
+    * the suite (intra-frame only; every frame decodes standalone, which
+    * is exactly why MJPEG needs no native library: the JDK's JPEG
+    * codec covers it).
+    */
+  def aviMjpegBytes(w: Int, h: Int, fps: Int, frames: Seq[Int]): Array[Byte] = {
+    val frameChunks = frames.map(rgb => aviChunk("00dc", jpegBytes(w, h, rgb)))
+    val maxFrame = frameChunks.map(_.length - 8).max
+    aviContainer(w, h, fps, handler = "MJPG", biCompression = MjpgFourcc,
+      frameBytes = maxFrame, frameChunks = frameChunks)
+  }
+
+  private def aviChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+    bb.array()
+  }
+
+  /** Shared RIFF 'AVI ' assembly for [[aviBytes]] / [[aviMjpegBytes]]:
+    * one video stream, frame chunks supplied by the caller.
+    */
+  private def aviContainer(w: Int, h: Int, fps: Int, handler: String,
+      biCompression: Int, frameBytes: Int,
+      frameChunks: Seq[Array[Byte]]): Array[Byte] = {
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      aviChunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    def le(ints: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(ints.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      ints.foreach(bb.putInt)
+      bb.array()
+    }
+    val avih = aviChunk("avih", le(1000000 / fps, frameBytes * fps, 0, 0x10,
+      frameChunks.length, 0, 1, frameBytes, w, h, 0, 0, 0, 0))
+    val strh = aviChunk("strh",
+      "vids".getBytes("US-ASCII") ++ handler.getBytes("US-ASCII") ++
+        le(0, 0, 0, 1, fps, 0, frameChunks.length, frameBytes, -1, 0, 0))
+    val strf = aviChunk("strf",
+      le(40, w, h, 1 | (24 << 16), biCompression, frameBytes, 0, 0, 0, 0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frameChunks.reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    aviChunk("RIFF", body)
+  }
+
+  /** REAL video decode for AVI: uncompressed-DIB ('00db' raw BGR rows)
+    * AND MJPEG ('00dc' per-frame JPEG via the JDK's own codec) — both
+    * pure JDK. RIFF/LIST walking is shared; the strf biCompression
+    * fourcc selects the frame decoder. Emits header geometry, fps, the
+    * codec tag, and one mean-RGB feature vector per frame (exact for
+    * DIB; for MJPEG, whatever the JDK's JPEG decoder returns — the
+    * oracle-facing query buckets those means so lossy round-trip error
+    * cannot flip a value). Only INTER-frame codecs (H.264/VP9/…) remain
+    * stubbed — they genuinely need a native library. Anything that is
+    * not a decodable AVI degrades to is_video = false.
     */
   def decodeAvi(spark: SparkSession, media: DataFrame): Dataset[VideoInfo] = {
     import spark.implicits._
-    val none = (id: Long) => VideoInfo(id, is_video = false, 0, 0, 0, 0.0, Array.empty)
+    val none = (id: Long) => VideoInfo(id, is_video = false, "", 0, 0, 0, 0.0, Array.empty)
     media.select(col("id"), col("payload")).as[MediaRecord]
       .mapPartitions { it =>
+        disableImageIoDiskCache()
         it.map { r =>
           try {
             val bb = java.nio.ByteBuffer.wrap(r.payload)
@@ -312,7 +365,7 @@ object Multimodal {
               bb.getInt
               if (str4() != "AVI ") none(r.id)
               else {
-                var (w, h, bits, usPerFrame) = (0, 0, 0, 0)
+                var (w, h, bits, usPerFrame, compression) = (0, 0, 0, 0, 0)
                 val means = scala.collection.mutable.ArrayBuffer[Array[Float]]()
                 def walk(end: Int): Unit =
                   while (bb.position() + 8 <= end) {
@@ -330,7 +383,9 @@ object Multimodal {
                         bb.getInt // biSize
                         w = bb.getInt; h = bb.getInt
                         bits = bb.getInt >>> 16 // planes | bitCount<<16
-                      case c if c.endsWith("db") && w > 0 && h > 0 && bits == 24 =>
+                        if (len >= 20) compression = bb.getInt
+                      case c if c.endsWith("db") && w > 0 && h > 0 && bits == 24 &&
+                          compression == 0 =>
                         val rowBytes = (w * 3 + 3) & ~3
                         var (sr, sg, sb) = (0L, 0L, 0L)
                         val base = bb.position()
@@ -348,13 +403,38 @@ object Multimodal {
                         }
                         val n = (w.toLong * h).toFloat
                         means += Array(sr / n, sg / n, sb / n)
+                      case c if c.endsWith("dc") && compression == MjpgFourcc =>
+                        val jpeg = new Array[Byte](len)
+                        bb.get(jpeg)
+                        val img = javax.imageio.ImageIO.read(
+                          new java.io.ByteArrayInputStream(jpeg))
+                        if (img != null) {
+                          val (iw, ih) = (img.getWidth, img.getHeight)
+                          val row = new Array[Int](iw)
+                          var (sr, sg, sb) = (0L, 0L, 0L)
+                          var y = 0
+                          while (y < ih) {
+                            img.getRGB(0, y, iw, 1, row, 0, iw)
+                            var x = 0
+                            while (x < iw) {
+                              val rgb = row(x)
+                              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                              x += 1
+                            }
+                            y += 1
+                          }
+                          val n = (iw.toLong * ih).max(1L).toFloat
+                          means += Array(sr / n, sg / n, sb / n)
+                        }
                       case _ => ()
                     }
                     bb.position(next.min(end))
                   }
                 walk(r.payload.length)
                 if (means.isEmpty || w <= 0 || h <= 0) none(r.id)
-                else VideoInfo(r.id, is_video = true, w, h, means.length,
+                else VideoInfo(r.id, is_video = true,
+                  if (compression == MjpgFourcc) "MJPG" else "DIB",
+                  w, h, means.length,
                   if (usPerFrame > 0) 1e6 / usPerFrame else 0.0, means.toArray)
               }
             }

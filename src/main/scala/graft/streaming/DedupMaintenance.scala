@@ -147,7 +147,11 @@ object DedupMaintenance {
   def maintainFromBatch(
       spark: SparkSession,
       docs: DataFrame,
-      nFiles: Int = 4,
+      // 2 micro-batches: the pair set is batching-invariant (the
+      // equivalence contract DedupMaintenanceSpec proves across
+      // batchings), so two batches exercise new×stored maintenance at
+      // half the per-batch commit cost of four
+      nFiles: Int = 2,
       n: Int = 3,
       threshold: Double = 0.6): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_dedup_maint")

@@ -145,7 +145,11 @@ object IndexMaintenance {
       spark: SparkSession,
       emb: DataFrame,
       centroids: DataFrame,
-      nFiles: Int = 4): DataFrame = {
+      // 2 micro-batches: cell assignment is batching-invariant (the
+      // contract IndexMaintenanceSpec proves across batchings), so two
+      // batches exercise the append path at half the per-batch commit
+      // cost of four
+      nFiles: Int = 2): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_idx_maint")
     val srcDir = base.resolve("src").toString
     val indexDir = base.resolve("index").toString

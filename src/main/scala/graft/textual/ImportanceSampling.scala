@@ -97,8 +97,15 @@ object ImportanceSampling {
       weightCol: String = "logratio_per_token"): DataFrame = {
     val u = (((col(idCol) * lit(2654435761L)) % 65536) + 1).cast("double") / lit(65537.0)
     val g = -log(-log(u))
+    // The weight is a float SUM whose accumulation order neither engine
+    // guarantees (~1e-12 jitter); the Gumbel term is exact. Snap the
+    // weight to the 1e-4 grid (the suite's lp4 half-up discipline)
+    // BEFORE adding the noise so the selection sort key is bit-identical
+    // on both engines — boundary membership of the top-k cannot flip on
+    // accumulation order.
+    val wr = floor(col(weightCol) / temperature * 1e4 + 0.5) / 1e4
     weights
-      .withColumn("gkey", col(weightCol) / temperature + g)
+      .withColumn("gkey", wr + g)
       .orderBy(col("gkey").desc, col(idCol))
       .limit(n)
   }

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
+import graft.dedup.Dedup
 import graft.search.{IvfIndex, KnnExact, RpLsh}
 
 /** Reproduce the reference's qualitative curves (BASELINE.md):
@@ -112,6 +113,60 @@ object Curves {
         .agg(avg($"recall_10")).head().getDouble(0)
       println(f"| $sz%d | $rec%.2f |")
     }
+
+    // Dedup pair-generation cost vs corpus size. Growth corpus: ×m
+    // replication with a per-replica SUFFIX on every token, so replica
+    // groups share no shingles — duplication STRUCTURE constant,
+    // per-shingle df constant. That is the growing-web-corpus regime
+    // (more documents, stable shingle-frequency distribution), where
+    // Σ_s df(s)² — the co-occurrence join's true cost — grows linearly
+    // in n. The measured wall-time exponent is the claim.
+    val docsBase = graft.model.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    println("\n| n_docs | ngram-jaccard ms | pairs | minhash-lsh ms | pairs |")
+    println("|---|---|---|---|---|")
+    Seq(1, 4, 16).foreach { m =>
+      val corpus =
+        if (m == 1) docsBase
+        else docsBase.crossJoin(spark.range(m).select($"id".as("rep")))
+          .select(($"doc_id" * m + $"rep").as("doc_id"),
+            array_join(
+              transform(split($"text", " "), t => concat(t, lit("_"), $"rep".cast("string"))),
+              " ").as("text"))
+      val corpusPath = s"$work/docs_$m"
+      corpus.write.mode("overwrite").parquet(corpusPath)
+      val c = spark.read.parquet(corpusPath)
+      val nd = c.count()
+      var jPairs = 0L
+      val jMs = timeMs({ jPairs = Dedup.ngramJaccardPairs(c, 3, 0.6).count() }, runs = 3)
+      var mPairs = 0L
+      val mMs = timeMs({ mPairs = Dedup.minHash(c, 3, 0.6).count() }, runs = 3)
+      println(f"| $nd%d | $jMs%.0f | $jPairs%d | $mMs%.0f | $mPairs%d |")
+    }
+
+    // Stop-shingle df cap A/B: append one boilerplate sentence to EVERY
+    // document — ~a dozen shingles with df = n_docs, each contributing
+    // df² co-occurrence rows uncapped (the skew bomb the cap exists
+    // for). Capped, those postings drop; carried sizes stay exact, so
+    // Jaccard only under-counts on boilerplate overlap (a dedup filter
+    // never ADMITS a worse pair because of the cap).
+    val boiler = " common footer boilerplate line repeated verbatim on every single page of this corpus"
+    val boiledPath = s"$work/docs_boiled"
+    docsBase.select($"doc_id", concat($"text", lit(boiler)).as("text"))
+      .write.mode("overwrite").parquet(boiledPath)
+    val boiled = spark.read.parquet(boiledPath)
+    def timeOnceMs(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+    }
+    println("\n| variant (boilerplate-injected corpus) | ngram-jaccard ms | pairs |")
+    println("|---|---|---|")
+    var pU = 0L
+    val msU = timeOnceMs { pU = Dedup.ngramJaccardPairs(boiled, 3, 0.6).count() }
+    println(f"| uncapped | $msU%.0f | $pU%d |")
+    var pC = 0L
+    val msC = timeOnceMs {
+      pC = Dedup.ngramJaccardPairs(boiled, 3, 0.6, maxDocFrequency = 256).count()
+    }
+    println(f"| df ≤ 256 | $msC%.0f | $pC%d |")
     spark.stop()
   }
 }

@@ -140,6 +140,30 @@ class MultimodalSpec extends GraftSpec {
     assert(!junk.is_video)
   }
 
+  test("decodeAvi: MJPEG frames decode per-frame JPEG, gray means stay in-bucket") {
+    import spark.implicits._
+    // grays pinned to 8-wide bucket CENTERS (8k+4): the lossy JPEG
+    // round trip of a solid gray moves the mean < 4, so floor(mean/8)
+    // recovers k — the exact contract multimodal_video_mjpeg's oracle
+    // relies on
+    val grays = Seq(4, 100, 252)
+    val avi = Multimodal.aviMjpegBytes(w = 7, h = 6, fps = 10,
+      frames = grays.map(g => (g << 16) | (g << 8) | g))
+    val v = Multimodal.decodeAvi(spark, Seq((3L, avi)).toDF("id", "payload")).head()
+    assert(v.is_video && v.codec === "MJPG")
+    assert(v.width === 7 && v.height === 6 && v.n_frames === 3 && v.fps === 10.0)
+    v.frame_means.zip(grays).foreach { case (m, g) =>
+      m.foreach { c =>
+        assert(math.abs(c - g) < 4.0f, s"channel mean $c strayed from gray $g")
+        assert(math.floor(c / 8).toInt === (g - 4) / 8)
+      }
+    }
+    // the DIB row keeps its codec tag too
+    val dib = Multimodal.decodeAvi(spark,
+      Seq((4L, Multimodal.aviBytes(3, 2, 10, Seq(0x102030)))).toDF("id", "payload")).head()
+    assert(dib.codec === "DIB")
+  }
+
   test("decodeWav: stereo frames, odd-chunk padding, and degrade paths") {
     import spark.implicits._
     val stereo = Multimodal.wavBytes(8000, 2, Array.tabulate(512)(i => i.toShort))

@@ -313,13 +313,23 @@ class PlanSpec extends GraftSpec {
     // permanent: EVERY declared query's analyzed plan is walked; inside a
     // broadcast-hinted subtree, every scan of a fact table (the tables
     // that grow with corpus size) must sit below a cardinality bound the
-    // rule can see — a Filter, a grand (group-less) Aggregate, or a
-    // Limit. Frames bounded for reasons the rule cannot see are
+    // rule can see — a grand (group-less) Aggregate, a Limit, or a
+    // POINT-LOOKUP Filter (id/key column pinned to literals: ≤ #literals
+    // rows at any SF). A predicate Filter like p_type = 'STANDARD' does
+    // NOT count — it shrinks the constant, not the SF growth rate.
+    // Frames bounded for reasons the rule cannot see are
     // allowlisted WITH the reason; a stale allowlist entry fails too, so
     // the list cannot rot.
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, GlobalLimit, LocalLimit, LogicalPlan, ResolvedHint}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val facts = Set("lineitem", "orders", "events", "documents", "embeddings")
+    // Round-10 verdict: `part`, `customer`, `supplier` are SF-proportional
+    // too (a Filter over them reduces the constant, not the growth rate),
+    // so they join the fact set and Filter no longer counts as a bound —
+    // the r10 loophole was `broadcast(part.filter(p_type = ...))` passing
+    // because ANY Filter marked the subtree bounded.
+    val facts = Set("lineitem", "orders", "events", "documents", "embeddings",
+      "part", "customer", "supplier")
     val allow: Map[String, String] = Map(
       // grouped on `lang`: the domain is the fixed language-ID codebook
       // (dozens of rows at ANY corpus size — grouping key, not row count,
@@ -338,8 +348,53 @@ class PlanSpec extends GraftSpec {
       // (AQE). The rule cannot see join-key uniqueness, hence allowlist.
       "search_bm25" -> "idf restricted to query terms (≤ |query terms| rows)",
       "search_vsm_cosine" -> "query-side idf/norm frames (≤ |query terms| rows)",
-      "search_hybrid_rrf" -> "query-side idf/norm frames of both scorers"
+      "search_hybrid_rrf" -> "query-side idf/norm frames of both scorers",
+      // supplier is the smallest linear table (SF×10k rows, ~40 B/row
+      // projected — ~4 GB even at SF 10k); hinting it keeps the
+      // lineitem⋈supplier star edge shuffle-free far past any realistic
+      // SF. The hint is deliberate and documented at each site; revisit
+      // only if supplier outgrows the broadcast budget.
+      "q5_region_revenue" -> "supplier-grained dim (SF×10k, smallest linear table)",
+      "q7_volume" -> "supplier-grained dim (SF×10k, smallest linear table)",
+      "q9_profit_by_nation_year" -> "supplier-grained dim (SF×10k, smallest linear table)",
+      "q15_top_supplier" -> "supplier-grained dim (SF×10k, smallest linear table)",
+      "q21_waiting_supplier" -> "supplier-grained dim (SF×10k, smallest linear table)",
+      "q8_market_share" -> "supplier→nation frame (SF×10k, smallest linear table)",
+      // distinct p_brand: grouped on the fixed brand domain (≤ #brands
+      // rows at any SF — grouping key, not row count, bounds it)
+      "q16_brand_breadth" -> "distinct p_brand exclusion set (≤ #brands rows)",
+      // the broadcast side is the BENCHMARK shingle vocabulary — a fixed
+      // eval set (expressed here as source = 'src0' over the fixture);
+      // real deployments pass a benchmark table that does not grow with
+      // the training corpus
+      "corpus_decontaminate" -> "benchmark shingle vocab (fixed eval set)",
+      // same scorer as search_vsm_cosine: query-side idf/norm frames
+      // equi-joined down to the query's terms first
+      "rag_chunk_retrieve" -> "query-side idf/norm frames (≤ |query terms| rows)"
     )
+    def keyish(a: Attribute): Boolean = {
+      val n = a.name.toLowerCase
+      n == "id" || n == "qid" || n.endsWith("_id") || n.endsWith("key")
+    }
+    // analyzed (pre-folding) plans wrap literals in Cast — strip them
+    def isLit(e: Expression): Boolean = e match {
+      case _: Literal => true
+      case c: Cast => isLit(c.child)
+      case _ => false
+    }
+    def isPointLookup(cond: Expression): Boolean = cond.exists {
+      case EqualTo(a: AttributeReference, r) => keyish(a) && isLit(r)
+      case EqualTo(l, a: AttributeReference) => keyish(a) && isLit(l)
+      case In(a: AttributeReference, vs) if vs.forall(isLit) => keyish(a)
+      case InSet(a: AttributeReference, _) => keyish(a)
+      // a literal UPPER bound on a dense id is ≤ #literal rows at any SF
+      // (ids assign from 0); a lower bound is not a bound at all
+      case LessThan(a: AttributeReference, r) => keyish(a) && isLit(r)
+      case LessThanOrEqual(a: AttributeReference, r) => keyish(a) && isLit(r)
+      case GreaterThan(l, a: AttributeReference) => keyish(a) && isLit(l)
+      case GreaterThanOrEqual(l, a: AttributeReference) => keyish(a) && isLit(l)
+      case _ => false
+    }
     def unboundedFacts(p: LogicalPlan, bounded: Boolean): Seq[String] = p match {
       case l: LogicalRelation =>
         if (bounded) Nil
@@ -348,7 +403,8 @@ class PlanSpec extends GraftSpec {
             f.location.rootPaths.toSeq.map(_.getName.stripSuffix(".parquet")).filter(facts)
           case _ => Nil
         }
-      case f: LFilter => unboundedFacts(f.child, bounded = true)
+      case f: LFilter =>
+        unboundedFacts(f.child, bounded = bounded || isPointLookup(f.condition))
       case a: Aggregate if a.groupingExpressions.isEmpty =>
         unboundedFacts(a.child, bounded = true)
       case g: GlobalLimit => unboundedFacts(g.child, bounded = true)

@@ -20,8 +20,16 @@ FLOOR_SEC = 1.0
 def main():
     detail_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_DETAIL.json"
     ref_path = sys.argv[2] if len(sys.argv) > 2 else "docs/BENCH_REF.json"
-    cur = json.load(open(detail_path))["queries"]
-    ref = json.load(open(ref_path))["queries"]
+    cur_j = json.load(open(detail_path))
+    ref_j = json.load(open(ref_path))
+    # Like-for-like: when BOTH files carry the contention-free serial
+    # sidecar, compare that (a serial drift is a plan regression, not
+    # pool-scheduling noise); otherwise fall back to the concurrent map.
+    mode = ("serial" if "serial_queries" in cur_j and "serial_queries" in ref_j
+            else "concurrent")
+    key = "serial_queries" if mode == "serial" else "queries"
+    cur, ref = cur_j[key], ref_j[key]
+    print(f"mode={mode}")
 
     drifted, improved, new = [], [], []
     for name, t in sorted(cur.items()):

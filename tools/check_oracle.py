@@ -7,17 +7,26 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json, os, sys, glob
 import duckdb
+import numpy as np
 
 def canon(df):
-    # columns sorted by name; rows sorted by all columns; floats rounded
+    # columns sorted by name; rows sorted by all columns; floats rounded.
+    # Values are TYPE-TAGGED: the driver's gate hashes pandas values, where
+    # int64 5710 != float64 5710.0 (e.g. DuckDB HUGEINT -> pandas float64).
+    # Python `==` would hide that class of mismatch, so tag int vs float.
     cols = sorted(df.columns)
     df = df[cols]
     recs = df.values.tolist()
     def norm(v):
-        if isinstance(v, float):
-            if v != v:  # NaN (e.g. pandas null) -> stable sentinel
-                return None
-            return round(v, 6)
+        if isinstance(v, bool) or isinstance(v, np.bool_):
+            return ("b", bool(v))
+        if isinstance(v, float) or isinstance(v, np.floating):
+            f = float(v)
+            if f != f:  # NaN (e.g. pandas null) -> stable sentinel
+                return ("f", None)
+            return ("f", round(f, 6))
+        if isinstance(v, int) or isinstance(v, np.integer):
+            return ("i", int(v))
         return v
     rows = sorted([tuple(norm(v) for v in r) for r in recs], key=lambda r: str(r))
     return cols, rows
