@@ -610,6 +610,25 @@ object SparkEntry {
       RecallAtK.evaluate(gt, ret, Seq(5, 10)).orderBy("qid")
     }),
 
+    // Graph ANN — real HNSW (the reference's actual index family),
+    // built as one navigable-small-world graph per segment and merged
+    // by a global top-k (search/Hnsw.scala has the 100 TB posture).
+    // A graph walk is not SQL-replayable, so the oracle row uses the
+    // distinct_users_approx pattern: recall@10 vs the exact scan is
+    // computed IN-QUERY and the oracle asserts the floor — the
+    // measured value itself is pinned (≥ 0.9, typically 1.0 on the
+    // fixture) in HnswSpec.
+    "ann_hnsw_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 5)
+      val gt = KnnExact.topK(q, emb, 10)
+      val approx = graft.search.Hnsw.topK(s, q, emb, 10)
+      RecallAtK.evaluate(gt, approx, Seq(10))
+        .select(col("qid"), lit(10L).as("k"),
+          (col("recall_10") >= 0.9).as("above_floor"))
+        .orderBy("qid")
+    }),
+
     // Order-aware quality of the same truncated-dim ranking: MRR,
     // Precision@10, nDCG@10 vs the full-dim cosine ground truth —
     // recall says IF the true neighbors surface, nDCG says WHERE. The
@@ -3174,6 +3193,13 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim FROM embeddings c, q),
          |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // HNSW recall floor: the graph walk is not SQL-replayable, so the
+    // Spark side computes recall vs the exact scan in-query and the
+    // oracle asserts the floor holds for every query id.
+    "ann_hnsw_recall" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, TRUE AS above_floor
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
 
     "ann_mrl_recall" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb, embedding[1:16] AS qemb16 FROM embeddings WHERE vec_id < 5),

@@ -27,6 +27,9 @@ object Curves {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional section filter: any of {ann, recall, dedup}; default all
+    val sections: Set[String] =
+      if (args.isEmpty) Set("ann", "recall", "dedup") else args.toSet
     val spark = GraftSession.builder("graft-curves", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -47,6 +50,7 @@ object Curves {
       ts(runs / 2) // median
     }
 
+    if (sections("ann")) {
     println(s"| n_vectors | exact full-scan ms | ivf probe ms (nprobe=$nprobe/$numCells) |")
     println("|---|---|---|")
     var lastIdxPath: String = null
@@ -100,18 +104,27 @@ object Curves {
         .agg(avg($"recall_10")).head().getDouble(0)
       println(f"| $np%d | $ms%.0f | $rec%.2f |")
     }
+    }
 
-    // recall vs true prefix size (no replication)
+    if (sections("recall")) {
+    // recall vs true prefix size (no replication). HNSW rides the same
+    // table: the graph walk's recall on the data where hash banding
+    // degrades is exactly the qualitative gap the reference's HNSW
+    // numbers show (flat ~0.8-1.0 where its brute-force A/B degrades).
     val queries5 = base.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qemb"))
-    println("\n| prefix size | rp-lsh recall@10 |")
-    println("|---|---|")
+    println("\n| prefix size | rp-lsh recall@10 | hnsw recall@10 |")
+    println("|---|---|---|")
     Seq(250L, 500L, 1000L, 2000L).filter(_ <= nBase).foreach { sz =>
       val view = base.filter($"vec_id" < sz)
       val gt = KnnExact.topK(queries5, view, 10)
       val approx = RpLsh.topK(queries5, view, 10, numTables = 8, dim = 64, w = 0.5)
       val rec = graft.eval.RecallAtK.evaluate(gt, approx, Seq(10))
         .agg(avg($"recall_10")).head().getDouble(0)
-      println(f"| $sz%d | $rec%.2f |")
+      val hnsw = graft.search.Hnsw.topK(spark, queries5, view, 10)
+      val hrec = graft.eval.RecallAtK.evaluate(gt, hnsw, Seq(10))
+        .agg(avg($"recall_10")).head().getDouble(0)
+      println(f"| $sz%d | $rec%.2f | $hrec%.2f |")
+    }
     }
 
     // Dedup pair-generation cost vs corpus size. Growth corpus: ×m
@@ -121,6 +134,7 @@ object Curves {
     // (more documents, stable shingle-frequency distribution), where
     // Σ_s df(s)² — the co-occurrence join's true cost — grows linearly
     // in n. The measured wall-time exponent is the claim.
+    if (sections("dedup")) {
     val docsBase = graft.model.Tables.documents(spark, sfDir).select($"doc_id", $"text")
     println("\n| n_docs | ngram-jaccard ms | pairs | minhash-lsh ms | pairs |")
     println("|---|---|---|---|---|")
@@ -167,6 +181,7 @@ object Curves {
       pC = Dedup.ngramJaccardPairs(boiled, 3, 0.6, maxDocFrequency = 256).count()
     }
     println(f"| df ≤ 256 | $msC%.0f | $pC%d |")
+    }
     spark.stop()
   }
 }

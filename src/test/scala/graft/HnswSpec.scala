@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.eval.RecallAtK
+import graft.model.Tables
+import graft.search.{Hnsw, KnnExact}
+
+class HnswSpec extends GraftSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir).cache()
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qemb")).cache()
+
+  test("single graph with exhaustive ef reproduces the exact scan") {
+    // ef ≥ n makes the layer-0 beam visit the whole connected graph, so
+    // the walk degenerates to exhaustive search — results must match
+    // the brute-force oracle exactly, (dist, id)-ordered.
+    val n = emb.count().toInt
+    val g = Hnsw.topK(spark, queries, emb, 10,
+      efSearch = n + 1, numGraphs = 1)
+      .select(col("qid"), col("vec_id"), col("rk"))
+    val exact = KnnExact.topK(queries, emb, 10)
+      .select(col("qid"), col("vec_id"), col("rk"))
+    assert(g.exceptAll(exact).isEmpty && exact.exceptAll(g).isEmpty)
+  }
+
+  test("deterministic: two builds over the same input agree row-for-row") {
+    val a = Hnsw.topK(spark, queries, emb, 10).collect().toSeq
+    val b = Hnsw.topK(spark, queries, emb, 10).collect().toSeq
+    assert(a.map(_.toSeq) === b.map(_.toSeq))
+  }
+
+  test("segment-merged recall@10 vs exact clears the oracle floor") {
+    val gt = KnnExact.topK(queries, emb, 10)
+    val approx = Hnsw.topK(spark, queries, emb, 10)
+    val recalls = RecallAtK.evaluate(gt, approx, Seq(10))
+      .select(col("qid"), col("recall_10")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(recalls.size === 5)
+    recalls.foreach { case (qid, r) =>
+      assert(r >= 0.9, s"recall@10 for qid=$qid was $r (floor 0.9)")
+    }
+  }
+
+  test("graph unit: self is nearest, ties break on insertion order (= id via buildGraph)") {
+    // In-graph ties resolve on node (insertion) index; buildGraph
+    // inserts ascending by id, so externally ties break on id — insert
+    // through buildGraph exactly as the distributed path does.
+    val g = Hnsw.buildGraph(Iterator(
+      (7L, Array(1f, 0f)), (3L, Array(1f, 0f)), (1L, Array(0f, 1f))),
+      m = 4, efConstruction = 16)
+    val top = g.search(Array(1f, 0f), 3, efSearch = 8)
+    assert(top.map(_._1) === Seq(3L, 7L, 1L))
+    assert(top.head._2 === 0.0)
+  }
+
+  test("empty segment yields no candidates instead of failing") {
+    val g = new Hnsw.Graph(m = 4, efConstruction = 16)
+    assert(g.search(Array(1f, 0f), 3, efSearch = 8).isEmpty)
+  }
+}
