@@ -166,6 +166,48 @@ object Hnsw {
       searchLayer(q, ep, math.max(efSearch, k), 0)
         .take(k).map { case (d, n) => (ids(n), d) }.toSeq
     }
+
+    /** Export the adjacency with neighbor INDICES mapped to external
+      * ids — the storable form of the graph (one row per node).
+      */
+    def export: Iterator[(Long, Array[Float], Array[Array[Long]])] =
+      ids.indices.iterator.map { n =>
+        (ids(n), vecs(n), neighbors(n).map(_.map(ids(_)).toArray))
+      }
+
+    /** Load a previously exported adjacency verbatim (no re-build).
+      * Rows are indexed in ascending-id order — the same order
+      * [[buildGraph]] inserts in — and the entry point is re-derived
+      * exactly as the builder left it: the smallest id among max-level
+      * nodes (the builder only advances the entry on a STRICTLY higher
+      * level, so with ascending insertion that is the first max-level
+      * node). A loaded graph therefore answers every query identically
+      * to the graph it was exported from (pinned in HnswSpec).
+      */
+    private[Hnsw] def loadAdjacency(
+        rows: Array[(Long, Array[Float], Array[Array[Long]])]): Unit = {
+      require(ids.isEmpty, "loadAdjacency requires an empty graph")
+      val sorted = rows.sortBy(_._1)
+      val indexOf = sorted.iterator.map(_._1).zipWithIndex.toMap
+      sorted.foreach { case (id, vec, nbrs) =>
+        ids += id
+        vecs += vec
+        neighbors += nbrs.map(layer =>
+          mutable.ArrayBuffer.from(layer.map(indexOf)))
+      }
+      if (sorted.nonEmpty) {
+        entryLevel = neighbors.iterator.map(_.length - 1).max
+        entry = neighbors.indexWhere(_.length - 1 == entryLevel)
+      }
+    }
+  }
+
+  /** Rehydrate a stored segment graph. */
+  def graphFromAdjacency(rows: Array[(Long, Array[Float], Array[Array[Long]])],
+      m: Int, efConstruction: Int): Graph = {
+    val g = new Graph(m, efConstruction)
+    g.loadAdjacency(rows)
+    g
   }
 
   /** Build one graph per segment from sorted (id, vec) rows. */
@@ -205,6 +247,79 @@ object Hnsw {
         val g = buildGraph(it, m, efConstruction)
         qB.value.iterator.flatMap { case (qid, qv) =>
           g.search(qv, k, efSearch).map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF(qidCol, idCol, "dist")
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("dist").asc, col(idCol).asc)
+    candidates
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("rk"), col("dist"))
+  }
+
+  /** Build the STORABLE index: one row per node — (seg, vec_id,
+    * embedding, nbrs: per-layer neighbor id lists). Write it to a
+    * parquet table partitioned by `seg` and the graph build cost is
+    * paid once per corpus version (the reference's PersistentClient
+    * discipline; same build-once/search-many split as IvfAdc.Index) —
+    * at 100 TB this is the difference between an index and a per-query
+    * rebuild.
+    */
+  def buildIndex(
+      spark: SparkSession,
+      collection: DataFrame,
+      m: Int = 16,
+      efConstruction: Int = 100,
+      numGraphs: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    collection.select(col(idCol), col(embCol))
+      .repartition(numGraphs, col(idCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val seg = org.apache.spark.TaskContext.getPartitionId()
+        buildGraph(it, m, efConstruction).export
+          .map { case (id, vec, nbrs) => (seg, id, vec, nbrs) }
+      }
+      .toDF("seg", idCol, embCol, "nbrs")
+  }
+
+  /** Search a stored index: one exchange on `seg` co-locates each
+    * segment's rows, the graph rehydrates verbatim (no re-build — the
+    * loaded walk is bit-identical to the built one), every segment
+    * answers the broadcast queries, global top-k merges. Output schema
+    * matches [[topK]].
+    */
+  def searchIndex(
+      spark: SparkSession,
+      queries: DataFrame,
+      index: DataFrame,
+      k: Int,
+      m: Int = 16,
+      efConstruction: Int = 100,
+      efSearch: Int = 128,
+      numGraphs: Int = 8,
+      qidCol: String = "qid",
+      qEmbCol: String = "qemb",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val qArr = queries.select(col(qidCol), col(qEmbCol)).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(qArr)
+    val candidates = index.select(col("seg"), col(idCol), col(embCol), col("nbrs"))
+      .repartition(numGraphs, col("seg"))
+      .as[(Int, Long, Array[Float], Array[Array[Long]])]
+      .mapPartitions { it =>
+        // hash partitioning may co-locate several segments — group and
+        // rehydrate each one separately (graphs never merge)
+        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val g = graphFromAdjacency(
+            rows.map { case (_, id, v, nb) => (id, v, nb) }, m, efConstruction)
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k, efSearch).map { case (id, d) => (qid, id, d) }
+          }
         }
       }
       .toDF(qidCol, idCol, "dist")

@@ -59,4 +59,25 @@ class HnswSpec extends GraftSpec {
     val g = new Hnsw.Graph(m = 4, efConstruction = 16)
     assert(g.search(Array(1f, 0f), 3, efSearch = 8).isEmpty)
   }
+
+  test("stored index searches bit-identically to the one-shot path") {
+    // build-once / search-many: the exported adjacency rehydrates to
+    // the SAME graph (same entry point, same walk), so a search from
+    // the stored index must equal topK row-for-row — including through
+    // a parquet write/read cycle.
+    val idx = Hnsw.buildIndex(spark, emb)
+    val oneShot = Hnsw.topK(spark, queries, emb, 10)
+    val fromIdx = Hnsw.searchIndex(spark, queries, idx, 10)
+    assert(fromIdx.exceptAll(oneShot).isEmpty && oneShot.exceptAll(fromIdx).isEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_idx").toString
+    try {
+      idx.write.mode("overwrite").parquet(dir)
+      val persisted = Hnsw.searchIndex(spark, queries, spark.read.parquet(dir), 10)
+      assert(persisted.exceptAll(oneShot).isEmpty && oneShot.exceptAll(persisted).isEmpty)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
