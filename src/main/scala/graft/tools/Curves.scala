@@ -51,8 +51,11 @@ object Curves {
     }
 
     if (sections("ann")) {
-    println(s"| n_vectors | exact full-scan ms | ivf probe ms (nprobe=$nprobe/$numCells) |")
-    println("|---|---|---|")
+    // HNSW rides the same A/B: a STORED graph index (built once,
+    // excluded from query time — the reference excludes HNSW insert
+    // cost the same way) searched from parquet like the others.
+    println(s"| n_vectors | exact full-scan ms | ivf probe ms (nprobe=$nprobe/$numCells) | hnsw stored-index ms | hnsw in-mem walk µs (1 seg = n/16) |")
+    println("|---|---|---|---|---|")
     var lastIdxPath: String = null
     var lastCent: org.apache.spark.sql.DataFrame = null
     Seq(8, 32, 128, 512).foreach { mult =>
@@ -66,6 +69,9 @@ object Curves {
       val assigned = IvfIndex.assign(spark.read.parquet(plainPath), cent)
       val idxPath = s"$work/ivf_$mult"
       IvfIndex.writePartitioned(assigned, idxPath)
+      val hnswPath = s"$work/hnsw_$mult"
+      graft.search.Hnsw.buildIndex(spark, spark.read.parquet(plainPath), numGraphs = 16)
+        .write.mode("overwrite").parquet(hnswPath)
       val n = spark.read.parquet(plainPath).count()
 
       val exactMs = timeMs {
@@ -76,7 +82,27 @@ object Curves {
         IvfIndex.searchPartitioned(spark, idxPath, queries1, cent, k = 10, nprobe = nprobe)
           .write.format("noop").mode("overwrite").save()
       }
-      println(f"| ${n}%d | $exactMs%.0f | $ivfMs%.0f |")
+      val hnswMs = timeMs {
+        graft.search.Hnsw.searchIndex(spark, queries1, spark.read.parquet(hnswPath),
+          k = 10, numGraphs = 16)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // the reference's regime — a RESIDENT graph answering queries
+      // in-process: load ONE segment's stored adjacency and time the
+      // bare walk (this is what the 2.3→3.9ms-over-58× flat HNSW curve
+      // in BASELINE.md measures; the distributed column above includes
+      // index load + job scheduling, amortized in a long-lived service)
+      val segRows = spark.read.parquet(hnswPath).filter($"seg" === 0)
+        .select($"vec_id", $"embedding", $"nbrs")
+        .as[(Long, Array[Float], Array[Array[Long]])].collect()
+      val g0 = graft.search.Hnsw.graphFromAdjacency(segRows, 16, 100)
+      val qv = q.toArray
+      g0.search(qv, 10, 128) // warm
+      val t0 = System.nanoTime()
+      var rep = 0
+      while (rep < 100) { g0.search(qv, 10, 128); rep += 1 }
+      val walkUs = (System.nanoTime() - t0) / 100e3
+      println(f"| ${n}%d | $exactMs%.0f | $ivfMs%.0f | $hnswMs%.0f | $walkUs%.0f |")
       lastIdxPath = idxPath; lastCent = cent
     }
 
