@@ -629,6 +629,25 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // Streaming HNSW maintenance: micro-batches fold into the stored
+    // per-segment graphs (touched segments only — HNSW insert is an
+    // online operation), then the streamed index answers the same
+    // recall-floor contract as the bulk one. Incremental adjacency is
+    // insertion-order dependent (true of every online HNSW), so the
+    // pinned contract is membership + recall, not node identity —
+    // see streaming/HnswMaintenance.
+    "ann_hnsw_stream_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 5)
+      val store = graft.streaming.HnswMaintenance.maintainFromBatch(s, emb)
+      val gt = KnnExact.topK(q, emb, 10)
+      val approx = graft.search.Hnsw.searchIndex(s, q, store, 10)
+      RecallAtK.evaluate(gt, approx, Seq(10))
+        .select(col("qid"), lit(10L).as("k"),
+          (col("recall_10") >= 0.9).as("above_floor"))
+        .orderBy("qid")
+    }),
+
     // Order-aware quality of the same truncated-dim ranking: MRR,
     // Precision@10, nDCG@10 vs the full-dim cosine ground truth —
     // recall says IF the true neighbors surface, nDCG says WHERE. The
@@ -3198,6 +3217,11 @@ object SparkEntry {
     // Spark side computes recall vs the exact scan in-query and the
     // oracle asserts the floor holds for every query id.
     "ann_hnsw_recall" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, TRUE AS above_floor
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
+
+    // Streamed-index twin: same floor contract as ann_hnsw_recall.
+    "ann_hnsw_stream_append" ->
       """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, TRUE AS above_floor
         |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
 

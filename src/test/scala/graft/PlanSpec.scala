@@ -412,9 +412,10 @@ class PlanSpec extends GraftSpec {
       case other => other.children.flatMap(unboundedFacts(_, bounded))
     }
     spark.catalog.clearCache()
-    // constructing this query runs a real AvailableNow stream; its hint
-    // posture (frozen broadcast codebook) is pinned in IndexMaintenanceSpec
-    val skip = Set("ann_index_stream_append")
+    // constructing these queries runs a real AvailableNow stream; their
+    // hint/plan posture is pinned in IndexMaintenanceSpec /
+    // HnswMaintenanceSpec instead
+    val skip = Set("ann_index_stream_append", "ann_hnsw_stream_append")
     val violations = scala.collection.mutable.SortedMap[String, Set[String]]()
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val analyzed = fn(spark, sfDir).queryExecution.analyzed
