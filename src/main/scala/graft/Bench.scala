@@ -43,7 +43,8 @@ object Bench {
     */
   private val heavyFirst = Seq(
     "dedup_stream_maintain", "q9_profit_by_nation_year", "ann_ivfpq_multi",
-    "multimodal_decode_rgb", "ann_index_stream_append", "rag_chunk_retrieve",
+    "multimodal_decode_rgb", "ann_index_stream_append", "ann_hnsw_stream_append",
+    "rag_chunk_retrieve",
     "q2_min_cost_supplier", "dedup_clusters", "dedup_drop_list",
     "corpus_dsir_weights", "dedup_semantic",
     "ann_ivf_top5", "dedup_exact", "dedup_minhash",

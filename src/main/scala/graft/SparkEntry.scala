@@ -2558,6 +2558,26 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // IVF-routed HNSW — the extreme-segment-count composition: cells
+    // are the segments, a query walks only its nprobe nearest cells'
+    // graphs (fan-out O(nprobe), not O(#segments)). At fixture scale
+    // efSearch exceeds every cell size, so the per-cell walk is
+    // exhaustive and the row pins the ROUTING + merge machinery
+    // against the same closed-form IVF-probe oracle as ann_ivf_top5 —
+    // a full hash match, not just a recall floor. The walk's
+    // approximation knob is covered by ann_hnsw_recall; the routing
+    // recall knob by the nprobe sweep in docs/CURVES.md.
+    "ann_hnsw_ivf_routed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = IvfIndex.seedCentroids(emb, 8)
+      val q = queryVectors(s, dir, 5)
+      graft.search.Hnsw.topKRouted(s, q, emb, cent, k = 10, nprobe = 2,
+        efSearch = 4096)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(sqrt(col("dist")), 4).as("dist"))
+        .orderBy("qid", "rk")
+    }),
+
     // Incremental index maintenance (§2.10 streaming twin of the S8/M4
     // bulk build): frozen seed-centroid codebook, embeddings shattered
     // into 4 source files and streamed one file per micro-batch through
@@ -4711,6 +4731,23 @@ object SparkEntry {
          |  FROM scored)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist
          |FROM ranked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+    },
+
+    // Routed-HNSW with exhaustive per-cell walks ≡ the IVF exact probe
+    // — the identical closed form, k=10.
+    "ann_hnsw_ivf_routed" -> {
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.embedding, c.cid, ${l2Sql("e.embedding", "c.cemb")} AS cdist FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, embedding, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rk FROM a) WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT q.qid, q.qemb, c.cid, ${l2Sql("q.qemb", "c.cemb")} AS cdist FROM q, cent c),
+         |probes AS (SELECT qid, qemb, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS crk FROM qc) WHERE crk <= 2),
+         |d AS (SELECT p.qid, s.vec_id, ${l2Sql("p.qemb", "s.embedding")} AS dist
+         |      FROM probes p JOIN asg s ON p.cell = s.cell),
+         |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
     },
 
     "ann_ivf_top5" -> {

@@ -53,10 +53,13 @@ object Hnsw {
 
     def size: Int = ids.length
 
+    // widen BEFORE subtracting — the exact op sequence of the codegen'd
+    // FloatVecL2Sq, so graph distances are bit-identical to the exact
+    // path's (and to the oracle's l2Sql² via the same left fold)
     private def dist(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0
       var i = 0
-      while (i < a.length) { val d = (a(i) - b(i)).toDouble; s += d * d; i += 1 }
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
       s
     }
 
@@ -247,6 +250,81 @@ object Hnsw {
         val g = buildGraph(it, m, efConstruction)
         qB.value.iterator.flatMap { case (qid, qv) =>
           g.search(qv, k, efSearch).map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF(qidCol, idCol, "dist")
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("dist").asc, col(idCol).asc)
+    candidates
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("rk"), col("dist"))
+  }
+
+  /** IVF-ROUTED HNSW — the composition for extreme segment counts,
+    * where fanning every query out to every segment stops scaling:
+    * segments are IVF CELLS (vectors grouped by nearest centroid, not
+    * id hash), each cell carries its own graph, and a query walks only
+    * its `nprobe` nearest cells' graphs. Query fan-out drops from
+    * O(#segments) tasks to O(nprobe); the routing decision is the same
+    * tiny query×centroid ranking every IVF operator here uses. The
+    * recall knob factorizes: nprobe bounds which cells are reachable
+    * (the IVF term — `ann_ivf_top5`'s measured tradeoff), efSearch
+    * bounds the walk within a cell (the HNSW term). At 100 TB this is
+    * the production shape: thousands of cell graphs, each
+    * memory-resident on some executor, O(nprobe) of them touched per
+    * query.
+    */
+  def topKRouted(
+      spark: SparkSession,
+      queries: DataFrame,
+      collection: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int = 2,
+      m: Int = 16,
+      efConstruction: Int = 100,
+      efSearch: Int = 128,
+      qidCol: String = "qid",
+      qEmbCol: String = "qemb",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    // per-query probed cells: rank the bounded centroid frame by
+    // distance, keep nprobe (ties on cid) — both frames are
+    // parameter-bounded, so the routing table is tiny and broadcast
+    val probeW = Window.partitionBy(col(qidCol))
+      .orderBy(col("cdist").asc, col("cid").asc)
+    val routes = broadcast(queries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        graft.functions.VectorFunctions.l2Fast(col(qEmbCol), col("cemb")))
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= nprobe)
+      .select(col(qidCol), col("cid"))
+      .as[(Long, Int)].collect()
+    val routesByCell: Map[Int, Array[Long]] =
+      routes.groupBy(_._2).map { case (c, qs) => c -> qs.map(_._1).sorted }
+    val qMap: Map[Long, Array[Float]] =
+      queries.select(col(qidCol), col(qEmbCol)).as[(Long, Array[Float])]
+        .collect().toMap
+    val rB = spark.sparkContext.broadcast(routesByCell)
+    val qB = spark.sparkContext.broadcast(qMap)
+    val candidates = IvfIndex.assign(collection, centroids, idCol, embCol)
+      .repartition(col("cell"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._3).iterator.flatMap { case (cell, rows) =>
+          // cells no query probes are never graphed — the router prunes
+          // build work too when the index is query-driven; a stored
+          // variant would graph every cell once at build time
+          rB.value.get(cell).iterator.flatMap { qids =>
+            val g = buildGraph(
+              rows.iterator.map { case (id, v, _) => (id, v) }, m, efConstruction)
+            qids.iterator.flatMap { qid =>
+              g.search(qB.value(qid), k, efSearch).map { case (id, d) => (qid, id, d) }
+            }
+          }
         }
       }
       .toDF(qidCol, idCol, "dist")

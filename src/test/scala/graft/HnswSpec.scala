@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.eval.RecallAtK
 import graft.model.Tables
-import graft.search.{Hnsw, KnnExact}
+import graft.search.{Hnsw, IvfIndex, KnnExact}
 
 class HnswSpec extends GraftSpec {
 
@@ -58,6 +58,38 @@ class HnswSpec extends GraftSpec {
   test("empty segment yields no candidates instead of failing") {
     val g = new Hnsw.Graph(m = 4, efConstruction = 16)
     assert(g.search(Array(1f, 0f), 3, efSearch = 8).isEmpty)
+  }
+
+  test("ivf-routed walk with exhaustive ef equals the exact IVF probe") {
+    // per-cell graphs walked with ef >= cell size are exhaustive, so
+    // routed-HNSW must reproduce the IVF exact probe row-for-row —
+    // the contract ann_hnsw_ivf_routed's closed-form oracle hashes
+    val cent = IvfIndex.seedCentroids(emb, 8)
+    val n = emb.count().toInt
+    val routed = Hnsw.topKRouted(spark, queries, emb, cent, k = 10,
+      nprobe = 2, efSearch = n + 1)
+      .select(col("qid"), col("vec_id"), col("rk"),
+        round(sqrt(col("dist")), 4).as("dist"))
+    val ivf = IvfIndex.search(queries, IvfIndex.assign(emb, cent), cent,
+      k = 10, nprobe = 2)
+      .select(col("qid"), col("vec_id"), col("rk"), round(col("dist"), 4).as("dist"))
+    assert(routed.exceptAll(ivf).isEmpty && ivf.exceptAll(routed).isEmpty)
+  }
+
+  test("ivf-routed recall tracks the routing, not the walk, at tight ef") {
+    // with production-ish ef the walk is approximate INSIDE a cell but
+    // the reachable set is still the probed cells — recall must be at
+    // least as selective as routing allows and never zero
+    val cent = IvfIndex.seedCentroids(emb, 8)
+    val gt = KnnExact.topK(queries, emb, 10)
+    val routed = Hnsw.topKRouted(spark, queries, emb, cent, k = 10,
+      nprobe = 8, efSearch = 128)
+    val recalls = RecallAtK.evaluate(gt, routed, Seq(10))
+      .select(col("qid"), col("recall_10")).collect()
+      .map(r => r.getDouble(1))
+    // nprobe = all cells → routing excludes nothing → recall is the
+    // walk's own, which clears the same floor as the unrouted path
+    recalls.foreach(r => assert(r >= 0.9, s"full-probe routed recall was $r"))
   }
 
   test("stored index searches bit-identically to the one-shot path") {
