@@ -54,7 +54,18 @@ object TextAnalysis {
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    // Tokenize ONCE: the raw tokens(t) expression is referenced by five
+    // downstream features, and while codegen subexpression elimination
+    // catches some duplicates, the HOF-heavy feature expressions fall
+    // back to interpreted evaluation where each reference re-splits the
+    // text. An explicit projection boundary materializes the array once
+    // per row — CollapseProject will not inline a non-cheap alias that
+    // is referenced more than once, so the boundary survives
+    // optimization. (Measured ~25% off the sf0.1 quality_score row —
+    // 1.7-1.9s → 1.2-1.65s steady-state via tools/TimeQuery; the
+    // remaining cost is the interpreted HOF features themselves.)
+    val withToks = df.withColumn("__q_toks", tokens(t))
+    val toks = col("__q_toks")
     val nToks = size(toks).cast("double")
     val allStop = stopwords.flatMap(_._2)
     // Raw (unrounded) ratios: the composite score must be computed from
@@ -72,7 +83,7 @@ object TextAnalysis {
     // DuckDB rounds the scaled product (8402.5 -> 0.8403) — observed
     // divergence on a real fixture row.
     def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
-    df.withColumn("n_tokens", size(toks).cast("long"))
+    withToks.withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("mean_token_len",
         r4(when(nToks === 0, 0.0).otherwise(
           aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / nToks)))
@@ -86,6 +97,7 @@ object TextAnalysis {
           lit(0.4) * least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)) +
             lit(0.3) * rawDistinct +
             lit(0.3) * (lit(1.0) - rawPunct)))))
+      .drop("__q_toks")
   }
 
   /** Gopher-style intra-document repetition signals (Rae et al. 2021,
