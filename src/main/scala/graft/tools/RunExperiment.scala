@@ -11,7 +11,7 @@ import graft.embed.TfIdfEmbedder
 import graft.eval.RecallAtK
 import graft.index.CollectionCatalog
 import graft.model.Tables
-import graft.search.{IvfAdc, IvfIndex, KnnExact, Pq}
+import graft.search.{Hnsw, KnnExact}
 
 /** End-to-end replica of the reference's two experiments, producing the
   * same eight artifact files its `experiment_results/` publishes
@@ -28,11 +28,14 @@ import graft.search.{IvfAdc, IvfIndex, KnnExact, Pq}
   * documented M1/M2 stand-in, Embedder.scala), then searched against
   * cumulative prefix collections of the embeddings fixture. The speed
   * experiment times exact search per (collection, query, run) with a
-  * warm-up excluded (sp:457-499); the accuracy experiment scores
-  * IVFADC+R (our production ANN path; the reference's is HNSW) against
-  * the exact oracle and times both engines (ac:616-653). Recall stds
-  * are over runs of a deterministic searcher — 0.0, as in the
-  * reference's published rows.
+  * warm-up excluded (sp:457-499); the accuracy experiment scores REAL
+  * HNSW (`search/Hnsw` — the SAME index family the reference queries;
+  * its per-collection stored index ≙ the reference's per-collection
+  * ChromaDB HNSW) against the exact oracle and times both engines
+  * (ac:616-653). IVFADC+R remains the quantized production
+  * alternative, covered by its own oracle rows and CURVES sections.
+  * Recall stds are over runs of a deterministic searcher — 0.0, as in
+  * the reference's published rows.
   *
   * Usage: runMain graft.tools.RunExperiment [sfDir] [outDir]
   * (defaults /root/testdata/sf0.1, experiment_results). One-off
@@ -91,12 +94,6 @@ object RunExperiment {
     val queries = embedQueries().cache()
     noop(queries) // materialize outside any timing
 
-    // Frozen PQ codebook trained once on the full corpus (the streaming
-    // maintenance contract; per-collection coarse centroids stay local).
-    val (cb, _) = Pq.train(spark, emb, m = 16, w = 4, k = 64, iters = 2)
-    val cbDf = Pq.codebookDf(spark, cb).cache()
-    noop(cbDf)
-
     val collections = (1 to nColls).map { c =>
       val endIdx = math.min(c * step, total)
       (f"collection_${c}%04d_${endIdx}%dpages", endIdx,
@@ -137,21 +134,21 @@ object RunExperiment {
     // true top-k uniformly over cells, capping ANY nprobe<numCells
     // searcher near nprobe/numCells), so the recall experiment uses the
     // suite-wide in-distribution convention instead: the first 5 corpus
-    // vectors as queries, at ann_ivfpq_multi's nprobe=2/rerank=50.
+    // vectors as queries.
     val recallQueries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb")).cache()
     noop(recallQueries)
     val recallRows = (for ((name, nDocs, view) <- collections) yield {
       // Index construction is the reference's collection-insert cost
       // (sp:260-290), excluded from its per-query HNSW times — build
-      // and materialize ONCE per collection, then time searches only.
-      val idx = IvfAdc.buildIndex(view, IvfIndex.seedCentroids(view, 8), cbDf, m = 16, w = 4)
-      val cached = idx.copy(assigned = idx.assigned.cache(), codes = idx.codes.cache())
-      noop(cached.assigned); noop(cached.codes)
+      // the stored per-collection graph ONCE (≙ the reference's
+      // per-collection ChromaDB HNSW), then time searches only.
+      val idx = Hnsw.buildIndex(spark, view).cache()
+      noop(idx)
       val rows = for ((qText, qid) <- queryTexts.zipWithIndex) yield {
         val q1 = recallQueries.filter(col("qid") === qid)
         def brute = KnnExact.topK(q1, view, 10)
-        def approx = IvfAdc.searchIndex(q1, cached, nprobe = 2, rerank = 50, k = 10)
+        def approx = Hnsw.searchIndex(spark, q1, idx, 10)
         noop(brute); noop(approx) // warm-up
         val bruteMs = (1 to numRuns).map(_ => timeMs(noop(brute))).sum / numRuns
         val annMs = (1 to numRuns).map(_ => timeMs(noop(approx))).sum / numRuns
@@ -160,8 +157,7 @@ object RunExperiment {
           rec.getAs[Double]("recall_5"), 0.0, rec.getAs[Double]("recall_10"), 0.0,
           bruteMs, annMs)
       }
-      cached.assigned.unpersist(blocking = false)
-      cached.codes.unpersist(blocking = false)
+      idx.unpersist(blocking = false)
       rows
     }).flatten
 
@@ -178,7 +174,7 @@ object RunExperiment {
       collection: String, num_pages: Long, query: String,
       avg_recall_at_5: Double, std_recall_at_5: Double,
       avg_recall_at_10: Double, std_recall_at_10: Double,
-      avg_brute_force_time_ms: Double, avg_ivfadc_time_ms: Double)
+      avg_brute_force_time_ms: Double, avg_hnsw_time_ms: Double)
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -240,7 +236,7 @@ object RunExperiment {
            |        "avg_recall_at_10": ${q.avg_recall_at_10},
            |        "std_recall_at_10": ${q.std_recall_at_10},
            |        "avg_brute_force_time_ms": ${q.avg_brute_force_time_ms},
-           |        "avg_ivfadc_time_ms": ${q.avg_ivfadc_time_ms}
+           |        "avg_hnsw_time_ms": ${q.avg_hnsw_time_ms}
            |      }""".stripMargin).mkString(",\n")
       s"""  ${jsonStr(name)}: {
          |    "num_documents": $n,
@@ -251,8 +247,8 @@ object RunExperiment {
     }.mkString("{\n", ",\n", "\n}\n")
     Files.write(Paths.get(outDir, "recall_results.json"), json.getBytes(StandardCharsets.UTF_8))
 
-    val csv = ("collection,num_pages,query,avg_recall_at_5,std_recall_at_5,avg_recall_at_10,std_recall_at_10,avg_brute_force_time_ms,avg_ivfadc_time_ms" +:
-      rows.map(r => s"${r.collection},${r.num_pages},${r.query},${r.avg_recall_at_5},${r.std_recall_at_5},${r.avg_recall_at_10},${r.std_recall_at_10},${r.avg_brute_force_time_ms},${r.avg_ivfadc_time_ms}"))
+    val csv = ("collection,num_pages,query,avg_recall_at_5,std_recall_at_5,avg_recall_at_10,std_recall_at_10,avg_brute_force_time_ms,avg_hnsw_time_ms" +:
+      rows.map(r => s"${r.collection},${r.num_pages},${r.query},${r.avg_recall_at_5},${r.std_recall_at_5},${r.avg_recall_at_10},${r.std_recall_at_10},${r.avg_brute_force_time_ms},${r.avg_hnsw_time_ms}"))
       .mkString("", "\n", "\n")
     Files.write(Paths.get(outDir, "recall_summary.csv"), csv.getBytes(StandardCharsets.UTF_8))
 
@@ -263,10 +259,10 @@ object RunExperiment {
         avg(col("avg_recall_at_10")).as("mean_recall_10"))
       .orderBy(col("num_documents"))
     ChartSink.lineChart(perColl, "num_documents", Seq("mean_recall_5", "mean_recall_10"),
-      "Recall@K by collection size (IVFADC vs exact)", "pages", "recall",
+      "Recall@K by collection size (HNSW vs exact)", "pages", "recall",
       s"$outDir/recall_by_pages.png")
     ChartSink.barChart(perColl, "collection", Seq("mean_recall_5", "mean_recall_10"),
-      "Recall@K by collection (IVFADC vs exact)", "collection", "recall",
+      "Recall@K by collection (HNSW vs exact)", "collection", "recall",
       s"$outDir/recall_by_collection.png")
   }
 }
