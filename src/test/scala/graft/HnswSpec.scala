@@ -92,6 +92,40 @@ class HnswSpec extends GraftSpec {
     recalls.foreach(r => assert(r >= 0.9, s"full-probe routed recall was $r"))
   }
 
+  test("recall holds off-fixture: clustered synthetic vectors") {
+    // the fixture is isotropic; graph ANN's hard cases are clustered.
+    // Deterministic pseudo-random 1000×16 vectors in 10 loose clusters
+    // (base offset by id%10, jitter from Spark's murmur3) — recall@10
+    // must clear the same floor as on the fixture.
+    val df = spark.range(1000).select(col("id").as("vec_id"))
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 15), j -> cast((vec_id % 10) * 10.0" +
+          " + pmod(hash(vec_id, j), 97) / 97.0 as float))"))
+      .cache()
+    val q = df.filter(col("vec_id").isin(1L, 101L, 333L, 555L, 777L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val gt = KnnExact.topK(q, df, 10)
+    val approx = Hnsw.topK(spark, q, df, 10)
+    val recalls = RecallAtK.evaluate(gt, approx, Seq(10))
+      .select(col("recall_10")).collect().map(_.getDouble(0))
+    assert(recalls.length === 5)
+    recalls.foreach(r => assert(r >= 0.9, s"clustered-data recall was $r"))
+  }
+
+  test("mass duplicates: ties resolve to the globally smallest ids") {
+    // 200 identical vectors: every distance ties at 0, so the merged
+    // top-10 must be exactly ids 0..9 — each segment surfaces its own
+    // smallest ids and the (dist, id) merge keeps the global smallest
+    val df = spark.range(200).select(col("id").as("vec_id"))
+      .withColumn("embedding",
+        expr("transform(sequence(0, 7), j -> cast(1.0 as float))"))
+    val q = df.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val top = Hnsw.topK(spark, q, df, 10)
+      .orderBy("rk").select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(top === (0L until 10L))
+  }
+
   test("stored index searches bit-identically to the one-shot path") {
     // build-once / search-many: the exported adjacency rehydrates to
     // the SAME graph (same entry point, same walk), so a search from
