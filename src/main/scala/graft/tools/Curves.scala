@@ -151,6 +151,28 @@ object Curves {
         .agg(avg($"recall_10")).head().getDouble(0)
       println(f"| $sz%d | $rec%.2f | $hrec%.2f |")
     }
+
+    // efSearch sweep — HNSW's own recall/cost knob, the LITERAL
+    // parameter the reference tunes as ef_search (chromadb's hnsw:ef).
+    // Recall from the distributed path; walk cost from one resident
+    // full-collection graph (the reference's in-process regime).
+    val gtFull = KnnExact.topK(queries5, base, 10).cache()
+    gtFull.count()
+    val fullRows = base.as[(Long, Array[Float])].collect()
+    val gFull = graft.search.Hnsw.buildGraph(fullRows.iterator, 16, 100)
+    println(s"\n| efSearch | hnsw recall@10 (n=$nBase, 8 segs) | in-mem walk µs (1 graph, n=$nBase) |")
+    println("|---|---|---|")
+    Seq(8, 16, 32, 64, 128).foreach { ef =>
+      val approx = graft.search.Hnsw.topK(spark, queries5, base, 10, efSearch = ef)
+      val rec = graft.eval.RecallAtK.evaluate(gtFull, approx, Seq(10))
+        .agg(avg($"recall_10")).head().getDouble(0)
+      gFull.search(q.toArray, 10, ef) // warm
+      val t0 = System.nanoTime()
+      var rep = 0
+      while (rep < 200) { gFull.search(q.toArray, 10, ef); rep += 1 }
+      val walkUs = (System.nanoTime() - t0) / 200e3
+      println(f"| $ef%d | $rec%.2f | $walkUs%.0f |")
+    }
     }
 
     // Dedup pair-generation cost vs corpus size. Growth corpus: ×m
