@@ -1882,6 +1882,81 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL compressed-audio decode #1, oracle-visible: G.711 μ-law /
+    // A-law companding (ITU-T's 2:1 telephony codec — WAV formats 7/6,
+    // readable by javax.sound and any player; decode cross-checked
+    // against the JDK's own ULAW converter in MultimodalSpec). Fixture
+    // samples sit ON quantization levels — μ-law's segment-0 levels are
+    // 8k (|k| ≤ 15), A-law's are ±(16k+8) — so the lossy round trip is
+    // bit-exact and the oracle replays every field (incl. exact-integer
+    // RMS) in closed form. Even doc_ids take μ-law, odd take A-law, so
+    // one row exercises both codecs end-to-end.
+    "multimodal_audio_g711" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val aLaw = id % 2 == 1
+            val samples = Array.tabulate(256) { i =>
+              val k = ((id * 7 + i * 17) % 31).toInt - 15
+              (if (aLaw) { if (k < 0) -(16 * -k + 8) else 16 * k + 8 }
+               else 8 * k).toShort
+            }
+            (id, graft.multimodal.Multimodal.wavBytesG711(8000, 1, samples, aLaw))
+          }
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.decodeWav(s, media)
+        .filter(col("is_audio"))
+        .select(col("id").as("doc_id"), col("codec"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"),
+          col("first_sample").cast("long").as("first_sample"),
+          round(col("rms"), 4).as("rms"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL compressed-audio decode #2, oracle-visible: IMA ADPCM (WAV
+    // format 17, 4:1 adaptive-delta compression — a genuinely stateful
+    // codec, decoded by the pure-integer state machine in
+    // Multimodal.ImaAdpcm). Container metadata, the fact-chunk sample
+    // count, and the block-header first sample replay in closed form;
+    // the lossy sample stream is checked by the in-query-verdict
+    // pattern (distinct_users_approx's discipline): decoded RMS must
+    // sit within 8.0 of the source signal's closed-form RMS — a fixed
+    // deterministic number for this integer codec, with measured slack
+    // (codec error ~1% of signal RMS on this ramp).
+    "multimodal_audio_adpcm" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val base = ((id % 7) * 5).toInt
+            val samples = Array.tabulate(1200)(i =>
+              ((math.abs((i * 13 + base) % 800 - 400) - 200) * 5).toShort)
+            (id, graft.multimodal.Multimodal.wavBytesImaAdpcm(16000, samples, 505))
+          }
+        }.toDF("id", "payload")
+      val decoded = graft.multimodal.Multimodal.decodeWav(s, media)
+        .filter(col("is_audio"))
+        .select(col("id").as("doc_id"), col("codec"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("first_sample").cast("long").as("first_sample"),
+          col("rms"))
+      val ref = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(1199))).as("i"))
+        .withColumn("smp",
+          (abs(((col("i") * 13 + (col("doc_id") % 7) * 5) % 800) - 400) - 200) * 5)
+        .groupBy("doc_id")
+        .agg(sqrt(sum(col("smp") * col("smp")).cast("double") / 1200).as("ref_rms"))
+      decoded.join(ref, "doc_id")
+        .select(col("doc_id"), col("codec"), col("sample_rate"), col("n_samples"),
+          col("first_sample"),
+          (abs(col("rms") - col("ref_rms")) <= 8.0).as("rms_ok"))
+        .orderBy("doc_id")
+    }),
+
     // REAL video decode, oracle-visible: write a genuine uncompressed
     // AVI per doc (RIFF container, '00db' DIB frames — plays in any
     // player) with 3 solid-color frames derived from (doc_id, frame),
@@ -4331,6 +4406,39 @@ object SparkEntry {
         |  round(CAST(256000 AS DOUBLE) / 8000, 4) AS duration_ms,
         |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / 256), 4) AS rms
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // G.711: fixture samples sit ON companding quantization levels
+    // (μ-law 8k, A-law ±(16k+8)), so decode∘encode is identity and the
+    // sample formula replays exactly — Σs² is exact BIGINT on both
+    // engines.
+    "multimodal_audio_g711" ->
+      """WITH s AS (SELECT d.doc_id, t.i,
+        |    ((d.doc_id * 7 + t.i * 17) % 31) - 15 AS k
+        |  FROM documents d, range(0, 256) t(i) WHERE d.doc_id < 100),
+        |v AS (SELECT doc_id, i,
+        |    CASE WHEN doc_id % 2 = 1
+        |      THEN CASE WHEN k < 0 THEN -(16 * (-k) + 8) ELSE 16 * k + 8 END
+        |      ELSE 8 * k END AS smp
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'alaw' ELSE 'ulaw' END AS codec,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(min(CASE WHEN i = 0 THEN smp END) AS BIGINT) AS first_sample,
+        |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / 256), 4) AS rms
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // IMA ADPCM: metadata + fact count + block-header first sample are
+    // exact (first_sample = 1000 - 25·(doc_id%7) since (doc_id%7)·5 <
+    // 400 puts i=0 on the triangle's falling edge); the stateful nibble
+    // stream is pinned by the in-query RMS verdict (literal TRUE here).
+    "multimodal_audio_adpcm" ->
+      """SELECT d.doc_id, 'ima_adpcm' AS codec,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(1200 AS BIGINT) AS n_samples,
+        |  CAST(1000 - 25 * (d.doc_id % 7) AS BIGINT) AS first_sample,
+        |  TRUE AS rms_ok
+        |FROM documents d WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin,
 
     // IVFADC = ann_ivf_top5's cell assignment/probe CTEs composed with
     // ann_pq_top10's trained-codebook ADC CTEs, ADC restricted to the

@@ -13,14 +13,18 @@ import org.apache.spark.sql.functions._
   * PNG bytes in MultimodalSpec). AUDIO decode is REAL for PCM WAV
   * ([[decodeWav]] — RIFF walking + int16 samples are pure JDK,
   * cross-checked against javax.sound's own reader and oracle-checked
-  * via `multimodal_audio_stats`). VIDEO decode is REAL for
+  * via `multimodal_audio_stats`) AND for the COMPRESSED codecs a JVM
+  * speaks without a native library: G.711 μ-law/A-law 2:1 companding
+  * ([[G711]], oracle-checked via `multimodal_audio_g711`) and IMA
+  * ADPCM 4:1 ([[ImaAdpcm]], oracle-checked via
+  * `multimodal_audio_adpcm`). VIDEO decode is REAL for
   * uncompressed-DIB AVI ([[decodeAvi]] — RIFF/LIST container walking +
   * raw BGR frames, oracle-checked via `multimodal_video_frames`) AND
   * for MJPEG-in-AVI (per-frame JPEG through the JDK's own codec,
-  * oracle-checked via `multimodal_video_mjpeg`) — the first genuinely
-  * COMPRESSED path. Only inter-frame video codecs (H.264/VP9/…) and
-  * compressed audio (MP3/AAC) remain STUBBED — the parts that
-  * genuinely need a native library (see [[DecodeStub]]);
+  * oracle-checked via `multimodal_video_mjpeg`). Only inter-frame
+  * video codecs (H.264/VP9/…) and transform audio codecs (MP3/AAC)
+  * remain STUBBED — the parts that genuinely need a native library
+  * (see [[DecodeStub]]);
   * everything Spark-side is real either way: schema, binary column
   * handling, partition-batched UDF shape, and the metadata extraction
   * that IS engine-portable (sizes, digests, magic bytes). At 100 TB
@@ -161,8 +165,124 @@ object Multimodal {
       }
   }
 
-  final case class AudioInfo(id: Long, is_audio: Boolean, sample_rate: Int,
-      channels: Int, n_samples: Long, duration_ms: Double, rms: Double)
+  final case class AudioInfo(id: Long, is_audio: Boolean, codec: String,
+      sample_rate: Int, channels: Int, n_samples: Long, duration_ms: Double,
+      rms: Double, first_sample: Int)
+
+  /** ITU-T G.711 companding (μ-law / A-law) — logarithmic 2:1 audio
+    * compression, written algorithmically from the public standard
+    * (segment + mantissa form; same arithmetic as the classic Sun
+    * g711.c reference implementation everyone ships). Pure integer
+    * functions, so encode/decode are exactly deterministic; the decode
+    * side is additionally cross-checked against javax.sound's own
+    * ULAW/ALAW converter in MultimodalSpec. The quantization levels are
+    * the decode values — samples ON a level round-trip exactly, which
+    * is what the `multimodal_audio_g711` fixture exploits for its
+    * closed-form oracle.
+    */
+  object G711 {
+    def ulawEncode(s: Short): Byte = {
+      var x = s.toInt >> 2 // 16-bit → 14-bit domain
+      val sign = if (x < 0) { x = -x; 0x80 } else 0
+      if (x > 8159) x = 8159
+      x += 33 // x in [33, 8192]
+      if (x > 0x1FFF) (~(sign | 0x7F)).toByte // clip escapes to max codeword
+      else {
+        var seg = 0
+        var t = x >> 6
+        while (t != 0) { seg += 1; t >>= 1 }
+        val mant = (x >> (seg + 1)) & 0xF
+        (~(sign | (seg << 4) | mant)).toByte
+      }
+    }
+
+    def ulawDecode(b: Byte): Short = {
+      val u = (~b) & 0xFF
+      val seg = (u >> 4) & 7
+      val mant = u & 0xF
+      val t = (((mant << 3) + 0x84) << seg) - 0x84
+      (if ((u & 0x80) != 0) -t else t).toShort
+    }
+
+    def alawEncode(s: Short): Byte = {
+      var x = s.toInt >> 3 // 16-bit → 13-bit domain
+      val mask = if (x >= 0) 0xD5 else { x = -x - 1; 0x55 }
+      var seg = 0
+      var t = x >> 5
+      while (t != 0 && seg < 8) { seg += 1; t >>= 1 }
+      if (seg >= 8) (0x7F ^ mask).toByte
+      else {
+        val mant = if (seg < 2) (x >> 1) & 0xF else (x >> seg) & 0xF
+        (((seg << 4) | mant) ^ mask).toByte
+      }
+    }
+
+    def alawDecode(b: Byte): Short = {
+      val a = (b ^ 0x55) & 0xFF
+      val seg = (a >> 4) & 7
+      var t = ((a & 0xF) << 4) + 8
+      if (seg > 0) t = (t + 0x100) << (seg - 1)
+      (if ((a & 0x80) != 0) t else -t).toShort
+    }
+  }
+
+  /** IMA/DVI ADPCM (the 4-bit adaptive-delta codec of WAVE format 17) —
+    * written from the public IMA spec: an 89-entry step-size table, a
+    * 16-entry index-adaptation table, and a per-nibble predictor
+    * update. 4:1 compression, pure integer state machine (bit-exact on
+    * every platform). Block layout is the standard WAV one: 4-byte
+    * header (predictor int16, step index, reserved) carrying the FIRST
+    * sample exactly, then two samples per byte (low nibble first).
+    */
+  object ImaAdpcm {
+    val stepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val indexTable: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+    final class State(var pred: Int, var index: Int) {
+      private def clampIndex(): Unit =
+        index = math.min(math.max(index, 0), 88)
+      private def clampPred(): Unit =
+        pred = math.min(math.max(pred, -32768), 32767)
+
+      /** Apply one nibble; returns the reconstructed sample. */
+      def decodeNibble(n: Int): Int = {
+        val step = stepTable(index)
+        var diff = step >> 3
+        if ((n & 4) != 0) diff += step
+        if ((n & 2) != 0) diff += step >> 1
+        if ((n & 1) != 0) diff += step >> 2
+        if ((n & 8) != 0) pred -= diff else pred += diff
+        clampPred()
+        index += indexTable(n)
+        clampIndex()
+        pred
+      }
+
+      /** Quantize one sample to a nibble AND advance the state through
+        * the decoder's own update (encoder mirrors decoder — the IMA
+        * discipline that keeps the two in lockstep).
+        */
+      def encodeSample(s: Int): Int = {
+        val step = stepTable(index)
+        var diff = s - pred
+        var n = 0
+        if (diff < 0) { n = 8; diff = -diff }
+        if (diff >= step) { n |= 4; diff -= step }
+        if (diff >= (step >> 1)) { n |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) n |= 1
+        decodeNibble(n)
+        n
+      }
+    }
+  }
 
   /** Minimal RIFF/WAVE writer: 16-bit PCM little-endian — a genuine WAV
     * any player (or the JDK's own AudioSystem, cross-checked in
@@ -183,15 +303,92 @@ object Multimodal {
     bb.array()
   }
 
-  /** REAL audio decode for PCM WAV — RIFF chunk walking and int16
-    * samples are pure JDK, so the "no codec library" constraint only
-    * ever applied to compressed formats (MP3/AAC stay out of scope).
-    * Emits format fields plus exact-integer RMS (Σs² is an exact long;
-    * one sqrt at the end). Non-WAV/compressed payloads degrade to
-    * is_audio = false — the decodeImages contract.
+  /** RIFF/WAVE writer for G.711-companded audio (audioFormat 7 = μ-law,
+    * 6 = A-law; 8 bits per sample — genuine 2:1 compressed WAV any
+    * player and javax.sound read). Same fixture discipline as
+    * [[wavBytes]]: generate-then-decode.
+    */
+  def wavBytesG711(sampleRate: Int, channels: Int, samples: Array[Short],
+      aLaw: Boolean): Array[Byte] = {
+    val enc: Short => Byte = if (aLaw) G711.alawEncode else G711.ulawEncode
+    val fmt = if (aLaw) 6 else 7
+    val dataLen = samples.length
+    val pad = dataLen & 1
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen + pad)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmt.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels).putShort(channels.toShort).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.put(enc(s)))
+    bb.array()
+  }
+
+  /** RIFF/WAVE writer for IMA ADPCM (audioFormat 17, mono, 4 bits per
+    * sample — genuine 4:1 compressed WAV). Standard layout: extended
+    * fmt chunk (cbSize = 2, samplesPerBlock), a `fact` chunk with the
+    * exact total sample count (mandatory for compressed WAV — the
+    * decoder's stop condition), and fixed-size data blocks whose 4-byte
+    * header carries the block's first sample verbatim plus the carried
+    * step index. `samplesPerBlock` must be odd so nibbles pack evenly.
+    */
+  def wavBytesImaAdpcm(sampleRate: Int, samples: Array[Short],
+      samplesPerBlock: Int = 505): Array[Byte] = {
+    require(samplesPerBlock > 1 && samplesPerBlock % 2 == 1,
+      "samplesPerBlock must be odd and > 1")
+    val blockAlign = 4 + (samplesPerBlock - 1) / 2
+    val nBlocks = (samples.length + samplesPerBlock - 1) / samplesPerBlock
+    val dataLen = nBlocks * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(48 + 12 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(40 + 12 + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / samplesPerBlock)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(samplesPerBlock.toShort)
+      .put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val st = new ImaAdpcm.State(0, 0)
+    var b = 0
+    while (b < nBlocks) {
+      val from = b * samplesPerBlock
+      val until = math.min(samples.length, from + samplesPerBlock)
+      st.pred = samples(from).toInt // first sample rides the header exactly
+      bb.putShort(st.pred.toShort).put(st.index.toByte).put(0.toByte)
+      var i = from + 1
+      def nib(): Int =
+        if (i < until) { val n = st.encodeSample(samples(i).toInt); i += 1; n }
+        else 0
+      var written = 0
+      while (written < (samplesPerBlock - 1) / 2) {
+        val lo = nib(); val hi = nib()
+        bb.put(((hi << 4) | lo).toByte)
+        written += 1
+      }
+      b += 1
+    }
+    bb.array()
+  }
+
+  /** REAL audio decode for WAV — PCM int16 (format 1) AND the
+    * compressed codecs a JVM can speak without a native library:
+    * G.711 μ-law/A-law (formats 7/6, [[G711]]) and IMA ADPCM
+    * (format 17, [[ImaAdpcm]]); only transform codecs (MP3/AAC) remain
+    * out of scope. RIFF chunk walking is shared; the fmt tag selects
+    * the sample decoder. Emits format fields, the codec tag, the FIRST
+    * decoded sample (exact for every codec here — G.711 levels and the
+    * ADPCM block header are lossless at sample 0), and exact-integer
+    * RMS over the DECODED samples (Σs² is an exact long; one sqrt at
+    * the end). Non-WAV payloads degrade to is_audio = false — the
+    * decodeImages contract.
     */
   def decodeWav(spark: SparkSession, media: DataFrame): Dataset[AudioInfo] = {
     import spark.implicits._
+    val none = (id: Long) => AudioInfo(id, is_audio = false, "", 0, 0, 0L, 0.0, 0.0, 0)
     media.select(col("id"), col("payload")).as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
@@ -199,43 +396,110 @@ object Multimodal {
             val bb = java.nio.ByteBuffer.wrap(r.payload)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             def str4() = { val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII") }
-            if (str4() != "RIFF") AudioInfo(r.id, is_audio = false, 0, 0, 0L, 0.0, 0.0)
+            if (str4() != "RIFF") none(r.id)
             else {
               bb.getInt // riff size
-              if (str4() != "WAVE") AudioInfo(r.id, is_audio = false, 0, 0, 0L, 0.0, 0.0)
+              if (str4() != "WAVE") none(r.id)
               else {
-                var (fmtOk, channels, rate, bits) = (false, 0, 0, 0)
+                var (fmt, channels, rate, bits) = (0, 0, 0, 0)
+                var (blockAlign, samplesPerBlock, factSamples) = (0, 0, -1L)
                 var info: Option[AudioInfo] = None
+                def emit(nSamples: Long, sumSq: Long, first: Int): Unit = {
+                  val codec = fmt match {
+                    case 1 => "pcm16"
+                    case 6 => "alaw"
+                    case 7 => "ulaw"
+                    case 17 => "ima_adpcm"
+                  }
+                  val frames = nSamples / channels
+                  info = Some(AudioInfo(r.id, is_audio = true, codec, rate,
+                    channels, frames, frames * 1000.0 / rate,
+                    math.sqrt(sumSq.toDouble / math.max(nSamples, 1L)), first))
+                }
                 while (info.isEmpty && bb.remaining() >= 8) {
                   val cid = str4(); val len = bb.getInt
                   cid match {
                     case "fmt " =>
                       val start = bb.position()
-                      val audioFormat = bb.getShort.toInt
+                      fmt = bb.getShort.toInt
                       channels = bb.getShort.toInt
                       rate = bb.getInt
-                      bb.getInt; bb.getShort // byteRate, blockAlign
+                      bb.getInt // byteRate
+                      blockAlign = bb.getShort.toInt
                       bits = bb.getShort.toInt
-                      fmtOk = audioFormat == 1 && bits == 16 && channels > 0 && rate > 0
+                      if (fmt == 17 && len >= 20) {
+                        val cb = bb.getShort.toInt
+                        if (cb >= 2) samplesPerBlock = bb.getShort.toInt
+                      }
+                      val shapeOk = channels > 0 && rate > 0
+                      val fmtOk = fmt match {
+                        case 1 => bits == 16
+                        case 6 | 7 => bits == 8
+                        case 17 => bits == 4 && channels == 1 &&
+                          samplesPerBlock > 1 && blockAlign > 4
+                        case _ => false
+                      }
+                      if (!(shapeOk && fmtOk)) fmt = 0
                       bb.position(start + len)
-                    case "data" if fmtOk =>
+                    case "fact" =>
+                      factSamples = bb.getInt.toLong
+                      bb.position(bb.position() + len - 4 + (len & 1))
+                    case "data" if fmt == 1 =>
                       val n = len / 2
-                      var sumSq = 0L
-                      var i = 0
-                      while (i < n) { val s = bb.getShort.toLong; sumSq += s * s; i += 1 }
-                      val frames = n.toLong / channels
-                      info = Some(AudioInfo(r.id, is_audio = true, rate, channels,
-                        frames, frames * 1000.0 / rate,
-                        math.sqrt(sumSq.toDouble / math.max(n, 1))))
+                      var (sumSq, first, i) = (0L, 0, 0)
+                      while (i < n) {
+                        val s = bb.getShort.toLong
+                        if (i == 0) first = s.toInt
+                        sumSq += s * s; i += 1
+                      }
+                      emit(n.toLong, sumSq, first)
+                    case "data" if fmt == 6 || fmt == 7 =>
+                      val dec: Byte => Short =
+                        if (fmt == 6) G711.alawDecode else G711.ulawDecode
+                      var (sumSq, first, i) = (0L, 0, 0)
+                      while (i < len) {
+                        val s = dec(bb.get()).toLong
+                        if (i == 0) first = s.toInt
+                        sumSq += s * s; i += 1
+                      }
+                      emit(len.toLong, sumSq, first)
+                    case "data" if fmt == 17 =>
+                      val total =
+                        if (factSamples >= 0) factSamples
+                        else (len.toLong / blockAlign) * samplesPerBlock
+                      var (sumSq, first, produced) = (0L, 0, 0L)
+                      val end = bb.position() + len
+                      while (produced < total && bb.position() + blockAlign <= end) {
+                        val st = new ImaAdpcm.State(bb.getShort.toInt,
+                          bb.get() & 0xff)
+                        bb.get() // reserved
+                        if (produced == 0) first = st.pred
+                        sumSq += st.pred.toLong * st.pred; produced += 1
+                        var inBlock = 1
+                        var bytesLeft = blockAlign - 4
+                        while (bytesLeft > 0) {
+                          val byte = bb.get() & 0xff
+                          var half = 0
+                          while (half < 2) {
+                            if (inBlock < samplesPerBlock && produced < total) {
+                              val s = st.decodeNibble((byte >> (half * 4)) & 0xF).toLong
+                              sumSq += s * s; produced += 1; inBlock += 1
+                            }
+                            half += 1
+                          }
+                          bytesLeft -= 1
+                        }
+                      }
+                      emit(produced, sumSq, first)
                     case _ =>
                       bb.position(bb.position() + len + (len & 1))
                   }
                 }
-                info.getOrElse(AudioInfo(r.id, is_audio = false, 0, 0, 0L, 0.0, 0.0))
+                info.getOrElse(none(r.id))
               }
             }
           } catch {
-            case _: Exception => AudioInfo(r.id, is_audio = false, 0, 0, 0L, 0.0, 0.0)
+            case _: Exception => none(r.id)
           }
         }
       }

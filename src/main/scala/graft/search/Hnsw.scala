@@ -119,8 +119,42 @@ object Hnsw {
       out
     }
 
+    /** Select up to `cap` neighbors for `base` from `candidates`
+      * ((dist-to-base, node) pairs, ascending) — the select-neighbors
+      * HEURISTIC of the HNSW paper (Alg. 4, hnswlib's default, i.e. the
+      * reference's actual index discipline), not plain closest-M: scan
+      * nearest-first and keep a candidate only if it is closer to
+      * `base` than to every already-kept neighbor (diverse directions —
+      * the property that keeps clustered data reachable), then, as
+      * keepPrunedConnections, fill the remaining slots with the closest
+      * discarded candidates. The fill guarantees the result size is
+      * min(cap, |candidates|), so backlink pruning can never empty a
+      * node's adjacency and layer-0 reachability survives clustered
+      * inserts. Deterministic: candidates arrive (dist, id)-sorted and
+      * the scan never reorders.
+      */
+    private def selectNeighbors(base: Array[Float],
+        candidates: collection.Seq[(Double, Int)],
+        cap: Int): mutable.ArrayBuffer[Int] = {
+      val kept = mutable.ArrayBuffer.empty[Int]
+      val discarded = mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < candidates.length && kept.length < cap) {
+        val (d, c) = candidates(i)
+        if (kept.forall(r => d < dist(vecs(c), vecs(r)))) kept += c
+        else discarded += c
+        i += 1
+      }
+      var j = 0
+      while (kept.length < cap && j < discarded.length) {
+        kept += discarded(j); j += 1
+      }
+      kept
+    }
+
     /** Insert; `id` must be new. Standard descend-then-connect with
-      * closest-M neighbor selection and Mmax pruning.
+      * heuristic neighbor selection and Mmax pruning (both via
+      * [[selectNeighbors]]).
       */
     def insert(id: Long, vec: Array[Float]): Unit = {
       val node = ids.length
@@ -139,18 +173,19 @@ object Hnsw {
       while (layer >= 0) {
         val found = searchLayer(vec, ep, efConstruction, layer)
         val cap = if (layer == 0) maxM0 else m
-        val chosen = found.take(m)
-        chosen.foreach { case (_, nb) =>
+        val chosen = selectNeighbors(vec, found, m)
+        chosen.foreach { nb =>
           neighbors(node)(layer) += nb
           val back = neighbors(nb)(layer)
           back += node
           if (back.length > cap) {
-            // prune to the `cap` closest (ties on id) — keeps degree
-            // bounded so search cost stays O(ef · M)
+            // prune with the same heuristic (bounded degree keeps search
+            // O(ef · M); keepPrunedConnections keeps |back| = cap, so no
+            // node ever loses its whole backlink set)
             val v = vecs(nb)
-            val kept = back.map(x => (dist(v, vecs(x)), x)).sortInPlace()(
+            val cands = back.map(x => (dist(v, vecs(x)), x)).sortInPlace()(
               Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
-              .take(cap).map(_._2)
+            val kept = selectNeighbors(v, cands, cap)
             back.clear(); back ++= kept
           }
         }

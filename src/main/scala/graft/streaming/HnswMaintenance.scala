@@ -31,7 +31,12 @@ import graft.model.Schemas
   * re-reads the ALREADY-UPDATED store, finds its ids present, inserts
   * nothing, and swaps in content-identical segments — effectively
   * exactly once (a double-append in HnswMaintenanceSpec proves search
-  * results and membership are unchanged).
+  * results and membership are unchanged). Segment swap is
+  * crash-recoverable: live → .bak, staged → live, drop .bak — every
+  * crash point leaves either the old or the new segment content on
+  * disk, and the replay's recovery pass restores a stranded backup
+  * before rehydrating (the spec kills a swap at the worst point and
+  * proves no stored vector is lost).
   *
   * Equivalence contract: a graph grown incrementally is NOT
   * node-for-node the bulk-built graph (HNSW adjacency depends on
@@ -50,6 +55,68 @@ object HnswMaintenance {
     */
   private def segOf(n: Int) = pmod(hash(col("vec_id")), lit(n))
 
+  /** Store-shape metadata, persisted next to the segment dirs on first
+    * write (`_graft_hnsw_meta` — underscore-prefixed so parquet readers
+    * skip it) and VALIDATED on every subsequent append: the segment
+    * router is a pure function of `numGraphs`, so an append with a
+    * different value would migrate only the touched segments' rows and
+    * silently duplicate/misplace ids across seg dirs. Graph knobs
+    * (m/efConstruction) ride along because mixing them across batches
+    * yields a graph no single parameterization describes.
+    */
+  private final case class StoreMeta(numGraphs: Int, m: Int, efConstruction: Int)
+
+  private def metaPath(storeDir: String) = new Path(s"$storeDir/_graft_hnsw_meta")
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
+      meta: StoreMeta): Unit = {
+    val out = fs.create(metaPath(storeDir), true)
+    try out.write(s"${meta.numGraphs},${meta.m},${meta.efConstruction}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String): Option[StoreMeta] = {
+    val p = metaPath(storeDir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      txt.split(',') match {
+        case Array(n, m, ef) => Some(StoreMeta(n.toInt, m.toInt, ef.toInt))
+        case _ => None
+      }
+    }
+  }
+
+  private def requireMeta(stored: StoreMeta, called: StoreMeta, storeDir: String): Unit =
+    require(stored == called,
+      s"HNSW store $storeDir was built with (numGraphs=${stored.numGraphs}, " +
+        s"m=${stored.m}, efConstruction=${stored.efConstruction}) but this call " +
+        s"passed (numGraphs=${called.numGraphs}, m=${called.m}, " +
+        s"efConstruction=${called.efConstruction}); a mismatched router would " +
+        "misplace ids across segments — pass the store's own parameters")
+
+  /** Backup dir for a segment mid-swap — dot-prefixed so a parquet read
+    * of the store root never picks a half-swapped backup up as data.
+    */
+  private def bakPath(storeDir: String, s: Int) = new Path(s"$storeDir/.seg=$s.bak")
+
+  /** Crash recovery: a swap interrupted between backup-rename and
+    * staged-rename leaves the live dir missing and the backup present —
+    * restore the backup so the replayed batch rehydrates the previously
+    * stored vectors instead of silently rebuilding from the batch alone.
+    */
+  private def recoverSeg(fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
+      s: Int): Unit = {
+    val live = new Path(s"$storeDir/seg=$s")
+    val bak = bakPath(storeDir, s)
+    if (!fs.exists(live) && fs.exists(bak)) fs.rename(bak, live)
+  }
+
   /** Fold one micro-batch of (vec_id, embedding) into the stored
     * index: rehydrate touched segments, insert unseen ids (ascending,
     * intra-batch duplicates dropped), stage the rewritten segments,
@@ -64,13 +131,19 @@ object HnswMaintenance {
       efConstruction: Int = 100): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val called = StoreMeta(numGraphs, m, efConstruction)
+    readMeta(fs, storeDir) match {
+      case Some(stored) => requireMeta(stored, called, storeDir)
+      case None => writeMeta(fs, storeDir, called)
+    }
     val newRows = batch.select(col("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
       .withColumn("seg", segOf(numGraphs))
     // touched segment list: bounded by numGraphs, never data size
     val touched = newRows.select("seg").distinct().as[Int].collect().sorted
     if (touched.isEmpty) return
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach(recoverSeg(fs, storeDir, _))
     val existingSegs = touched.filter(s => fs.exists(new Path(s"$storeDir/seg=$s")))
     val empty = spark.emptyDataset[(Int, Long, Array[Float], Array[Array[Long]])]
       .toDF("seg", "vec_id", "embedding", "nbrs")
@@ -107,8 +180,20 @@ object HnswMaintenance {
       val live = new Path(s"$storeDir/seg=$s")
       val staged = new Path(s"$staging/seg=$s")
       if (fs.exists(staged)) {
-        if (fs.exists(live)) fs.delete(live, true)
+        // stage/backup/swap — every crash point leaves a recoverable
+        // copy of the previously stored segment (the bare delete+rename
+        // this replaces could lose a segment between the two calls):
+        //   1. drop any backup a COMPLETED earlier swap left behind
+        //   2. live → .bak   (crash here: recoverSeg restores on replay)
+        //   3. staged → live (crash here: live is the new content; the
+        //      replay finds its ids present and swaps in an identical
+        //      segment, the stale .bak is dropped at step 1)
+        //   4. drop the backup
+        val bak = bakPath(storeDir, s)
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (fs.exists(live)) fs.rename(live, bak)
         fs.rename(staged, live)
+        fs.delete(bak, true)
       }
     }
     fs.delete(new Path(staging), true)

@@ -69,6 +69,62 @@ class HnswMaintenanceSpec extends GraftSpec {
     }
   }
 
+  test("interrupted segment swap recovers: no stored vector is lost") {
+    // simulate a crash at the WORST point of the swap — after the live
+    // dir was renamed to its backup, before the staged dir was renamed
+    // in (the pre-fix delete+rename sequence loses the segment here).
+    // The replayed append must restore the backup and keep every
+    // previously stored id.
+    val base = java.nio.file.Files.createTempDirectory("graft_hnsw_crash")
+    val storeDir = base.resolve("store").toString
+    try {
+      val first = emb.filter(col("vec_id") < 300)
+      HnswMaintenance.appendBatch(first, storeDir)
+      val fs = new org.apache.hadoop.fs.Path(storeDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = new org.apache.hadoop.fs.Path(s"$storeDir/seg=0")
+      val bak = new org.apache.hadoop.fs.Path(s"$storeDir/.seg=0.bak")
+      assert(fs.exists(live))
+      fs.rename(live, bak) // the crash point: live gone, backup present
+      // the replay (at-least-once) re-appends a batch touching seg 0
+      HnswMaintenance.appendBatch(emb.filter(col("vec_id") >= 300), storeDir)
+      val stored = spark.read.parquet(storeDir)
+        .select("vec_id").distinct().count()
+      assert(stored === emb.count(),
+        "recovery must restore the backed-up segment before rehydrating")
+      assert(!fs.exists(bak), "a completed swap leaves no backup behind")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("store metadata pins the router: mismatched parameters are rejected") {
+    // segOf is a pure function of numGraphs — appending with a different
+    // value would migrate only touched segments and duplicate ids. The
+    // store persists (numGraphs, m, efConstruction) on first write and
+    // every later append must match.
+    val base = java.nio.file.Files.createTempDirectory("graft_hnsw_meta")
+    val storeDir = base.resolve("store").toString
+    try {
+      HnswMaintenance.appendBatch(emb.filter(col("vec_id") < 100), storeDir,
+        numGraphs = 8)
+      val e = intercept[IllegalArgumentException] {
+        HnswMaintenance.appendBatch(emb.filter(col("vec_id") >= 100), storeDir,
+          numGraphs = 4)
+      }
+      assert(e.getMessage.contains("numGraphs=8"))
+      // matching parameters still append fine after the rejected call
+      HnswMaintenance.appendBatch(emb.filter(col("vec_id") >= 100), storeDir,
+        numGraphs = 8)
+      assert(spark.read.parquet(storeDir).select("vec_id").distinct().count()
+        === emb.count())
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("append touches only the routed segments") {
     val base = java.nio.file.Files.createTempDirectory("graft_hnsw_touch")
     val storeDir = base.resolve("store").toString

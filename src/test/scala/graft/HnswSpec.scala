@@ -112,6 +112,44 @@ class HnswSpec extends GraftSpec {
     recalls.foreach(r => assert(r >= 0.9, s"clustered-data recall was $r"))
   }
 
+  test("recall holds on TIGHT clusters (the heuristic's reason to exist)") {
+    // 10 well-separated tight clusters (centers 100 apart, jitter ~1):
+    // plain closest-M selection links every node only within its own
+    // cluster, backlink pruning then severs the few cross-cluster edges,
+    // and layer-0 disconnects — a query's walk gets stuck in the entry
+    // point's cluster. The select-neighbors heuristic keeps one diverse
+    // link per direction alive, so recall must survive.
+    val df = spark.range(1000).select(col("id").as("vec_id"))
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 15), j -> cast((vec_id % 10) * 100.0" +
+          " + pmod(hash(vec_id, j), 97) / 48.5 as float))"))
+      .cache()
+    val q = df.filter(col("vec_id").isin(1L, 101L, 333L, 555L, 777L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val gt = KnnExact.topK(q, df, 10)
+    val approx = Hnsw.topK(spark, q, df, 10)
+    val recalls = RecallAtK.evaluate(gt, approx, Seq(10))
+      .select(col("recall_10")).collect().map(_.getDouble(0))
+    assert(recalls.length === 5)
+    recalls.foreach(r => assert(r >= 0.9, s"tight-cluster recall was $r"))
+    df.unpersist()
+  }
+
+  test("backlink pruning never empties an adjacency list (keepPruned)") {
+    // keepPrunedConnections guarantees |pruned list| = cap exactly —
+    // build a graph where every insert triggers pruning (all vectors on
+    // one tight cluster, maxM0 small) and assert layer-0 degree never
+    // drops below min(cap, inserted-1) for early nodes nor hits zero
+    val g = new Hnsw.Graph(m = 2, efConstruction = 16)
+    (0 until 50).foreach { i =>
+      g.insert(i.toLong, Array(i.toFloat / 1000f, 1f))
+    }
+    // every node must remain reachable: an exhaustive-ef walk from the
+    // entry visits the whole component, so it must return all 50
+    val seen = g.search(Array(0f, 1f), 50, efSearch = 64).map(_._1).toSet
+    assert(seen.size === 50, s"walk reached only ${seen.size}/50 nodes")
+  }
+
   test("mass duplicates: ties resolve to the globally smallest ids") {
     // 200 identical vectors: every distance ties at 0, so the merged
     // top-10 must be exactly ids 0..9 — each segment surfaces its own

@@ -164,6 +164,96 @@ class MultimodalSpec extends GraftSpec {
     assert(dib.codec === "DIB")
   }
 
+  test("G.711: quantization levels round-trip exactly, JDK's own ULAW decoder agrees") {
+    import spark.implicits._
+    // μ-law decode levels at segment 0 are 8k (|k| <= 15); A-law's are
+    // ±(16k+8) — samples ON a level must survive the 2:1 companding
+    // bit-exactly (the closed-form-oracle contract of
+    // multimodal_audio_g711)
+    val uSamples = Array.tabulate(256)(i => (8 * ((i % 31) - 15)).toShort)
+    val uWav = Multimodal.wavBytesG711(8000, 1, uSamples, aLaw = false)
+    val u = Multimodal.decodeWav(spark, Seq((1L, uWav)).toDF("id", "payload")).head()
+    assert(u.is_audio && u.codec === "ulaw" && u.sample_rate === 8000)
+    assert(u.n_samples === 256L && u.first_sample === uSamples(0).toInt)
+    assert(u.rms === math.sqrt(uSamples.map(s => s.toLong * s).sum.toDouble / 256))
+
+    val aSamples = Array.tabulate(256) { i =>
+      val k = (i % 31) - 15
+      (if (k < 0) -(16 * -k + 8) else 16 * k + 8).toShort
+    }
+    val aWav = Multimodal.wavBytesG711(8000, 1, aSamples, aLaw = true)
+    val a = Multimodal.decodeWav(spark, Seq((2L, aWav)).toDF("id", "payload")).head()
+    assert(a.is_audio && a.codec === "alaw" && a.n_samples === 256L)
+    assert(a.first_sample === aSamples(0).toInt)
+    assert(a.rms === math.sqrt(aSamples.map(s => s.toLong * s).sum.toDouble / 256))
+
+    // independent cross-check: javax.sound parses the same μ-law bytes
+    // and its ULAW→PCM converter must produce OUR decode values
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(uWav))
+    assert(ais.getFormat.getEncoding ===
+      javax.sound.sampled.AudioFormat.Encoding.ULAW)
+    val pcmFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
+    val buf = pcm.readAllBytes()
+    val jdk = java.nio.ByteBuffer.wrap(buf)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    uSamples.indices.foreach { i =>
+      val ours = Multimodal.G711.ulawDecode(Multimodal.G711.ulawEncode(uSamples(i)))
+      assert(jdk.get(i) === ours, s"JDK ULAW decode disagrees at sample $i")
+    }
+
+    // off-level samples: companding error is bounded by the segment
+    // step (≤ 8·2^7 = 1024 on the 16-bit scale) across the full range
+    var s = -32768
+    while (s < 32768) {
+      val v = s.toShort
+      val eu = Multimodal.G711.ulawDecode(Multimodal.G711.ulawEncode(v)) - s
+      val ea = Multimodal.G711.alawDecode(Multimodal.G711.alawEncode(v)) - s
+      assert(math.abs(eu) <= 1024, s"ulaw err $eu at $s")
+      assert(math.abs(ea) <= 1024, s"alaw err $ea at $s")
+      s += 37
+    }
+  }
+
+  test("IMA ADPCM: header sample exact, constants lossless, ramp error bounded") {
+    import spark.implicits._
+    // constant signal: every nibble is 0 and step floors, so the 4:1
+    // codec reproduces the signal bit-exactly
+    val const = Array.fill(1011)(1234.toShort)
+    val cWav = Multimodal.wavBytesImaAdpcm(16000, const, samplesPerBlock = 505)
+    val c = Multimodal.decodeWav(spark, Seq((1L, cWav)).toDF("id", "payload")).head()
+    assert(c.is_audio && c.codec === "ima_adpcm" && c.sample_rate === 16000)
+    assert(c.n_samples === 1011L, "fact chunk must bound the decoded count")
+    assert(c.first_sample === 1234)
+    assert(c.rms === 1234.0)
+
+    // gentle ramp: the adaptive step tracks a bounded slope closely —
+    // decode the nibble stream back with the mirrored state machine and
+    // pin a per-sample error bound (integer state machine: the bound is
+    // exact and platform-independent, measured max on this ramp is ~40)
+    val ramp = Array.tabulate(2000)(i =>
+      ((math.abs((i * 13) % 800 - 400) - 200) * 5).toShort)
+    val enc = new Multimodal.ImaAdpcm.State(ramp(0).toInt, 0)
+    val dec = new Multimodal.ImaAdpcm.State(ramp(0).toInt, 0)
+    var maxErr = 0
+    (1 until ramp.length).foreach { i =>
+      val n = enc.encodeSample(ramp(i).toInt)
+      val rec = dec.decodeNibble(n)
+      maxErr = math.max(maxErr, math.abs(rec - ramp(i)))
+    }
+    assert(maxErr <= 128, s"adpcm ramp error $maxErr exceeded bound")
+
+    // multi-block WAV: first sample exact, count from fact, RMS close
+    // to the source signal's (codec error << signal RMS)
+    val rWav = Multimodal.wavBytesImaAdpcm(16000, ramp, samplesPerBlock = 505)
+    val r = Multimodal.decodeWav(spark, Seq((2L, rWav)).toDF("id", "payload")).head()
+    assert(r.n_samples === 2000L && r.first_sample === ramp(0).toInt)
+    val srcRms = math.sqrt(ramp.map(s => s.toLong * s).sum.toDouble / ramp.length)
+    assert(math.abs(r.rms - srcRms) <= 8.0,
+      s"decoded rms ${r.rms} strayed from source rms $srcRms")
+  }
+
   test("decodeWav: stereo frames, odd-chunk padding, and degrade paths") {
     import spark.implicits._
     val stereo = Multimodal.wavBytes(8000, 2, Array.tabulate(512)(i => i.toShort))

@@ -320,7 +320,7 @@ class PlanSpec extends GraftSpec {
     // Frames bounded for reasons the rule cannot see are
     // allowlisted WITH the reason; a stale allowlist entry fails too, so
     // the list cannot rot.
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, GlobalLimit, LocalLimit, LogicalPlan, ResolvedHint}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     // Round-10 verdict: `part`, `customer`, `supplier` are SF-proportional
@@ -382,19 +382,31 @@ class PlanSpec extends GraftSpec {
       case c: Cast => isLit(c.child)
       case _ => false
     }
-    def isPointLookup(cond: Expression): Boolean = cond.exists {
+    // a single comparison is bounding only when IT ALONE caps the row
+    // count — an id pinned to literals, or a literal upper bound on a
+    // dense id (ids assign from 0; a lower bound is not a bound at all)
+    def boundingLeaf(e: Expression): Boolean = e match {
       case EqualTo(a: AttributeReference, r) => keyish(a) && isLit(r)
       case EqualTo(l, a: AttributeReference) => keyish(a) && isLit(l)
       case In(a: AttributeReference, vs) if vs.forall(isLit) => keyish(a)
       case InSet(a: AttributeReference, _) => keyish(a)
-      // a literal UPPER bound on a dense id is ≤ #literal rows at any SF
-      // (ids assign from 0); a lower bound is not a bound at all
       case LessThan(a: AttributeReference, r) => keyish(a) && isLit(r)
       case LessThanOrEqual(a: AttributeReference, r) => keyish(a) && isLit(r)
       case GreaterThan(l, a: AttributeReference) => keyish(a) && isLit(l)
       case GreaterThanOrEqual(l, a: AttributeReference) => keyish(a) && isLit(l)
       case _ => false
     }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // the whole Filter bounds its subtree only if some TOP-LEVEL conjunct
+    // is bounding — never descend into Or branches (`vec_id = 5 OR
+    // lang = 'en'` keeps the full per-language row count, so a keyish
+    // disjunct must not mark the Filter bounded; this closes the r11
+    // `cond.exists` variant of the r10 any-Filter loophole)
+    def isPointLookup(cond: Expression): Boolean =
+      conjuncts(cond).exists(boundingLeaf)
     def unboundedFacts(p: LogicalPlan, bounded: Boolean): Seq[String] = p match {
       case l: LogicalRelation =>
         if (bounded) Nil
