@@ -9,17 +9,19 @@ import java.util.zip.Inflater
   * /opt/spark/jars or the offline caches, re-checked every round).
   *
   * SUPPORTED (the subset virtually every text-first, generator-written
-  * PDF uses): classic cross-reference tables (the parser scans `N G
-  * obj` spans directly and never needs the xref), page trees via
-  * /Pages /Kids with document-order fallback, content streams raw or
+  * PDF uses): classic cross-reference tables AND PDF 1.5+ xref-stream
+  * files (the parser scans `N G obj` spans directly and never needs
+  * either xref form), OBJECT STREAMS (/Type /ObjStm — the compressed
+  * dict containers modern generators put catalogs/pages in; expanded
+  * via /N /First + the offset-pair header), page trees via /Pages
+  * /Kids with document-order fallback, content streams raw or
   * /FlateDecode (java.util.zip.Inflater), text via Tj / ' / " / TJ
   * with literal `(...)` strings (all escapes + octal) and `<hex>`
   * strings, single-byte encodings read as Latin-1.
   *
-  * NOT supported, by documented choice: encryption, object streams
-  * (/ObjStm), cross-reference streams as the ONLY copy of objects,
-  * CID/Type0 multi-byte fonts, /ToUnicode remapping. A page that needs
-  * those yields "" — the reference's own per-page failure placeholder
+  * NOT supported, by documented choice: encryption, CID/Type0
+  * multi-byte fonts, /ToUnicode remapping. A page that needs those
+  * yields "" — the reference's own per-page failure placeholder
   * semantics (cc:41-47), keeping page numbering aligned.
   */
 object SimplePdf {
@@ -78,6 +80,51 @@ object SimplePdf {
     }
 
   private val RefsRe = """(\d+)\s+\d+\s+R""".r
+
+  private val ObjStmNRe = """/N\s+(\d+)""".r
+  private val ObjStmFirstRe = """/First\s+(\d+)""".r
+
+  /** Expand /Type /ObjStm object streams: the decoded stream opens with
+    * N (objnum, offset) integer pairs, then the objects themselves
+    * packed back-to-back from /First. Returns the embedded objects in
+    * container-then-offset order; callers merge them UNDER the
+    * top-level map (a top-level copy of the same number wins, matching
+    * incremental-update precedence for the generator-written subset).
+    */
+  private def expandObjStms(objs: Map[Int, PdfObj]): Seq[PdfObj] = {
+    val out = scala.collection.mutable.LinkedHashMap[Int, PdfObj]()
+    objs.values.toSeq.sortBy(_.num).foreach { o =>
+      if (o.dict.contains("/ObjStm")) {
+        try {
+          for {
+            text <- decodeStream(o)
+            nM <- ObjStmNRe.findFirstMatchIn(o.dict)
+            fM <- ObjStmFirstRe.findFirstMatchIn(o.dict)
+          } {
+            val n = nM.group(1).toInt
+            val first = fM.group(1).toInt
+            if (first > 0 && first <= text.length) {
+              val nums = """\d+""".r.findAllIn(text.substring(0, first))
+                .map(_.toInt).take(2 * n).toSeq
+              if (nums.length == 2 * n) {
+                val pairs = nums.grouped(2).map(p => (p(0), p(1))).toSeq
+                pairs.zipWithIndex.foreach { case ((objNum, off), idx) =>
+                  val start = first + off
+                  val end =
+                    if (idx + 1 < pairs.length) first + pairs(idx + 1)._2
+                    else text.length
+                  if (start >= first && start <= end && end <= text.length)
+                    out.getOrElseUpdate(objNum,
+                      PdfObj(objNum, text.substring(start, end), None))
+                }
+              }
+            }
+          }
+        } catch { case _: Throwable => () } // a bad ObjStm degrades, per-page "" downstream
+      }
+    }
+    out.values.toSeq
+  }
 
   /** Page object numbers in /Pages-tree order (DFS over /Kids), falling
     * back to document order for any /Type /Page not reachable from a
@@ -195,10 +242,13 @@ object SimplePdf {
     try {
       val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
       if (!s.startsWith("%PDF")) return Seq("")
-      val objs = parseObjects(bytes)
+      val topLevel = parseObjects(bytes)
+      val embedded = expandObjStms(topLevel)
+      val objs = embedded.map(o => o.num -> o).toMap ++ topLevel
       val docOrder = {
         val seen = scala.collection.mutable.LinkedHashSet[Int]()
         ObjRe.findAllMatchIn(s).foreach(m => seen += m.group(1).toInt)
+        embedded.foreach(seen += _.num)
         seen.toSeq
       }
       val pages = pageOrder(objs, docOrder)

@@ -63,4 +63,80 @@ object SimplePdfWriter {
     body ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n"
     body.toString.getBytes(ISO_8859_1)
   }
+
+  /** The PDF 1.5+ layout modern generators emit: every DICT object
+    * (catalog, page tree, pages, font) lives inside one Flate-compressed
+    * /Type /ObjStm object stream; only stream objects (page contents,
+    * the ObjStm itself) stay top-level; the cross-reference is a
+    * /Type /XRef STREAM (W [1 4 1] fields, type-2 entries pointing into
+    * the object stream) with no classic `xref` table at all. Same page
+    * numbering scheme as [[write]], so the two writers produce
+    * byte-different files with identical extracted text — exactly the
+    * differential the spec and the `pdf_extract_objstm` oracle row pin.
+    */
+  def writeObjStm(pages: Seq[Seq[String]], compress: Boolean = true): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val fontObj = 3 + 2 * n
+    val objStmNum = fontObj + 1
+    val xrefNum = fontObj + 2
+
+    // ---- embedded dict objects (the ObjStm payload) ----
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val embedded: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>") ++
+        (0 until n).map { i =>
+          (3 + 2 * i) ->
+            (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+              s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents ${4 + 2 * i} 0 R >>")
+        } :+
+        (fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val parts = embedded.map(_._2 + "\n")
+    val innerOffsets = parts.scanLeft(0)(_ + _.length).init
+    val header = embedded.map(_._1).zip(innerOffsets)
+      .map { case (num, off) => s"$num $off" }.mkString(" ") + "\n"
+    val stmPayload = (header + parts.mkString).getBytes(ISO_8859_1)
+    val stmData = deflate(stmPayload)
+
+    // ---- top-level assembly, tracking byte offsets for the xref ----
+    val body = new StringBuilder("%PDF-1.5\n")
+    val topOffsets = scala.collection.mutable.Map[Int, Int]()
+    def emit(num: Int, obj: String): Unit = {
+      topOffsets(num) = body.length
+      body ++= obj
+    }
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val contObj = 4 + 2 * i
+      val raw = contentFor(lines).getBytes(ISO_8859_1)
+      val (data, filter) =
+        if (compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      emit(contObj, s"$contObj 0 obj\n<< /Length ${data.length}$filter >>\nstream\n" +
+        new String(data, ISO_8859_1) + "\nendstream\nendobj\n")
+    }
+    emit(objStmNum, s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${embedded.length} " +
+      s"/First ${header.length} /Length ${stmData.length} /Filter /FlateDecode >>\nstream\n" +
+      new String(stmData, ISO_8859_1) + "\nendstream\nendobj\n")
+
+    // ---- cross-reference stream: W [1 4 1] ----
+    val size = xrefNum + 1
+    val xrefOff = body.length
+    val entries = java.nio.ByteBuffer.allocate(size * 6)
+    def entry(t: Int, f2: Int, f3: Int): Unit = {
+      entries.put(t.toByte).putInt(f2).put(f3.toByte)
+    }
+    val embeddedIdx = embedded.map(_._1).zipWithIndex.toMap
+    entry(0, 0, 255) // the free-list head
+    (1 until size).foreach { num =>
+      if (embeddedIdx.contains(num)) entry(2, objStmNum, embeddedIdx(num))
+      else if (num == xrefNum) entry(1, xrefOff, 0)
+      else entry(1, topOffsets(num), 0)
+    }
+    val xrefData = deflate(entries.array())
+    body ++= s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 1] /Root 1 0 R " +
+      s"/Length ${xrefData.length} /Filter /FlateDecode >>\nstream\n" +
+      new String(xrefData, ISO_8859_1) + "\nendstream\nendobj\n"
+    body ++= s"startxref\n$xrefOff\n%%EOF\n"
+    body.toString.getBytes(ISO_8859_1)
+  }
 }

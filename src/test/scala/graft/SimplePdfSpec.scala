@@ -32,6 +32,38 @@ class SimplePdfSpec extends GraftSpec {
       "compressed page one")
   }
 
+  test("PDF 1.5 object streams: ObjStm-packed page tree extracts identically") {
+    // every dict object (catalog/pages/pages/font) lives inside one
+    // Flate-compressed /Type /ObjStm and the xref is a /Type /XRef
+    // stream — the layout modern generators emit. Extracted text must
+    // equal the classic-layout file's, byte-different containers
+    // notwithstanding.
+    val pages = Seq(
+      Seq("Object streams arrived in PDF 1.5.", "They pack dicts together."),
+      Seq("Cross-reference streams", "replace the xref table."),
+      Seq("Page three closes the tree."))
+    val objStm = SimplePdfWriter.writeObjStm(pages)
+    val s = new String(objStm, ISO_8859_1)
+    assert(s.startsWith("%PDF-1.5"))
+    assert(s.contains("/ObjStm") && s.contains("/XRef"))
+    assert(!s.contains("trailer"), "an xref-stream file has no classic trailer")
+    // the page dicts must NOT appear as top-level objects
+    assert(!s.contains("0 obj\n<< /Type /Page "))
+    assert(SimplePdf.extractPages(objStm) ===
+      SimplePdf.extractPages(SimplePdfWriter.write(pages, compress = true)))
+    assert(SimplePdf.extractPages(objStm) === pages.map(_.mkString("\n")))
+
+    // uncompressed content + single page still round-trips
+    val one = SimplePdfWriter.writeObjStm(Seq(Seq("solo")), compress = false)
+    assert(SimplePdf.extractPages(one) === Seq("solo"))
+
+    // a corrupt ObjStm degrades to the per-page "" placeholder, not a throw
+    val broken = new String(SimplePdfWriter.writeObjStm(pages), ISO_8859_1)
+      .replaceFirst("/First \\d+", "/First 999999").getBytes(ISO_8859_1)
+    val got = SimplePdf.extractPages(broken)
+    assert(got.forall(_ == "") || got === Seq(""))
+  }
+
   test("TJ arrays, hex strings, quote operator and octal escapes all show") {
     val content = "BT /F1 12 Tf 72 720 Td " +
       "[(Kern) -120 (ed)] TJ " + // TJ array: strings concatenate, kerns drop
