@@ -2678,6 +2678,27 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // The STORED-index twin of ann_hnsw_ivf_routed: every cell graph is
+    // built ONCE (Hnsw.buildRoutedIndex — the build-once/search-many
+    // split that keeps graph construction out of query latency; on a
+    // cell-partitioned parquet table the probe prunes the scan to
+    // nprobe cells), then searched. Per-cell builds use the same
+    // ascending-id insertion as the query-time path, so the stored walk
+    // hash-matches the SAME closed-form IVF-probe oracle — storage
+    // changes cost, never results (HnswSpec pins the equivalence
+    // through a real parquet cycle).
+    "ann_hnsw_routed_store" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = IvfIndex.seedCentroids(emb, 8)
+      val q = queryVectors(s, dir, 5)
+      val idx = graft.search.Hnsw.buildRoutedIndex(s, emb, cent)
+      graft.search.Hnsw.searchRoutedIndex(s, q, idx, cent, k = 10, nprobe = 2,
+        efSearch = 4096)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(sqrt(col("dist")), 4).as("dist"))
+        .orderBy("qid", "rk")
+    }),
+
     // Incremental index maintenance (§2.10 streaming twin of the S8/M4
     // bulk build): frozen seed-centroid codebook, embeddings shattered
     // into 4 source files and streamed one file per micro-batch through
@@ -4880,6 +4901,24 @@ object SparkEntry {
     // Routed-HNSW with exhaustive per-cell walks ≡ the IVF exact probe
     // — the identical closed form, k=10.
     "ann_hnsw_ivf_routed" -> {
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.embedding, c.cid, ${l2Sql("e.embedding", "c.cemb")} AS cdist FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, embedding, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rk FROM a) WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT q.qid, q.qemb, c.cid, ${l2Sql("q.qemb", "c.cemb")} AS cdist FROM q, cent c),
+         |probes AS (SELECT qid, qemb, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS crk FROM qc) WHERE crk <= 2),
+         |d AS (SELECT p.qid, s.vec_id, ${l2Sql("p.qemb", "s.embedding")} AS dist
+         |      FROM probes p JOIN asg s ON p.cell = s.cell),
+         |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+    },
+
+    // the stored routed index answers identically to query-time routing
+    // (HnswSpec pins it), so the oracle is the same exhaustive-walk
+    // closed form.
+    "ann_hnsw_routed_store" -> {
       s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
          |a AS (SELECT e.vec_id, e.embedding, c.cid, ${l2Sql("e.embedding", "c.cemb")} AS cdist FROM embeddings e, cent c),
          |asg AS (SELECT vec_id, embedding, cid AS cell FROM (

@@ -309,6 +309,37 @@ object Hnsw {
     * memory-resident on some executor, O(nprobe) of them touched per
     * query.
     */
+  /** Per-query probed cells + query vectors, both parameter-bounded
+    * (|Q| · nprobe routing pairs, |Q| vectors) — the shared routing
+    * step of [[topKRouted]] / [[searchRoutedIndex]]. The centroid
+    * ranking is the same tiny query×centroid cross every IVF operator
+    * here uses.
+    */
+  private def routeQueries(
+      spark: SparkSession,
+      queries: DataFrame,
+      centroids: DataFrame,
+      nprobe: Int,
+      qidCol: String,
+      qEmbCol: String): (Map[Int, Array[Long]], Map[Long, Array[Float]]) = {
+    import spark.implicits._
+    graft.functions.VectorExpressions.ensureRegistered(spark)
+    val probeW = Window.partitionBy(col(qidCol))
+      .orderBy(col("cdist").asc, col("cid").asc)
+    val routes = broadcast(queries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        graft.functions.VectorFunctions.l2Fast(col(qEmbCol), col("cemb")))
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= nprobe)
+      .select(col(qidCol), col("cid"))
+      .as[(Long, Int)].collect()
+    val routesByCell = routes.groupBy(_._2).map { case (c, qs) => c -> qs.map(_._1).sorted }
+    val qMap = queries.select(col(qidCol), col(qEmbCol)).as[(Long, Array[Float])]
+      .collect().toMap
+    (routesByCell, qMap)
+  }
+
   def topKRouted(
       spark: SparkSession,
       queries: DataFrame,
@@ -324,25 +355,8 @@ object Hnsw {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    graft.functions.VectorExpressions.ensureRegistered(spark)
-    // per-query probed cells: rank the bounded centroid frame by
-    // distance, keep nprobe (ties on cid) — both frames are
-    // parameter-bounded, so the routing table is tiny and broadcast
-    val probeW = Window.partitionBy(col(qidCol))
-      .orderBy(col("cdist").asc, col("cid").asc)
-    val routes = broadcast(queries)
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist",
-        graft.functions.VectorFunctions.l2Fast(col(qEmbCol), col("cemb")))
-      .withColumn("crk", row_number().over(probeW))
-      .filter(col("crk") <= nprobe)
-      .select(col(qidCol), col("cid"))
-      .as[(Long, Int)].collect()
-    val routesByCell: Map[Int, Array[Long]] =
-      routes.groupBy(_._2).map { case (c, qs) => c -> qs.map(_._1).sorted }
-    val qMap: Map[Long, Array[Float]] =
-      queries.select(col(qidCol), col(qEmbCol)).as[(Long, Array[Float])]
-        .collect().toMap
+    val (routesByCell, qMap) =
+      routeQueries(spark, queries, centroids, nprobe, qidCol, qEmbCol)
     val rB = spark.sparkContext.broadcast(routesByCell)
     val qB = spark.sparkContext.broadcast(qMap)
     val candidates = IvfIndex.assign(collection, centroids, idCol, embCol)
@@ -356,6 +370,91 @@ object Hnsw {
           rB.value.get(cell).iterator.flatMap { qids =>
             val g = buildGraph(
               rows.iterator.map { case (id, v, _) => (id, v) }, m, efConstruction)
+            qids.iterator.flatMap { qid =>
+              g.search(qB.value(qid), k, efSearch).map { case (id, d) => (qid, id, d) }
+            }
+          }
+        }
+      }
+      .toDF(qidCol, idCol, "dist")
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("dist").asc, col(idCol).asc)
+    candidates
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("rk"), col("dist"))
+  }
+
+  /** Build the STORABLE routed index: every IVF cell's graph built ONCE
+    * — (cell, vec_id, embedding, nbrs) rows, the cell-keyed twin of
+    * [[buildIndex]]. Written to a parquet table partitioned by `cell`,
+    * a probe touches only its nprobe cells' files (partition pruning —
+    * the same scan-elision `ann_ivf_top5` measures), and graph build
+    * cost is paid once per corpus version instead of once per query
+    * burst ([[topKRouted]] builds probed cells at query time, the right
+    * trade only when the query set is tiny and ad hoc).
+    */
+  def buildRoutedIndex(
+      spark: SparkSession,
+      collection: DataFrame,
+      centroids: DataFrame,
+      m: Int = 16,
+      efConstruction: Int = 100,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    IvfIndex.assign(collection, centroids, idCol, embCol)
+      .repartition(col("cell"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._3).iterator.flatMap { case (cell, rows) =>
+          buildGraph(rows.iterator.map { case (id, v, _) => (id, v) },
+            m, efConstruction).export
+            .map { case (id, vec, nbrs) => (cell, id, vec, nbrs) }
+        }
+      }
+      .toDF("cell", idCol, embCol, "nbrs")
+  }
+
+  /** Search a stored routed index: route (tiny broadcast ranking), PRUNE
+    * the index scan to the probed cells (`cell IN (...)` reaches the
+    * scan — on a cell-partitioned table that is partition pruning, the
+    * unprobed ~(1 − nprobe/numCells) of the index is never read),
+    * rehydrate each probed cell's graph verbatim, walk, merge top-k.
+    * Per-cell graphs are built with the same ascending-id insertion as
+    * [[topKRouted]]'s query-time build, so the two paths answer
+    * IDENTICALLY (spec-pinned) — the build-once/search-many split
+    * changes cost, never results.
+    */
+  def searchRoutedIndex(
+      spark: SparkSession,
+      queries: DataFrame,
+      index: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int = 2,
+      m: Int = 16,
+      efConstruction: Int = 100,
+      efSearch: Int = 128,
+      qidCol: String = "qid",
+      qEmbCol: String = "qemb",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val (routesByCell, qMap) =
+      routeQueries(spark, queries, centroids, nprobe, qidCol, qEmbCol)
+    val rB = spark.sparkContext.broadcast(routesByCell)
+    val qB = spark.sparkContext.broadcast(qMap)
+    val probed = routesByCell.keys.toSeq.sorted
+    val candidates = index
+      .filter(col("cell").isin(probed: _*))
+      .select(col("cell"), col(idCol), col(embCol), col("nbrs"))
+      .repartition(col("cell"))
+      .as[(Int, Long, Array[Float], Array[Array[Long]])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (cell, rows) =>
+          rB.value.get(cell).iterator.flatMap { qids =>
+            val g = graphFromAdjacency(
+              rows.map { case (_, id, v, nb) => (id, v, nb) }, m, efConstruction)
             qids.iterator.flatMap { qid =>
               g.search(qB.value(qid), k, efSearch).map { case (id, d) => (qid, id, d) }
             }

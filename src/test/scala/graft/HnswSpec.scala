@@ -164,6 +164,40 @@ class HnswSpec extends GraftSpec {
     assert(top === (0L until 10L))
   }
 
+  test("stored ROUTED index answers identically to query-time routing") {
+    // build-once/search-many for the IVF-routed composition: every
+    // cell's graph is built once with the same ascending-id insertion
+    // the query-time path uses, so results must match row-for-row —
+    // including through a cell-partitioned parquet cycle, where the
+    // probed-cells filter becomes partition pruning
+    val cent = IvfIndex.seedCentroids(emb, 8)
+    val oneShot = Hnsw.topKRouted(spark, queries, emb, cent, k = 10, nprobe = 2)
+    val idx = Hnsw.buildRoutedIndex(spark, emb, cent)
+    val fromIdx = Hnsw.searchRoutedIndex(spark, queries, idx, cent, k = 10, nprobe = 2)
+    assert(fromIdx.exceptAll(oneShot).isEmpty && oneShot.exceptAll(fromIdx).isEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_ridx").toString
+    try {
+      idx.write.mode("overwrite").partitionBy("cell").parquet(dir)
+      val stored = spark.read.parquet(dir)
+        .withColumn("cell", col("cell").cast("int"))
+      val persisted = Hnsw.searchRoutedIndex(spark, queries, stored, cent,
+        k = 10, nprobe = 2)
+      assert(persisted.exceptAll(oneShot).isEmpty && oneShot.exceptAll(persisted).isEmpty)
+      // the probe must PRUNE the partitioned scan: the executed plan's
+      // scan reads only the probed cells' partition dirs
+      val pruned = Hnsw.searchRoutedIndex(spark, queries, stored, cent,
+        k = 10, nprobe = 1)
+      val scan = pruned.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(scan.contains("PartitionFilters") || scan.contains("cell IN") ||
+        scan.contains("isin"), s"probed-cell filter must reach the scan:\n$scan")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("stored index searches bit-identically to the one-shot path") {
     // build-once / search-many: the exported adjacency rehydrates to
     // the SAME graph (same entry point, same walk), so a search from
