@@ -134,8 +134,31 @@ object SparkEntry {
       it3.remove()
     }
     pqCodebookCache.clear() // driver-side Seqs, nothing persisted
+    val it4 = bpeCache.entrySet().iterator()
+    while (it4.hasNext) {
+      val e = it4.next()
+      try graft.textual.Bpe.unpersistCheckpoint(e.getValue._2)
+      catch { case _: Throwable => () }
+      it4.remove()
+    }
     sessionIds.clear()
   }
+
+  /** BPE geometry: 8 merges — few enough for a replayable iterative-CTE
+    * oracle (the pqTrainCtesSql discipline), many enough that a learned
+    * symbol COMPOSES on the fixture (merge 6 consumes merge 1's
+    * output: m + er). One training per (session, dir) serves both the
+    * merge-table row and the corpus tokenization row.
+    */
+  private val BpeMerges = 8
+
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[graft.textual.Bpe.Merge], DataFrame)]()
+  private def sharedBpe(spark: SparkSession, dir: String)
+      : (Seq[graft.textual.Bpe.Merge], DataFrame) =
+    bpeCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ =>
+      graft.textual.Bpe.trainMerges(spark, Tables.documents(spark, dir),
+        "text", BpeMerges))
 
   /** PQ geometry shared by the trained-codebook queries: 64 dims → 16
     * blocks × 4 dims, 64 codes/block, 2 Lloyd iterations. 16×1-byte
@@ -318,6 +341,39 @@ object SparkEntry {
   /** DuckDB whitespace tokens of trimmed text (mirror of TextFunctions.tokens). */
   private def toksSql(t: String): String =
     s"CASE WHEN length(trim($t)) = 0 THEN [] ELSE regexp_split_to_array(trim($t), '${graft.functions.TextFunctions.wsPatternSql}') END"
+
+  /** Generated CTE chain replaying [[graft.textual.Bpe.trainMerges]]
+    * round-for-round in DuckDB (the pqTrainCtesSql discipline for
+    * iterative training): w0 = word frequencies with the chr(1)/chr(2)
+    * delimited symbol encoding, then per round i — p{i} adjacent-pair
+    * counts from the vocab, b{i} the (count DESC, pair ASC) argmax
+    * row, w{i} the leftmost-scan-continue `replace` merge. Both
+    * engines' `replace` resume scanning AFTER a replacement, so runs
+    * merge identically; symbol boundaries are delimiter-protected so a
+    * prefix symbol can never false-match.
+    */
+  private def bpeCtesSql(nMerges: Int): String = {
+    val w0 =
+      s"""w0 AS (SELECT word, count(*) AS freq,
+         |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS enc
+         |  FROM (SELECT unnest(${toksSql("text")}) AS word FROM documents)
+         |  WHERE word NOT LIKE '%' || chr(1) || '%' AND word NOT LIKE '%' || chr(2) || '%'
+         |  GROUP BY word)""".stripMargin
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS (SELECT pr[1] AS a, pr[2] AS b, sum(freq) AS cnt FROM (
+         |    SELECT freq, unnest(CASE WHEN len(syms) < 2 THEN []
+         |      ELSE list_zip(syms[1:len(syms)-1], syms[2:len(syms)]) END) AS pr FROM (
+         |      SELECT freq, list_filter(string_split(enc, chr(1)), x -> x <> '') AS syms
+         |      FROM w${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS (SELECT word, freq,
+         |    replace(enc, chr(1) || b$i.a || chr(1) || b$i.b,
+         |            chr(1) || rtrim(b$i.a, chr(2)) || b$i.b) AS enc
+         |  FROM w${i - 1}, b$i)""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
 
   /** Fixed keyword-query set for the text-search family. q4 carries a
     * term absent from the corpus: zero-df terms must simply not join
@@ -2811,6 +2867,36 @@ object SparkEntry {
         .orderBy("rk")
     }),
 
+    // BPE tokenizer TRAINING (textual/Bpe.scala — Sennrich ACL'16, the
+    // GPT-2/Llama subword-vocab step): 8 merges learned by iterative
+    // distributed pair-counting over the WORD-FREQUENCY table (the
+    // classic scale trick — each iteration is one vocab-sized shuffle +
+    // a 1-row driver argmax; the corpus itself is scanned once). Every
+    // step is deterministic ((count DESC, pair ASC) argmax, engine-
+    // portable leftmost-scan-continue replace), so the oracle REPLAYS
+    // THE WHOLE TRAINING as 8 generated CTE rounds (the pqTrainCtesSql
+    // discipline) and the learned merge table hash-matches — including
+    // the composed merge (m + er) that proves multi-char symbols build
+    // on earlier rounds.
+    "bpe_train_merges" -> ((s, dir) => {
+      import s.implicits._
+      sharedBpe(s, dir)._1
+        .map(m => (m.step.toLong, m.lhs, m.rhs, m.pairCount))
+        .toDF("step", "lhs", "rhs", "pair_count")
+        .orderBy("step")
+    }),
+
+    // The trained tokenizer APPLIED: per-doc whitespace-token and BPE
+    // subtoken counts via a join against the final word→symbols table
+    // (tokenizing a corpus is a vocab join — one corpus pass, the vocab
+    // side broadcastable). Oracle = the same 8 training rounds plus the
+    // join, all in SQL.
+    "bpe_tokenize_stats" -> ((s, dir) => {
+      graft.textual.Bpe.tokenizeStats(
+        Tables.documents(s, dir), "text", "doc_id", sharedBpe(s, dir)._2)
+        .orderBy("doc_id")
+    }),
+
     // Document length histogram (100-char bins).
     "chars_histogram" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -5056,6 +5142,32 @@ object SparkEntry {
     "chars_histogram" ->
       """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // The whole BPE training replayed as 8 CTE rounds; the learned
+    // merge table (with pair counts) must hash-match.
+    "bpe_train_merges" -> {
+      val union = (1 to BpeMerges).map(i =>
+        s"SELECT $i AS step, rtrim(a, chr(2)) AS lhs, rtrim(b, chr(2)) AS rhs, cnt FROM b$i")
+        .mkString(" UNION ALL ")
+      s"""WITH ${bpeCtesSql(BpeMerges)}
+         |SELECT CAST(step AS BIGINT) AS step, lhs, rhs,
+         |  CAST(cnt AS BIGINT) AS pair_count
+         |FROM ($union) ORDER BY step""".stripMargin
+    },
+
+    // Same training rounds + the corpus-tokenization join; docs with no
+    // tokens keep a (0, 0) row on both engines.
+    "bpe_tokenize_stats" -> {
+      s"""WITH ${bpeCtesSql(BpeMerges)},
+         |t AS (SELECT doc_id, unnest(${toksSql("text")}) AS word FROM documents),
+         |ws AS (SELECT word, len(list_filter(string_split(enc, chr(1)), x -> x <> '')) AS n_sub
+         |       FROM w$BpeMerges),
+         |agg AS (SELECT t.doc_id, count(*) AS n_tokens, sum(ws.n_sub) AS n_subtokens
+         |        FROM t JOIN ws USING (word) GROUP BY t.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(agg.n_subtokens, 0) AS BIGINT) AS n_subtokens
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
 
     "ingest_stats" ->
       """SELECT status, count(*) AS n,
