@@ -2734,6 +2734,27 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // Post-build index health audit (the operational check a vector
+    // store runs after every build/append): every node of every
+    // segment's graph must be REACHABLE from its entry point — an
+    // unreachable node is silently invisible to all searches, the
+    // failure mode the select-neighbors heuristic (keepPruned) exists
+    // to prevent — and layer-0 degree must respect the pruning caps
+    // (≥ 1 with ≥ 2 nodes; ≤ 2m = 32). Totals replay in closed form;
+    // the structural verdicts use the in-query pattern (graph walks are
+    // not SQL-replayable) with literal-TRUE oracles.
+    "ann_hnsw_graph_audit" -> ((s, dir) => {
+      val idx = graft.search.Hnsw.buildIndex(s, Tables.embeddings(s, dir))
+      graft.search.Hnsw.graphAudit(s, idx)
+        .agg(
+          sum(col("n_nodes")).as("n_nodes"),
+          (count(lit(1)) === 8).as("all_segments_nonempty"),
+          (sum(when(col("n_reachable") === col("n_nodes"), 0L).otherwise(1L)) === 0)
+            .as("all_reachable"),
+          (min(col("deg0_min")) >= 1).as("deg0_min_positive"),
+          (max(col("deg0_max")) <= 32).as("deg0_capped"))
+    }),
+
     // The STORED-index twin of ann_hnsw_ivf_routed: every cell graph is
     // built ONCE (Hnsw.buildRoutedIndex — the build-once/search-many
     // split that keeps graph construction out of query latency; on a
@@ -5000,6 +5021,16 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
     },
+
+    // structural audit: totals in closed form, graph verdicts literal
+    // TRUE (the in-query pattern — walks are not SQL-replayable).
+    "ann_hnsw_graph_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  TRUE AS all_segments_nonempty,
+        |  TRUE AS all_reachable,
+        |  TRUE AS deg0_min_positive,
+        |  TRUE AS deg0_capped
+        |FROM embeddings""".stripMargin,
 
     // the stored routed index answers identically to query-time routing
     // (HnswSpec pins it), so the oracle is the same exhaustive-walk

@@ -497,6 +497,53 @@ object Hnsw {
       .toDF("seg", idCol, embCol, "nbrs")
   }
 
+  /** Per-segment STRUCTURAL audit of a stored index — the operational
+    * check a vector store runs after builds/appends: is every node
+    * reachable from the segment's entry point (the select-neighbors
+    * heuristic's guarantee on clustered data — an unreachable node is
+    * silently invisible to every search), and is layer-0 degree inside
+    * its contract (≥ 1 when the segment has ≥ 2 nodes — backlink
+    * pruning keeps min(cap, candidates) links; ≤ 2·m, the Mmax cap)?
+    * One row per segment, computed in the same one-pass-per-segment
+    * shape as the search itself.
+    */
+  def graphAudit(
+      spark: SparkSession,
+      index: DataFrame,
+      numGraphs: Int = 8,
+      segCol: String = "seg",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    index.select(col(segCol), col(idCol), col(embCol), col("nbrs"))
+      .repartition(numGraphs, col(segCol))
+      .as[(Int, Long, Array[Float], Array[Array[Long]])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.map { case (seg, rows) =>
+          val nbrs: Map[Long, Array[Array[Long]]] =
+            rows.map { case (_, id, _, nb) => id -> nb }.toMap
+          val n = rows.length
+          // the entry point the loader derives: smallest id among
+          // max-level nodes (rows rehydrate in ascending-id order)
+          val maxLevel = nbrs.valuesIterator.map(_.length - 1).max
+          val entry = nbrs.iterator
+            .filter { case (_, nb) => nb.length - 1 == maxLevel }
+            .map(_._1).min
+          val seen = mutable.HashSet[Long](entry)
+          val queue = mutable.ArrayDeque[Long](entry)
+          while (queue.nonEmpty) {
+            val c = queue.removeHead()
+            nbrs(c).iterator.flatten.foreach { nb =>
+              if (seen.add(nb)) queue.append(nb)
+            }
+          }
+          val deg0 = rows.map { case (_, _, _, nb) => nb(0).length }
+          (seg, n.toLong, seen.size.toLong, deg0.min.toLong, deg0.max.toLong)
+        }
+      }
+      .toDF(segCol, "n_nodes", "n_reachable", "deg0_min", "deg0_max")
+  }
+
   /** Search a stored index: one exchange on `seg` co-locates each
     * segment's rows, the graph rehydrates verbatim (no re-build — the
     * loaded walk is bit-identical to the built one), every segment

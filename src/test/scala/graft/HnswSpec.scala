@@ -135,6 +135,26 @@ class HnswSpec extends GraftSpec {
     df.unpersist()
   }
 
+  test("graph audit: full reachability and degree caps, even on tight clusters") {
+    // the audit must report every node reachable on the adversarial
+    // tight-cluster corpus (where plain closest-M would disconnect) and
+    // degree inside the pruning caps
+    val df = spark.range(1000).select(col("id").as("vec_id"))
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 15), j -> cast((vec_id % 10) * 100.0" +
+          " + pmod(hash(vec_id, j), 97) / 48.5 as float))"))
+    val idx = Hnsw.buildIndex(spark, df)
+    val audit = Hnsw.graphAudit(spark, idx).collect()
+    assert(audit.length === 8)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_reachable") === r.getAs[Long]("n_nodes"),
+        s"segment ${r.getAs[Int]("seg")} has unreachable nodes")
+      assert(r.getAs[Long]("deg0_min") >= 1L)
+      assert(r.getAs[Long]("deg0_max") <= 32L)
+    }
+    assert(audit.map(_.getAs[Long]("n_nodes")).sum === 1000L)
+  }
+
   test("backlink pruning never empties an adjacency list (keepPruned)") {
     // keepPrunedConnections guarantees |pruned list| = cap exactly —
     // build a graph where every insert triggers pruning (all vectors on
