@@ -2918,6 +2918,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The learned subword VOCABULARY with frequency-ranked ids — the
+    // (symbol → id) table a tokenizer ships: explode the final word
+    // segmentation, weight each symbol by word frequency, rank by
+    // (occurrences DESC, symbol ASC). Top 30 pins the whole id
+    // assignment order.
+    "bpe_vocab_top" -> ((s, dir) => {
+      val words = sharedBpe(s, dir)._2
+      words
+        .withColumn("sym", explode(filter(split(col("enc"),
+          graft.textual.Bpe.SymStart), x => x =!= lit(""))))
+        .withColumn("sym", rtrim(col("sym"), graft.textual.Bpe.SymEnd))
+        .groupBy("sym").agg(sum(col("freq")).as("occurrences"))
+        .withColumn("token_id", row_number().over(
+          Window.orderBy(col("occurrences").desc, col("sym").asc)).cast("long"))
+        .filter(col("token_id") <= 30)
+        .select(col("token_id"), col("sym"), col("occurrences"))
+        .orderBy("token_id")
+    }),
+
     // Document length histogram (100-char bins).
     "chars_histogram" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -5184,6 +5203,19 @@ object SparkEntry {
          |SELECT CAST(step AS BIGINT) AS step, lhs, rhs,
          |  CAST(cnt AS BIGINT) AS pair_count
          |FROM ($union) ORDER BY step""".stripMargin
+    },
+
+    // vocab ids: explode the final segmentation, weight by word freq,
+    // rank (occurrences DESC, symbol ASC).
+    "bpe_vocab_top" -> {
+      s"""WITH ${bpeCtesSql(BpeMerges)},
+         |sy AS (SELECT rtrim(unnest(list_filter(string_split(enc, chr(1)), x -> x <> '')), chr(2)) AS sym,
+         |              freq
+         |       FROM w$BpeMerges),
+         |v AS (SELECT sym, sum(freq) AS occurrences FROM sy GROUP BY sym)
+         |SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, sym ASC) AS BIGINT) AS token_id,
+         |       sym, CAST(occurrences AS BIGINT) AS occurrences
+         |FROM v QUALIFY token_id <= 30 ORDER BY token_id""".stripMargin
     },
 
     // Same training rounds + the corpus-tokenization join; docs with no
