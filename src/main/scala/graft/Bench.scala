@@ -115,7 +115,11 @@ object Bench {
       // its idf frame, and search_vsm_cosine the VSM doc-side frames
       // (weights + norms — bm25 never touches them), so the rrf/logprob
       // consumers find every bundle frame already computed.
-      val cacheBuilders = Seq("dedup_ngram_jaccard", "search_bm25", "search_vsm_cosine")
+      // bpe_train_merges populates sharedBpe: its two dependents would
+      // otherwise BLOCK inside computeIfAbsent (wasting pool slots for
+      // the whole training) rather than recompute.
+      val cacheBuilders = Seq("dedup_ngram_jaccard", "search_bm25", "search_vsm_cosine",
+        "bpe_train_merges")
         .filter(pooledNames.contains)
       cacheBuilders.foreach(runOne)
       serialNames.foreach(runOne)

@@ -2937,6 +2937,44 @@ object SparkEntry {
         .orderBy("token_id")
     }),
 
+    // T5-style SPAN CORRUPTION (Raffel et al., JMLR'20 §3.1.4) — the
+    // denoising-objective prep step: mask one 2-token span per full
+    // 8-token block at a deterministic in-block offset
+    // ((doc_id·2654435761 + block·40503) mod 6 — pure int64 arithmetic,
+    // identical in both engines), emit the masked input with
+    // <extra_id_k> sentinels and the span targets. Fixed blocks make
+    // spans non-overlapping BY CONSTRUCTION, which is what keeps the
+    // whole transform a per-row closed form (no sequential state) — a
+    // narrow scan-parallel projection with zero shuffle; the oracle
+    // rebuilds both strings token-for-token.
+    "corpus_span_corrupt" -> ((s, dir) => {
+      val off = "int((doc_id * 2654435761 + b * 40503) % 6)"
+      Tables.documents(s, dir)
+        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+        .withColumn("nblocks", (size(col("toks")) / 8).cast("int"))
+        .withColumn("input_text", expr(
+          s"""array_join(concat(
+             |  flatten(CASE WHEN nblocks = 0 THEN cast(array() as array<array<string>>)
+             |    ELSE transform(sequence(0, nblocks - 1), b ->
+             |      concat(
+             |        slice(toks, b*8 + 1, $off),
+             |        array(concat('<extra_id_', b, '>')),
+             |        slice(toks, b*8 + $off + 3, 6 - $off)))
+             |    END),
+             |  slice(toks, nblocks*8 + 1, size(toks) - nblocks*8)
+             |), ' ')""".stripMargin))
+        .withColumn("target_text", expr(
+          s"""array_join(
+             |  flatten(CASE WHEN nblocks = 0 THEN cast(array() as array<array<string>>)
+             |    ELSE transform(sequence(0, nblocks - 1), b ->
+             |      concat(array(concat('<extra_id_', b, '>')),
+             |        slice(toks, b*8 + $off + 1, 2)))
+             |    END), ' ')""".stripMargin))
+        .select(col("doc_id"), col("nblocks").cast("long").as("n_spans"),
+          col("input_text"), col("target_text"))
+        .orderBy("doc_id")
+    }),
+
     // Document length histogram (100-char bins).
     "chars_histogram" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -5192,6 +5230,24 @@ object SparkEntry {
     "chars_histogram" ->
       """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // span corruption rebuilt token-for-token: DuckDB 1-indexed
+    // inclusive slices mirror Spark's (start, length) slices; the
+    // offset arithmetic is the same int64 expression.
+    "corpus_span_corrupt" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |b AS (SELECT doc_id, toks, len(toks) // 8 AS nblocks FROM t),
+         |p AS (SELECT doc_id, toks, nblocks,
+         |    list_transform(range(nblocks), b -> (doc_id * 2654435761 + b * 40503) % 6) AS offs
+         |  FROM b)
+         |SELECT doc_id, CAST(nblocks AS BIGINT) AS n_spans,
+         |  array_to_string(flatten(list_transform(range(nblocks), b ->
+         |    toks[b*8+1 : b*8+offs[b+1]] || ['<extra_id_' || b || '>'] || toks[b*8+offs[b+1]+3 : b*8+8]
+         |  )) || toks[nblocks*8+1 : len(toks)], ' ') AS input_text,
+         |  array_to_string(flatten(list_transform(range(nblocks), b ->
+         |    ['<extra_id_' || b || '>'] || toks[b*8+offs[b+1]+1 : b*8+offs[b+1]+2]
+         |  )), ' ') AS target_text
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     // The whole BPE training replayed as 8 CTE rounds; the learned
     // merge table (with pair counts) must hash-match.
