@@ -196,6 +196,16 @@ class PlanSpec extends GraftSpec {
       s"masking is per-row; only the ORDER BY may exchange, got plan:\n$p")
   }
 
+  test("corpus_span_corrupt: zero-shuffle projection — blocks are closed-form") {
+    // fixed non-overlapping blocks keep span masking a per-row
+    // transform: no join, no aggregation, only the presentation sort
+    // may exchange
+    val p = plan("corpus_span_corrupt")
+    assert(p.split("Exchange").length - 1 <= 1,
+      s"span corruption is per-row; only the ORDER BY may exchange, got:\n$p")
+    assert(!p.contains("Join"), "no join belongs in a per-row mask transform")
+  }
+
   test("events_asof: union+window form — no join node of any kind") {
     val p = plan("events_asof")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
