@@ -2918,6 +2918,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Streaming tokenization against the FROZEN trained vocab
+    // (streaming/TokenizeMaintenance — the apply-on-stream twin, same
+    // frozen-artifact discipline as ann_index_stream_append's
+    // codebook): documents shattered into 2 source files, each
+    // micro-batch stream-static joins the vocab and appends per-doc
+    // stats to its own batch_id dir (replay-idempotent overwrite).
+    // Tokenization is per-doc pure, so the streamed union HASH-MATCHES
+    // the batch oracle — batching-invariance as a full value match.
+    "bpe_stream_tokenize" -> ((s, dir) => {
+      graft.streaming.TokenizeMaintenance.maintainFromBatch(
+        s, Tables.documents(s, dir), sharedBpe(s, dir)._2)
+        .orderBy("doc_id")
+    }),
+
     // The learned subword VOCABULARY with frequency-ranked ids — the
     // (symbol → id) table a tokenizer ships: explode the final word
     // segmentation, weight each symbol by word frequency, rank by
@@ -5259,6 +5273,22 @@ object SparkEntry {
          |SELECT CAST(step AS BIGINT) AS step, lhs, rhs,
          |  CAST(cnt AS BIGINT) AS pair_count
          |FROM ($union) ORDER BY step""".stripMargin
+    },
+
+    // streamed tokenization ≡ batch: per-doc purity makes the union of
+    // per-batch outputs equal the batch result, so the SAME oracle SQL
+    // applies — the strongest streaming contract (hash match, not a
+    // floor).
+    "bpe_stream_tokenize" -> {
+      s"""WITH ${bpeCtesSql(BpeMerges)},
+         |t AS (SELECT doc_id, unnest(${toksSql("text")}) AS word FROM documents),
+         |ws AS (SELECT word, len(list_filter(string_split(enc, chr(1)), x -> x <> '')) AS n_sub
+         |       FROM w$BpeMerges),
+         |agg AS (SELECT t.doc_id, count(*) AS n_tokens, sum(ws.n_sub) AS n_subtokens
+         |        FROM t JOIN ws USING (word) GROUP BY t.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(agg.n_subtokens, 0) AS BIGINT) AS n_subtokens
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
 
     // vocab ids: explode the final segmentation, weight by word freq,

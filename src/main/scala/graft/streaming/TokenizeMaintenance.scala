@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Schemas
+import graft.textual.Bpe
+
+/** Streaming tokenization against a FROZEN tokenizer — the production
+  * shape for applying a trained BPE vocabulary to documents as they
+  * arrive (the tokenizer never retrains per batch; it is versioned
+  * corpus-level state, exactly like the frozen centroid codebook in
+  * `IndexMaintenance`). Completes the streaming-twin rectangle: IVF
+  * cells, dedup postings, HNSW segments, and now the tokenizer —
+  * every index-like artifact this engine ships has an apply-on-stream
+  * path.
+  *
+  * Shape: each micro-batch stream-static joins its documents against
+  * the final word→symbols table from `Bpe.trainMerges` and appends
+  * per-doc token/subtoken stats. Tokenization is per-doc pure, so the
+  * union of per-batch outputs equals the batch result REGARDLESS of
+  * how docs were split into batches (batching-invariance — the
+  * `bpe_stream_tokenize` CORRECTNESS row hash-matches the same oracle
+  * as the batch row). foreachBatch is at-least-once; each batch
+  * overwrites its own `batch_id=N/` directory, so replays replace
+  * rather than duplicate (the IndexMaintenance commit discipline).
+  */
+object TokenizeMaintenance {
+
+  def streamTokenizeStats(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      checkpointDir: String,
+      vocab: DataFrame,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.readStream
+      .schema(Schemas.documents)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        Bpe.tokenizeStats(batch.toDF(), "text", "doc_id", vocab)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Run the whole cycle on a batch table: shatter `docs` into
+    * `nFiles` source files, stream them through the frozen vocab, and
+    * return the unioned per-doc stats. Temp dirs are deleted before
+    * returning.
+    */
+  def maintainFromBatch(
+      spark: SparkSession,
+      docs: DataFrame,
+      vocab: DataFrame,
+      // 2 micro-batches: tokenization is per-doc pure, so batching
+      // invariance holds by construction (spec-proven at 3 too) — two
+      // batches exercise the append path at half the commit cost
+      nFiles: Int = 2): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_tok_maint")
+    val srcDir = base.resolve("src").toString
+    val outDir = base.resolve("out").toString
+    val ckptDir = base.resolve("ckpt").toString
+    try {
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+        .repartition(nFiles).write.parquet(srcDir)
+      val q = streamTokenizeStats(spark, srcDir, outDir, ckptDir, vocab)
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(outDir)
+        .select(col("doc_id"), col("n_tokens"), col("n_subtokens"))
+        .localCheckpoint(eager = true)
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+}

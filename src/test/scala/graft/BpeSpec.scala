@@ -110,6 +110,21 @@ class BpeSpec extends GraftSpec {
     assert(stats(0)._3 < "lowlower".length && stats(0)._3 >= 2L)
   }
 
+  test("streamed tokenization equals the batch result at any batching") {
+    // per-doc purity ⇒ the union of per-batch stream-static joins
+    // equals the batch join, however docs were shattered into files
+    val docs = Tables.documents(spark, sfDir).limit(120)
+      .localCheckpoint(eager = true)
+    val (_, vocab) = Bpe.trainMerges(spark, docs, "text", 3)
+    val batch = Bpe.tokenizeStats(docs, "text", "doc_id", vocab)
+    Seq(2, 3).foreach { nFiles =>
+      val streamed = graft.streaming.TokenizeMaintenance
+        .maintainFromBatch(spark, docs, vocab, nFiles = nFiles)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        s"stream != batch at nFiles=$nFiles")
+    }
+  }
+
   test("deterministic: two trainings agree exactly") {
     val docs = Tables.documents(spark, sfDir).limit(200)
     val a = Bpe.trainMerges(spark, docs, "text", 4)._1

@@ -437,7 +437,8 @@ class PlanSpec extends GraftSpec {
     // constructing these queries runs a real AvailableNow stream; their
     // hint/plan posture is pinned in IndexMaintenanceSpec /
     // HnswMaintenanceSpec instead
-    val skip = Set("ann_index_stream_append", "ann_hnsw_stream_append")
+    val skip = Set("ann_index_stream_append", "ann_hnsw_stream_append",
+      "bpe_stream_tokenize")
     val violations = scala.collection.mutable.SortedMap[String, Set[String]]()
     for ((name, fn) <- SparkEntry.queries if !skip(name)) {
       val analyzed = fn(spark, sfDir).queryExecution.analyzed
