@@ -188,4 +188,72 @@ class PropertySpec extends GraftSpec {
       assert(info.rms === rms, s"case $i")
     }
   }
+
+  test("property: G.711 codewords are canonical — value-level idempotence on all 256 bytes") {
+    // decode values are the quantization levels, so decode∘encode must
+    // FIX every decoded value (byte-level idempotence is broken only by
+    // the ±0 codeword alias, which maps to the same value)
+    import graft.multimodal.Multimodal.G711
+    (0 until 256).foreach { b =>
+      val u = G711.ulawDecode(b.toByte)
+      assert(G711.ulawDecode(G711.ulawEncode(u)) === u, s"ulaw byte $b")
+      val a = G711.alawDecode(b.toByte)
+      assert(G711.alawDecode(G711.alawEncode(a)) === a, s"alaw byte $b")
+    }
+  }
+
+  test("property: G.711 companding error bound and sign symmetry on random samples") {
+    import graft.multimodal.Multimodal.G711
+    val gen: Gen[Short] = Gen.chooseNum(Short.MinValue, Short.MaxValue)
+    cases(gen, 400).foreach { s =>
+      val eu = G711.ulawDecode(G711.ulawEncode(s)) - s
+      val ea = G711.alawDecode(G711.alawEncode(s)) - s
+      // max segment step: μ-law 8·2^seg ≤ 1024, A-law 16·2^(seg-1) ≤ 1024
+      assert(math.abs(eu) <= 1024, s"ulaw err $eu at $s")
+      assert(math.abs(ea) <= 1024, s"alaw err $ea at $s")
+    }
+  }
+
+  test("property: IMA ADPCM tracks bounded-slope signals within a step bound") {
+    import graft.multimodal.Multimodal.ImaAdpcm
+    // random start + random per-sample deltas in [-60, 60]: the step
+    // table adapts within a few samples, so the absolute reconstruction
+    // error stays bounded (measured well under 256 on this family)
+    val gen: Gen[(Short, List[Int])] = for {
+      start <- Gen.chooseNum(-20000, 20000)
+      n <- Gen.chooseNum(50, 300)
+      deltas <- Gen.listOfN(n, Gen.chooseNum(-60, 60))
+    } yield (start.toShort, deltas)
+    cases(gen, 15).zipWithIndex.foreach { case ((start, deltas), i) =>
+      val sig = deltas.scanLeft(start.toInt)((acc, d) =>
+        math.max(-32768, math.min(32767, acc + d))).toArray
+      val enc = new ImaAdpcm.State(sig(0), 0)
+      val dec = new ImaAdpcm.State(sig(0), 0)
+      var maxErr = 0
+      (1 until sig.length).foreach { j =>
+        val n = enc.encodeSample(sig(j))
+        val rec = dec.decodeNibble(n)
+        maxErr = math.max(maxErr, math.abs(rec - sig(j)))
+      }
+      assert(maxErr <= 256, s"case $i: adpcm err $maxErr")
+    }
+  }
+
+  test("property: ObjStm PDF write->extract equals the classic layout on random pages") {
+    val line: Gen[String] = Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        (10, Gen.alphaNumChar), (2, Gen.const(' ')),
+        (1, Gen.oneOf('(', ')', '\\', '/', '[', ']')))).map(_.mkString))
+    val page: Gen[Seq[String]] =
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, line)).map(_.toSeq)
+    val doc: Gen[Seq[Seq[String]]] =
+      Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, page)).map(_.toSeq)
+    cases(doc, 15).zipWithIndex.foreach { case (pages, i) =>
+      val objStm = graft.ingest.SimplePdf.extractPages(
+        graft.ingest.SimplePdfWriter.writeObjStm(pages, compress = i % 2 == 0))
+      val classic = graft.ingest.SimplePdf.extractPages(
+        graft.ingest.SimplePdfWriter.write(pages, compress = true))
+      assert(objStm === classic, s"case $i")
+    }
+  }
 }
