@@ -1481,6 +1481,31 @@ object SparkEntry {
         .orderBy("doc_id", "page_num")
     }),
 
+    // The Type0/CID twin: the SAME page text as a modern unicode PDF —
+    // content hex strings carry 2-byte CIDs at codepoint+7 (byte-pair
+    // decoding yields garbage by construction), the font is
+    // Type0/Identity-H, and only a reader that resolves the page's
+    // /Resources fonts, tracks Tf, and applies the parsed /ToUnicode
+    // CMap recovers the text. Hash-matches the same closed-form oracle
+    // as the classic and ObjStm layouts.
+    "pdf_extract_cid" -> ((s, dir) => {
+      val writeExtract = udf((text: String) => {
+        val trimmed = text.replaceAll("\\A +", "").replaceAll(" +\\z", "")
+        val toks: Seq[String] =
+          if (trimmed.isEmpty) Seq.empty
+          else trimmed.split(graft.functions.TextFunctions.wsPattern, -1).toSeq
+        val pages = Seq(Seq(toks.take(4).mkString(" ")),
+          Seq(toks.slice(4, 8).mkString(" ")))
+        graft.ingest.SimplePdf.extractPages(
+          graft.ingest.SimplePdfWriter.writeCid(pages, cidOffset = 7, compress = true))
+      })
+      Tables.documents(s, dir)
+        .filter(col("lang") === "en" && col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(writeExtract(col("text"))).as(Seq("pos", "page_text")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("page_num"), col("page_text"))
+        .orderBy("doc_id", "page_num")
+    }),
+
     // Signal-agreement check — do the two independent quality signals
     // (heuristic quality_score, unigram-LM typicality) rank documents
     // the same way? Exact-integer Spearman: both ranks come from
@@ -4179,6 +4204,17 @@ object SparkEntry {
     // PDF roundtrip: the expected page text in closed form from the
     // same whitespace tokens the writer consumed.
     "pdf_extract_pages" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
+         |  WHERE lang = 'en' AND doc_id < 100),
+         |p AS (SELECT doc_id, 1 AS page_num, array_to_string(toks[1:4], ' ') AS page_text FROM t
+         |      UNION ALL
+         |      SELECT doc_id, 2, array_to_string(toks[5:8], ' ') FROM t)
+         |SELECT doc_id, CAST(page_num AS BIGINT) AS page_num, page_text
+         |FROM p ORDER BY doc_id, page_num""".stripMargin,
+
+    // CID twin: the encoding changed (Type0 font, shifted 2-byte CIDs,
+    // /ToUnicode CMap), the text contract did not — same closed form.
+    "pdf_extract_cid" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
          |  WHERE lang = 'en' AND doc_id < 100),
          |p AS (SELECT doc_id, 1 AS page_num, array_to_string(toks[1:4], ' ') AS page_text FROM t

@@ -17,12 +17,16 @@ import java.util.zip.Inflater
   * /Kids with document-order fallback, content streams raw or
   * /FlateDecode (java.util.zip.Inflater), text via Tj / ' / " / TJ
   * with literal `(...)` strings (all escapes + octal) and `<hex>`
-  * strings, single-byte encodings read as Latin-1.
+  * strings, single-byte encodings read as Latin-1, AND Type0/CID
+  * fonts with /ToUnicode remapping (per-page font resolution through
+  * /Resources, `Tf` tracking in the content stream, 2-byte CID hex
+  * strings mapped through the parsed bfchar/bfrange CMap — the layout
+  * every modern unicode-text PDF uses).
   *
-  * NOT supported, by documented choice: encryption, CID/Type0
-  * multi-byte fonts, /ToUnicode remapping. A page that needs those
-  * yields "" — the reference's own per-page failure placeholder
-  * semantics (cc:41-47), keeping page numbering aligned.
+  * NOT supported, by documented choice: encryption, and CID text in
+  * literal (non-hex) strings. A page that needs those yields "" — the
+  * reference's own per-page failure placeholder semantics (cc:41-47),
+  * keeping page numbering aligned.
   */
 object SimplePdf {
 
@@ -147,15 +151,86 @@ object SimplePdf {
     seen.toSeq
   }
 
+  /** Parse a /ToUnicode CMap: `beginbfchar` pairs and `beginbfrange`
+    * triples (simple <lo> <hi> <dstStart> form), hex values decoded as
+    * UTF-16BE. Returns CID → unicode string.
+    */
+  private[graft] def parseCMap(text: String): Map[Int, String] = {
+    val out = scala.collection.mutable.HashMap[Int, String]()
+    def hexInt(h: String): Int = Integer.parseInt(h, 16)
+    def hexStr(h: String): String = {
+      val codes = h.grouped(4).filter(_.length == 4).map(hexInt(_).toChar)
+      new String(codes.toArray)
+    }
+    val BfChar = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+    val BfRange = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+    def blocks(begin: String, end: String): Iterator[String] = {
+      val B = java.util.regex.Pattern.quote(begin)
+      val E = java.util.regex.Pattern.quote(end)
+      s"(?s)$B(.*?)$E".r.findAllMatchIn(text).map(_.group(1))
+    }
+    blocks("beginbfrange", "endbfrange").foreach { blk =>
+      BfRange.findAllMatchIn(blk).foreach { m =>
+        val (lo, hi, dst) = (hexInt(m.group(1)), hexInt(m.group(2)), hexInt(m.group(3)))
+        var c = lo
+        while (c <= hi && c - lo <= 0xFFFF) { out(c) = (dst + (c - lo)).toChar.toString; c += 1 }
+      }
+    }
+    blocks("beginbfchar", "endbfchar").foreach { blk =>
+      BfChar.findAllMatchIn(blk).foreach { m =>
+        out(hexInt(m.group(1))) = hexStr(m.group(2))
+      }
+    }
+    out.toMap
+  }
+
+  /** Font-name → ToUnicode CMap for a page: walk /Resources (inline or
+    * referenced) → /Font name/ref pairs → Type0 fonts carrying a
+    * /ToUnicode stream. Fonts without a CMap are absent (hex strings
+    * for them keep the single-byte Latin-1 path).
+    */
+  private def fontCMaps(objs: Map[Int, PdfObj], pageDict: String): Map[String, Map[Int, String]] = {
+    val ri = pageDict.indexOf("/Resources")
+    if (ri < 0) return Map.empty
+    val after = pageDict.substring(ri + "/Resources".length)
+    val resText = """^\s*(\d+)\s+\d+\s+R""".r.findFirstMatchIn(after) match {
+      case Some(m) => objs.get(m.group(1).toInt).map(_.dict).getOrElse("")
+      case None => after
+    }
+    val fi = resText.indexOf("/Font")
+    if (fi < 0) return Map.empty
+    val fontRegion = resText.substring(fi)
+    """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fontRegion).flatMap { m =>
+      val name = m.group(1)
+      objs.get(m.group(2).toInt).flatMap { font =>
+        if (!font.dict.contains("/Type0")) None
+        else {
+          val ti = font.dict.indexOf("/ToUnicode")
+          if (ti < 0) None
+          else RefsRe.findFirstMatchIn(font.dict.substring(ti)).flatMap { r =>
+            objs.get(r.group(1).toInt).flatMap(decodeStream).map(parseCMap)
+          }.filter(_.nonEmpty).map(name -> _)
+        }
+      }
+    }.toMap
+  }
+
   /** Text-showing extraction from one decoded content stream: a
     * sequential tokenizer that collects `(…)`/`<…>` strings and flushes
     * them on Tj / ' / " / TJ; Td, TD, T* and ET insert line breaks.
+    * `fonts` carries per-name ToUnicode CMaps: after `/Fn size Tf`
+    * selects a CID font, hex strings are decoded as 2-byte CIDs mapped
+    * through its CMap (unmapped CIDs are dropped — the degrade-silently
+    * contract); other fonts keep the single-byte Latin-1 path.
     */
-  private[ingest] def textFromContent(content: String): String = {
+  private[ingest] def textFromContent(content: String,
+      fonts: Map[String, Map[Int, String]]): String = {
     val out = new StringBuilder
     val pending = new StringBuilder
     var i = 0
     val n = content.length
+    var lastName = ""
+    var cidMap: Option[Map[Int, String]] = None
     def readLiteral(): Unit = { // at '(' — balanced with escapes
       var depth = 1
       i += 1
@@ -194,11 +269,23 @@ object SimplePdf {
         i += 1
       }
       i += 1 // '>'
-      val h = if (hex.length % 2 == 1) hex.append('0') else hex
-      var j = 0
-      while (j + 1 < h.length + 1 && j + 2 <= h.length) {
-        pending += Integer.parseInt(h.substring(j, j + 2), 16).toChar
-        j += 2
+      cidMap match {
+        case Some(map) =>
+          // CID font: 2-byte codes, odd tails zero-padded per spec
+          val h = hex.toString.padTo((hex.length + 3) / 4 * 4, '0')
+          var j = 0
+          while (j + 4 <= h.length) {
+            map.get(Integer.parseInt(h.substring(j, j + 4), 16))
+              .foreach(pending ++= _)
+            j += 4
+          }
+        case None =>
+          val h = if (hex.length % 2 == 1) hex.append('0') else hex
+          var j = 0
+          while (j + 2 <= h.length) {
+            pending += Integer.parseInt(h.substring(j, j + 2), 16).toChar
+            j += 2
+          }
       }
     }
     def flushShow(): Unit = { out ++= pending; pending.clear() }
@@ -219,6 +306,9 @@ object SimplePdf {
             case "\"" => out += '\n'; flushShow()
             case "Td" | "TD" | "T*" => if (out.nonEmpty) out += '\n'
             case "ET" => if (out.nonEmpty && out.last != '\n') out += '\n'
+            case "Tf" => // font select: the last name token picks the CMap
+              cidMap = fonts.get(lastName)
+              dropPending()
             case "BI" => // inline image: skip to EI
               val ei = content.indexOf("EI", i)
               i = if (ei < 0) n else ei + 2
@@ -227,8 +317,10 @@ object SimplePdf {
           }
         case '/' => // name token: consume so names never look like ops
           i += 1
+          val nameStart = i
           while (i < n && !content.charAt(i).isWhitespace &&
             !"()<>[]/".contains(content.charAt(i))) i += 1
+          lastName = content.substring(nameStart, i)
         case _ => i += 1
       }
     }
@@ -259,9 +351,10 @@ object SimplePdf {
           val ci = dict.indexOf("/Contents")
           if (ci < 0) ""
           else {
+            val cmaps = try fontCMaps(objs, dict) catch { case _: Throwable => Map.empty[String, Map[Int, String]] }
             val contentRefs = RefsRe.findAllMatchIn(dict.substring(ci)).map(_.group(1).toInt).toSeq
             val text = contentRefs.flatMap(r => objs.get(r).flatMap(decodeStream))
-              .map(textFromContent).mkString("\n")
+              .map(textFromContent(_, cmaps)).mkString("\n")
             text.replaceAll("[ \\t]+\\n", "\n").trim
           }
         } catch { case _: Throwable => "" }

@@ -64,6 +64,75 @@ object SimplePdfWriter {
     body.toString.getBytes(ISO_8859_1)
   }
 
+  /** A Type0 (CID) font document with /ToUnicode remapping — the
+    * layout every modern unicode-text PDF uses: content hex strings
+    * carry 2-byte CIDs (here codepoint + `cidOffset`, so naive
+    * byte-pair decoding yields garbage and only a reader that applies
+    * the CMap recovers the text), the font is
+    * Type0/Identity-H/CIDFontType2, and the /ToUnicode CMap maps the
+    * CID range back to unicode with a single bfrange. Classic xref
+    * layout; same page numbering as [[write]].
+    */
+  def writeCid(pages: Seq[Seq[String]], cidOffset: Int = 7,
+               compress: Boolean = false): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val fontObj = 3 + 2 * n
+    val descObj = fontObj + 1
+    val cmapObj = fontObj + 2
+    def cidHex(s: String): String =
+      s.map(c => f"${c.toInt + cidOffset}%04X").mkString
+    def contentForCid(lines: Seq[String]): String =
+      "BT /F1 12 Tf 72 720 Td " +
+        lines.map(l => s"<${cidHex(l)}> Tj").mkString(" 0 -14 Td ") + " ET"
+
+    val objs = scala.collection.mutable.ArrayBuffer[String]()
+    objs += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n"
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      objs += s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents $contObj 0 R >>\nendobj\n"
+      val raw = contentForCid(lines).getBytes(ISO_8859_1)
+      val (data, filter) =
+        if (compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      objs += s"$contObj 0 obj\n<< /Length ${data.length}$filter >>\nstream\n" +
+        new String(data, ISO_8859_1) + "\nendstream\nendobj\n"
+    }
+    objs += s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+      s"/Encoding /Identity-H /DescendantFonts [$descObj 0 R] " +
+      s"/ToUnicode $cmapObj 0 R >>\nendobj\n"
+    objs += s"$descObj 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>\nendobj\n"
+    // ToUnicode: printable ASCII + the chars the lines actually use,
+    // covered by one bfrange over the shifted printable band
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |12 dict begin
+         |begincmap
+         |1 begincodespacerange
+         |<0000> <FFFF>
+         |endcodespacerange
+         |1 beginbfrange
+         |<${f"${0x20 + cidOffset}%04X"}> <${f"${0x7E + cidOffset}%04X"}> <0020>
+         |endbfrange
+         |endcmap
+         |CMapName currentdict /CMap defineresource pop
+         |end
+         |end""".stripMargin
+    objs += s"$cmapObj 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n"
+
+    val body = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.map { o => val off = body.length; body ++= o; off }
+    val xrefOff = body.length
+    body ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    offsets.foreach(o => body ++= f"$o%010d 00000 n \n")
+    body ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n"
+    body.toString.getBytes(ISO_8859_1)
+  }
+
   /** The PDF 1.5+ layout modern generators emit: every DICT object
     * (catalog, page tree, pages, font) lives inside one Flate-compressed
     * /Type /ObjStm object stream; only stream objects (page contents,

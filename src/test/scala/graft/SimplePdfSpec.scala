@@ -64,6 +64,40 @@ class SimplePdfSpec extends GraftSpec {
     assert(got.forall(_ == "") || got === Seq(""))
   }
 
+  test("Type0/CID font with /ToUnicode: shifted CIDs map back to the exact text") {
+    // the writer emits 2-byte CIDs at codepoint+7, so byte-pair decoding
+    // yields garbage — only applying the parsed CMap recovers the text
+    val pages = Seq(
+      Seq("Unicode arrives via ToUnicode.", "CID 0x0041 is not 'A' here."),
+      Seq("Second page, same font."))
+    Seq(false, true).foreach { compress =>
+      val pdf = SimplePdfWriter.writeCid(pages, cidOffset = 7, compress = compress)
+      assert(SimplePdf.extractPages(pdf) === pages.map(_.mkString("\n")),
+        s"compress=$compress")
+    }
+    // a different offset exercises a different CID band
+    val shifted = SimplePdfWriter.writeCid(pages, cidOffset = 1000)
+    assert(SimplePdf.extractPages(shifted) === pages.map(_.mkString("\n")))
+  }
+
+  test("parseCMap: bfchar entries, multi-char UTF-16 targets, bfrange expansion") {
+    val cmap =
+      """begincmap
+        |2 beginbfchar
+        |<0003> <0041>
+        |<0007> <00660066>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <0061>
+        |endbfrange
+        |endcmap""".stripMargin
+    val m = SimplePdf.parseCMap(cmap)
+    assert(m(3) === "A")
+    assert(m(7) === "ff", "a bfchar target may be multiple UTF-16 code units")
+    assert(m(0x10) === "a" && m(0x11) === "b" && m(0x12) === "c")
+    assert(!m.contains(0x13))
+  }
+
   test("TJ arrays, hex strings, quote operator and octal escapes all show") {
     val content = "BT /F1 12 Tf 72 720 Td " +
       "[(Kern) -120 (ed)] TJ " + // TJ array: strings concatenate, kerns drop
