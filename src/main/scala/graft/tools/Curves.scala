@@ -29,7 +29,7 @@ object Curves {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // optional section filter: any of {ann, recall, dedup}; default all
     val sections: Set[String] =
-      if (args.isEmpty) Set("ann", "recall", "dedup") else args.toSet
+      if (args.isEmpty) Set("ann", "recall", "dedup", "bpe") else args.toSet
     val spark = GraftSession.builder("graft-curves", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -229,6 +229,56 @@ object Curves {
       pC = Dedup.ngramJaccardPairs(boiled, 3, 0.6, maxDocFrequency = 256).count()
     }
     println(f"| df ≤ 256 | $msC%.0f | $pC%d |")
+    }
+
+    // BPE training cost vs corpus size: replication grows the corpus
+    // but NOT the word vocabulary, and merges are learned over the
+    // vocab — so only the initial word-count pass should track corpus
+    // size while the 8 merge rounds stay ~flat. The measurable form of
+    // the frequency-table trick's scale claim.
+    if (sections("bpe")) {
+      val docsBase = graft.model.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      def onceMs(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }
+      println("\n| variant | n_docs | vocab | count-words ms | 8-merge-rounds ms | tokenize ms |")
+      println("|---|---|---|---|---|---|")
+      // (corpus ×m, vocab unchanged) vs (corpus ×m AND vocab ×m via
+      // suffixed tokens): same data volume at ×16, different vocab —
+      // whichever axis the round cost follows is the real driver
+      Seq(("corpus x1", 1, false), ("corpus x4", 4, false),
+        ("corpus x16", 16, false), ("corpus+vocab x16", 16, true))
+        .foreach { case (label, m, suffix) =>
+        val corpus =
+          if (m == 1) docsBase
+          else {
+            val rep = docsBase.crossJoin(spark.range(m).select($"id".as("rep")))
+            if (!suffix) rep.select(($"doc_id" * m + $"rep").as("doc_id"), $"text")
+            else rep.select(($"doc_id" * m + $"rep").as("doc_id"),
+              array_join(
+                transform(split($"text", " "), t => concat(t, lit("_"), $"rep".cast("string"))),
+                " ").as("text"))
+          }
+        val p = s"$work/bpe_${m}_$suffix"
+        corpus.write.mode("overwrite").parquet(p)
+        val c = spark.read.parquet(p)
+        val nd = c.count()
+        var vocab = 0L
+        val countMs = onceMs {
+          vocab = graft.textual.Bpe.wordFrequencies(c, "text").count()
+        }
+        var words: org.apache.spark.sql.DataFrame = null
+        val trainMs = onceMs {
+          words = graft.textual.Bpe.trainMerges(spark, c, "text", 8)._2
+        }
+        val tokMs = onceMs {
+          graft.textual.Bpe.tokenizeStats(c, "text", "doc_id", words).count()
+        }
+        graft.textual.Bpe.unpersistCheckpoint(words)
+        // trainMs includes the count pass it starts from; report the
+        // rounds-only residual so the flat part is visible
+        println(f"| $label%s | $nd%d | $vocab%d | $countMs%.0f | ${math.max(trainMs - countMs, 0)}%.0f | $tokMs%.0f |")
+      }
     }
     spark.stop()
   }
