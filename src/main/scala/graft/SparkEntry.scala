@@ -1481,6 +1481,32 @@ object SparkEntry {
         .orderBy("doc_id", "page_num")
     }),
 
+    // The ENCRYPTED twin: the same pages as genuine RC4-encrypted PDFs
+    // (standard security handler V1/R2, empty user password — spec
+    // algorithms 1–4 from the public standard). Streams are ciphertext
+    // on disk; extraction derives the file key from the trailer's
+    // /Encrypt + /ID, decrypts per object, then runs the normal
+    // pipeline. Same closed-form text oracle. With this, the
+    // SimplePdf NOT-supported list is down to non-empty passwords, AES
+    // handlers, and CID literal strings.
+    "pdf_extract_encrypted" -> ((s, dir) => {
+      val writeExtract = udf((text: String) => {
+        val trimmed = text.replaceAll("\\A +", "").replaceAll(" +\\z", "")
+        val toks: Seq[String] =
+          if (trimmed.isEmpty) Seq.empty
+          else trimmed.split(graft.functions.TextFunctions.wsPattern, -1).toSeq
+        val pages = Seq(Seq(toks.take(4).mkString(" ")),
+          Seq(toks.slice(4, 8).mkString(" ")))
+        graft.ingest.SimplePdf.extractPages(
+          graft.ingest.SimplePdfWriter.writeEncrypted(pages, compress = true))
+      })
+      Tables.documents(s, dir)
+        .filter(col("lang") === "en" && col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(writeExtract(col("text"))).as(Seq("pos", "page_text")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("page_num"), col("page_text"))
+        .orderBy("doc_id", "page_num")
+    }),
+
     // The Type0/CID twin: the SAME page text as a modern unicode PDF —
     // content hex strings carry 2-byte CIDs at codepoint+7 (byte-pair
     // decoding yields garbage by construction), the font is
@@ -4204,6 +4230,17 @@ object SparkEntry {
     // PDF roundtrip: the expected page text in closed form from the
     // same whitespace tokens the writer consumed.
     "pdf_extract_pages" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
+         |  WHERE lang = 'en' AND doc_id < 100),
+         |p AS (SELECT doc_id, 1 AS page_num, array_to_string(toks[1:4], ' ') AS page_text FROM t
+         |      UNION ALL
+         |      SELECT doc_id, 2, array_to_string(toks[5:8], ' ') FROM t)
+         |SELECT doc_id, CAST(page_num AS BIGINT) AS page_num, page_text
+         |FROM p ORDER BY doc_id, page_num""".stripMargin,
+
+    // encrypted twin: the storage changed (RC4 ciphertext streams), the
+    // text contract did not — same closed form.
+    "pdf_extract_encrypted" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
          |  WHERE lang = 'en' AND doc_id < 100),
          |p AS (SELECT doc_id, 1 AS page_num, array_to_string(toks[1:4], ' ') AS page_text FROM t

@@ -23,10 +23,15 @@ import java.util.zip.Inflater
   * strings mapped through the parsed bfchar/bfrange CMap — the layout
   * every modern unicode-text PDF uses).
   *
-  * NOT supported, by documented choice: encryption, and CID text in
-  * literal (non-hex) strings. A page that needs those yields "" — the
-  * reference's own per-page failure placeholder semantics (cc:41-47),
-  * keeping page numbering aligned.
+  * Encryption: RC4 standard security handler (V 1 / R 2, 40-bit) with
+  * an EMPTY user password is decrypted transparently — spec algorithms
+  * 1–4 implemented from the public PDF standard, exercised end-to-end
+  * by the writer's own encrypted output.
+  *
+  * NOT supported, by documented choice: non-empty passwords, AES
+  * (V 4/5) handlers, and CID text in literal (non-hex) strings. A page
+  * that needs those yields "" — the reference's own per-page failure
+  * placeholder semantics (cc:41-47), keeping page numbering aligned.
   */
 object SimplePdf {
 
@@ -61,6 +66,89 @@ object SimplePdf {
       }
     }.map(o => o.num -> o).toMap
   }
+
+  /** RC4 (public algorithm; the cipher of the PDF 1.1–1.3 standard
+    * security handler — symmetric, so it serves writer and reader).
+    */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var i = 0; j = 0
+    var k = 0
+    while (k < data.length) {
+      i = (i + 1) & 0xff
+      j = (j + s(i)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(k) = (data(k) ^ s((s(i) + s(j)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** The spec's 32-byte password padding string (PDF 32000, Alg. 2). */
+  private[graft] val PadBytes: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def leInt(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Standard-security-handler file key for an EMPTY user password
+    * (revision 2, 40-bit): MD5(pad ‖ O ‖ P-as-LE-int ‖ ID0)[0,5).
+    */
+  private[graft] def fileKey(o: Array[Byte], p: Int, id0: Array[Byte]): Array[Byte] =
+    md5(PadBytes, o, leInt(p), id0).take(5)
+
+  /** O entry for empty owner/user passwords (Alg. 3, rev 2):
+    * RC4(MD5(pad)[0,5), pad).
+    */
+  private[graft] def ownerEntry(): Array[Byte] = rc4(md5(PadBytes).take(5), PadBytes)
+
+  /** U entry for an empty user password (Alg. 4, rev 2): RC4(key, pad). */
+  private[graft] def userEntry(key: Array[Byte]): Array[Byte] = rc4(key, PadBytes)
+
+  /** Per-object key (Alg. 1): MD5(key ‖ objnum LE24 ‖ gen LE16) truncated
+    * to min(keyLen+5, 16).
+    */
+  private[graft] def objectKey(key: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    val salt = Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    md5(key, salt).take(math.min(key.length + 5, 16))
+  }
+
+  /** Encryption parameters from the trailer, if the file is encrypted
+    * with the standard handler (V 1 / R 2): the /Encrypt dict's O and P
+    * plus the first /ID string. Unsupported handlers return None and
+    * the document degrades to Seq("").
+    */
+  private def encryptionOf(s: String, objs: Map[Int, PdfObj]): Option[(Array[Byte], Int, Array[Byte])] = {
+    val ti = s.lastIndexOf("trailer")
+    val region = if (ti >= 0) s.substring(ti) else s
+    for {
+      em <- """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(region)
+      enc <- objs.get(em.group(1).toInt)
+      if enc.dict.contains("/Standard")
+      om <- """/O\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(enc.dict)
+      pm <- """/P\s+(-?\d+)""".r.findFirstMatchIn(enc.dict)
+      im <- """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(region)
+    } yield (hexBytes(om.group(1)), pm.group(1).toInt, hexBytes(im.group(1)))
+  }
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
@@ -334,7 +422,20 @@ object SimplePdf {
     try {
       val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
       if (!s.startsWith("%PDF")) return Seq("")
-      val topLevel = parseObjects(bytes)
+      val parsed = parseObjects(bytes)
+      // standard-security-handler decryption (empty user password):
+      // every object stream is RC4'd under its per-object key before
+      // any other processing — Flate, ObjStm expansion, and CMaps then
+      // see plaintext exactly as in an unencrypted file
+      val topLevel = encryptionOf(s, parsed) match {
+        case Some((o, p, id0)) =>
+          val key = fileKey(o, p, id0)
+          parsed.map { case (num, obj) =>
+            num -> obj.copy(stream =
+              obj.stream.map(raw => rc4(objectKey(key, num, 0), raw)))
+          }
+        case None => parsed
+      }
       val embedded = expandObjStms(topLevel)
       val objs = embedded.map(o => o.num -> o).toMap ++ topLevel
       val docOrder = {

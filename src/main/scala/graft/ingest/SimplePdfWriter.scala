@@ -64,6 +64,58 @@ object SimplePdfWriter {
     body.toString.getBytes(ISO_8859_1)
   }
 
+  /** An RC4-ENCRYPTED document (standard security handler, V 1 / R 2,
+    * 40-bit, empty user password — the PDF 1.1–1.3 encryption every
+    * reader supports): O/U computed per the spec's algorithms 2–4 (via
+    * [[SimplePdf]]'s shared primitives), every content stream stored as
+    * RC4(per-object-key, Flate?(data)), /Encrypt + /ID in the trailer.
+    * A reader that ignores encryption sees ciphertext; only the
+    * standard key derivation recovers the text.
+    */
+  def writeEncrypted(pages: Seq[Seq[String]], compress: Boolean = true): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val fontObj = 3 + 2 * n
+    val encObj = fontObj + 1
+    val perm = -4
+    val id0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(pages.flatten.mkString("\n").getBytes(ISO_8859_1))
+    val o = SimplePdf.ownerEntry()
+    val key = SimplePdf.fileKey(o, perm, id0)
+    val u = SimplePdf.userEntry(key)
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+
+    val objs = scala.collection.mutable.ArrayBuffer[String]()
+    objs += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n"
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      objs += s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents $contObj 0 R >>\nendobj\n"
+      val raw = contentFor(lines).getBytes(ISO_8859_1)
+      val (plain, filter) =
+        if (compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      val data = SimplePdf.rc4(SimplePdf.objectKey(key, contObj, 0), plain)
+      objs += s"$contObj 0 obj\n<< /Length ${data.length}$filter >>\nstream\n" +
+        new String(data, ISO_8859_1) + "\nendstream\nendobj\n"
+    }
+    objs += s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+    objs += s"$encObj 0 obj\n<< /Filter /Standard /V 1 /R 2 /Length 40 " +
+      s"/O <${hex(o)}> /U <${hex(u)}> /P $perm >>\nendobj\n"
+
+    val body = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.map { ob => val off = body.length; body ++= ob; off }
+    val xrefOff = body.length
+    body ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    offsets.foreach(off => body ++= f"$off%010d 00000 n \n")
+    body ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R " +
+      s"/Encrypt $encObj 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n"
+    body.toString.getBytes(ISO_8859_1)
+  }
+
   /** A Type0 (CID) font document with /ToUnicode remapping — the
     * layout every modern unicode-text PDF uses: content hex strings
     * carry 2-byte CIDs (here codepoint + `cidOffset`, so naive

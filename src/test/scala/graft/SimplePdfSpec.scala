@@ -80,6 +80,36 @@ class SimplePdfSpec extends GraftSpec {
     assert(SimplePdf.extractPages(shifted) === pages.map(_.mkString("\n")))
   }
 
+  test("RC4-encrypted PDF (standard handler, empty user password) decrypts to the text") {
+    val pages = Seq(
+      Seq("This stream is RC4 ciphertext on disk.", "Key = MD5(pad,O,P,ID)[0,5)."),
+      Seq("Second page, same file key, different object key."))
+    Seq(false, true).foreach { compress =>
+      val pdf = SimplePdfWriter.writeEncrypted(pages, compress = compress)
+      val s = new String(pdf, ISO_8859_1)
+      assert(s.contains("/Encrypt") && s.contains("/Standard"))
+      // the plaintext operators must NOT appear in the stored stream
+      // (uncompressed variant: 'BT /F1' would be visible if unencrypted)
+      if (!compress) assert(!s.contains("BT /F1"),
+        "content must be ciphertext on disk")
+      assert(SimplePdf.extractPages(pdf) === pages.map(_.mkString("\n")),
+        s"compress=$compress")
+    }
+    // U entry must verify: RC4(fileKey, pad) — i.e. the writer and the
+    // reader agree on algorithms 2 and 4
+    val pdf = SimplePdfWriter.writeEncrypted(pages)
+    val s = new String(pdf, ISO_8859_1)
+    val o = """\/O <([0-9A-Fa-f]+)>""".r.findFirstMatchIn(s).get.group(1)
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val u = """\/U <([0-9A-Fa-f]+)>""".r.findFirstMatchIn(s).get.group(1)
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val id0 = """\/ID \[<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(s).get.group(1)
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val key = SimplePdf.fileKey(o, -4, id0)
+    assert(SimplePdf.rc4(key, SimplePdf.PadBytes).toSeq === u.toSeq,
+      "the U entry must equal RC4(fileKey, padding) per Algorithm 4")
+  }
+
   test("parseCMap: bfchar entries, multi-char UTF-16 targets, bfrange expansion") {
     val cmap =
       """begincmap
