@@ -2167,6 +2167,41 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // The THIRD video codec, oracle-visible: MS-RLE8 (biCompression 1 —
+    // run-length with end-of-line/bitmap escapes, decoded by our own
+    // opcode walker over the strf palette, no JDK codec involved).
+    // Lossless, so unlike MJPEG the per-frame means replay EXACTLY in
+    // closed form — same contract as the DIB row, at ~w·h/2 bytes per
+    // solid frame instead of 3·w·h.
+    "multimodal_video_rle" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 260 + (id % 5).toInt // > 255: multi-run rows decode too
+            val h = 3 + (id % 3).toInt
+            val colors = (0 until 3).map { f =>
+              ((((id * 13 + f * 29) % 256) << 16) | (((id * 3 + f * 7) % 256) << 8) |
+                ((id * 17 + f * 11) % 256)).toInt
+            }
+            (id, graft.multimodal.Multimodal.aviRleBytes(w, h, fps = 10, colors))
+          }
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.decodeAvi(s, media)
+        .filter(col("is_video"))
+        .select(col("id").as("doc_id"), col("codec"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          posexplode(col("frame_means")).as(Seq("frame_idx", "m")))
+        .select(col("doc_id"), col("codec"), col("width"), col("height"), col("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          element_at(col("m"), 1).cast("long").as("r"),
+          element_at(col("m"), 2).cast("long").as("g"),
+          element_at(col("m"), 3).cast("long").as("b"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // IVFADC end-to-end (Jégou et al., TPAMI'11 — the full production
     // ANN pipeline, composing the pieces the suite verifies separately):
     // the IVF coarse probe prunes the corpus to nprobe=2 of 8 cells
@@ -4700,6 +4735,19 @@ object SparkEntry {
         |  CAST((d.doc_id * 7 + f.f * 13) % 32 AS BIGINT) AS g_bucket,
         |  CAST((d.doc_id * 7 + f.f * 13) % 32 AS BIGINT) AS b_bucket
         |FROM documents d, range(0, 3) f(f) WHERE d.doc_id < 40
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
+
+    // RLE8 is lossless: colors replay exactly, the DIB contract.
+    "multimodal_video_rle" ->
+      """SELECT d.doc_id, 'RLE8' AS codec,
+        |  CAST(260 + d.doc_id % 5 AS BIGINT) AS width,
+        |  CAST(3 + d.doc_id % 3 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(f.f AS BIGINT) AS frame_idx,
+        |  CAST((d.doc_id * 13 + f.f * 29) % 256 AS BIGINT) AS r,
+        |  CAST((d.doc_id * 3 + f.f * 7) % 256 AS BIGINT) AS g,
+        |  CAST((d.doc_id * 17 + f.f * 11) % 256 AS BIGINT) AS b
+        |FROM documents d, range(0, 3) f(f) WHERE d.doc_id < 50
         |ORDER BY d.doc_id, frame_idx""".stripMargin,
 
     // Audio: the synthesized sample formula replayed exactly — Σs² is

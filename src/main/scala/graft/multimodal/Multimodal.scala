@@ -568,6 +568,38 @@ object Multimodal {
       frameBytes = maxFrame, frameChunks = frameChunks)
   }
 
+  /** Minimal MS-RLE8 AVI writer (biCompression = 1 — the legacy
+    * run-length codec every AVI player supports; the SECOND compressed
+    * video codec in the suite, this one decoded entirely by our own
+    * opcode walker, no JDK codec involved). 8-bit indexed frames over a
+    * palette; each frame here is one solid palette color encoded as
+    * per-row runs (255-pixel max per run) + end-of-line/bitmap escapes.
+    */
+  def aviRleBytes(w: Int, h: Int, fps: Int, colors: Seq[Int]): Array[Byte] = {
+    val palette = colors.distinct
+    val frameChunks = colors.map { rgb =>
+      val idx = palette.indexOf(rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      var y = 0
+      while (y < h) {
+        var left = w
+        while (left > 0) {
+          val run = math.min(left, 255)
+          out.write(run); out.write(idx)
+          left -= run
+        }
+        out.write(0); out.write(0) // end of line
+        y += 1
+      }
+      out.write(0); out.write(1) // end of bitmap
+      aviChunk("00dc", out.toByteArray)
+    }
+    val maxFrame = frameChunks.map(_.length - 8).max
+    aviContainer(w, h, fps, handler = "MRLE", biCompression = 1,
+      frameBytes = maxFrame, frameChunks = frameChunks,
+      bitCount = 8, palette = palette)
+  }
+
   private def aviChunk(id: String, body: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -580,7 +612,8 @@ object Multimodal {
     */
   private def aviContainer(w: Int, h: Int, fps: Int, handler: String,
       biCompression: Int, frameBytes: Int,
-      frameChunks: Seq[Array[Byte]]): Array[Byte] = {
+      frameChunks: Seq[Array[Byte]],
+      bitCount: Int = 24, palette: Seq[Int] = Nil): Array[Byte] = {
     def list(kind: String, body: Array[Byte]): Array[Byte] =
       aviChunk("LIST", kind.getBytes("US-ASCII") ++ body)
     def le(ints: Int*): Array[Byte] = {
@@ -594,24 +627,32 @@ object Multimodal {
     val strh = aviChunk("strh",
       "vids".getBytes("US-ASCII") ++ handler.getBytes("US-ASCII") ++
         le(0, 0, 0, 1, fps, 0, frameChunks.length, frameBytes, -1, 0, 0))
+    // palette entries are RGBQUAD (B, G, R, 0) after the 40-byte header
+    val palBytes = palette.flatMap(rgb => Seq(
+      (rgb & 0xff).toByte, ((rgb >> 8) & 0xff).toByte,
+      ((rgb >> 16) & 0xff).toByte, 0.toByte)).toArray
     val strf = aviChunk("strf",
-      le(40, w, h, 1 | (24 << 16), biCompression, frameBytes, 0, 0, 0, 0))
+      le(40, w, h, 1 | (bitCount << 16), biCompression, frameBytes, 0, 0,
+        palette.length, 0) ++ palBytes)
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
     val movi = list("movi", frameChunks.reduce(_ ++ _))
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     aviChunk("RIFF", body)
   }
 
-  /** REAL video decode for AVI: uncompressed-DIB ('00db' raw BGR rows)
-    * AND MJPEG ('00dc' per-frame JPEG via the JDK's own codec) — both
-    * pure JDK. RIFF/LIST walking is shared; the strf biCompression
-    * fourcc selects the frame decoder. Emits header geometry, fps, the
-    * codec tag, and one mean-RGB feature vector per frame (exact for
-    * DIB; for MJPEG, whatever the JDK's JPEG decoder returns — the
-    * oracle-facing query buckets those means so lossy round-trip error
-    * cannot flip a value). Only INTER-frame codecs (H.264/VP9/…) remain
-    * stubbed — they genuinely need a native library. Anything that is
-    * not a decodable AVI degrades to is_video = false.
+  /** REAL video decode for AVI: uncompressed-DIB ('00db' raw BGR rows),
+    * MJPEG ('00dc' per-frame JPEG via the JDK's own codec), AND MS-RLE8
+    * ('00dc' with biCompression 1 — run/escape opcodes walked by our
+    * own decoder over the strf palette; lossless, so means are exact
+    * like DIB's) — all pure JDK. RIFF/LIST walking is shared; the strf
+    * biCompression fourcc selects the frame decoder. Emits header
+    * geometry, fps, the codec tag, and one mean-RGB feature vector per
+    * frame (exact for DIB/RLE8; for MJPEG, whatever the JDK's JPEG
+    * decoder returns — the oracle-facing query buckets those means so
+    * lossy round-trip error cannot flip a value). Only INTER-frame
+    * codecs (H.264/VP9/…) remain stubbed — they genuinely need a
+    * native library. Anything that is not a decodable AVI degrades to
+    * is_video = false.
     */
   def decodeAvi(spark: SparkSession, media: DataFrame): Dataset[VideoInfo] = {
     import spark.implicits._
@@ -630,6 +671,7 @@ object Multimodal {
               if (str4() != "AVI ") none(r.id)
               else {
                 var (w, h, bits, usPerFrame, compression) = (0, 0, 0, 0, 0)
+                var palette: Array[Int] = Array.empty
                 val means = scala.collection.mutable.ArrayBuffer[Array[Float]]()
                 def walk(end: Int): Unit =
                   while (bb.position() + 8 <= end) {
@@ -644,10 +686,19 @@ object Multimodal {
                         bb.position(bb.position() + 28)
                         w = bb.getInt; h = bb.getInt
                       case "strf" =>
+                        val strfStart = bb.position()
                         bb.getInt // biSize
                         w = bb.getInt; h = bb.getInt
                         bits = bb.getInt >>> 16 // planes | bitCount<<16
                         if (len >= 20) compression = bb.getInt
+                        if (len > 40) { // RGBQUAD palette after the header
+                          bb.position(strfStart + 40)
+                          palette = Array.fill((len - 40) / 4) {
+                            val pb = bb.get() & 0xff; val pg = bb.get() & 0xff
+                            val pr = bb.get() & 0xff; bb.get()
+                            (pr << 16) | (pg << 8) | pb
+                          }
+                        }
                       case c if c.endsWith("db") && w > 0 && h > 0 && bits == 24 &&
                           compression == 0 =>
                         val rowBytes = (w * 3 + 3) & ~3
@@ -667,6 +718,50 @@ object Multimodal {
                         }
                         val n = (w.toLong * h).toFloat
                         means += Array(sr / n, sg / n, sb / n)
+                      case c if c.endsWith("dc") && compression == 1 &&
+                          w > 0 && h > 0 && bits == 8 =>
+                        // MS-RLE8: (count, index) runs; escapes 00 00 =
+                        // end-of-line, 00 01 = end-of-bitmap, 00 02 dx dy =
+                        // delta skip, 00 n>=3 = n absolute pixels (word-
+                        // padded). Untouched pixels keep index 0 per spec.
+                        val pix = new Array[Int](w * h)
+                        val base = bb.position()
+                        var p = base
+                        var (x, row) = (0, 0)
+                        var done = false
+                        while (!done && p + 1 < base + len) {
+                          val b1 = bb.get(p) & 0xff
+                          val b2 = bb.get(p + 1) & 0xff
+                          p += 2
+                          if (b1 > 0) {
+                            var k = 0
+                            while (k < b1) {
+                              if (row < h && x < w) pix(row * w + x) = b2
+                              x += 1; k += 1
+                            }
+                          } else b2 match {
+                            case 0 => x = 0; row += 1
+                            case 1 => done = true
+                            case 2 =>
+                              x += bb.get(p) & 0xff
+                              row += bb.get(p + 1) & 0xff
+                              p += 2
+                            case cnt =>
+                              var k = 0
+                              while (k < cnt) {
+                                if (row < h && x < w) pix(row * w + x) = bb.get(p + k) & 0xff
+                                x += 1; k += 1
+                              }
+                              p += cnt + (cnt & 1)
+                          }
+                        }
+                        var (sr, sg, sb) = (0L, 0L, 0L)
+                        pix.foreach { i =>
+                          val rgb = if (i < palette.length) palette(i) else 0
+                          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                        }
+                        val np = (w.toLong * h).toFloat
+                        means += Array(sr / np, sg / np, sb / np)
                       case c if c.endsWith("dc") && compression == MjpgFourcc =>
                         val jpeg = new Array[Byte](len)
                         bb.get(jpeg)
@@ -697,7 +792,8 @@ object Multimodal {
                 walk(r.payload.length)
                 if (means.isEmpty || w <= 0 || h <= 0) none(r.id)
                 else VideoInfo(r.id, is_video = true,
-                  if (compression == MjpgFourcc) "MJPG" else "DIB",
+                  if (compression == MjpgFourcc) "MJPG"
+                  else if (compression == 1) "RLE8" else "DIB",
                   w, h, means.length,
                   if (usPerFrame > 0) 1e6 / usPerFrame else 0.0, means.toArray)
               }

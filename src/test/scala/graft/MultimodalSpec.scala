@@ -254,6 +254,21 @@ class MultimodalSpec extends GraftSpec {
       s"decoded rms ${r.rms} strayed from source rms $srcRms")
   }
 
+  test("decodeAvi: MS-RLE8 frames decode through the palette with exact colors") {
+    import spark.implicits._
+    // RLE8 is lossless: solid frames must round-trip their exact
+    // palette colors, including a width > 255 (multi-run rows)
+    val colors = Seq(0xFF0000, 0x00FF00, 0xFF0000, 0x123456)
+    val avi = Multimodal.aviRleBytes(w = 300, h = 3, fps = 10, colors)
+    val v = Multimodal.decodeAvi(spark, Seq((5L, avi)).toDF("id", "payload")).head()
+    assert(v.is_video && v.codec === "RLE8")
+    assert(v.width === 300 && v.height === 3 && v.n_frames === 4 && v.fps === 10.0)
+    v.frame_means.zip(colors).foreach { case (m, rgb) =>
+      assert(m.toSeq === Seq(((rgb >> 16) & 0xff).toFloat,
+        ((rgb >> 8) & 0xff).toFloat, (rgb & 0xff).toFloat))
+    }
+  }
+
   test("decodeWav: stereo frames, odd-chunk padding, and degrade paths") {
     import spark.implicits._
     val stereo = Multimodal.wavBytes(8000, 2, Array.tabulate(512)(i => i.toShort))
