@@ -2331,6 +2331,37 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), round(col("mean_logprob"), 4).as("mean_logprob"))
         .orderBy("doc_id")),
 
+    // The bigram refinement: mean ln P(wᵢ|wᵢ₋₁) under the corpus MLE
+    // (c(a,b)/c(a·), both exact BIGINTs — a· counts a as a bigram LEFT,
+    // so the conditional normalizes). Catches wrong-ORDER token salads
+    // the unigram signal scores as fluent. Adjacency via the same
+    // closed-form list-zip as corpus_span_corrupt (no window, no
+    // positions shuffle); 3 linear shuffles like the unigram row. Docs
+    // with < 2 tokens keep a (0, NULL) row on both engines.
+    "doc_bigram_logprob" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bg = docs
+        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+        .withColumn("pr", explode(when(size(col("toks")) < 2,
+          expr("cast(array() as array<struct<a:string,b:string>>)"))
+          .otherwise(expr(
+            "transform(sequence(0, size(toks)-2), i -> struct(toks[i] as a, toks[i+1] as b))"))))
+        .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+      val big = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val uni = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
+      val perDoc = bg.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+        .join(big, Seq("a", "b")).join(uni, Seq("a"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * log(col("c_ab").cast("double") / col("c_a").cast("double"))).as("ll"),
+          sum(col("tf")).as("nb"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+          round(col("ll") / col("nb"), 4).as("mean_bigram_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR-style importance weights (Xie et al. '23): per-token
     // log-likelihood ratio of an add-one-smoothed target unigram LM
     // (here: the English slice) vs the raw LM (everything else) — the
@@ -4889,6 +4920,24 @@ object SparkEntry {
          |  round(sum(tf * ln(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE))) / dl, 4) AS mean_logprob
          |FROM post JOIN ctf USING (term) CROSS JOIN tot
          |GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
+
+    // bigram conditional MLE: adjacency via the same closed-form
+    // list-zip, counts exact BIGINTs, the same rounded-mean discipline.
+    "doc_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |bg AS (SELECT doc_id, pr[1] AS a, pr[2] AS b FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+         |      ELSE list_zip(toks[1:len(toks)-1], toks[2:len(toks)]) END) AS pr FROM t)),
+         |big AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1),
+         |dbg AS (SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         |ll AS (SELECT dbg.doc_id,
+         |         sum(dbg.tf * ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE))) AS ll,
+         |         sum(dbg.tf) AS nb
+         |       FROM dbg JOIN big USING (a, b) JOIN uni USING (a) GROUP BY dbg.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(ll.nb, 0) AS BIGINT) AS n_bigrams,
+         |       round(ll.ll / ll.nb, 4) AS mean_bigram_logprob
+         |FROM documents d LEFT JOIN ll USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // DSIR weights: string-term replay of the hashed-postings pipeline
     // (counts are hash-invariant). The smoothed ratio is a quotient of
