@@ -203,6 +203,19 @@ class MultimodalSpec extends GraftSpec {
       assert(jdk.get(i) === ours, s"JDK ULAW decode disagrees at sample $i")
     }
 
+    // and the same independent cross-check for A-law
+    val aAis = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(aWav))
+    assert(aAis.getFormat.getEncoding ===
+      javax.sound.sampled.AudioFormat.Encoding.ALAW)
+    val aPcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, aAis)
+    val aJdk = java.nio.ByteBuffer.wrap(aPcm.readAllBytes())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    aSamples.indices.foreach { i =>
+      val ours = Multimodal.G711.alawDecode(Multimodal.G711.alawEncode(aSamples(i)))
+      assert(aJdk.get(i) === ours, s"JDK ALAW decode disagrees at sample $i")
+    }
+
     // off-level samples: companding error is bounded by the segment
     // step (≤ 8·2^7 = 1024 on the 16-bit scale) across the full range
     var s = -32768
