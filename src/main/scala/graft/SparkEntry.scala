@@ -338,6 +338,61 @@ object SparkEntry {
       s"($t, [$lits])"
     }.mkString(",\n  ")
 
+  /** Winnowing frame shared by the fingerprint and candidate-pair rows:
+    * (doc_id, gh = token-3-gram mod-poly hashes, sel = sorted distinct
+    * winnow-selected positions, window 4, rightmost-tie rule). Pure
+    * closed-form array arithmetic — the oracle replays it verbatim via
+    * [[winnowCtesSql]].
+    */
+  private def winnowFrame(docs: DataFrame): DataFrame = {
+    val K = 3
+    val W = 4
+    docs
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      // per-TOKEN char-fold hashes once, combined per gram with a
+      // second-level polynomial — ~K× less interpreted-lambda work
+      // than hashing each gram's characters
+      .withColumn("th", expr(
+        "transform(toks, t -> aggregate(split(t, ''), cast(0 as bigint)," +
+          " (acc, c) -> (acc * 31 + ascii(c)) % 1000000007))"))
+      .withColumn("gh", when(size(col("toks")) < K,
+        expr("cast(array() as array<bigint>)"))
+        .otherwise(expr(
+          s"""transform(sequence(0, size(toks) - $K), i ->
+             |  ((element_at(th, i + 1) * 1009 + element_at(th, i + 2)) % 1000000007
+             |    * 1009 + element_at(th, i + 3)) % 1000000007)""".stripMargin)))
+      .withColumn("selpos", when(size(col("gh")) < W,
+        expr("cast(array() as array<int>)"))
+        .otherwise(expr(
+          s"""transform(sequence(0, size(gh) - $W), j ->
+             |  j + array_max(transform(sequence(0, ${W - 1}), k ->
+             |    CASE WHEN element_at(gh, j + k + 1) = array_min(slice(gh, j + 1, $W))
+             |         THEN k ELSE -1 END)))""".stripMargin)))
+      .withColumn("sel", expr("array_sort(array_distinct(selpos))"))
+      .select(col("doc_id"), col("gh"), col("sel"))
+  }
+
+  /** DuckDB CTE chain mirroring [[winnowFrame]] (ends in `w(doc_id, gh,
+    * sel)`).
+    */
+  private def winnowCtesSql: String =
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |g AS (SELECT doc_id, list_transform(toks, tk ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(tk) + 1), i -> CAST(ascii(tk[i]) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS th FROM t),
+       |h AS (SELECT doc_id, CASE WHEN len(th) < 3 THEN []
+       |    ELSE list_transform(range(len(th) - 2), i ->
+       |      ((th[i+1] * 1009 + th[i+2]) % 1000000007 * 1009 + th[i+3]) % 1000000007)
+       |    END AS gh FROM g),
+       |w AS (SELECT doc_id, gh,
+       |    list_sort(list_distinct(CASE WHEN len(gh) < 4 THEN []
+       |      ELSE list_transform(range(len(gh) - 3), j ->
+       |        j + list_max(list_transform(range(4), k ->
+       |          CASE WHEN gh[j + k + 1] = list_min(gh[j + 1 : j + 4])
+       |               THEN k ELSE -1 END))) END)) AS sel
+       |  FROM h)""".stripMargin
+
   /** DuckDB whitespace tokens of trimmed text (mirror of TextFunctions.tokens). */
   private def toksSql(t: String): String =
     s"CASE WHEN length(trim($t)) = 0 THEN [] ELSE regexp_split_to_array(trim($t), '${graft.functions.TextFunctions.wsPatternSql}') END"
@@ -2550,6 +2605,55 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("fingerprint"))
         .orderBy("doc_id")),
+
+    // WINNOWING fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    // algorithm, the standard robust local fingerprinting scheme for
+    // plagiarism/near-dup detection): token-3-gram rolling hashes, then
+    // each sliding window of 4 gram hashes selects its minimum
+    // (RIGHTMOST on ties — the paper's rule), and the de-duplicated
+    // selected set is the fingerprint. The guarantee: any shared
+    // substring of ≥ w+k−1 tokens yields at least one shared selected
+    // hash, with ~2/(w+1) density. Everything is closed-form array
+    // arithmetic over the portable mod-poly hash (doc_fingerprint's),
+    // so the oracle replays selection position-for-position; the digest
+    // folds the selected hashes in position order.
+    "doc_winnow_fingerprints" -> ((s, dir) => {
+      winnowFrame(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          size(col("gh")).cast("long").as("n_grams"),
+          size(col("sel")).cast("long").as("n_selected"),
+          expr("aggregate(sel, cast(0 as bigint)," +
+            " (acc, p) -> (acc * 31 + element_at(gh, p + 1)) % 1000000007)")
+            .as("winnow_digest"))
+        .orderBy("doc_id")
+    }),
+
+    // The fingerprints put to work — MOSS-style near-dup CANDIDATES:
+    // docs sharing winnowed hashes, found by the inverted-index
+    // co-occurrence join (the dedup-family shape: postings on the
+    // selected hash, equi-join, NEVER all-pairs; the df ≤ 64 cap is the
+    // same stop-shingle skew bound dedup_ngram_jaccard carries — Σdf²
+    // stays linear-ish at any corpus size). Top-50 pairs by shared
+    // count, exactly replayed.
+    "dedup_winnow_candidates" -> ((s, dir) => {
+      // materialize the postings ONCE: the df-cap and both join sides
+      // reference them, and an unmaterialized winnow frame would
+      // re-run the char-level gram hashing up to 4× (measured ~4s →
+      // ~1s at sf0.1; the quality_lm_spearman discipline)
+      val post = winnowFrame(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(
+          expr("array_distinct(transform(sel, p -> element_at(gh, p + 1)))")).as("h"))
+        .localCheckpoint(true)
+      val rare = post.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64)
+      val kept = post.join(rare, Seq("h"))
+      val pairs = kept.as("x").join(kept.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+      pairs.orderBy(col("shared").desc, col("doc_a"), col("doc_b")).limit(50)
+    }),
 
     // Multimodal binary plumbing: payload metadata. magic_hex is derived
     // from the first 4 CHARACTERS re-encoded (not the first 4 payload
@@ -5064,6 +5168,33 @@ object SparkEntry {
         |      list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // winnowing replayed selection-for-selection: same mod-poly gram
+    // hashes, same rightmost-argmin window rule (largest in-window
+    // offset whose hash equals the window min), digest folds selected
+    // hashes in position order.
+    "doc_winnow_fingerprints" ->
+      s"""WITH $winnowCtesSql
+         |SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams,
+         |  CAST(len(sel) AS BIGINT) AS n_selected,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(sel, p -> gh[p + 1])),
+         |    (acc, v) -> (acc * 31 + v) % 1000000007) AS winnow_digest
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // candidate pairs: postings on distinct selected hashes, df-capped
+    // co-occurrence join, shared-count threshold, top-50 replay.
+    "dedup_winnow_candidates" ->
+      s"""WITH $winnowCtesSql,
+         |post AS (SELECT DISTINCT doc_id, hsh FROM (
+         |    SELECT doc_id, unnest(list_transform(sel, p -> gh[p + 1])) AS hsh FROM w)),
+         |rare AS (SELECT hsh FROM post GROUP BY hsh HAVING count(*) <= 64),
+         |kept AS (SELECT doc_id, hsh FROM post JOIN rare USING (hsh)),
+         |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+         |          FROM kept x JOIN kept y ON x.hsh = y.hsh AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared
+         |FROM pairs ORDER BY shared DESC, doc_a, doc_b LIMIT 50""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
