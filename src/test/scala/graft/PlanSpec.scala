@@ -196,6 +196,12 @@ class PlanSpec extends GraftSpec {
       s"masking is per-row; only the ORDER BY may exchange, got plan:\n$p")
   }
 
+  test("dedup_winnow_candidates: equi-join on fingerprints, never all-pairs") {
+    val p = plan("dedup_winnow_candidates")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidate generation must be the inverted-index equi-join:\n$p")
+  }
+
   test("corpus_span_corrupt: zero-shuffle projection — blocks are closed-form") {
     // fixed non-overlapping blocks keep span masking a per-row
     // transform: no join, no aggregation, only the presentation sort
