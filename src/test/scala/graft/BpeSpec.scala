@@ -110,6 +110,27 @@ class BpeSpec extends GraftSpec {
     assert(stats(0)._3 < "lowlower".length && stats(0)._3 >= 2L)
   }
 
+  test("property: random corpora agree with the local reference merge-for-merge") {
+    // seeded random corpora over a tiny alphabet (repetition-heavy, so
+    // merges chain and ties occur) — the distributed trainer must match
+    // the reference on every one, including the tie-break rule
+    val rng = new scala.util.Random(20260814L)
+    (0 until 4).foreach { trial =>
+      val vocabChars = "abcde".take(3 + trial % 3)
+      def word(): String =
+        (0 until 1 + rng.nextInt(5)).map(_ => vocabChars(rng.nextInt(vocabChars.length))).mkString
+      val docs = (0 until 6).map { d =>
+        (d.toLong, (0 until 5 + rng.nextInt(20)).map(_ => word()).mkString(" "))
+      }.toDF("doc_id", "text")
+      val words = docs.collect().flatMap(_.getString(1).split(" "))
+        .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+      val (expMerges, _) = referenceBpe(words, 5)
+      val gotMerges = Bpe.trainMerges(spark, docs, "text", 5)._1
+      assert(gotMerges.map(m => (m.lhs, m.rhs, m.pairCount)) === expMerges,
+        s"trial $trial diverged (alphabet $vocabChars)")
+    }
+  }
+
   test("streamed tokenization equals the batch result at any batching") {
     // per-doc purity ⇒ the union of per-batch stream-static joins
     // equals the batch join, however docs were shattered into files
