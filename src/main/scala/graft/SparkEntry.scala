@@ -2257,6 +2257,48 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // INTER-FRAME video, oracle-visible: RLE8 DELTA frames (keyframe +
+    // two frames that each repaint ONE row and skip the rest via the
+    // escape opcodes — frames are NOT independently decodable; the
+    // decoder's persistent buffer carries every untouched pixel). The
+    // closed form exploits integer-mean design: h = 5 rows, delta
+    // colors ≡ base (mod 5), so mean_f = base + k_f exactly — a
+    // cast-to-long hash match, the strongest contract an inter-frame
+    // path can give. With this, "inter-frame video" moves off the
+    // stub list; only transform codecs (H.264/VP9, MP3/AAC) remain.
+    "multimodal_video_delta" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 8 + (id % 5).toInt
+            val row = (id % 5).toInt
+            def chan(m: Long) = ((id * m) % 200).toInt
+            val base = (chan(7) << 16) | (chan(11) << 8) | chan(13)
+            def delta(f: Int) = {
+              val k = f + 1 + (id % 3).toInt
+              (((chan(7) + 5 * k) << 16) | ((chan(11) + 5 * k) << 8) |
+                (chan(13) + 5 * k))
+            }
+            (id, graft.multimodal.Multimodal.aviRleDeltaBytes(
+              w, 5, fps = 10, base, Seq((row, delta(1)), (row, delta(2)))))
+          }
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.decodeAvi(s, media)
+        .filter(col("is_video"))
+        .select(col("id").as("doc_id"), col("codec"),
+          col("width").cast("long").as("width"),
+          col("n_frames").cast("long").as("n_frames"),
+          posexplode(col("frame_means")).as(Seq("frame_idx", "m")))
+        .select(col("doc_id"), col("codec"), col("width"), col("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          element_at(col("m"), 1).cast("long").as("r"),
+          element_at(col("m"), 2).cast("long").as("g"),
+          element_at(col("m"), 3).cast("long").as("b"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // IVFADC end-to-end (Jégou et al., TPAMI'11 — the full production
     // ANN pipeline, composing the pieces the suite verifies separately):
     // the IVF coarse probe prunes the corpus to nprobe=2 of 8 cells
@@ -4870,6 +4912,22 @@ object SparkEntry {
         |  CAST((d.doc_id * 7 + f.f * 13) % 32 AS BIGINT) AS g_bucket,
         |  CAST((d.doc_id * 7 + f.f * 13) % 32 AS BIGINT) AS b_bucket
         |FROM documents d, range(0, 3) f(f) WHERE d.doc_id < 40
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
+
+    // delta frames: mean_f = base + k_f exactly (h = 5, delta ≡ base
+    // mod 5) — frame 0 is the keyframe, f ≥ 1 accumulates.
+    "multimodal_video_delta" ->
+      """SELECT d.doc_id, 'RLE8' AS codec,
+        |  CAST(8 + d.doc_id % 5 AS BIGINT) AS width,
+        |  CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(f.f AS BIGINT) AS frame_idx,
+        |  CAST((d.doc_id * 7) % 200
+        |    + CASE WHEN f.f = 0 THEN 0 ELSE f.f + 1 + d.doc_id % 3 END AS BIGINT) AS r,
+        |  CAST((d.doc_id * 11) % 200
+        |    + CASE WHEN f.f = 0 THEN 0 ELSE f.f + 1 + d.doc_id % 3 END AS BIGINT) AS g,
+        |  CAST((d.doc_id * 13) % 200
+        |    + CASE WHEN f.f = 0 THEN 0 ELSE f.f + 1 + d.doc_id % 3 END AS BIGINT) AS b
+        |FROM documents d, range(0, 3) f(f) WHERE d.doc_id < 50
         |ORDER BY d.doc_id, frame_idx""".stripMargin,
 
     // RLE8 is lossless: colors replay exactly, the DIB contract.

@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   * ADPCM 4:1 ([[ImaAdpcm]], oracle-checked via
   * `multimodal_audio_adpcm`). VIDEO decode is REAL for
   * uncompressed-DIB AVI ([[decodeAvi]] — RIFF/LIST container walking +
-  * raw BGR frames, oracle-checked via `multimodal_video_frames`) AND
-  * for MJPEG-in-AVI (per-frame JPEG through the JDK's own codec,
-  * oracle-checked via `multimodal_video_mjpeg`). Only inter-frame
-  * video codecs (H.264/VP9/…) and transform audio codecs (MP3/AAC)
-  * remain STUBBED — the parts that genuinely need a native library
-  * (see [[DecodeStub]]);
+  * raw BGR frames, oracle-checked via `multimodal_video_frames`), for
+  * MJPEG-in-AVI (per-frame JPEG through the JDK's own codec,
+  * oracle-checked via `multimodal_video_mjpeg`), for MS-RLE8
+  * (`multimodal_video_rle` — own opcode walker) INCLUDING
+  * INTER-FRAME delta frames whose pixels carry across frames
+  * (`multimodal_video_delta`). Only TRANSFORM codecs (H.264/VP9,
+  * MP3/AAC) remain STUBBED — the parts that genuinely need a native
+  * library (see [[DecodeStub]]);
   * everything Spark-side is real either way: schema, binary column
   * handling, partition-batched UDF shape, and the metadata extraction
   * that IS engine-portable (sizes, digests, magic bytes). At 100 TB
@@ -600,6 +602,46 @@ object Multimodal {
       bitCount = 8, palette = palette)
   }
 
+  /** INTER-FRAME MS-RLE8: a full keyframe, then DELTA frames that jump
+    * (00 02 dx dy) straight to their one changed row, repaint it, and
+    * end the bitmap — every other pixel is carried from the previous
+    * frame by the decoder's persistent buffer. This is real inter-frame
+    * video (frames are not independently decodable), at ~row cost per
+    * frame instead of ~frame cost.
+    */
+  def aviRleDeltaBytes(w: Int, h: Int, fps: Int, base: Int,
+      deltas: Seq[(Int, Int)]): Array[Byte] = {
+    val palette = (base +: deltas.map(_._2)).distinct
+    require(w <= 255 && h <= 255, "delta jumps are single-byte offsets")
+    def runs(out: java.io.ByteArrayOutputStream, idx: Int): Unit = {
+      var left = w
+      while (left > 0) {
+        val run = math.min(left, 255)
+        out.write(run); out.write(idx)
+        left -= run
+      }
+    }
+    val key = {
+      val out = new java.io.ByteArrayOutputStream()
+      (0 until h).foreach { _ => runs(out, palette.indexOf(base)); out.write(0); out.write(0) }
+      out.write(0); out.write(1)
+      aviChunk("00dc", out.toByteArray)
+    }
+    val deltaChunks = deltas.map { case (row, color) =>
+      val out = new java.io.ByteArrayOutputStream()
+      if (row > 0) { out.write(0); out.write(2); out.write(0); out.write(row) }
+      runs(out, palette.indexOf(color))
+      out.write(0); out.write(0) // end of line
+      out.write(0); out.write(1) // end of bitmap — the rest carries over
+      aviChunk("00dc", out.toByteArray)
+    }
+    val frameChunks = key +: deltaChunks
+    val maxFrame = frameChunks.map(_.length - 8).max
+    aviContainer(w, h, fps, handler = "MRLE", biCompression = 1,
+      frameBytes = maxFrame, frameChunks = frameChunks,
+      bitCount = 8, palette = palette)
+  }
+
   private def aviChunk(id: String, body: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -672,6 +714,11 @@ object Multimodal {
               else {
                 var (w, h, bits, usPerFrame, compression) = (0, 0, 0, 0, 0)
                 var palette: Array[Int] = Array.empty
+                // RLE8 frame buffer PERSISTS across frames: skipped
+                // pixels (delta/EOL/EOB opcodes) keep their previous
+                // frame's value — that carry IS inter-frame coding,
+                // and it is what makes delta frames decodable
+                var rlePix: Array[Int] = null
                 val means = scala.collection.mutable.ArrayBuffer[Array[Float]]()
                 def walk(end: Int): Unit =
                   while (bb.position() + 8 <= end) {
@@ -723,8 +770,11 @@ object Multimodal {
                         // MS-RLE8: (count, index) runs; escapes 00 00 =
                         // end-of-line, 00 01 = end-of-bitmap, 00 02 dx dy =
                         // delta skip, 00 n>=3 = n absolute pixels (word-
-                        // padded). Untouched pixels keep index 0 per spec.
-                        val pix = new Array[Int](w * h)
+                        // padded). Untouched pixels keep the PREVIOUS
+                        // frame's value (index 0 on the first frame).
+                        if (rlePix == null || rlePix.length != w * h)
+                          rlePix = new Array[Int](w * h)
+                        val pix = rlePix
                         val base = bb.position()
                         var p = base
                         var (x, row) = (0, 0)

@@ -282,6 +282,25 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("decodeAvi: RLE8 DELTA frames carry the previous frame's pixels (inter-frame)") {
+    import spark.implicits._
+    // keyframe = solid 100-gray; two delta frames each repaint ONE row
+    // (different rows!) — the second frame's mean must include BOTH
+    // accumulated changes, which only a persistent frame buffer gives
+    val base = 0x646464 // 100,100,100
+    val avi = Multimodal.aviRleDeltaBytes(w = 10, h = 5, fps = 10, base,
+      deltas = Seq((1, 0x969696 /* 150 */), (3, 0xC8C8C8 /* 200 */)))
+    val v = Multimodal.decodeAvi(spark, Seq((6L, avi)).toDF("id", "payload")).head()
+    assert(v.is_video && v.codec === "RLE8" && v.n_frames === 3)
+    val grays = v.frame_means.map(_.head)
+    assert(grays(0) === 100f)
+    assert(grays(1) === (4 * 100 + 150) / 5f, "delta 1: four carried rows + one repainted")
+    assert(grays(2) === (3 * 100 + 150 + 200) / 5f,
+      "delta 2 must ACCUMULATE on top of delta 1's buffer")
+    // all three channels agree (gray in, gray out)
+    v.frame_means.foreach(m => assert(m(0) === m(1) && m(1) === m(2)))
+  }
+
   test("decodeWav: stereo frames, odd-chunk padding, and degrade paths") {
     import spark.implicits._
     val stereo = Multimodal.wavBytes(8000, 2, Array.tabulate(512)(i => i.toShort))
