@@ -2144,6 +2144,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL compressed-audio decode #3, oracle-visible: FLAC — the first
+    // TRANSFORM-family codec (fixed linear predictors + Rice entropy
+    // coding over a free-form bitstream; multimodal/Flac.scala, both
+    // encoder and decoder written from the public format spec). FLAC is
+    // LOSSLESS, so unlike the ADPCM row no tolerance verdict is needed:
+    // every decoded sample equals the source and the oracle replays the
+    // full field set — including exact-integer RMS — in closed form.
+    // blockSize 256 on 400 samples forces multi-frame streams with a
+    // partial tail frame (both Rice methods + CRC-8/16/MD5 verified on
+    // the decode path).
+    "multimodal_audio_flac" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val samples = Array.tabulate(400)(i =>
+              (((id * 13 + i * 29) % 1601) - 800).toShort)
+            (id, graft.multimodal.Flac.flacBytes(8000, 1, samples, 256))
+          }
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.decodeFlac(s, media)
+        .filter(col("is_audio"))
+        .select(col("id").as("doc_id"), col("codec"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_samples"),
+          col("first_sample").cast("long").as("first_sample"),
+          round(col("rms"), 4).as("rms"))
+        .orderBy("doc_id")
+    }),
+
     // REAL video decode, oracle-visible: write a genuine uncompressed
     // AVI per doc (RIFF container, '00db' DIB frames — plays in any
     // player) with 3 solid-color frames derived from (doc_id, frame),
@@ -4988,6 +5020,20 @@ object SparkEntry {
         |  CAST(1000 - 25 * (d.doc_id % 7) AS BIGINT) AS first_sample,
         |  TRUE AS rms_ok
         |FROM documents d WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin,
+
+    // FLAC is lossless: decode == source samples bit-for-bit, so the
+    // whole row — including Σs² RMS — replays from the sample formula.
+    "multimodal_audio_flac" ->
+      """WITH s AS (SELECT d.doc_id, t.i,
+        |    ((d.doc_id * 13 + t.i * 29) % 1601) - 800 AS smp
+        |  FROM documents d, range(0, 400) t(i) WHERE d.doc_id < 100)
+        |SELECT doc_id, 'flac' AS codec,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(400 AS BIGINT) AS n_samples,
+        |  CAST(min(CASE WHEN i = 0 THEN smp END) AS BIGINT) AS first_sample,
+        |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / 400), 4) AS rms
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // IVFADC = ann_ivf_top5's cell assignment/probe CTEs composed with
     // ann_pq_top10's trained-codebook ADC CTEs, ADC restricted to the

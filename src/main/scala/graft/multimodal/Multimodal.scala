@@ -507,6 +507,35 @@ object Multimodal {
       }
   }
 
+  /** REAL decode for FLAC — the transform-family lossless codec
+    * ([[Flac]]: fixed predictors + Rice entropy coding, CRC-8/CRC-16/MD5
+    * all verified). Lossless means the emitted fields are EXACT, so the
+    * oracle replays Σs² in closed form just like the PCM row. Non-FLAC
+    * (or corrupted — any failed checksum) payloads degrade to
+    * is_audio = false, the decodeWav contract.
+    */
+  def decodeFlac(spark: SparkSession, media: DataFrame): Dataset[AudioInfo] = {
+    import spark.implicits._
+    val none = (id: Long) => AudioInfo(id, is_audio = false, "", 0, 0, 0L, 0.0, 0.0, 0)
+    media.select(col("id"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          try {
+            val a = Flac.decode(r.payload)
+            var sumSq = 0L
+            var i = 0
+            while (i < a.samples.length) {
+              val s = a.samples(i).toLong; sumSq += s * s; i += 1
+            }
+            AudioInfo(r.id, is_audio = true, "flac", a.sampleRate, a.channels,
+              a.frames, a.frames * 1000.0 / a.sampleRate,
+              math.sqrt(sumSq.toDouble / math.max(a.samples.length, 1)),
+              if (a.samples.nonEmpty) a.samples(0) else 0)
+          } catch { case _: Exception => none(r.id) }
+        }
+      }
+  }
+
   final case class VideoInfo(id: Long, is_video: Boolean, codec: String,
       width: Int, height: Int, n_frames: Int, fps: Double,
       frame_means: Array[Array[Float]])

@@ -313,4 +313,71 @@ class MultimodalSpec extends GraftSpec {
     val decoded = Multimodal.decodeWav(spark, junk).collect()
     assert(decoded.forall(!_.is_audio))
   }
+
+  test("FLAC: mono roundtrips bit-exactly; smooth signals actually compress") {
+    import graft.multimodal.Flac
+    // deterministic mix: smooth ramp + small noise, partial last block
+    val n = 3000
+    val samples = Array.tabulate(n) { i =>
+      (i * 3 + ((i * 2654435761L >>> 16) % 7).toInt - 3).toShort
+    }
+    for (bs <- Seq(256, 1024, 4096)) { // 3000 % 256 != 0 → partial tail frame
+      val bytes = Flac.flacBytes(8000, 1, samples, bs)
+      val a = Flac.decode(bytes)
+      assert(a.sampleRate === 8000 && a.channels === 1 && a.bps === 16)
+      assert(a.frames === n.toLong)
+      assert(a.samples.toSeq === samples.map(_.toInt).toSeq, s"blockSize=$bs")
+      assert(bytes.length < n * 2, s"no compression at blockSize=$bs")
+    }
+    // linear ramp: order-2 predictor zeroes every residual → tiny file
+    val ramp = Array.tabulate(2048)(i => (i * 5).toShort)
+    assert(Flac.flacBytes(8000, 1, ramp).length < 2048 / 2)
+    // constant → CONSTANT subframes
+    val const = Array.fill[Short](2048)(1234)
+    val cb = Flac.flacBytes(8000, 1, const)
+    assert(cb.length < 200)
+    assert(Flac.decode(cb).samples.forall(_ === 1234))
+  }
+
+  test("FLAC: correlated stereo picks mid/side and roundtrips exactly") {
+    import graft.multimodal.Flac
+    val frames = 1500
+    val inter = new Array[Short](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val base = (math.sin(i / 40.0) * 5000).toInt
+      inter(2 * i) = base.toShort                         // left
+      inter(2 * i + 1) = (base + (i % 5) - 2).toShort     // right ≈ left
+      i += 1
+    }
+    val bytes = Flac.flacBytes(16000, 2, inter, 512)
+    val a = Flac.decode(bytes)
+    assert(a.channels === 2 && a.frames === frames.toLong)
+    assert(a.samples.toSeq === inter.map(_.toInt).toSeq)
+    // decorrelation must beat independent coding on this signal
+    val indepish = Array.tabulate(frames * 2)(j =>
+      (((j * 2654435761L) >>> 13) % 20000 - 10000).toShort)
+    val noisy = Flac.flacBytes(16000, 2, indepish, 512)
+    assert(bytes.length < noisy.length, "correlated stereo should compress harder")
+  }
+
+  test("FLAC: any flipped byte fails a checksum; decodeFlac degrades, never lies") {
+    import graft.multimodal.Flac
+    import spark.implicits._
+    val samples = Array.tabulate(1000)(i => (i * 7 % 3001 - 1500).toShort)
+    val good = Flac.flacBytes(8000, 1, samples, 512)
+    // corrupt one payload byte inside frame data (past magic + streaminfo)
+    val bad = good.clone(); bad(good.length - 40) = (bad(good.length - 40) ^ 0x40).toByte
+    assertThrows[Exception](Flac.decode(bad))
+    val df = Seq((1L, good), (2L, bad), (3L, "text".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val rows = Multimodal.decodeFlac(spark, df).collect().sortBy(_.id)
+    assert(rows(0).is_audio && rows(0).codec === "flac" &&
+      rows(0).n_samples === 1000L && rows(0).first_sample === -1500)
+    assert(!rows(1).is_audio && !rows(2).is_audio)
+    // RMS agrees exactly with the PCM-WAV decode of the same samples
+    val wav = Multimodal.decodeWav(spark,
+      Seq((1L, Multimodal.wavBytes(8000, 1, samples))).toDF("id", "payload")).head()
+    assert(rows(0).rms === wav.rms && rows(0).duration_ms === wav.duration_ms)
+  }
 }

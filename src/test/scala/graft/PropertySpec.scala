@@ -256,4 +256,30 @@ class PropertySpec extends GraftSpec {
       assert(objStm === classic, s"case $i")
     }
   }
+
+  test("property: FLAC write->decode is bit-exact for arbitrary samples and shapes") {
+    // full-range noise, smooth ramps, constants; mono and stereo; block
+    // sizes that divide and don't divide the length (partial tail frame)
+    val sig: Gen[Array[Short]] = for {
+      n <- Gen.chooseNum(1, 3000)
+      kind <- Gen.chooseNum(0, 2)
+      seed <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    } yield kind match {
+      case 0 => Array.tabulate(n)(i => (((seed + i * 2654435761L) >>> 17) % 65536 - 32768).toShort)
+      case 1 => Array.tabulate(n)(i => ((seed % 100) * i % 30000 - 15000).toShort)
+      case _ => Array.fill(n)((seed % 65536 - 32768).toShort)
+    }
+    cases(sig, 20).zipWithIndex.foreach { case (mono, i) =>
+      val bs = Seq(192, 576, 1024, 4096)(i % 4)
+      val a = graft.multimodal.Flac.decode(
+        graft.multimodal.Flac.flacBytes(8000, 1, mono, bs))
+      assert(a.samples.toSeq === mono.map(_.toInt).toSeq, s"mono case $i bs=$bs")
+      if (mono.length % 2 == 0 && mono.length > 0) {
+        val st = graft.multimodal.Flac.decode(
+          graft.multimodal.Flac.flacBytes(8000, 2, mono, bs))
+        assert(st.channels === 2 &&
+          st.samples.toSeq === mono.map(_.toInt).toSeq, s"stereo case $i bs=$bs")
+      }
+    }
+  }
 }
