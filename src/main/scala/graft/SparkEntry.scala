@@ -2176,6 +2176,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Perceptual-hash image dedup, oracle-visible end-to-end: write a
+    // REAL 9×8 grayscale PNG per doc (3 variants per base pattern —
+    // variants perturb ONE cell, so within-group Hamming stays small),
+    // decode through ImageIO, dHash (gradient-sign bits, brightness-
+    // shift invariant), then the 8-band Hamming equi-join — EXACT for
+    // d ≤ 7 by pigeonhole, so the banded plan returns the same pairs as
+    // all-pairs and the oracle replays bits and distances in closed
+    // form from the pixel formula (PNG is lossless; the 9×8 grid is the
+    // image, so the box-average is identity).
+    "dedup_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val (group, variant) = (id / 3, (id % 3).toInt)
+            val grays = Array.tabulate(72) { i =>
+              val (r, c) = (i / 9, i % 9)
+              val base = ((group * 37 + r * 13 + c * 29) % 180 + 30).toInt
+              if (variant > 0 && r == variant + 2 && c == 2 * variant + 1)
+                base + variant * 23
+              else base
+            }
+            (id, graft.multimodal.Multimodal.grayPngBytes(9, 8, grays))
+          }
+        }.toDF("id", "payload")
+      val hashes = graft.multimodal.Multimodal.dHash64(s, media)
+        .filter(col("is_image")).select(col("id"), col("dhash"))
+      graft.dedup.Dedup.dhashPairs(hashes, maxHamming = 6)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // REAL video decode, oracle-visible: write a genuine uncompressed
     // AVI per doc (RIFF container, '00db' DIB frames — plays in any
     // player) with 3 solid-color frames derived from (doc_id, frame),
@@ -5034,6 +5067,30 @@ object SparkEntry {
         |  CAST(min(CASE WHEN i = 0 THEN smp END) AS BIGINT) AS first_sample,
         |  round(sqrt(CAST(sum(smp * smp) AS DOUBLE) / 400), 4) AS rms
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // dHash replay: PNG is lossless and the image IS the 9×8 grid, so
+    // the luminance formula reproduces the decoded pixels exactly; bits
+    // compare horizontal neighbors, pairs filter on Hamming ≤ 6. The
+    // Spark side's 8-band candidate join is pigeonhole-exact at d ≤ 7,
+    // so plain all-pairs here matches it value-for-value.
+    "dedup_phash" ->
+      """WITH g AS (SELECT d.doc_id, r.r, c.c,
+        |    ((d.doc_id // 3) * 37 + r.r * 13 + c.c * 29) % 180 + 30
+        |    + CASE WHEN d.doc_id % 3 > 0 AND r.r = d.doc_id % 3 + 2
+        |                AND c.c = 2 * (d.doc_id % 3) + 1
+        |           THEN (d.doc_id % 3) * 23 ELSE 0 END AS v
+        |  FROM documents d, range(0, 8) r(r), range(0, 9) c(c)
+        |  WHERE d.doc_id < 120),
+        |bits AS (SELECT a.doc_id, a.r * 8 + a.c AS b,
+        |    CASE WHEN a.v > n.v THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.r = a.r AND n.c = a.c + 1
+        |  WHERE a.c < 8),
+        |ham AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits x JOIN bits y ON x.b = y.b AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
 
     // IVFADC = ann_ivf_top5's cell assignment/probe CTEs composed with
     // ann_pq_top10's trained-codebook ADC CTEs, ADC restricted to the

@@ -288,6 +288,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Perceptual-hash (dHash) image near-dup: band each 64-bit hash into
+    * 8×8-bit chunks; pairs sharing any chunk are candidates, verified by
+    * bit_count(xor) ≤ maxHamming. With 8 bands, pigeonhole makes the
+    * candidate set EXACT for maxHamming ≤ 7 (d ≤ 7 flips cannot touch
+    * all 8 bands), so the banded equi-join returns the same pairs as
+    * all-pairs — no recall loss, Σdf² work instead of n².
+    * `hashes` = (id, dhash) from [[graft.multimodal.Multimodal.dHash64]].
+    */
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8-band pigeonhole exactness requires maxHamming <= 7")
+    val chunks = array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("dhash"), b * 8).bitwiseAND(lit(0xffL)).as("chunk"))
+    }: _*)
+    val banded = hashes.select(col("id"), col("dhash"), explode(chunks).as("bc"))
+      .select(col("id"), col("dhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-dup pairs, ALL-PAIRS form — the spec-level
     * correctness oracle at fixture scale only. The declared scale path is
     * [[cosineLshPairs]]; this cartesian form exists so DedupSpec can

@@ -167,6 +167,93 @@ object Multimodal {
       }
   }
 
+  /** Single-pixel-per-cell grayscale PNG writer (r = g = b = gray) —
+    * the generator half of the perceptual-hash fixture, same
+    * generate-then-decode discipline as the WAV/AVI/PDF paths. PNG is
+    * lossless, so decoded pixels equal `grays` exactly.
+    */
+  def grayPngBytes(w: Int, h: Int, grays: Array[Int]): Array[Byte] = {
+    require(grays.length == w * h)
+    disableImageIoDiskCache()
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < grays.length) {
+      val v = grays(i) & 0xff
+      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  final case class DHashInfo(id: Long, is_image: Boolean, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) over REAL decoded images: the
+    * image is box-averaged onto a 9×8 luminance grid (exact integer
+    * math — floor of the block mean of (r+g+b)/3; identity for 9×8
+    * inputs, so fixtures replay in closed form) and bit r·8+c is set
+    * iff grid(r,c) > grid(r,c+1). Gradient signs are invariant to
+    * global brightness shifts — the "perceptual" part — and the 64-bit
+    * signature feeds the same banded Hamming join as SimHash
+    * (Dedup.dhashPairs). Scan-parallel per row; non-images degrade to
+    * is_image = false.
+    */
+  def dHash64(spark: SparkSession, media: DataFrame): Dataset[DHashInfo] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        disableImageIoDiskCache()
+        it.map { r =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            if (img == null) DHashInfo(r.id, is_image = false, 0L)
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              require(w >= 9 && h >= 8, "dHash needs at least 9x8 pixels")
+              val grid = Array.ofDim[Long](8, 9)
+              val row = new Array[Int](w)
+              // exact integer box average: cell (gr,gc) covers source
+              // rows [gr·h/8,(gr+1)·h/8) × cols [gc·w/9,(gc+1)·w/9)
+              val counts = Array.ofDim[Long](8, 9)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                val gr = y * 8 / h
+                var x = 0
+                while (x < w) {
+                  val rgb = row(x)
+                  val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                  val gc = x * 9 / w
+                  grid(gr)(gc) += lum
+                  counts(gr)(gc) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              var hash = 0L
+              var gr = 0
+              while (gr < 8) {
+                var gc = 0
+                while (gc < 8) {
+                  val a = grid(gr)(gc) / counts(gr)(gc)
+                  val b = grid(gr)(gc + 1) / counts(gr)(gc + 1)
+                  if (a > b) hash |= 1L << (gr * 8 + gc)
+                  gc += 1
+                }
+                gr += 1
+              }
+              DHashInfo(r.id, is_image = true, hash)
+            }
+          } catch {
+            case _: Exception => DHashInfo(r.id, is_image = false, 0L)
+          }
+        }
+      }
+  }
+
   final case class AudioInfo(id: Long, is_audio: Boolean, codec: String,
       sample_rate: Int, channels: Int, n_samples: Long, duration_ms: Double,
       rms: Double, first_sample: Int)

@@ -158,4 +158,46 @@ class DedupSpec extends GraftSpec {
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.subsetOf(exact))
   }
+
+  test("dHash: brightness-shift invariant, downscale-stable, banded join pigeonhole-exact") {
+    import graft.multimodal.Multimodal
+    def grays(seed: Long): Array[Int] =
+      Array.tabulate(72)(i => ((seed * 37 + (i / 9) * 13 + (i % 9) * 29) % 180 + 30).toInt)
+    val imgs = (0L until 30L).map { id =>
+      val g = grays(id / 3)
+      val v = (id % 3).toInt
+      if (v > 0) g(v * 11 + 3) = math.min(255, g(v * 11 + 3) + v * 23)
+      (id, Multimodal.grayPngBytes(9, 8, g))
+    }
+    // brightness shift: same hash (gradient signs unchanged)
+    val base = grays(7L)
+    val shifted = base.map(v => math.min(255, v + 10))
+    // 2×2 pixel duplication: box average reproduces the 9×8 grid exactly
+    val doubled = Array.tabulate(18 * 16) { i =>
+      val (y, x) = (i / 18, i % 18)
+      base((y / 2) * 9 + x / 2)
+    }
+    val probes = Seq((100L, Multimodal.grayPngBytes(9, 8, base)),
+      (101L, Multimodal.grayPngBytes(9, 8, shifted)),
+      (102L, Multimodal.grayPngBytes(18, 16, doubled)),
+      (103L, "not an image".getBytes("UTF-8")))
+    val hs = Multimodal.dHash64(spark, (imgs ++ probes).toDF("id", "payload")).collect()
+    val byId = hs.map(h => h.id -> h).toMap
+    assert(byId(100L).is_image && byId(100L).dhash === byId(101L).dhash)
+    assert(byId(100L).dhash === byId(102L).dhash)
+    assert(!byId(103L).is_image)
+    // banded candidates == exhaustive all-pairs at maxHamming <= 7
+    val hdf = Multimodal.dHash64(spark, imgs.toDF("id", "payload"))
+      .filter($"is_image").select($"id", $"dhash")
+    val banded = Dedup.dhashPairs(hdf, maxHamming = 6)
+      .select($"id_a", $"id_b", $"hamming".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = hdf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exhaustive = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d.toLong)).toSet
+    assert(banded === exhaustive)
+    assert(banded.nonEmpty, "fixture must actually produce near-dup pairs")
+  }
 }
