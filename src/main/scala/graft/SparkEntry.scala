@@ -2524,6 +2524,84 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Trigram LM with STUPID BACKOFF (Brants et al. EMNLP'07 — the
+    // web-scale LM scoring scheme: unnormalized count ratios with a
+    // fixed 0.4 backoff factor, built for exactly this kind of
+    // distributed count-table pipeline). Counts come from the TRAIN
+    // split (doc_id % 4 != 0) and score the HELD-OUT quarter, so unseen
+    // trigrams genuinely back off (the in-corpus MLE rows never can —
+    // every observed n-gram has count > 0):
+    //   S(c|a,b) = c3/c2(a,b)            if the trigram was seen
+    //            = 0.4·c2(b,c)/c1(b)     else if the bigram was seen
+    //            = 0.16·(c1(c)+1)/(N+V)  else (add-one unigram floor,
+    //                                          defined even for OOV)
+    // Per-doc: mean ln S + how often each backoff level fired. All
+    // count ratios are BIGINT quotients → ln() sees bit-identical
+    // doubles on both engines. Three count tables, all vocab-sized
+    // linear aggregates + equi-joins — the canonical distributed LM
+    // counting shape at 100 TB.
+    "doc_trigram_logprob" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("is_train", col("doc_id") % 4 =!= 0)
+        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      val tri = docs
+        .withColumn("tg", explode(when(size(col("toks")) < 3,
+          expr("cast(array() as array<struct<a:string,b:string,c:string>>)"))
+          .otherwise(expr("transform(sequence(0, size(toks)-3), " +
+            "i -> struct(toks[i] as a, toks[i+1] as b, toks[i+2] as c))"))))
+        .select(col("doc_id"), col("is_train"), col("tg.a").as("a"),
+          col("tg.b").as("b"), col("tg.c").as("c"))
+      val bg = docs
+        .withColumn("pr", explode(when(size(col("toks")) < 2,
+          expr("cast(array() as array<struct<a:string,b:string>>)"))
+          .otherwise(expr(
+            "transform(sequence(0, size(toks)-2), i -> struct(toks[i] as a, toks[i+1] as b))"))))
+        .select(col("doc_id"), col("is_train"), col("pr.a").as("a"), col("pr.b").as("b"))
+      val uniToks = docs.select(col("doc_id"), col("is_train"),
+        explode(col("toks")).as("w"))
+      val c3 = tri.filter(col("is_train")).groupBy("a", "b", "c")
+        .agg(count(lit(1)).as("c3"))
+      val c2 = bg.filter(col("is_train")).groupBy("a", "b")
+        .agg(count(lit(1)).as("c2"))
+      val c1 = uniToks.filter(col("is_train")).groupBy("w")
+        .agg(count(lit(1)).as("c1"))
+      val tot = c1.agg(sum(col("c1")).as("n_total"),
+        count(lit(1)).as("v_size"))
+      val held = tri.filter(!col("is_train"))
+        .groupBy("doc_id", "a", "b", "c").agg(count(lit(1)).as("tf"))
+        .join(c3, Seq("a", "b", "c"), "left")
+        .join(c2, Seq("a", "b"), "left")
+        .join(c2.select(col("a").as("b"), col("b").as("c"), col("c2").as("c2bc")),
+          Seq("b", "c"), "left")
+        .join(c1.select(col("w").as("b"), col("c1").as("c1b")), Seq("b"), "left")
+        .join(c1.select(col("w").as("c"), col("c1").as("c1c")), Seq("c"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lvl",
+          when(coalesce(col("c3"), lit(0L)) > 0, 0)
+            .when(coalesce(col("c2bc"), lit(0L)) > 0, 1).otherwise(2))
+        .withColumn("lp",
+          when(col("lvl") === 0,
+            log(col("c3").cast("double") / col("c2").cast("double")))
+          .when(col("lvl") === 1,
+            log(lit(0.4) * col("c2bc").cast("double") / col("c1b").cast("double")))
+          .otherwise(log(lit(0.16) *
+            (coalesce(col("c1c"), lit(0L)) + 1).cast("double") /
+            (col("n_total") + col("v_size")).cast("double"))))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("nt"),
+          sum(when(col("lvl") === 1, col("tf")).otherwise(0L)).as("n_backoff_bi"),
+          sum(when(col("lvl") === 2, col("tf")).otherwise(0L)).as("n_backoff_uni"),
+          sum(col("tf") * col("lp")).as("ll"))
+      docs.filter(!col("is_train")).select(col("doc_id"))
+        .join(held, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nt"), lit(0L)).as("n_trigrams"),
+          coalesce(col("n_backoff_bi"), lit(0L)).as("n_backoff_bi"),
+          coalesce(col("n_backoff_uni"), lit(0L)).as("n_backoff_uni"),
+          round(col("ll") / col("nt"), 4).as("mean_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR-style importance weights (Xie et al. '23): per-token
     // log-likelihood ratio of an add-one-smoothed target unigram LM
     // (here: the English slice) vs the raw LM (everything else) — the
@@ -5203,6 +5281,55 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(ll.nb, 0) AS BIGINT) AS n_bigrams,
          |       round(ll.ll / ll.nb, 4) AS mean_bigram_logprob
          |FROM documents d LEFT JOIN ll USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Stupid backoff replay: same split, same count tables, same CASE
+    // ladder; every ratio is a BIGINT quotient so ln() inputs match
+    // bit-for-bit. list_zip adjacency for trigrams needs two shifted
+    // slices.
+    "doc_trigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 4 <> 0 AS is_train,
+         |    ${toksSql("text")} AS toks FROM documents),
+         |tg AS (SELECT doc_id, is_train, tr[1] AS a, tr[2] AS b, tr[3] AS c FROM (
+         |    SELECT doc_id, is_train, unnest(CASE WHEN len(toks) < 3 THEN []
+         |      ELSE list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1], toks[3:len(toks)]) END) AS tr
+         |    FROM t)),
+         |bg AS (SELECT doc_id, is_train, pr[1] AS a, pr[2] AS b FROM (
+         |    SELECT doc_id, is_train, unnest(CASE WHEN len(toks) < 2 THEN []
+         |      ELSE list_zip(toks[1:len(toks)-1], toks[2:len(toks)]) END) AS pr FROM t)),
+         |un AS (SELECT doc_id, is_train, unnest(toks) AS w FROM t),
+         |c3 AS (SELECT a, b, c, count(*) AS c3 FROM tg WHERE is_train GROUP BY 1, 2, 3),
+         |c2 AS (SELECT a, b, count(*) AS c2 FROM bg WHERE is_train GROUP BY 1, 2),
+         |c1 AS (SELECT w, count(*) AS c1 FROM un WHERE is_train GROUP BY 1),
+         |tot AS (SELECT sum(c1) AS n_total, count(*) AS v_size FROM c1),
+         |held AS (SELECT doc_id, a, b, c, count(*) AS tf FROM tg WHERE NOT is_train GROUP BY 1, 2, 3, 4),
+         |sc AS (SELECT h.doc_id, h.tf,
+         |    CASE WHEN coalesce(c3.c3, 0) > 0 THEN 0
+         |         WHEN coalesce(bc.c2, 0) > 0 THEN 1 ELSE 2 END AS lvl,
+         |    CASE WHEN coalesce(c3.c3, 0) > 0
+         |           THEN ln(CAST(c3.c3 AS DOUBLE) / CAST(ab.c2 AS DOUBLE))
+         |         WHEN coalesce(bc.c2, 0) > 0
+         |           THEN ln(0.4 * CAST(bc.c2 AS DOUBLE) / CAST(ub.c1 AS DOUBLE))
+         |         ELSE ln(0.16 * CAST(coalesce(uc.c1, 0) + 1 AS DOUBLE)
+         |                 / CAST(tot.n_total + tot.v_size AS DOUBLE)) END AS lp
+         |  FROM held h
+         |  LEFT JOIN c3 ON c3.a = h.a AND c3.b = h.b AND c3.c = h.c
+         |  LEFT JOIN c2 ab ON ab.a = h.a AND ab.b = h.b
+         |  LEFT JOIN c2 bc ON bc.a = h.b AND bc.b = h.c
+         |  LEFT JOIN c1 ub ON ub.w = h.b
+         |  LEFT JOIN c1 uc ON uc.w = h.c
+         |  CROSS JOIN tot),
+         |agg AS (SELECT doc_id, sum(tf) AS nt,
+         |    sum(CASE WHEN lvl = 1 THEN tf ELSE 0 END) AS n_backoff_bi,
+         |    sum(CASE WHEN lvl = 2 THEN tf ELSE 0 END) AS n_backoff_uni,
+         |    sum(tf * lp) AS ll
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_trigrams,
+         |  CAST(coalesce(agg.n_backoff_bi, 0) AS BIGINT) AS n_backoff_bi,
+         |  CAST(coalesce(agg.n_backoff_uni, 0) AS BIGINT) AS n_backoff_uni,
+         |  round(agg.ll / agg.nt, 4) AS mean_logprob
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
 
     // DSIR weights: string-term replay of the hashed-postings pipeline
     // (counts are hash-invariant). The smoothed ratio is a quotient of
