@@ -2602,6 +2602,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Span-level duplication report (the granularity of Lee et al.'22
+    // "Deduplicating Training Data Makes LMs Better": repeated SPANS
+    // inside otherwise-unique documents, which doc-level dedup can't
+    // see). A token position is covered when any 8-token shingle
+    // through it appears in ≥ 2 documents; maximal covered runs become
+    // (doc_id, span_start, span_len) rows via per-doc gaps-and-islands.
+    // Everything is LINEAR in corpus size — shingle df is a count (not
+    // a pair join), coverage is a semi-join + bounded 8× explode, and
+    // the only windows partition by doc_id — so unlike the pair-based
+    // dedup family this needs no df cap at 100 TB.
+    "corpus_dup_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      val sh = docs.withColumn("sg", explode(when(size(col("toks")) < 8,
+          expr("cast(array() as array<struct<i:int,sh:string>>)"))
+          .otherwise(expr("transform(sequence(0, size(toks)-8), " +
+            "i -> struct(i as i, concat_ws('', slice(toks, i+1, 8)) as sh))"))))
+        .select(col("doc_id"), col("sg.i").as("i"), col("sg.sh").as("sh"))
+      val dup = sh.groupBy("sh")
+        .agg(countDistinct(col("doc_id")).as("df")).filter(col("df") >= 2)
+      val covered = sh.join(dup, Seq("sh"), "left_semi")
+        .withColumn("o", explode(sequence(lit(0), lit(7))))
+        .select(col("doc_id"), (col("i") + col("o")).as("p"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      covered.withColumn("grp", col("p") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(min(col("p")).cast("long").as("span_start"),
+          count(lit(1)).as("span_len"))
+        .select(col("doc_id"), col("span_start"), col("span_len"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // DSIR-style importance weights (Xie et al. '23): per-token
     // log-likelihood ratio of an add-one-smoothed target unigram LM
     // (here: the English slice) vs the raw LM (everything else) — the
@@ -5330,6 +5364,24 @@ object SparkEntry {
          |  round(agg.ll / agg.nt, 4) AS mean_logprob
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
+
+    // Dup-span replay: same shingles, same coverage explode, same
+    // gaps-and-islands; pure integer positions, no float hazard.
+    "corpus_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |ix AS (SELECT doc_id, toks,
+         |    unnest(range(0, greatest(len(toks) - 7, 0))) AS i FROM t),
+         |sh AS (SELECT doc_id, i,
+         |    array_to_string(toks[i + 1:i + 8], chr(1)) AS sh FROM ix),
+         |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT s.doc_id, s.i + o.o AS p
+         |  FROM sh s JOIN dup USING (sh), range(0, 8) o(o)),
+         |g AS (SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM cov)
+         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+         |  CAST(count(*) AS BIGINT) AS span_len
+         |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
     // DSIR weights: string-term replay of the hashed-postings pipeline
     // (counts are hash-invariant). The smoothed ratio is a quotient of
