@@ -3849,6 +3849,51 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // PageRank centrality over the kNN similarity graph — the coreset-
+    // selection motif (rank documents by how central they sit in the
+    // embedding-similarity graph) and the suite's iterative-graph
+    // computation: edges = exact top-3 neighbors per vector ((dist, id)
+    // tie-break as everywhere), then 3 damped power iterations. Ranks
+    // live in FIXED-POINT integer micro-units (the embedding_drift
+    // discipline): R₀ = 10¹²/n, share = R div outdeg,
+    // R' = (15·(10¹²/n) + 85·Σshares) div 100 — all BIGINT-exact, so
+    // summation order can never perturb the result and the oracle
+    // replays every iteration as generated CTEs (the pqTrain
+    // discipline). Per iteration: one equi-join + one sum shuffle —
+    // the standard distributed PageRank shape; nodes with no in-links
+    // keep the damping base.
+    "graph_pagerank_knn" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val nodes = emb.select(col("id"))
+      val nF = broadcast(nodes.agg(count(lit(1)).as("n")))
+      val w = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("dst").asc)
+      val edges = broadcast(emb.select(col("id").as("src"), col("emb").as("semb")))
+        .crossJoin(emb.select(col("id").as("dst"), col("emb").as("demb")))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("dist",
+          graft.functions.VectorExpressions.l2Sq(col("semb"), col("demb")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("src"), col("dst"))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val edgeDeg = edges.join(deg, Seq("src"))
+      val baseExpr = expr("cast(1000000000000 as bigint) div n")
+      var ranks = nodes.crossJoin(nF).select(col("id"), baseExpr.as("r"))
+      for (_ <- 1 to 3) {
+        val shares = edgeDeg
+          .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"), expr("r div outdeg").as("sh"))
+          .groupBy("id").agg(sum(col("sh")).as("sh"))
+        ranks = nodes.crossJoin(nF).join(shares, Seq("id"), "left")
+          .select(col("id"),
+            expr("(15 * (cast(1000000000000 as bigint) div n) + " +
+              "85 * coalesce(sh, cast(0 as bigint))) div 100").as("r"))
+      }
+      ranks.select(col("id").as("vec_id"), col("r").cast("long").as("rank_fp"))
+        .orderBy("vec_id")
+    }),
+
     // Per-language z-score of document length, from EXACT integer
     // sufficient statistics (sum, sum-of-squares as BIGINT — float
     // partial-sum order never enters; the lineitem_corr lesson), then
@@ -6166,6 +6211,35 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, dist,
          |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
          |SELECT qid, vec_id AS nn_id, round(dist, 4) AS dist FROM r WHERE rk = 1 ORDER BY qid""".stripMargin,
+
+    // Fixed-point PageRank replay: edges from the same (dist, id)
+    // ranked top-3, then every damped iteration as an explicit CTE —
+    // all integer arithmetic (// is DuckDB's integer division, div
+    // Spark's; identical on positives), so no float-order hazard.
+    "graph_pagerank_knn" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS emb FROM embeddings WHERE vec_id < 200),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |dd AS (SELECT x.id AS src, y.id AS dst,
+         |    row_number() OVER (PARTITION BY x.id
+         |      ORDER BY ${l2Sql("x.emb", "y.emb")}, y.id) AS rk
+         |  FROM e x JOIN e y ON x.id <> y.id),
+         |ed AS (SELECT src, dst FROM dd WHERE rk <= 3),
+         |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+         |r0 AS (SELECT id, 1000000000000 // n AS r FROM e CROSS JOIN nn),
+         |s1 AS (SELECT ed.dst AS id, sum(r0.r // deg.outdeg) AS sh
+         |  FROM ed JOIN r0 ON r0.id = ed.src JOIN deg ON deg.src = ed.src GROUP BY ed.dst),
+         |r1 AS (SELECT e.id, (15 * (1000000000000 // n) + 85 * coalesce(s1.sh, 0)) // 100 AS r
+         |  FROM e CROSS JOIN nn LEFT JOIN s1 ON s1.id = e.id),
+         |s2 AS (SELECT ed.dst AS id, sum(r1.r // deg.outdeg) AS sh
+         |  FROM ed JOIN r1 ON r1.id = ed.src JOIN deg ON deg.src = ed.src GROUP BY ed.dst),
+         |r2 AS (SELECT e.id, (15 * (1000000000000 // n) + 85 * coalesce(s2.sh, 0)) // 100 AS r
+         |  FROM e CROSS JOIN nn LEFT JOIN s2 ON s2.id = e.id),
+         |s3 AS (SELECT ed.dst AS id, sum(r2.r // deg.outdeg) AS sh
+         |  FROM ed JOIN r2 ON r2.id = ed.src JOIN deg ON deg.src = ed.src GROUP BY ed.dst),
+         |r3 AS (SELECT e.id, (15 * (1000000000000 // n) + 85 * coalesce(s3.sh, 0)) // 100 AS r
+         |  FROM e CROSS JOIN nn LEFT JOIN s3 ON s3.id = e.id)
+         |SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_fp
+         |FROM r3 ORDER BY vec_id""".stripMargin,
 
     "doc_length_zscore" ->
       """WITH st AS (SELECT lang, count(*) AS n, sum(n_chars) AS s1,
