@@ -29,7 +29,7 @@ object Curves {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // optional section filter: any of {ann, recall, dedup}; default all
     val sections: Set[String] =
-      if (args.isEmpty) Set("ann", "recall", "dedup", "bpe") else args.toSet
+      if (args.isEmpty) Set("ann", "recall", "dedup", "bpe", "flac") else args.toSet
     val spark = GraftSession.builder("graft-curves", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -278,6 +278,34 @@ object Curves {
         // trainMs includes the count pass it starts from; report the
         // rounds-only residual so the flat part is visible
         println(f"| $label%s | $nd%d | $vocab%d | $countMs%.0f | ${math.max(trainMs - countMs, 0)}%.0f | $tokMs%.0f |")
+      }
+    }
+
+    if (sections("flac")) {
+      // FLAC codec: compression ratio + single-thread codec throughput
+      // by signal class (the decode path is what multimodal_audio_flac
+      // pays per row; scan-parallel, so per-core throughput IS the
+      // scale number).
+      println()
+      println("| signal (16-bit mono, 1 s @ 48 kHz) | flac bytes | ratio vs PCM | encode ms | decode ms |")
+      println("|---|---|---|---|---|")
+      val n = 48000
+      val signals: Seq[(String, Array[Short])] = Seq(
+        "constant" -> Array.fill(n)(1234.toShort),
+        "linear ramp" -> Array.tabulate(n)(i => ((i * 7) % 30000).toShort),
+        "sine 440 Hz" -> Array.tabulate(n)(i =>
+          (math.sin(2 * math.Pi * 440 * i / 48000.0) * 12000).toShort),
+        "sine + small noise" -> Array.tabulate(n) { i =>
+          (math.sin(2 * math.Pi * 440 * i / 48000.0) * 12000 +
+            ((i * 2654435761L >>> 16) % 65) - 32).toShort },
+        "full-range noise" -> Array.tabulate(n)(i =>
+          (((i * 2654435761L) >>> 13) % 65536 - 32768).toShort))
+      signals.foreach { case (label, s) =>
+        var bytes: Array[Byte] = null
+        val encMs = timeMs { bytes = graft.multimodal.Flac.flacBytes(48000, 1, s) }
+        val decMs = timeMs { graft.multimodal.Flac.decode(bytes) }
+        val ratio = (n * 2).toDouble / bytes.length
+        println(f"| $label%s | ${bytes.length}%d | ${ratio}%.2fx | $encMs%.1f | $decMs%.1f |")
       }
     }
     spark.stop()
