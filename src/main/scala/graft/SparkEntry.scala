@@ -1562,6 +1562,29 @@ object SparkEntry {
         .orderBy("doc_id", "page_num")
     }),
 
+    // The AES twin: V 4 / R 4 /CFM /AESV2 — the PDF 1.6 encryption
+    // modern producers emit. Same text contract as the RC4 row; what
+    // changed is the whole cipher stack (50-round rev-4 key
+    // derivation, sAlT per-object keys, IV-prefixed AES-128-CBC via
+    // javax.crypto). Hash-matches the same closed-form oracle.
+    "pdf_extract_aes" -> ((s, dir) => {
+      val writeExtract = udf((text: String) => {
+        val trimmed = text.replaceAll("\\A +", "").replaceAll(" +\\z", "")
+        val toks: Seq[String] =
+          if (trimmed.isEmpty) Seq.empty
+          else trimmed.split(graft.functions.TextFunctions.wsPattern, -1).toSeq
+        val pages = Seq(Seq(toks.take(4).mkString(" ")),
+          Seq(toks.slice(4, 8).mkString(" ")))
+        graft.ingest.SimplePdf.extractPages(
+          graft.ingest.SimplePdfWriter.writeEncryptedAes(pages, compress = true))
+      })
+      Tables.documents(s, dir)
+        .filter(col("lang") === "en" && col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(writeExtract(col("text"))).as(Seq("pos", "page_text")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("page_num"), col("page_text"))
+        .orderBy("doc_id", "page_num")
+    }),
+
     // The Type0/CID twin: the SAME page text as a modern unicode PDF —
     // content hex strings carry 2-byte CIDs at codepoint+7 (byte-pair
     // decoding yields garbage by construction), the font is
@@ -2622,16 +2645,23 @@ object SparkEntry {
         .select(col("doc_id"), col("sg.i").as("i"), col("sg.sh").as("sh"))
       val dup = sh.groupBy("sh")
         .agg(countDistinct(col("doc_id")).as("df")).filter(col("df") >= 2)
-      val covered = sh.join(dup, Seq("sh"), "left_semi")
-        .withColumn("o", explode(sequence(lit(0), lit(7))))
-        .select(col("doc_id"), (col("i") + col("o")).as("p"))
-        .distinct()
+      // interval merge over the duplicated START positions directly —
+      // shingle i covers [i, i+7], so runs stay contiguous exactly
+      // while the next start is ≤ prev + 8; no 8× position explode,
+      // no distinct, one per-doc sort feeding both windows
+      val starts = sh.join(dup, Seq("sh"), "left_semi")
+        .select(col("doc_id"), col("i"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("p")
-      covered.withColumn("grp", col("p") - row_number().over(w))
+        .partitionBy("doc_id").orderBy("i")
+      starts
+        .withColumn("brk",
+          when(col("i") - coalesce(lag(col("i"), 1).over(w), lit(-100)) > 8, 1)
+            .otherwise(0))
+        .withColumn("grp", sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
         .groupBy("doc_id", "grp")
-        .agg(min(col("p")).cast("long").as("span_start"),
-          count(lit(1)).as("span_len"))
+        .agg(min(col("i")).cast("long").as("span_start"),
+          (max(col("i")) + lit(8) - min(col("i"))).cast("long").as("span_len"))
         .select(col("doc_id"), col("span_start"), col("span_len"))
         .orderBy("doc_id", "span_start")
     }),
@@ -4683,6 +4713,17 @@ object SparkEntry {
          |SELECT doc_id, CAST(page_num AS BIGINT) AS page_num, page_text
          |FROM p ORDER BY doc_id, page_num""".stripMargin,
 
+    // AES twin: the cipher stack changed, the text contract did not —
+    // same closed form as the RC4 row.
+    "pdf_extract_aes" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
+         |  WHERE lang = 'en' AND doc_id < 100),
+         |p AS (SELECT doc_id, 1 AS page_num, array_to_string(toks[1:4], ' ') AS page_text FROM t
+         |      UNION ALL
+         |      SELECT doc_id, 2, array_to_string(toks[5:8], ' ') FROM t)
+         |SELECT doc_id, CAST(page_num AS BIGINT) AS page_num, page_text
+         |FROM p ORDER BY doc_id, page_num""".stripMargin,
+
     // CID twin: the encoding changed (Type0 font, shifted 2-byte CIDs,
     // /ToUnicode CMap), the text contract did not — same closed form.
     "pdf_extract_cid" ->
@@ -5419,13 +5460,17 @@ object SparkEntry {
          |sh AS (SELECT doc_id, i,
          |    array_to_string(toks[i + 1:i + 8], chr(1)) AS sh FROM ix),
          |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
-         |cov AS (SELECT DISTINCT s.doc_id, s.i + o.o AS p
-         |  FROM sh s JOIN dup USING (sh), range(0, 8) o(o)),
-         |g AS (SELECT doc_id, p,
-         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
-         |  FROM cov)
-         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
-         |  CAST(count(*) AS BIGINT) AS span_len
+         |st AS (SELECT s.doc_id, s.i FROM sh s JOIN dup USING (sh)),
+         |br AS (SELECT doc_id, i,
+         |    CASE WHEN i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), -100) > 8
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM st),
+         |g AS (SELECT doc_id, i,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM br)
+         |SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+         |  CAST(max(i) + 8 - min(i) AS BIGINT) AS span_len
          |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
     // DSIR weights: string-term replay of the hashed-postings pipeline

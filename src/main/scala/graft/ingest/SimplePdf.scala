@@ -23,15 +23,19 @@ import java.util.zip.Inflater
   * strings mapped through the parsed bfchar/bfrange CMap — the layout
   * every modern unicode-text PDF uses).
   *
-  * Encryption: RC4 standard security handler (V 1 / R 2, 40-bit) with
-  * an EMPTY user password is decrypted transparently — spec algorithms
-  * 1–4 implemented from the public PDF standard, exercised end-to-end
-  * by the writer's own encrypted output.
+  * Encryption: the standard security handler with an EMPTY user
+  * password is decrypted transparently at V 1 / R 2 (40-bit RC4),
+  * V 2 (longer-key RC4), and V 4 / R 4 with /CFM /AESV2 (AES-128-CBC
+  * via javax.crypto — the PDF 1.6 layout modern producers emit; the
+  * 50-round rev-3+ key derivation, the sAlT per-object keys, and the
+  * IV-prefixed PKCS#5 stream layout are all the spec's algorithms
+  * 1–5), exercised end-to-end by the writer's own encrypted output.
   *
-  * NOT supported, by documented choice: non-empty passwords, AES
-  * (V 4/5) handlers, and CID text in literal (non-hex) strings. A page
-  * that needs those yields "" — the reference's own per-page failure
-  * placeholder semantics (cc:41-47), keeping page numbering aligned.
+  * NOT supported, by documented choice: non-empty passwords, the V 5
+  * (AESV3/SHA-256) handler, and CID text in literal (non-hex) strings.
+  * A page that needs those yields "" — the reference's own per-page
+  * failure placeholder semantics (cc:41-47), keeping page numbering
+  * aligned.
   */
 object SimplePdf {
 
@@ -112,13 +116,82 @@ object SimplePdf {
   private[graft] def fileKey(o: Array[Byte], p: Int, id0: Array[Byte]): Array[Byte] =
     md5(PadBytes, o, leInt(p), id0).take(5)
 
+  /** File key generalized to any revision (Alg. 2 in full): rev ≥ 3
+    * adds the 50-round MD5 iteration over the first keyLen bytes.
+    */
+  private[graft] def fileKeyR(o: Array[Byte], p: Int, id0: Array[Byte],
+      rev: Int, keyLen: Int): Array[Byte] = {
+    var key = md5(PadBytes, o, leInt(p), id0)
+    if (rev >= 3) for (_ <- 0 until 50) key = md5(key.take(keyLen))
+    key.take(keyLen)
+  }
+
   /** O entry for empty owner/user passwords (Alg. 3, rev 2):
     * RC4(MD5(pad)[0,5), pad).
     */
   private[graft] def ownerEntry(): Array[Byte] = rc4(md5(PadBytes).take(5), PadBytes)
 
+  /** O entry at any revision (Alg. 3 in full): rev ≥ 3 iterates the
+    * digest 50 times and applies the 19 extra RC4 passes with the key
+    * XOR'd by the pass index.
+    */
+  private[graft] def ownerEntryR(rev: Int, keyLen: Int): Array[Byte] = {
+    var ok = md5(PadBytes)
+    if (rev >= 3) for (_ <- 0 until 50) ok = md5(ok)
+    val k = ok.take(keyLen)
+    var data = rc4(k, PadBytes)
+    if (rev >= 3) for (i <- 1 to 19)
+      data = rc4(k.map(b => (b ^ i).toByte), data)
+    data
+  }
+
   /** U entry for an empty user password (Alg. 4, rev 2): RC4(key, pad). */
   private[graft] def userEntry(key: Array[Byte]): Array[Byte] = rc4(key, PadBytes)
+
+  /** U entry at rev ≥ 3 (Alg. 5): RC4 chain over MD5(pad ‖ ID0), 16
+    * arbitrary (here zero) padding bytes appended; readers compare only
+    * the first 16.
+    */
+  private[graft] def userEntryR(key: Array[Byte], id0: Array[Byte], rev: Int): Array[Byte] =
+    if (rev <= 2) userEntry(key)
+    else {
+      var data = rc4(key, md5(PadBytes, id0))
+      for (i <- 1 to 19) data = rc4(key.map(b => (b ^ i).toByte), data)
+      data ++ new Array[Byte](16)
+    }
+
+  /** Per-object AES key (Alg. 1 with the AESV2 "sAlT" suffix). */
+  private[graft] def objectKeyAes(key: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    val salt = Array((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte,
+      0x73.toByte, 0x41.toByte, 0x6C.toByte, 0x54.toByte)
+    md5(key, salt).take(math.min(key.length + 5, 16))
+  }
+
+  /** AES-128-CBC with the AESV2 layout: a 16-byte IV prepended to the
+    * PKCS#5-padded ciphertext — straight javax.crypto, pure JDK.
+    */
+  private[graft] def aesDecrypt(key: Array[Byte], ivAndData: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(ivAndData, 0, 16))
+    // the marker-based stream slice keeps the EOL that precedes
+    // "endstream"; ciphertext is whole blocks by construction, so
+    // truncate to the block boundary (a real mis-slice still fails
+    // the padding check)
+    val n = ((ivAndData.length - 16) / 16) * 16
+    c.doFinal(ivAndData, 16, n)
+  }
+
+  private[graft] def aesEncrypt(key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(data)
+  }
 
   /** Per-object key (Alg. 1): MD5(key ‖ objnum LE24 ‖ gen LE16) truncated
     * to min(keyLen+5, 16).
@@ -129,12 +202,16 @@ object SimplePdf {
     md5(key, salt).take(math.min(key.length + 5, 16))
   }
 
-  /** Encryption parameters from the trailer, if the file is encrypted
-    * with the standard handler (V 1 / R 2): the /Encrypt dict's O and P
-    * plus the first /ID string. Unsupported handlers return None and
-    * the document degrades to Seq("").
+  private final case class Enc(cipher: String, rev: Int, keyLen: Int,
+      o: Array[Byte], p: Int, id0: Array[Byte])
+
+  /** Encryption parameters from the trailer for the standard security
+    * handler: V 1 / R 2 (40-bit RC4), V 2 (longer-key RC4), and
+    * V 4 / R 4 with /CFM /AESV2 (AES-128-CBC) or /CFM /V2 (RC4-128).
+    * Unsupported handlers (V 5 AESV3, crypt filters beyond /StdCF)
+    * return None and the document degrades to Seq("").
     */
-  private def encryptionOf(s: String, objs: Map[Int, PdfObj]): Option[(Array[Byte], Int, Array[Byte])] = {
+  private def encryptionOf(s: String, objs: Map[Int, PdfObj]): Option[Enc] = {
     val ti = s.lastIndexOf("trailer")
     val region = if (ti >= 0) s.substring(ti) else s
     for {
@@ -144,7 +221,18 @@ object SimplePdf {
       om <- """/O\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(enc.dict)
       pm <- """/P\s+(-?\d+)""".r.findFirstMatchIn(enc.dict)
       im <- """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(region)
-    } yield (hexBytes(om.group(1)), pm.group(1).toInt, hexBytes(im.group(1)))
+      v = """/V\s+(\d+)""".r.findFirstMatchIn(enc.dict).map(_.group(1).toInt).getOrElse(1)
+      r = """/R\s+(\d+)""".r.findFirstMatchIn(enc.dict).map(_.group(1).toInt).getOrElse(2)
+      lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(enc.dict)
+        .map(_.group(1).toInt).getOrElse(40)
+      cipher <- v match {
+        case 1 | 2 => Some("rc4")
+        case 4 if enc.dict.contains("/AESV2") => Some("aes")
+        case 4 if enc.dict.contains("/CFM") && enc.dict.contains("/V2") => Some("rc4")
+        case _ => None // V 5 / AESV3 etc: degrade, never emit garbage
+      }
+    } yield Enc(cipher, r, if (v == 1) 5 else math.max(5, lenBits / 8),
+      hexBytes(om.group(1)), pm.group(1).toInt, hexBytes(im.group(1)))
   }
 
   private def hexBytes(h: String): Array[Byte] =
@@ -428,11 +516,13 @@ object SimplePdf {
       // any other processing — Flate, ObjStm expansion, and CMaps then
       // see plaintext exactly as in an unencrypted file
       val topLevel = encryptionOf(s, parsed) match {
-        case Some((o, p, id0)) =>
-          val key = fileKey(o, p, id0)
+        case Some(enc) =>
+          val key = fileKeyR(enc.o, enc.p, enc.id0, enc.rev, enc.keyLen)
           parsed.map { case (num, obj) =>
-            num -> obj.copy(stream =
-              obj.stream.map(raw => rc4(objectKey(key, num, 0), raw)))
+            num -> obj.copy(stream = obj.stream.map { raw =>
+              if (enc.cipher == "aes") aesDecrypt(objectKeyAes(key, num, 0), raw)
+              else rc4(objectKey(key, num, 0), raw)
+            })
           }
         case None => parsed
       }

@@ -116,6 +116,66 @@ object SimplePdfWriter {
     body.toString.getBytes(ISO_8859_1)
   }
 
+  /** An AES-ENCRYPTED document (standard security handler, V 4 / R 4,
+    * /CFM /AESV2, AES-128-CBC, empty user password — the PDF 1.6
+    * encryption modern producers emit): the rev-4 key derivation (50×
+    * MD5 iteration, Alg. 2/3/5 in full via [[SimplePdf]]'s shared
+    * primitives), every content stream stored as
+    * IV ‖ AES-CBC(per-object sAlT key, Flate?(data)) with PKCS#5
+    * padding. IVs are deterministic (MD5 of ID0 ‖ objnum — CBC accepts
+    * any IV; determinism keeps fixtures replayable). A reader that
+    * ignores encryption sees ciphertext; only the standard derivation
+    * plus javax.crypto recovers the text.
+    */
+  def writeEncryptedAes(pages: Seq[Seq[String]], compress: Boolean = true): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val fontObj = 3 + 2 * n
+    val encObj = fontObj + 1
+    val perm = -44
+    val id0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(pages.flatten.mkString("\n").getBytes(ISO_8859_1))
+    val o = SimplePdf.ownerEntryR(rev = 4, keyLen = 16)
+    val key = SimplePdf.fileKeyR(o, perm, id0, rev = 4, keyLen = 16)
+    val u = SimplePdf.userEntryR(key, id0, rev = 4)
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    def ivFor(objNum: Int): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id0 ++ Array((objNum & 0xff).toByte))
+
+    val objs = scala.collection.mutable.ArrayBuffer[String]()
+    objs += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n"
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      objs += s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents $contObj 0 R >>\nendobj\n"
+      val raw = contentFor(lines).getBytes(ISO_8859_1)
+      val (plain, filter) =
+        if (compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      val data = SimplePdf.aesEncrypt(
+        SimplePdf.objectKeyAes(key, contObj, 0), ivFor(contObj), plain)
+      objs += s"$contObj 0 obj\n<< /Length ${data.length}$filter >>\nstream\n" +
+        new String(data, ISO_8859_1) + "\nendstream\nendobj\n"
+    }
+    objs += s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+    objs += s"$encObj 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+      "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(o)}> /U <${hex(u)}> /P $perm >>\nendobj\n"
+
+    val body = new StringBuilder("%PDF-1.6\n")
+    val offsets = objs.map { ob => val off = body.length; body ++= ob; off }
+    val xrefOff = body.length
+    body ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    offsets.foreach(off => body ++= f"$off%010d 00000 n \n")
+    body ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R " +
+      s"/Encrypt $encObj 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n"
+    body.toString.getBytes(ISO_8859_1)
+  }
+
   /** A Type0 (CID) font document with /ToUnicode remapping — the
     * layout every modern unicode-text PDF uses: content hex strings
     * carry 2-byte CIDs (here codepoint + `cidOffset`, so naive

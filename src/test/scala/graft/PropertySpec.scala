@@ -254,6 +254,9 @@ class PropertySpec extends GraftSpec {
       val classic = graft.ingest.SimplePdf.extractPages(
         graft.ingest.SimplePdfWriter.write(pages, compress = true))
       assert(objStm === classic, s"case $i")
+      val aes = graft.ingest.SimplePdf.extractPages(
+        graft.ingest.SimplePdfWriter.writeEncryptedAes(pages, compress = i % 2 == 1))
+      assert(aes === classic, s"AES case $i")
     }
   }
 

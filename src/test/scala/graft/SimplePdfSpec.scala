@@ -110,6 +110,41 @@ class SimplePdfSpec extends GraftSpec {
       "the U entry must equal RC4(fileKey, padding) per Algorithm 4")
   }
 
+  test("AES-encrypted PDF (V4/R4 AESV2, empty user password) decrypts to the text") {
+    val pages = Seq(
+      Seq("This stream is AES-128-CBC ciphertext on disk.", "Rev-4 key, sAlT object keys."),
+      Seq("Second page, fresh IV, same file key."))
+    Seq(false, true).foreach { compress =>
+      val pdf = SimplePdfWriter.writeEncryptedAes(pages, compress = compress)
+      val s = new String(pdf, ISO_8859_1)
+      assert(s.contains("/AESV2") && s.contains("/R 4"))
+      if (!compress) assert(!s.contains("BT /F1"),
+        "content must be ciphertext on disk")
+      assert(SimplePdf.extractPages(pdf) === pages.map(_.mkString("\n")),
+        s"compress=$compress")
+    }
+    // U entry must verify per Algorithm 5 (rev >= 3): the RC4 chain over
+    // MD5(pad || ID0) under the 50-round rev-4 file key
+    val pdf = SimplePdfWriter.writeEncryptedAes(pages)
+    val s = new String(pdf, ISO_8859_1)
+    def hx(re: String): Array[Byte] =
+      re.r.findFirstMatchIn(s).get.group(1)
+        .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val o = hx("""\/O <([0-9A-Fa-f]+)>""")
+    val u = hx("""\/U <([0-9A-Fa-f]+)>""")
+    val id0 = hx("""\/ID \[<([0-9A-Fa-f]+)>""")
+    val key = SimplePdf.fileKeyR(o, -44, id0, rev = 4, keyLen = 16)
+    assert(SimplePdf.userEntryR(key, id0, rev = 4).take(16).toSeq === u.take(16).toSeq,
+      "the U entry's first 16 bytes must verify per Algorithm 5")
+    // a flipped ciphertext byte must degrade (CBC garbles + padding/Flate
+    // breaks), never emit wrong text silently
+    val streamAt = new String(pdf, ISO_8859_1).indexOf("stream\n")
+    val bad = pdf.clone(); bad(streamAt + 40) = (bad(streamAt + 40) ^ 0x55).toByte
+    val out = SimplePdf.extractPages(bad)
+    assert(out.length === 2 || out === Seq(""))
+    assert(out.head !== pages.head.mkString("\n"))
+  }
+
   test("parseCMap: bfchar entries, multi-char UTF-16 targets, bfrange expansion") {
     val cmap =
       """begincmap
