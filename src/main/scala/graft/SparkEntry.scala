@@ -89,6 +89,35 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 3, 0.6)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** One computation of the winnowed-fingerprint co-occurrence PAIR list
+    * (doc_a, doc_b, shared ≥ 2), shared by dedup_winnow_candidates and
+    * dedup_winnow_clusters — the same build-the-pair-graph-once shape as
+    * [[sharedNgramPairs]]. The postings are localCheckpointed once (the
+    * df-cap and both join sides reference them; an unmaterialized winnow
+    * frame would re-run the char-level gram hashing up to 4×, measured
+    * ~4s → ~1s at sf0.1), the df ≤ 64 cap is the dedup family's
+    * stop-shingle skew bound (Σdf² stays linear-ish at any corpus
+    * size), and the resulting pair list is high-threshold filter output
+    * — tiny relative to the corpus, safe to persist at any scale.
+    */
+  private val winnowPairsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sharedWinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ => {
+      val post = winnowFrame(Tables.documents(spark, dir))
+        .select(col("doc_id"), explode(
+          expr("array_distinct(transform(sel, p -> element_at(gh, p + 1)))")).as("h"))
+        .localCheckpoint(true)
+      val rare = post.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64)
+      val kept = post.join(rare, Seq("h"))
+      kept.as("x").join(kept.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Stable cache key for a session: a UUID minted once per session
     * INSTANCE in an identity-keyed map — unlike a raw identityHashCode
     * key, which a GC'd session's successor can alias, silently serving a
@@ -116,6 +145,13 @@ object SparkEntry {
       try e.getValue.unpersist(blocking = false)
       catch { case _: Throwable => () } // session may already be stopped
       it.remove()
+    }
+    val itW = winnowPairsCache.entrySet().iterator()
+    while (itW.hasNext) {
+      val e = itW.next()
+      try e.getValue.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      itW.remove()
     }
     val it2 = searchIndexCache.entrySet().iterator()
     while (it2.hasNext) {
@@ -370,6 +406,37 @@ object SparkEntry {
              |         THEN k ELSE -1 END)))""".stripMargin)))
       .withColumn("sel", expr("array_sort(array_distinct(selpos))"))
       .select(col("doc_id"), col("gh"), col("sel"))
+  }
+
+  /** Damped PageRank in FIXED-POINT integer micro-units (the
+    * embedding_drift discipline): R₀ = 10¹²/n, share = R div outdeg,
+    * R' = (15·(10¹²/n) + 85·Σshares) div 100 — all BIGINT-exact, so
+    * summation order can never perturb the result and the oracle
+    * replays every iteration as generated CTEs. Per iteration: one
+    * equi-join + one sum shuffle — the standard distributed PageRank
+    * shape; nodes with no in-links keep the damping base. The node
+    * count is a 1-row driver count (parameter-bounded), so the plan
+    * carries no crossJoin.
+    */
+  private def pagerankFixedPoint(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val n = nodes.count()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgeDeg = edges.join(deg, Seq("src"))
+    val base = 1000000000000L / n
+    var ranks = nodes.select(col("id"), lit(base).as("r"))
+    for (_ <- 1 to iters) {
+      val shares = edgeDeg
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), expr("r div outdeg").as("sh"))
+        .groupBy("id").agg(sum(col("sh")).as("sh"))
+      ranks = nodes.join(shares, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(15 * cast($base as bigint) + " +
+            "85 * coalesce(sh, cast(0 as bigint))) div 100").as("r"))
+    }
+    ranks.select(col("id").as("vec_id"), col("r").cast("long").as("rank_fp"))
+      .orderBy("vec_id")
   }
 
   /** DuckDB CTE chain mirroring [[winnowFrame]] (ends in `w(doc_id, gh,
@@ -2387,6 +2454,57 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // MS VIDEO 1 (CRAM) — the suite's first LOSSY-FAMILY video codec
+    // (vector quantization: each 4×4 block quantized to 1, 2, or 8
+    // palette colors + skip — the classic encoder trades color detail
+    // per block for rate; the bitstream itself decodes exactly, which
+    // is what makes an exact oracle possible). Exercises every opcode:
+    // a 2-color block (flags select between two indices), an 8-color
+    // block (per-2×2-quadrant pairs), two 1-color blocks, a multi-block
+    // SKIP (inter-frame carry through the persistent buffer), and a
+    // skip-everything frame. Per-frame channel SUMS are recovered
+    // exactly from the float means (sum = round(mean·w·h); the float
+    // error is ≪ ½ at these magnitudes) so the DuckDB replay is pure
+    // BIGINT arithmetic over the closed-form palette. Decode is
+    // scan-parallel per row, zero shuffle — the multimodal posture.
+    "multimodal_video_msv1" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val pal = (0 until 134).map(j =>
+              ((((id * 7 + j * 29) % 256) << 16) | (((id * 11 + j * 31) % 256) << 8) |
+                ((id * 13 + j * 37) % 256)).toInt)
+            import graft.multimodal.Multimodal._
+            // 8×8 = 2×2 blocks, order bottom-left, bottom-right,
+            // top-left, top-right
+            val key = Seq[Msv1Block](
+              Msv1Two(0x0F0F, 3, 9), // 8 px idx3 + 8 px idx9
+              // 0x5A3C gives each of the 8 quadrant colors exactly 2 px
+              Msv1Eight(0x5A3C, Seq(132, 5, 17, 40, 77, 90, 11, 66)),
+              Msv1One(21),
+              Msv1One(34 + (id % 3).toInt))
+            val repaint = Seq[Msv1Block](
+              Msv1Skip(3), Msv1Two(0x00FF, 2, 8)) // carry 3, redo top-right
+            val carry = Seq[Msv1Block](Msv1Skip(4)) // whole frame carried
+            (id, aviMsv1Bytes(8, 8, fps = 10, pal, Seq(key, repaint, carry)))
+          }
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.decodeAvi(s, media)
+        .filter(col("is_video"))
+        .select(col("id").as("doc_id"), col("codec"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          posexplode(col("frame_means")).as(Seq("frame_idx", "m")))
+        .select(col("doc_id"), col("codec"), col("width"), col("height"), col("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          round(element_at(col("m"), 1).cast("double") * 64).cast("long").as("sum_r"),
+          round(element_at(col("m"), 2).cast("double") * 64).cast("long").as("sum_g"),
+          round(element_at(col("m"), 3).cast("double") * 64).cast("long").as("sum_b"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // IVFADC end-to-end (Jégou et al., TPAMI'11 — the full production
     // ANN pipeline, composing the pieces the suite verifies separately):
     // the IVF coarse probe prunes the corpus to nprobe=2 of 8 cells
@@ -2523,6 +2641,15 @@ object SparkEntry {
     // closed-form list-zip as corpus_span_corrupt (no window, no
     // positions shuffle); 3 linear shuffles like the unigram row. Docs
     // with < 2 tokens keep a (0, NULL) row on both engines.
+    //
+    // Per-bigram ln ratios are BIGINT quotients (bit-identical doubles
+    // on both engines), then QUANTIZED to fixed-point micro-nats
+    // (floor(lp·10⁶ + ½) — the embedding_drift / graph_pagerank_knn
+    // discipline) BEFORE the per-doc sum: sum(tf · lp_fp) is pure
+    // BIGINT arithmetic, so partition count / AQE / accumulation order
+    // can never perturb the result. The 10⁻⁶ grid is 100× finer than
+    // the rounded 10⁻⁴ output, so the quantization is invisible in the
+    // reported means (PropertySpec pins partition-count invariance).
     "doc_bigram_logprob" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val bg = docs
@@ -2536,14 +2663,18 @@ object SparkEntry {
       val uni = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
       val perDoc = bg.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
         .join(big, Seq("a", "b")).join(uni, Seq("a"))
+        .withColumn("lp_fp",
+          floor(log(col("c_ab").cast("double") / col("c_a").cast("double"))
+            * lit(1000000.0) + lit(0.5)).cast("long"))
         .groupBy("doc_id")
-        .agg(sum(col("tf") * log(col("c_ab").cast("double") / col("c_a").cast("double"))).as("ll"),
+        .agg(sum(col("tf") * col("lp_fp")).as("ll_fp"),
           sum(col("tf")).as("nb"))
       docs.select(col("doc_id"))
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("nb"), lit(0L)).as("n_bigrams"),
-          round(col("ll") / col("nb"), 4).as("mean_bigram_logprob"))
+          round(col("ll_fp").cast("double") / lit(1000000.0) / col("nb"), 4)
+            .as("mean_bigram_logprob"))
         .orderBy("doc_id")
     }),
 
@@ -2560,9 +2691,12 @@ object SparkEntry {
     //                                          defined even for OOV)
     // Per-doc: mean ln S + how often each backoff level fired. All
     // count ratios are BIGINT quotients → ln() sees bit-identical
-    // doubles on both engines. Three count tables, all vocab-sized
-    // linear aggregates + equi-joins — the canonical distributed LM
-    // counting shape at 100 TB.
+    // doubles on both engines, and each trigram's ln is then QUANTIZED
+    // to fixed-point micro-nats before the per-doc sum (the
+    // doc_bigram_logprob discipline) so the aggregation is pure BIGINT
+    // and accumulation order can never flip the hash. Three count
+    // tables, all vocab-sized linear aggregates + equi-joins — the
+    // canonical distributed LM counting shape at 100 TB.
     "doc_trigram_logprob" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("is_train", col("doc_id") % 4 =!= 0)
@@ -2610,18 +2744,21 @@ object SparkEntry {
           .otherwise(log(lit(0.16) *
             (coalesce(col("c1c"), lit(0L)) + 1).cast("double") /
             (col("n_total") + col("v_size")).cast("double"))))
+        .withColumn("lp_fp",
+          floor(col("lp") * lit(1000000.0) + lit(0.5)).cast("long"))
         .groupBy("doc_id")
         .agg(sum(col("tf")).as("nt"),
           sum(when(col("lvl") === 1, col("tf")).otherwise(0L)).as("n_backoff_bi"),
           sum(when(col("lvl") === 2, col("tf")).otherwise(0L)).as("n_backoff_uni"),
-          sum(col("tf") * col("lp")).as("ll"))
+          sum(col("tf") * col("lp_fp")).as("ll_fp"))
       docs.filter(!col("is_train")).select(col("doc_id"))
         .join(held, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("nt"), lit(0L)).as("n_trigrams"),
           coalesce(col("n_backoff_bi"), lit(0L)).as("n_backoff_bi"),
           coalesce(col("n_backoff_uni"), lit(0L)).as("n_backoff_uni"),
-          round(col("ll") / col("nt"), 4).as("mean_logprob"))
+          round(col("ll_fp").cast("double") / lit(1000000.0) / col("nt"), 4)
+            .as("mean_logprob"))
         .orderBy("doc_id")
     }),
 
@@ -2635,14 +2772,18 @@ object SparkEntry {
     // a pair join), coverage is a semi-join + bounded 8× explode, and
     // the only windows partition by doc_id — so unlike the pair-based
     // dedup family this needs no df cap at 100 TB.
+    // Shingles go through the 64-bit positional FNV hash
+    // (HashedShinglePositionsExpr — the vocab_growth lesson: interpreted
+    // string-shingle lambdas cost ~10× a native hash pass); df counts
+    // are hash-invariant, so the string-shingle DuckDB oracle still
+    // matches exactly (collisions ~n²/2⁶⁴).
     "corpus_dup_spans" -> ((s, dir) => {
+      graft.functions.HashedShingles.ensureRegistered(s)
       val docs = Tables.documents(s, dir)
-        .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
-      val sh = docs.withColumn("sg", explode(when(size(col("toks")) < 8,
-          expr("cast(array() as array<struct<i:int,sh:string>>)"))
-          .otherwise(expr("transform(sequence(0, size(toks)-8), " +
-            "i -> struct(i as i, concat_ws('', slice(toks, i+1, 8)) as sh))"))))
-        .select(col("doc_id"), col("sg.i").as("i"), col("sg.sh").as("sh"))
+      val sh = docs
+        .select(col("doc_id"),
+          posexplode(graft.functions.HashedShingles.positions(col("text"), 8))
+            .as(Seq("i", "sh")))
       val dup = sh.groupBy("sh")
         .agg(countDistinct(col("doc_id")).as("df")).filter(col("df") >= 2)
       // interval merge over the duplicated START positions directly —
@@ -2884,24 +3025,28 @@ object SparkEntry {
     // same stop-shingle skew bound dedup_ngram_jaccard carries — Σdf²
     // stays linear-ish at any corpus size). Top-50 pairs by shared
     // count, exactly replayed.
-    "dedup_winnow_candidates" -> ((s, dir) => {
-      // materialize the postings ONCE: the df-cap and both join sides
-      // reference them, and an unmaterialized winnow frame would
-      // re-run the char-level gram hashing up to 4× (measured ~4s →
-      // ~1s at sf0.1; the quality_lm_spearman discipline)
-      val post = winnowFrame(Tables.documents(s, dir))
-        .select(col("doc_id"), explode(
-          expr("array_distinct(transform(sel, p -> element_at(gh, p + 1)))")).as("h"))
-        .localCheckpoint(true)
-      val rare = post.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 64)
-      val kept = post.join(rare, Seq("h"))
-      val pairs = kept.as("x").join(kept.as("y"),
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
-      pairs.orderBy(col("shared").desc, col("doc_a"), col("doc_b")).limit(50)
+    "dedup_winnow_candidates" -> ((s, dir) =>
+      // the pair graph is built ONCE (sharedWinnowPairs) and serves
+      // both this report and dedup_winnow_clusters
+      sharedWinnowPairs(s, dir)
+        .orderBy(col("shared").desc, col("doc_a"), col("doc_b")).limit(50)),
+
+    // The winnow pair graph put to work at SPAN granularity: connected
+    // components over the MOSS-style candidate pairs — the drop-list
+    // clustering a plagiarism/near-dup pipeline runs after candidate
+    // generation, mirroring dedup_clusters but with the winnowed-
+    // fingerprint candidate generator instead of the full-Jaccard one.
+    // Reuses the shared pair cache (zero extra candidate work) and the
+    // same hybrid union-find / large-star-small-star component solver;
+    // the oracle replays the full chain — winnow selection, df cap,
+    // co-occurrence join, recursive min-label propagation.
+    "dedup_winnow_clusters" -> ((s, dir) => {
+      val pairs = sharedWinnowPairs(s, dir)
+      val labels = graft.dedup.Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+      val w = Window.partitionBy(col("cluster_id"))
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .orderBy("doc_id")
     }),
 
     // Multimodal binary plumbing: payload metadata. magic_hex is derived
@@ -3897,7 +4042,6 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
         .select(col("vec_id").as("id"), col("embedding").as("emb"))
       val nodes = emb.select(col("id"))
-      val nF = broadcast(nodes.agg(count(lit(1)).as("n")))
       val w = Window.partitionBy(col("src")).orderBy(col("dist").asc, col("dst").asc)
       val edges = broadcast(emb.select(col("id").as("src"), col("emb").as("semb")))
         .crossJoin(emb.select(col("id").as("dst"), col("emb").as("demb")))
@@ -3906,22 +4050,34 @@ object SparkEntry {
           graft.functions.VectorExpressions.l2Sq(col("semb"), col("demb")))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select(col("src"), col("dst"))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val edgeDeg = edges.join(deg, Seq("src"))
-      val baseExpr = expr("cast(1000000000000 as bigint) div n")
-      var ranks = nodes.crossJoin(nF).select(col("id"), baseExpr.as("r"))
-      for (_ <- 1 to 3) {
-        val shares = edgeDeg
-          .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-          .select(col("dst").as("id"), expr("r div outdeg").as("sh"))
-          .groupBy("id").agg(sum(col("sh")).as("sh"))
-        ranks = nodes.crossJoin(nF).join(shares, Seq("id"), "left")
-          .select(col("id"),
-            expr("(15 * (cast(1000000000000 as bigint) div n) + " +
-              "85 * coalesce(sh, cast(0 as bigint))) div 100").as("r"))
-      }
-      ranks.select(col("id").as("vec_id"), col("r").cast("long").as("rank_fp"))
-        .orderBy("vec_id")
+      pagerankFixedPoint(nodes, edges)
+    }),
+
+    // PageRank over edges FROM THE ANN INDEX — the composition
+    // PLANS.md's PageRank note promises: at real scale the similarity
+    // graph is never an exact cross product, it is the output of the
+    // ANN machinery. Edges here come from Hnsw.topK (per-segment graph
+    // walks + global (dist, id) top-k merge); with efSearch far above
+    // every segment size the walk is exhaustive (the
+    // ann_hnsw_ivf_routed trick), so k=4-minus-self equals the exact
+    // top-3 and the oracle replays the same closed-form edge list as
+    // graph_pagerank_knn. No crossJoin anywhere in this plan: the
+    // candidate generator is the index, and the node count feeding the
+    // damping base is a 1-row driver count (parameter-bounded).
+    "graph_pagerank_hnsw" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      val nodes = emb.select(col("vec_id").as("id"))
+      val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      // k=4: self (dist 0) is always inside the top-4, so dropping it
+      // leaves ≥ the exact top-3 neighbors; the re-rank below trims
+      // back to exactly 3 with the suite's (dist, id) tie-break.
+      val ew = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id").asc)
+      val edges = graft.search.Hnsw.topK(s, q, emb, k = 4, efSearch = 4096)
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("rk2", row_number().over(ew)).filter(col("rk2") <= 3)
+        .select(col("qid").as("src"), col("vec_id").as("dst"))
+      pagerankFixedPoint(nodes, edges)
     }),
 
     // Per-language z-score of document length, from EXACT integer
@@ -5206,6 +5362,36 @@ object SparkEntry {
         |FROM documents d, range(0, 3) f(f) WHERE d.doc_id < 50
         |ORDER BY d.doc_id, frame_idx""".stripMargin,
 
+    // MS Video 1 replay: the fixture's per-frame channel sums in
+    // closed form. Each (palette-index, pixel-count) weight pair comes
+    // straight from the opcode design in the query: 2-color 0x0F0F →
+    // 8+8 px, 8-color 0x5A3C → 2 px per quadrant color, 1-color → 16
+    // px; frames 1 and 2 share the post-repaint weights (frame 2 is
+    // the skip-everything carry). Pure BIGINT arithmetic.
+    "multimodal_video_msv1" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |kw(j, wt) AS (VALUES (3, 8), (9, 8), (132, 2), (5, 2), (17, 2),
+        |  (40, 2), (77, 2), (90, 2), (11, 2), (66, 2), (21, 16)),
+        |w0 AS (SELECT d.doc_id, kw.j, kw.wt FROM d, kw
+        |       UNION ALL SELECT d.doc_id, 34 + d.doc_id % 3, 16 FROM d),
+        |w1 AS (SELECT d.doc_id, kw.j, kw.wt FROM d, kw
+        |       UNION ALL SELECT d.doc_id, 2, 8 FROM d
+        |       UNION ALL SELECT d.doc_id, 8, 8 FROM d),
+        |wf AS (SELECT 0 AS frame_idx, * FROM w0
+        |       UNION ALL SELECT 1, * FROM w1
+        |       UNION ALL SELECT 2, * FROM w1),
+        |sums AS (SELECT frame_idx, doc_id,
+        |    sum(wt * ((doc_id * 7 + j * 29) % 256)) AS sum_r,
+        |    sum(wt * ((doc_id * 11 + j * 31) % 256)) AS sum_g,
+        |    sum(wt * ((doc_id * 13 + j * 37) % 256)) AS sum_b
+        |  FROM wf GROUP BY 1, 2)
+        |SELECT doc_id, 'MSV1' AS codec,
+        |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        |  CAST(sum_b AS BIGINT) AS sum_b
+        |FROM sums ORDER BY doc_id, frame_idx""".stripMargin,
+
     // Audio: the synthesized sample formula replayed exactly — Σs² is
     // an exact BIGINT on both engines, duration is exact rational.
     "multimodal_audio_stats" ->
@@ -5395,17 +5581,19 @@ object SparkEntry {
          |uni AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1),
          |dbg AS (SELECT doc_id, a, b, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
          |ll AS (SELECT dbg.doc_id,
-         |         sum(dbg.tf * ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE))) AS ll,
+         |         sum(dbg.tf * CAST(floor(ln(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE))
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS ll_fp,
          |         sum(dbg.tf) AS nb
          |       FROM dbg JOIN big USING (a, b) JOIN uni USING (a) GROUP BY dbg.doc_id)
          |SELECT d.doc_id, CAST(coalesce(ll.nb, 0) AS BIGINT) AS n_bigrams,
-         |       round(ll.ll / ll.nb, 4) AS mean_bigram_logprob
+         |       round(CAST(ll.ll_fp AS DOUBLE) / 1000000.0 / ll.nb, 4) AS mean_bigram_logprob
          |FROM documents d LEFT JOIN ll USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // Stupid backoff replay: same split, same count tables, same CASE
     // ladder; every ratio is a BIGINT quotient so ln() inputs match
-    // bit-for-bit. list_zip adjacency for trigrams needs two shifted
-    // slices.
+    // bit-for-bit, and each ln is quantized to the same micro-nat
+    // BIGINT grid before summing. list_zip adjacency for trigrams
+    // needs two shifted slices.
     "doc_trigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, doc_id % 4 <> 0 AS is_train,
          |    ${toksSql("text")} AS toks FROM documents),
@@ -5425,12 +5613,13 @@ object SparkEntry {
          |sc AS (SELECT h.doc_id, h.tf,
          |    CASE WHEN coalesce(c3.c3, 0) > 0 THEN 0
          |         WHEN coalesce(bc.c2, 0) > 0 THEN 1 ELSE 2 END AS lvl,
-         |    CASE WHEN coalesce(c3.c3, 0) > 0
+         |    CAST(floor((CASE WHEN coalesce(c3.c3, 0) > 0
          |           THEN ln(CAST(c3.c3 AS DOUBLE) / CAST(ab.c2 AS DOUBLE))
          |         WHEN coalesce(bc.c2, 0) > 0
          |           THEN ln(0.4 * CAST(bc.c2 AS DOUBLE) / CAST(ub.c1 AS DOUBLE))
          |         ELSE ln(0.16 * CAST(coalesce(uc.c1, 0) + 1 AS DOUBLE)
-         |                 / CAST(tot.n_total + tot.v_size AS DOUBLE)) END AS lp
+         |                 / CAST(tot.n_total + tot.v_size AS DOUBLE)) END)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
          |  FROM held h
          |  LEFT JOIN c3 ON c3.a = h.a AND c3.b = h.b AND c3.c = h.c
          |  LEFT JOIN c2 ab ON ab.a = h.a AND ab.b = h.b
@@ -5441,13 +5630,13 @@ object SparkEntry {
          |agg AS (SELECT doc_id, sum(tf) AS nt,
          |    sum(CASE WHEN lvl = 1 THEN tf ELSE 0 END) AS n_backoff_bi,
          |    sum(CASE WHEN lvl = 2 THEN tf ELSE 0 END) AS n_backoff_uni,
-         |    sum(tf * lp) AS ll
+         |    sum(tf * lp_fp) AS ll_fp
          |  FROM sc GROUP BY doc_id)
          |SELECT d.doc_id,
          |  CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_trigrams,
          |  CAST(coalesce(agg.n_backoff_bi, 0) AS BIGINT) AS n_backoff_bi,
          |  CAST(coalesce(agg.n_backoff_uni, 0) AS BIGINT) AS n_backoff_uni,
-         |  round(agg.ll / agg.nt, 4) AS mean_logprob
+         |  round(CAST(agg.ll_fp AS DOUBLE) / 1000000.0 / agg.nt, 4) AS mean_logprob
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
 
@@ -5625,6 +5814,28 @@ object SparkEntry {
          |          GROUP BY 1, 2 HAVING count(*) >= 2)
          |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared
          |FROM pairs ORDER BY shared DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+
+    // The full winnow→cluster chain replayed: candidate pairs as above
+    // (sans the top-50 trim), then the dedup_clusters recursive
+    // min-label propagation over the pair graph.
+    "dedup_winnow_clusters" ->
+      s"""WITH RECURSIVE $winnowCtesSql,
+         |post AS (SELECT DISTINCT doc_id, hsh FROM (
+         |    SELECT doc_id, unnest(list_transform(sel, p -> gh[p + 1])) AS hsh FROM w)),
+         |rare AS (SELECT hsh FROM post GROUP BY hsh HAVING count(*) <= 64),
+         |kept AS (SELECT doc_id, hsh FROM post JOIN rare USING (hsh)),
+         |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+         |          FROM kept x JOIN kept y ON x.hsh = y.hsh AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |      UNION SELECT doc_b, doc_a FROM pairs),
+         |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+         |      UNION
+         |      SELECT e.u, r.v FROM e JOIN r ON e.v = r.u),
+         |lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM r GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -6262,6 +6473,36 @@ object SparkEntry {
     // all integer arithmetic (// is DuckDB's integer division, div
     // Spark's; identical on positives), so no float-order hazard.
     "graph_pagerank_knn" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS emb FROM embeddings WHERE vec_id < 200),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |dd AS (SELECT x.id AS src, y.id AS dst,
+         |    row_number() OVER (PARTITION BY x.id
+         |      ORDER BY ${l2Sql("x.emb", "y.emb")}, y.id) AS rk
+         |  FROM e x JOIN e y ON x.id <> y.id),
+         |ed AS (SELECT src, dst FROM dd WHERE rk <= 3),
+         |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+         |r0 AS (SELECT id, 1000000000000 // n AS r FROM e CROSS JOIN nn),
+         |s1 AS (SELECT ed.dst AS id, sum(r0.r // deg.outdeg) AS sh
+         |  FROM ed JOIN r0 ON r0.id = ed.src JOIN deg ON deg.src = ed.src GROUP BY ed.dst),
+         |r1 AS (SELECT e.id, (15 * (1000000000000 // n) + 85 * coalesce(s1.sh, 0)) // 100 AS r
+         |  FROM e CROSS JOIN nn LEFT JOIN s1 ON s1.id = e.id),
+         |s2 AS (SELECT ed.dst AS id, sum(r1.r // deg.outdeg) AS sh
+         |  FROM ed JOIN r1 ON r1.id = ed.src JOIN deg ON deg.src = ed.src GROUP BY ed.dst),
+         |r2 AS (SELECT e.id, (15 * (1000000000000 // n) + 85 * coalesce(s2.sh, 0)) // 100 AS r
+         |  FROM e CROSS JOIN nn LEFT JOIN s2 ON s2.id = e.id),
+         |s3 AS (SELECT ed.dst AS id, sum(r2.r // deg.outdeg) AS sh
+         |  FROM ed JOIN r2 ON r2.id = ed.src JOIN deg ON deg.src = ed.src GROUP BY ed.dst),
+         |r3 AS (SELECT e.id, (15 * (1000000000000 // n) + 85 * coalesce(s3.sh, 0)) // 100 AS r
+         |  FROM e CROSS JOIN nn LEFT JOIN s3 ON s3.id = e.id)
+         |SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_fp
+         |FROM r3 ORDER BY vec_id""".stripMargin,
+
+    // The ANN-edge variant replays the SAME closed-form edge list: the
+    // per-segment HNSW walk at efSearch ≫ segment size is exhaustive
+    // and the (dist, id) merge is the exact top-3, so the index-backed
+    // edges equal the cross-product edges value-for-value — which is
+    // precisely the claim this row exists to verify.
+    "graph_pagerank_hnsw" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding AS emb FROM embeddings WHERE vec_id < 200),
          |nn AS (SELECT count(*) AS n FROM e),
          |dd AS (SELECT x.id AS src, y.id AS dst,

@@ -69,15 +69,72 @@ case class HashedShinglesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** POSITIONAL variant: element i is the FNV-1a 64 hash of the n-gram
+  * starting at token i — NOT de-duplicated, so `posexplode` recovers
+  * (position, shingle-hash) pairs for span-level consumers
+  * (corpus_dup_spans' gaps-and-islands needs the position). Same hash,
+  * same tokenization, same collision argument as [[HashedShinglesExpr]]:
+  * every consumer only needs df counts over a well-mixed 64-bit space,
+  * so the string-shingle DuckDB oracle still matches (collisions
+  * ~n²/2⁶⁴). Docs with < n tokens yield an empty array.
+  */
+case class HashedShinglePositionsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.trim match {
+      case "" => Array.empty[String]
+      case t  => t.split(TextFunctions.wsPattern)
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= 0x01L; h *= 0x100000001b3L }
+        val s = toks(i + j)
+        var k = 0
+        while (k < s.length) {
+          h ^= s.charAt(k).toLong
+          h *= 0x100000001b3L
+          k += 1
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashedShingles {
-  /** Register graft_shingles(text, n) and return a Column builder. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** Register graft_shingles(text, n) / graft_shingle_pos(text, n) and
+    * return Column builders.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
       exprs => HashedShinglesExpr(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue()),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_pos",
+      exprs => HashedShinglePositionsExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "scala_udf")
+  }
 
   def apply(text: Column, n: Int): Column =
     call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(n))
+
+  def positions(text: Column, n: Int): Column =
+    call_function("graft_shingle_pos", text, org.apache.spark.sql.functions.lit(n))
 }

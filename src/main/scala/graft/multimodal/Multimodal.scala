@@ -758,6 +758,144 @@ object Multimodal {
       bitCount = 8, palette = palette)
   }
 
+  /** 'CRAM' / 'MSVC' biCompression fourccs for MS Video 1, little-endian. */
+  val CramFourcc: Int = 'C' | ('R' << 8) | ('A' << 16) | ('M' << 24)
+  val MsvcFourcc: Int = 'M' | ('S' << 8) | ('V' << 16) | ('C' << 24)
+
+  /** MS Video 1 (CRAM) block opcodes, 8-bit palettized variant — the
+    * suite's first LOSSY-FAMILY vector-quantization codec (the encoder
+    * quantizes each 4×4 block to 1, 2, or 8 palette colors; this writer
+    * takes the quantized blocks directly). Opcode grammar per the
+    * public format description (wiki.multimedia.cx "Microsoft Video 1"):
+    * blocks run left→right, BOTTOM→TOP; each reads two bytes (a, b):
+    *   - (b & 0xFC) == 0x84 → skip ((b-0x84)<<8)+a blocks (incl. this
+    *     one) — pixels carry over from the previous frame (inter-frame)
+    *   - b < 0x80 → flags = (b<<8)|a, then 2 color bytes; if the FIRST
+    *     color has its high bit set, 6 more follow and each 2×2
+    *     quadrant uses its own color pair (8-color mode); flag bit 1
+    *     selects the pair's first color, bit order raster from the
+    *     block's bottom-left
+    *   - otherwise → 1-color block, color = a
+    */
+  sealed trait Msv1Block
+  final case class Msv1Skip(n: Int) extends Msv1Block
+  final case class Msv1One(c: Int) extends Msv1Block
+  final case class Msv1Two(flags: Int, c0: Int, c1: Int) extends Msv1Block
+  final case class Msv1Eight(flags: Int, cs: Seq[Int]) extends Msv1Block
+
+  private[graft] def msv1FrameBytes(blocks: Seq[Msv1Block]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    blocks.foreach {
+      case Msv1Skip(n) =>
+        require(n >= 1 && n <= 0x3ff, s"skip count $n out of opcode range")
+        out.write(n & 0xff); out.write(0x84 + (n >> 8))
+      case Msv1One(c) =>
+        require(c >= 0 && c <= 0xff)
+        out.write(c); out.write(0x90)
+      case Msv1Two(flags, c0, c1) =>
+        require(flags >= 0 && flags <= 0xffff && (flags >> 8) < 0x80,
+          "2/8-color flags high byte must stay below 0x80")
+        require(c0 < 0x80, "2-color first index with high bit set would read as 8-color")
+        out.write(flags & 0xff); out.write(flags >> 8)
+        out.write(c0); out.write(c1)
+      case Msv1Eight(flags, cs) =>
+        require(flags >= 0 && flags <= 0xffff && (flags >> 8) < 0x80)
+        require(cs.length == 8 && cs.head >= 0x80,
+          "8-color mode is signalled by the first index's high bit")
+        out.write(flags & 0xff); out.write(flags >> 8)
+        cs.foreach(out.write)
+    }
+    out.toByteArray
+  }
+
+  /** One MS Video 1 frame's block walk over `pix` (palette indices,
+    * row 0 = BOTTOM image row — the DIB convention the RLE8 walker
+    * shares). Blocks run left→right, bottom→top; within a block,
+    * flag bit 0 is the bottom-left pixel and a SET bit selects the
+    * pair's FIRST color. Skipped blocks keep `pix`'s previous content —
+    * MSV1's native inter-frame coding. Package-visible so the spec can
+    * pin pixel POSITIONS (frame means can't see orientation).
+    */
+  private[graft] def msv1DecodeFrame(bb: java.nio.ByteBuffer, base: Int,
+      len: Int, w: Int, h: Int, pix: Array[Int]): Unit = {
+    val (bw, bh) = (w / 4, h / 4)
+    var p = base
+    var skip = 0
+    var blk = 0
+    while (blk < bw * bh && (skip > 0 || p + 1 < base + len)) {
+      if (skip > 0) skip -= 1
+      else {
+        val a = bb.get(p) & 0xff
+        val b = bb.get(p + 1) & 0xff
+        p += 2
+        val (bx, by) = (blk % bw, blk / bw)
+        if ((b & 0xFC) == 0x84) skip = ((b - 0x84) << 8) + a - 1
+        else if (b < 0x80) {
+          var flags = (b << 8) | a
+          val c0 = bb.get(p) & 0xff
+          val c1 = bb.get(p + 1) & 0xff
+          p += 2
+          if ((c0 & 0x80) != 0) { // 8-color: per-2×2-quadrant pairs
+            val cs = new Array[Int](8)
+            cs(0) = c0; cs(1) = c1
+            var k = 2
+            while (k < 8) { cs(k) = bb.get(p) & 0xff; p += 1; k += 1 }
+            var py = 0
+            while (py < 4) {
+              var px = 0
+              while (px < 4) {
+                val q = (py & 2) | ((px & 2) >> 1)
+                pix((by * 4 + py) * w + bx * 4 + px) =
+                  if ((flags & 1) != 0) cs(q * 2) else cs(q * 2 + 1)
+                flags >>= 1
+                px += 1
+              }
+              py += 1
+            }
+          } else {
+            var py = 0
+            while (py < 4) {
+              var px = 0
+              while (px < 4) {
+                pix((by * 4 + py) * w + bx * 4 + px) =
+                  if ((flags & 1) != 0) c0 else c1
+                flags >>= 1
+                px += 1
+              }
+              py += 1
+            }
+          }
+        } else { // 1-color
+          var py = 0
+          while (py < 4) {
+            var px = 0
+            while (px < 4) {
+              pix((by * 4 + py) * w + bx * 4 + px) = a
+              px += 1
+            }
+            py += 1
+          }
+        }
+      }
+      blk += 1
+    }
+  }
+
+  /** Minimal MS Video 1 AVI writer: 8-bit palettized 'CRAM' frames over
+    * a caller-supplied palette; frame payloads come from
+    * [[msv1FrameBytes]] over explicit block lists (so fixtures can
+    * exercise every opcode, including multi-block skips).
+    */
+  def aviMsv1Bytes(w: Int, h: Int, fps: Int, palette: Seq[Int],
+      frames: Seq[Seq[Msv1Block]]): Array[Byte] = {
+    require(w % 4 == 0 && h % 4 == 0, "MS Video 1 frames are 4x4 block grids")
+    val frameChunks = frames.map(bs => aviChunk("00dc", msv1FrameBytes(bs)))
+    val maxFrame = frameChunks.map(_.length - 8).max
+    aviContainer(w, h, fps, handler = "CRAM", biCompression = CramFourcc,
+      frameBytes = maxFrame, frameChunks = frameChunks,
+      bitCount = 8, palette = palette)
+  }
+
   private def aviChunk(id: String, body: Array[Byte]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -928,6 +1066,27 @@ object Multimodal {
                         }
                         val np = (w.toLong * h).toFloat
                         means += Array(sr / np, sg / np, sb / np)
+                      case c if c.endsWith("dc") && (compression == CramFourcc ||
+                          compression == MsvcFourcc) && w > 0 && h > 0 && bits == 8 =>
+                        // MS Video 1 (CRAM), 8-bit palettized: 4×4
+                        // blocks left→right / bottom→top; opcode pairs
+                        // (a, b) select skip / 2-color / 8-color /
+                        // 1-color per the public format description
+                        // (see aviMsv1Bytes). The frame buffer PERSISTS
+                        // across frames: skipped blocks carry the
+                        // previous frame's pixels — MSV1's native
+                        // inter-frame coding.
+                        if (rlePix == null || rlePix.length != w * h)
+                          rlePix = new Array[Int](w * h)
+                        val pix = rlePix
+                        msv1DecodeFrame(bb, bb.position(), len, w, h, pix)
+                        var (sr, sg, sb) = (0L, 0L, 0L)
+                        pix.foreach { i =>
+                          val rgb = if (i < palette.length) palette(i) else 0
+                          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                        }
+                        val np = (w.toLong * h).toFloat
+                        means += Array(sr / np, sg / np, sb / np)
                       case c if c.endsWith("dc") && compression == MjpgFourcc =>
                         val jpeg = new Array[Byte](len)
                         bb.get(jpeg)
@@ -959,6 +1118,7 @@ object Multimodal {
                 if (means.isEmpty || w <= 0 || h <= 0) none(r.id)
                 else VideoInfo(r.id, is_video = true,
                   if (compression == MjpgFourcc) "MJPG"
+                  else if (compression == CramFourcc || compression == MsvcFourcc) "MSV1"
                   else if (compression == 1) "RLE8" else "DIB",
                   w, h, means.length,
                   if (usPerFrame > 0) 1e6 / usPerFrame else 0.0, means.toArray)

@@ -1,0 +1,96 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import scala.util.matching.Regex
+
+/** Canonical-counts gate. Round 12 shipped `docs/STATE.md` / SURVEY §8
+  * saying 177 queries / 303 tests while the actual surface was 184 /
+  * 311 — the canonical-counts file went stale the same day it was
+  * written, defeating its purpose. This main derives the counts from
+  * the ONE source of truth (`SparkEntry.queries.size` /
+  * `oracleSql.size`, plus the ScalaTest report totals under
+  * `target/test-reports`) and either asserts the prose matches (exit 1
+  * on drift — the round-close gate) or, with `--fix`, rewrites the
+  * counted lines in place so they can never be hand-edited wrong.
+  */
+object StateCheck {
+  private val statePath = "docs/STATE.md"
+  private val surveyPath = "SURVEY.md"
+
+  // "Canonical counts: **N `SparkEntry.queries` entries, N `oracleSql`
+  // entries (zero rows-only), N ScalaTests (N suites).**"
+  private val stateRe: Regex =
+    ("""Canonical counts: \*\*(\d+) `SparkEntry\.queries` entries, (\d+) `oracleSql`\s*""" +
+      """entries \(zero rows-only\), (\d+) ScalaTests \((\d+) suites\)\.\*\*""").r
+
+  // SURVEY §8: "round N: **N queries, ALL N with DuckDB-oracle entries"
+  // (may wrap across a line break)
+  private val surveyRe: Regex =
+    """round (\d+): \*\*(\d+) queries,\s*ALL (\d+) with DuckDB-oracle entries""".r
+
+  private def testReportTotals(): (Int, Int) = {
+    val dir = new java.io.File("target/test-reports")
+    val reports = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("TEST-") && f.getName.endsWith(".xml"))
+    val tests = reports.map { f =>
+      val t = new String(Files.readAllBytes(f.toPath), "UTF-8")
+      """tests="(\d+)"""".r.findFirstMatchIn(t).map(_.group(1).toInt).getOrElse(0)
+    }.sum
+    (tests, reports.length)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val fix = args.contains("--fix")
+    val nQueries = graft.SparkEntry.queries.size
+    val nOracle = graft.SparkEntry.oracleSql.size
+    val (nTests, nSuites) = testReportTotals()
+    println(s"[state] actual: $nQueries queries, $nOracle oracles, " +
+      s"$nTests tests across $nSuites suites")
+    require(nQueries == nOracle,
+      s"queries ($nQueries) != oracleSql ($nOracle) — every query needs an oracle")
+
+    var drift = 0
+    def checkFile(path: String, re: Regex,
+        rewrite: (String, Regex) => String): Unit = {
+      val p = Paths.get(path)
+      if (!Files.exists(p)) { println(s"[state] $path missing — skip"); return }
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      re.findFirstMatchIn(text) match {
+        case None =>
+          println(s"[state] ✗ $path: canonical-counts line not found")
+          drift += 1
+        case Some(m) =>
+          val declared = m.subgroups.map(_.toInt)
+          val ok = path match {
+            case `statePath` =>
+              declared == List(nQueries, nOracle, nTests, nSuites)
+            case _ =>
+              declared.tail == List(nQueries, nOracle) // survey: (round, q, o)
+          }
+          if (ok) println(s"[state] ✓ $path counts match")
+          else {
+            println(s"[state] ✗ $path declares ${declared.mkString("/")}" +
+              s" vs actual $nQueries/$nOracle/$nTests/$nSuites")
+            if (fix) {
+              Files.write(p, rewrite(text, re).getBytes("UTF-8"))
+              println(s"[state]   → rewrote $path")
+            } else drift += 1
+          }
+      }
+    }
+
+    checkFile(statePath, stateRe, (text, re) =>
+      re.replaceAllIn(text,
+        s"Canonical counts: **$nQueries `SparkEntry.queries` entries, " +
+          s"$nOracle `oracleSql`\nentries (zero rows-only), $nTests ScalaTests " +
+          s"($nSuites suites).**"))
+    checkFile(surveyPath, surveyRe, (text, re) =>
+      re.replaceAllIn(text, m =>
+        s"round ${m.group(1)}: **$nQueries queries,\nALL $nOracle with DuckDB-oracle entries"))
+
+    if (drift > 0) {
+      System.err.println(s"[state] DRIFT in $drift file(s) — run with --fix")
+      sys.exit(1)
+    }
+  }
+}

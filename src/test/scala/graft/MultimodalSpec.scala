@@ -301,6 +301,58 @@ class MultimodalSpec extends GraftSpec {
     v.frame_means.foreach(m => assert(m(0) === m(1) && m(1) === m(2)))
   }
 
+  test("MSV1: opcode walk paints exact pixel POSITIONS per the public block grammar") {
+    import graft.multimodal.Multimodal._
+    // 8×8 = 2×2 blocks, decode order bottom-left, bottom-right,
+    // top-left, top-right; bit 0 = block's bottom-left pixel; a SET
+    // bit selects the pair's FIRST color; 8-color quadrants keyed by
+    // (py&2)|((px&2)>>1) over the same bottom-up coordinates.
+    val frame = msv1FrameBytes(Seq(
+      Msv1Two(0x0001, 7, 2), // only bit 0 set → one c0 pixel
+      Msv1One(4),
+      Msv1One(5),
+      Msv1Eight(0x0004, Seq(0x84, 1, 2, 3, 9, 5, 6, 11))))
+    val pix = new Array[Int](64)
+    msv1DecodeFrame(java.nio.ByteBuffer.wrap(frame), 0, frame.length, 8, 8, pix)
+    def at(bx: Int, by: Int, px: Int, py: Int) = pix((by * 4 + py) * 8 + bx * 4 + px)
+    assert(at(0, 0, 0, 0) === 7, "set flag bit 0 → first color at block bottom-left")
+    for (py <- 0 until 4; px <- 0 until 4 if (px, py) != ((0, 0)))
+      assert(at(0, 0, px, py) === 2, s"clear bit ($px,$py) → second color")
+    for (py <- 0 until 4; px <- 0 until 4) {
+      assert(at(1, 0, px, py) === 4)
+      assert(at(0, 1, px, py) === 5)
+    }
+    // 8-color block (top-right): flags bit 2 → (px=2, py=0) in
+    // quadrant 1 gets its pair's FIRST color 2; everything else the
+    // quadrant's second color
+    val expectSecond = Map(0 -> 1, 1 -> 3, 2 -> 5, 3 -> 11)
+    for (py <- 0 until 4; px <- 0 until 4) {
+      val q = (py & 2) | ((px & 2) >> 1)
+      val want = if ((px, py) == ((2, 0))) 2 else expectSecond(q)
+      assert(at(1, 1, px, py) === want, s"8-color pixel ($px,$py) quadrant $q")
+    }
+  }
+
+  test("decodeAvi: MSV1 skip opcodes carry previous-frame blocks (inter-frame)") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal._
+    // grays for easy means: palette j → j*10 on every channel
+    val pal = (0 until 8).map(j => (j * 10 << 16) | (j * 10 << 8) | j * 10)
+    val avi = aviMsv1Bytes(8, 8, fps = 10, pal, Seq(
+      Seq(Msv1One(1), Msv1One(2), Msv1One(3), Msv1One(4)),
+      // skip 2 blocks, repaint block 2, trailing 1-block skip
+      Seq(Msv1Skip(2), Msv1One(6), Msv1Skip(1)),
+      Seq(Msv1Skip(4)))) // skip-everything frame: pure carry
+    val v = Multimodal.decodeAvi(spark, Seq((9L, avi)).toDF("id", "payload")).head()
+    assert(v.is_video && v.codec === "MSV1" && v.n_frames === 3)
+    assert(v.width === 8 && v.height === 8 && v.fps === 10.0)
+    val grays = v.frame_means.map(_.head)
+    assert(grays(0) === (10 + 20 + 30 + 40) / 4f)
+    assert(grays(1) === (10 + 20 + 60 + 40) / 4f, "skipped blocks must carry")
+    assert(grays(2) === grays(1), "skip-everything frame repeats the buffer")
+    v.frame_means.foreach(m => assert(m(0) === m(1) && m(1) === m(2)))
+  }
+
   test("decodeWav: stereo frames, odd-chunk padding, and degrade paths") {
     import spark.implicits._
     val stereo = Multimodal.wavBytes(8000, 2, Array.tabulate(512)(i => i.toShort))

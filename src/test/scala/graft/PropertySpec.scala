@@ -285,4 +285,26 @@ class PropertySpec extends GraftSpec {
       }
     }
   }
+
+  test("property: fixed-point LM sums are partition-count invariant") {
+    // The backoff-LM rows aggregate sum(tf * lp_fp) where lp_fp is a
+    // BIGINT micro-nat quantization of the per-n-gram ln ratio. A
+    // float sum here would drift with partition count (accumulation
+    // order); the fixed-point sum must be bit-identical under any
+    // shuffle layout. 3 vs 29 partitions forces different partial-agg
+    // groupings on every shuffle in the plan.
+    def run(parts: String): Seq[Seq[Any]] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        (SparkEntry.queries("doc_bigram_logprob")(spark, sfDir).collect().toSeq ++
+          SparkEntry.queries("doc_trigram_logprob")(spark, sfDir).collect().toSeq)
+          .map(_.toSeq)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = run("3")
+    val b = run("29")
+    assert(a.nonEmpty)
+    assert(a === b, "LM scores must not depend on partition count")
+  }
 }
