@@ -703,6 +703,25 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // METADATA-FILTERED vector search — the reference's query(where=…)
+    // path over the vector collection's own metadata column (label).
+    // PRE-filter composition: the predicate prunes the collection
+    // BEFORE any distance work, so top-k is exact over the filtered
+    // set — a post-filter top-k over unfiltered candidates can return
+    // < k rows and silently lose recall, the classic filtered-ANN
+    // pitfall. At 100 TB the label predicate rides parquet row-group
+    // stats / partition pruning on the metadata column, and the same
+    // pre-filter composes with the IVF/HNSW candidate generators
+    // (filter inside the probed cells).
+    "ann_filtered_top10" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("label") === 3)
+      val q = queryVectors(s, dir, 5)
+      KnnExact.topK(q, emb, 10)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("qid", "rk")
+    }),
+
     // The reference's PRIMARY user workflow, oracle-visible end-to-end:
     // PersistentClient get_or_create → batched add ×2 → query with a
     // metadata-style where filter (create_collections.py:160-268,
@@ -728,6 +747,42 @@ object SparkEntry {
       val res = store.query("docs", q, 5, where = Some(col("document") === "even"))
         .select(col("qid"), col("rk").cast("long").as("rk"), col("id"),
           col("document"), round(col("dist"), 4).as("dist"))
+        .orderBy("qid", "rk")
+        .localCheckpoint(true)
+      store.deleteCollection("docs")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
+    // The MUTATION half of the reference's collection lifecycle —
+    // delete(where=…) then upsert(records): parquet rows are immutable,
+    // so both are copy-on-write rewrites through the backup/swap/
+    // restore discipline (VectorStore.rewrite — no crash point loses
+    // the collection; VectorStoreSpec kills the swap mid-flight).
+    // Fixture: load everything, delete the odds, upsert vec_id < 10 as
+    // 'patched' (replacing surviving evens AND re-inserting deleted
+    // odds — both upsert arms exercised). The final state is closed-
+    // form, so the oracle replays the whole mutation sequence; n_total
+    // pins the post-mutation count through every query row.
+    "vector_store_delete_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vstore_mut").toString
+      val store = new graft.index.VectorStore(s, tmp)
+      val emb = Tables.embeddings(s, dir)
+      val records = emb.select(
+        concat(lit("vec_"), col("vec_id")).as("id"),
+        when(col("vec_id") % 2 === 0, "even").otherwise("odd").as("document"),
+        col("embedding"))
+      store.add("docs", records)
+      store.delete("docs", col("document") === "odd")
+      store.upsert("docs", records.filter(col("vec_id") < 10)
+        .withColumn("document", lit("patched")))
+      val n = store.count("docs")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val res = store.query("docs", q, 5)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("id"),
+          col("document"), round(col("dist"), 4).as("dist"), lit(n).as("n_total"))
         .orderBy("qid", "rk")
         .localCheckpoint(true)
       store.deleteCollection("docs")
@@ -2033,6 +2088,51 @@ object SparkEntry {
           col("m.c_label").as("assigned_label"),
           round(sqrt(col("m.d2")), 4).as("dist"))
         .orderBy("vec_id")
+    }),
+
+    // SQ8 SCALAR QUANTIZATION search (faiss IndexScalarQuantizer /
+    // Milvus SQ8 — the memory knob BEFORE PQ: each dimension affinely
+    // mapped to uint8 over its corpus [min, max], 4× smaller vectors
+    // with near-exact ranking and no codebook training). The 64-row
+    // per-dimension stats collect is dim-bounded (the codebook
+    // discipline); codes are floor(·+½) integers and the ranking
+    // distance is PURE BIGINT — Σ_d (Δcode_d)²·sfp_d with the per-dim
+    // squared scale pre-quantized to 10⁻¹² units — so summation order
+    // can never flip a rank and the oracle replays bit-for-bit. At
+    // 100 TB the scan reads 64-byte codes instead of 256-byte floats;
+    // the query side broadcasts (5 rows) onto the code scan.
+    "ann_sq8_top10" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val st = emb.select(posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("d").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+        .sortBy(_._1)
+      val loCol = array(st.map(t => lit(t._2)): _*)
+      val rngCol = array(st.map(t => lit(t._3 - t._2)): _*)
+      val sfpCol = array(st.map { t =>
+        val sc = (t._3 - t._2) / 255.0
+        lit(math.floor(sc * sc * 1e12 + 0.5).toLong)
+      }: _*)
+      def codesOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        transform(sequence(lit(0), lit(63)), d =>
+          when(element_at(rngCol, d + 1) === 0.0, lit(0L))
+            .otherwise(floor((element_at(e, d + 1).cast("double") -
+              element_at(loCol, d + 1)) / element_at(rngCol, d + 1) * lit(255.0)
+              + lit(0.5)).cast("long")))
+      val xCodes = emb.select(col("vec_id"), codesOf(col("embedding")).as("xc"))
+      val qCodes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), codesOf(col("embedding")).as("qc"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist_fp").asc, col("vec_id").asc)
+      broadcast(qCodes).crossJoin(xCodes)
+        .withColumn("sfp", sfpCol)
+        .withColumn("dist_fp", expr(
+          "aggregate(sequence(0, 63), cast(0 as bigint), (acc, d) -> " +
+            "acc + (element_at(qc, d + 1) - element_at(xc, d + 1)) * " +
+            "(element_at(qc, d + 1) - element_at(xc, d + 1)) * element_at(sfp, d + 1))"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          col("dist_fp"))
+        .orderBy("qid", "rk")
     }),
 
     // Product-quantization codes from the TRAINED codebook (the memory
@@ -4197,6 +4297,41 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // The where-filter replay: same exact kNN, collection restricted by
+    // the metadata predicate before any distance work.
+    "ann_filtered_top10" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist
+         |      FROM embeddings c, q WHERE c.label = 3),
+         |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // SQ8 replay: per-dimension [min, max] from the corpus, floor(·+½)
+    // affine codes, fixed-point squared-scale distance — every ratio
+    // and product is the same IEEE double / BIGINT sequence as the
+    // Spark side, so the match is value-for-value.
+    "ann_sq8_top10" ->
+      """WITH st AS (SELECT i.i AS d,
+        |    min(CAST(e.embedding[i.i + 1] AS DOUBLE)) AS lo,
+        |    max(CAST(e.embedding[i.i + 1] AS DOUBLE)) AS hi
+        |  FROM embeddings e, range(0, 64) i(i) GROUP BY 1),
+        |sf AS (SELECT d, lo, hi,
+        |    CAST(floor((hi - lo) / 255.0 * ((hi - lo) / 255.0) * 1000000000000.0 + 0.5) AS BIGINT) AS sfp
+        |  FROM st),
+        |xc AS (SELECT e.vec_id, sf.d, sf.sfp,
+        |    CASE WHEN sf.hi = sf.lo THEN 0
+        |         ELSE CAST(floor((CAST(e.embedding[sf.d + 1] AS DOUBLE) - sf.lo)
+        |                / (sf.hi - sf.lo) * 255.0 + 0.5) AS BIGINT) END AS c
+        |  FROM embeddings e, sf),
+        |qc AS (SELECT vec_id AS qid, d, c FROM xc WHERE vec_id < 5),
+        |dd AS (SELECT qc.qid, xc.vec_id,
+        |    sum((qc.c - xc.c) * (qc.c - xc.c) * xc.sfp) AS dist_fp
+        |  FROM qc JOIN xc ON qc.d = xc.d GROUP BY 1, 2),
+        |r AS (SELECT qid, vec_id, dist_fp,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist_fp, vec_id) AS rk FROM dd)
+        |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, CAST(dist_fp AS BIGINT) AS dist_fp
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
     "knn_cosine_top10" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
          |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim FROM embeddings c, q),
@@ -4272,6 +4407,28 @@ object SparkEntry {
          |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rk FROM d)
          |SELECT qid, CAST(rk AS BIGINT) AS rk, id, document, round(dist, 4) AS dist
          |FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // Mutation-sequence replay: the post-delete/upsert collection in
+    // closed form (evens ≥ 10 keep 'even'; everything < 10 is
+    // 'patched' — upserted over a surviving even or re-inserted after
+    // the odd delete), then the same exact-kNN query and the total
+    // count pinned on every row.
+    "vector_store_delete_upsert" ->
+      s"""WITH recs AS (SELECT vec_id, 'vec_' || CAST(vec_id AS VARCHAR) AS id,
+         |    CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS document, embedding
+         |  FROM embeddings),
+         |kept AS (SELECT id, document, embedding FROM recs
+         |           WHERE document = 'even' AND vec_id >= 10
+         |         UNION ALL
+         |         SELECT id, 'patched', embedding FROM recs WHERE vec_id < 10),
+         |cnt AS (SELECT count(*) AS n FROM kept),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 3),
+         |d AS (SELECT q.qid, k.id, k.document, ${l2Sql("q.qemb", "k.embedding")} AS dist
+         |      FROM kept k CROSS JOIN q),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rk FROM d)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, id, document, round(dist, 4) AS dist,
+         |  CAST(cnt.n AS BIGINT) AS n_total
+         |FROM rk, cnt WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // Hard negatives: same cosine ranking as knn_cosine_top10 with the
     // same-label pairs excluded before ranking.

@@ -32,7 +32,20 @@ class VectorStore(spark: SparkSession, warehouse: String) {
   /** Idempotent create: an empty parquet dataset with the collection
     * schema (so `collection(name)` works immediately after).
     */
+  /** If a rewrite crashed between its two renames, the live dir is
+    * missing and the backup holds the full pre-rewrite collection —
+    * restore it. Called from every entry point that would otherwise
+    * treat the collection as absent (creating an empty collection over
+    * a recoverable backup would silently lose data).
+    */
+  private def recoverIfCrashed(name: String): Unit = {
+    val d = dir(name)
+    val bak = new Path(root, name + ".bak")
+    if (fs.exists(bak) && !fs.exists(d)) fs.rename(bak, d)
+  }
+
   def getOrCreateCollection(name: String): DataFrame = {
+    recoverIfCrashed(name)
     val d = dir(name)
     if (!fs.exists(d)) {
       spark.createDataFrame(
@@ -102,6 +115,56 @@ class VectorStore(spark: SparkSession, warehouse: String) {
       .select(col("id").as("vec_id"), col("embedding"))
     val idx = LshIndex.fit(coll, numHashTables = numHashTables, bucketLength = bucketLength)
     idx.topK(queries, coll, k, radius = radius)
+  }
+
+  /** Copy-on-write rewrite with the backup/swap/restore discipline
+    * HnswMaintenance uses: staging write → live→bak → staging→live →
+    * drop bak, with a recovery rename at entry so no crash point loses
+    * the collection. Parquet is immutable, so row-level mutation IS a
+    * rewrite; at 100 TB the rewrite is partition-scoped (delete-file
+    * table formats — Delta/Iceberg — formalize exactly this), while the
+    * fixture-scale rewrite touches the whole collection. Returns
+    * (rows before, rows after).
+    */
+  private def rewrite(name: String)(keep: DataFrame => DataFrame): (Long, Long) = {
+    val d = dir(name)
+    val bak = new Path(root, name + ".bak")
+    recoverIfCrashed(name)
+    require(fs.exists(d), s"no such collection: $name")
+    val staging = new Path(root, name + ".staging")
+    fs.delete(staging, true)
+    val before = collection(name).count()
+    keep(collection(name)).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val after = spark.read.parquet(staging.toString).count()
+    fs.delete(bak, true)
+    fs.rename(d, bak)
+    fs.rename(staging, d)
+    fs.delete(bak, true)
+    (before, after)
+  }
+
+  /** collection.delete(where=...) — the reference's metadata-predicate
+    * delete. Returns the number of rows removed.
+    */
+  def delete(name: String, where: org.apache.spark.sql.Column): Long = {
+    val (before, after) = rewrite(name)(_.filter(!where))
+    before - after
+  }
+
+  /** collection.delete(ids=...) — explicit-id delete. */
+  def delete(name: String, ids: Seq[String]): Long =
+    delete(name, col("id").isin(ids: _*))
+
+  /** collection.upsert(records): replace existing ids, insert new ones —
+    * an anti-join rewrite (id-bounded) followed by the normal append.
+    * The incoming-id frame is materialized BEFORE the swap so a lazy
+    * read can never observe the collection mid-rewrite.
+    */
+  def upsert(name: String, records: DataFrame): Unit = {
+    val incoming = records.select(col("id").cast("string").as("id"))
+      .distinct().localCheckpoint(true)
+    rewrite(name)(_.join(incoming, Seq("id"), "left_anti"))
+    add(name, records)
   }
 
   /** list_collections(): filesystem metadata, no Spark job. */

@@ -281,6 +281,44 @@ object Curves {
       }
     }
 
+    if (sections("bpe_merges")) {
+      // MERGE-COUNT axis (the round-12 ask): a realistic tokenizer
+      // carries hundreds-to-thousands of merges, not the oracle-replay
+      // 8. The scale claim to verify: per-merge cost stays FLAT as the
+      // merge count grows — each round is one vocab-sized pair-count
+      // shuffle + a 1-row TakeOrdered argmax, independent of how many
+      // rounds preceded it (the localCheckpoint per round prevents
+      // lineage growth from re-deriving earlier rounds).
+      val base = graft.model.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      // the raw fixture's pair vocabulary exhausts in the low hundreds
+      // of merges; the suffixed variant (every token ×4 lexical
+      // variants — the existing bpe section's vocab axis) keeps the
+      // merge supply alive well past 256 so the long-horizon marginal
+      // cost is measurable
+      val rich = base.crossJoin(spark.range(8).select($"id".as("rep")))
+        .select(($"doc_id" * 8 + $"rep").as("doc_id"),
+          array_join(
+            transform(split($"text", " "), t => concat(t, lit("_"), $"rep".cast("string"))),
+            " ").as("text"))
+      Seq(("fixture", base, Seq(8, 32, 128, 256)),
+          ("vocab x8", rich, Seq(64, 256, 512))).foreach { case (label, docs, msSeq) =>
+        println(s"\n[$label]")
+        println("| merges | learned | wall s | s/merge | marginal s/merge |")
+        println("|---|---|---|---|---|")
+        var prev: Option[(Int, Double)] = None
+        msSeq.foreach { m =>
+          val t0 = System.nanoTime()
+          val (ms, words) = graft.textual.Bpe.trainMerges(spark, docs, "text", m)
+          val wall = (System.nanoTime() - t0) / 1e9
+          graft.textual.Bpe.unpersistCheckpoint(words)
+          val marginal = prev.map { case (pm, pw) => (wall - pw) / (ms.length - pm) }
+          println(f"| $m | ${ms.length} | $wall%.1f | ${wall / math.max(ms.length, 1)}%.3f " +
+            s"| ${marginal.map(x => f"$x%.3f").getOrElse("-")} |")
+          prev = Some((ms.length, wall))
+        }
+      }
+    }
+
     if (sections("flac")) {
       // FLAC codec: compression ratio + single-thread codec throughput
       // by signal class (the decode path is what multimodal_audio_flac

@@ -202,6 +202,28 @@ class PlanSpec extends GraftSpec {
       s"candidate generation must be the inverted-index equi-join:\n$p")
   }
 
+  test("corpus_dup_spans: native hashed shingles, ONE doc-sort feeds both windows") {
+    val p = plan("corpus_dup_spans")
+    assert(p.toLowerCase.contains("hashedshinglepositions"),
+      "shingles must go through the positional 64-bit hash expression, " +
+        s"not interpreted string lambdas (the 4.8s → 1s serial win):\n$p")
+    assert(!p.contains("concat_ws"), "string-shingle path must be gone")
+    // the lag window and the running-sum window share partitionBy/orderBy,
+    // so they must ride ONE doc-hashed exchange + sort — a second
+    // single-key doc_id exchange would mean the reuse regressed
+    val docOnly = "hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r.findAllIn(p).length
+    assert(docOnly == 1,
+      s"expected exactly one doc_id-partitioned exchange feeding both windows, got $docOnly:\n$p")
+  }
+
+  test("graph_pagerank_hnsw: ANN-index edges — no cross product anywhere in the plan") {
+    // the row exists to prove PageRank composes with the index-backed
+    // candidate generator; a CartesianProduct would defeat its purpose
+    val p = plan("graph_pagerank_hnsw")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"edges must come from Hnsw.topK + equi-joins, never a cross product:\n$p")
+  }
+
   test("corpus_span_corrupt: zero-shuffle projection — blocks are closed-form") {
     // fixed non-overlapping blocks keep span masking a per-row
     // transform: no join, no aggregation, only the presentation sort

@@ -83,6 +83,48 @@ class VectorStoreSpec extends GraftSpec {
     store.deleteCollection("col_w")
   }
 
+  test("delete(where/ids) and upsert: copy-on-write semantics, exact final state") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_store_mut").toString
+    val store = new VectorStore(spark, wh)
+    store.add("c", records(0 until 20))
+    // predicate delete returns the removed count and keeps the rest
+    assert(store.delete("c", col("id").isin("p3", "p4", "p5")) === 3L)
+    assert(store.count("c") === 17)
+    // id-list delete form
+    assert(store.delete("c", Seq("p0", "p99")) === 1L, "absent ids delete nothing")
+    assert(store.count("c") === 16)
+    // upsert replaces an existing id (p7) and re-inserts a deleted one
+    // (p4) — both arms in one call
+    store.upsert("c", records(4 to 4).withColumn("document", lit("patched4"))
+      .union(records(7 to 7).withColumn("document", lit("patched7"))))
+    assert(store.count("c") === 17)
+    val docs = store.get("c", Seq("p4", "p7")).select($"id", $"document")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(docs === Map("p4" -> "patched4", "p7" -> "patched7"))
+    assert(store.get("c", Seq("p3")).count() === 0, "deleted id stays gone")
+    store.deleteCollection("c")
+  }
+
+  test("rewrite crash between renames: backup restores the full collection") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_store_crash").toString
+    val store = new VectorStore(spark, wh)
+    store.add("c", records(0 until 12))
+    // simulate the worst crash point: live renamed to .bak, staging
+    // never promoted — the live dir is GONE
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(wh)
+    val fs = root.getFileSystem(conf)
+    fs.rename(new org.apache.hadoop.fs.Path(root, "c"),
+      new org.apache.hadoop.fs.Path(root, "c.bak"))
+    // every entry point must restore the backup, not create-empty over it
+    store.getOrCreateCollection("c")
+    assert(store.count("c") === 12, "recovery must restore the pre-rewrite rows")
+    // and a post-recovery mutation works normally
+    assert(store.delete("c", Seq("p0")) === 1L)
+    assert(store.count("c") === 11)
+    store.deleteCollection("c")
+  }
+
   test("add without a metadata column stores null metadata") {
     val wh = java.nio.file.Files.createTempDirectory("graft_store_nm").toString
     val store = new VectorStore(spark, wh)
