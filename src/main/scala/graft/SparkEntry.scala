@@ -811,6 +811,55 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // MMR DIVERSIFIED RE-RANK (Carbonell & Goldstein, SIGIR'98 —
+    // maximal marginal relevance, the diversity post-processor every
+    // retrieval stack exposes): greedily pick k=4 of the top-8 cosine
+    // candidates, each round maximizing λ·rel(d) − (1−λ)·max_{s∈S}
+    // sim(d, s) with λ = 0.7. Both similarity kinds are QUANTIZED to
+    // micro-unit BIGINTs before any comparison (score = 7·relfp −
+    // 3·simfp — λ scaled by 10), so selection is pure integer argmax
+    // with the (score, id) tie-break and the oracle replays all four
+    // greedy rounds as generated CTEs (the pqTrain discipline). Shapes:
+    // candidate generation is the already-pinned exact-kNN broadcast;
+    // the 8×8-per-query pair-sim frame is a qid equi-join (bounded by
+    // k'², never corpus-sized); each round is one anti-join + one
+    // grouped max + one argmax window over ≤ 8 rows per query.
+    "search_mmr_rerank" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val cand = KnnExact.topKCosine(q, emb, 8)
+        .join(emb.select(col("vec_id"), col("embedding").as("cemb")), Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), col("cemb"),
+          floor(col("sim") * lit(1000000.0) + lit(0.5)).cast("long").as("relfp"))
+        .localCheckpoint(true) // 24 rows; 4 rounds + pair frame reference it
+      val pair = cand.as("a").join(cand.as("b"), Seq("qid"))
+        .filter(col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("qid"), col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+          floor(graft.functions.VectorFunctions.cosineFast(col("a.cemb"), col("b.cemb"))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("simfp"))
+        .localCheckpoint(true)
+      val w1 = Window.partitionBy(col("qid")).orderBy(col("relfp").desc, col("vec_id"))
+      var sel = cand
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), lit(1L).as("pick"))
+      for (i <- 2 to 4) {
+        val remaining = cand.join(sel.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_anti")
+        val ms = pair.join(sel.select(col("qid"), col("vec_id").as("db")), Seq("qid", "db"))
+          .groupBy(col("qid"), col("da").as("vec_id")).agg(max(col("simfp")).as("maxsimfp"))
+        val wS = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+        val pickI = remaining.join(ms, Seq("qid", "vec_id"))
+          .withColumn("score", lit(7L) * col("relfp") - lit(3L) * col("maxsimfp"))
+          .withColumn("rn", row_number().over(wS)).filter(col("rn") === 1)
+          .select(col("qid"), col("vec_id"), lit(i.toLong).as("pick"))
+        sel = sel.union(pickI)
+      }
+      sel.join(cand.select(col("qid"), col("vec_id"), col("relfp")), Seq("qid", "vec_id"))
+        .select(col("qid"), col("pick"), col("vec_id"), col("relfp"))
+        .orderBy("qid", "pick")
+    }),
+
     // Cosine-similarity top-k variant.
     "knn_cosine_top10" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -3491,6 +3540,28 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // SEGMENT COMPACTION (Hnsw.compactIndex — the Lucene-merge-shaped
+    // maintenance op): an 8-segment stored index rebuilt into 2
+    // segments from its own STORED vectors, then searched. At
+    // efSearch ≫ segment size both layouts are exhaustive, so the
+    // compacted search must return the EXACT top-10 — compaction
+    // changes cost (per-query graph-walk fan-out 8 → 2), never
+    // results; n_segments pins that the rebuild actually produced the
+    // compacted layout. The closed-form exact-kNN oracle is the
+    // strongest possible contract for a maintenance op.
+    "ann_hnsw_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx8 = graft.search.Hnsw.buildIndex(s, emb, numGraphs = 8)
+      val idx2 = graft.search.Hnsw.compactIndex(s, idx8, toGraphs = 2)
+      val nSeg = idx2.select(countDistinct(col("seg")).as("n")).head().getLong(0)
+      val q = queryVectors(s, dir, 5)
+      graft.search.Hnsw.searchIndex(s, q, idx2, k = 10, numGraphs = 2,
+        efSearch = 4096)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(sqrt(col("dist")), 4).as("dist"), lit(nSeg).as("n_segments"))
+        .orderBy("qid", "rk")
+    }),
+
     // Incremental index maintenance (§2.10 streaming twin of the S8/M4
     // bulk build): frozen seed-centroid codebook, embeddings shattered
     // into 4 source files and streamed one file per micro-batch through
@@ -4297,6 +4368,16 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // Compaction replay: exhaustive-ef search over any segment layout
+    // equals exact kNN; n_segments is the compaction target.
+    "ann_hnsw_compact" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q),
+         |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist,
+         |  CAST(2 AS BIGINT) AS n_segments
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
     // The where-filter replay: same exact kNN, collection restricted by
     // the metadata predicate before any distance work.
     "ann_filtered_top10" ->
@@ -4442,6 +4523,44 @@ object SparkEntry {
          |      FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim, neg_label
          |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // MMR replay: all four greedy rounds as generated CTEs. relfp /
+    // simfp are the same floor(cos·10⁶ + ½) BIGINTs as the Spark side
+    // (cosines are fixed-order IEEE sums in both engines), so every
+    // argmax compares identical integers.
+    "search_mmr_rerank" -> {
+      val rounds = (2 to 4).map { i =>
+        val prev = s"sel${i - 1}"
+        s"""p$i AS (SELECT c.qid, c.vec_id,
+           |    row_number() OVER (PARTITION BY c.qid
+           |      ORDER BY 7 * c.relfp - 3 * m.ms DESC, c.vec_id) AS rn
+           |  FROM cand c
+           |  JOIN (SELECT p.qid, p.da AS vec_id, max(p.simfp) AS ms
+           |        FROM pairs p JOIN $prev s ON s.qid = p.qid AND s.vec_id = p.db
+           |        GROUP BY 1, 2) m ON m.qid = c.qid AND m.vec_id = c.vec_id
+           |  LEFT JOIN $prev e ON e.qid = c.qid AND e.vec_id = c.vec_id
+           |  WHERE e.vec_id IS NULL),
+           |sel$i AS (SELECT qid, vec_id, CAST($i AS BIGINT) AS pick FROM p$i WHERE rn = 1
+           |          UNION ALL SELECT qid, vec_id, pick FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 3),
+         |d AS (SELECT q.qid, c.vec_id, c.embedding AS cemb,
+         |    ${cosSql("q.qemb", "c.embedding")} AS sim FROM embeddings c, q),
+         |cr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d),
+         |cand AS (SELECT qid, vec_id, cemb,
+         |    CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS relfp FROM cr WHERE rk <= 8),
+         |pairs AS (SELECT a.qid, a.vec_id AS da, b.vec_id AS db,
+         |    CAST(floor(${cosSql("a.cemb", "b.cemb")} * 1000000.0 + 0.5) AS BIGINT) AS simfp
+         |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |sel1 AS (SELECT qid, vec_id, CAST(1 AS BIGINT) AS pick FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY relfp DESC, vec_id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |$rounds
+         |SELECT s.qid, s.pick, s.vec_id, c.relfp
+         |FROM sel4 s JOIN cand c ON c.qid = s.qid AND c.vec_id = s.vec_id
+         |ORDER BY s.qid, s.pick""".stripMargin
+    },
 
     "recall_l2_vs_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),

@@ -550,6 +550,29 @@ object Hnsw {
     * answers the broadcast queries, global top-k merges. Output schema
     * matches [[topK]].
     */
+  /** SEGMENT COMPACTION — the Lucene-merge-shaped maintenance op: many
+    * small segments (the natural product of incremental appends) into
+    * fewer big ones. HNSW adjacency is NOT mergeable — a graph is a
+    * function of its full point set — so compaction re-inserts the
+    * STORED vectors into `toGraphs` fresh graphs, exactly the rebuild
+    * real stores do on merge. Re-insertion uses the same ascending-id
+    * order as every build path here, so the compacted index answers
+    * searches identically to a fresh [[buildIndex]] at the new segment
+    * count (spec-pinned); fewer segments = fewer per-query graph walks,
+    * the fan-out term of search cost, at the price of one bounded
+    * rebuild pass — amortized across every later query.
+    */
+  def compactIndex(
+      spark: SparkSession,
+      index: DataFrame,
+      toGraphs: Int,
+      m: Int = 16,
+      efConstruction: Int = 100,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    buildIndex(spark, index.select(col(idCol), col(embCol)), m, efConstruction,
+      toGraphs, idCol, embCol)
+
   def searchIndex(
       spark: SparkSession,
       queries: DataFrame,

@@ -31,6 +31,30 @@ class HnswSpec extends GraftSpec {
     assert(a.map(_.toSeq) === b.map(_.toSeq))
   }
 
+  test("compactIndex: rebuild from stored vectors equals a fresh build at the target count") {
+    // compaction reads the INDEX (stored vectors), not the original
+    // collection — yet must produce the identical layout and graphs a
+    // fresh build at the target segment count would (ascending-id
+    // insertion is the shared discipline). Adjacency equality is the
+    // strongest check: same segments, same neighbor lists.
+    val idx8 = Hnsw.buildIndex(spark, emb, numGraphs = 8)
+    val compacted = Hnsw.compactIndex(spark, idx8, toGraphs = 2)
+    val fresh = Hnsw.buildIndex(spark, emb, numGraphs = 2)
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(1)
+    val cRows = compacted.collect().sortBy(key).map(_.toString)
+    val fRows = fresh.collect().sortBy(key).map(_.toString)
+    assert(cRows.toSeq === fRows.toSeq)
+    assert(compacted.select(col("seg")).distinct().count() === 2)
+    // and the compacted index answers searches identically to the
+    // 8-segment original at exhaustive ef (both are the exact scan)
+    val n = emb.count().toInt
+    val a = Hnsw.searchIndex(spark, queries, idx8, 10, efSearch = n + 1, numGraphs = 8)
+      .select(col("qid"), col("vec_id"), col("rk"))
+    val b = Hnsw.searchIndex(spark, queries, compacted, 10, efSearch = n + 1, numGraphs = 2)
+      .select(col("qid"), col("vec_id"), col("rk"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("segment-merged recall@10 vs exact clears the oracle floor") {
     val gt = KnnExact.topK(queries, emb, 10)
     val approx = Hnsw.topK(spark, queries, emb, 10)
