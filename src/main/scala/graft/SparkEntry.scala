@@ -791,6 +791,50 @@ object SparkEntry {
       res
     }),
 
+    // The STREAMING twin of the mutation row (§2.10 discipline: every
+    // batch operator gets its incremental form): a CDC feed — (id,
+    // document, embedding, _op) — drained file-per-micro-batch through
+    // foreachBatch, each batch applied via the store's own crash-safe
+    // delete/upsert rewrites (streaming/StoreMaintenance). The two CDC
+    // files touch DISJOINT ids (delete odds < 100; patch [100, 110)),
+    // so the final state is batching- and order-invariant and the
+    // oracle replays it in closed form; ordered/conflicting feeds ride
+    // the cdc_merge _seq discipline (that row's contract, not this
+    // one's). n_total pins the post-stream count.
+    "vector_store_stream_cdc" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_vstore_cdc")
+      val store = new graft.index.VectorStore(s, base.resolve("wh").toString)
+      val srcDir = base.resolve("src").toString
+      val emb = Tables.embeddings(s, dir)
+      val records = emb.select(
+        concat(lit("vec_"), col("vec_id")).as("id"),
+        when(col("vec_id") % 2 === 0, "even").otherwise("odd").as("document"),
+        col("embedding"), col("vec_id"))
+      store.add("docs", records)
+      records.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
+        .select(col("id"), col("document"), col("embedding"), lit("D").as("_op"))
+        .coalesce(1).write.parquet(s"$srcDir/b0")
+      records.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("id"), lit("patched").as("document"), col("embedding"),
+          lit("U").as("_op"))
+        .coalesce(1).write.parquet(s"$srcDir/b1")
+      val q0 = graft.streaming.StoreMaintenance.streamCdcApply(
+        s, srcDir, store, "docs", base.resolve("ckpt").toString)
+      try q0.processAllAvailable() finally q0.stop()
+      val n = store.count("docs")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val res = store.query("docs", q, 5)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("id"),
+          col("document"), round(col("dist"), 4).as("dist"), lit(n).as("n_total"))
+        .orderBy("qid", "rk")
+        .localCheckpoint(true)
+      store.deleteCollection("docs")
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // Hard-negative mining — the contrastive-training data op: for each
     // query vector, the top-5 MOST similar vectors of a DIFFERENT label
     // (close but wrong — the negatives that actually teach an embedding
@@ -4502,6 +4546,26 @@ object SparkEntry {
          |           WHERE document = 'even' AND vec_id >= 10
          |         UNION ALL
          |         SELECT id, 'patched', embedding FROM recs WHERE vec_id < 10),
+         |cnt AS (SELECT count(*) AS n FROM kept),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 3),
+         |d AS (SELECT q.qid, k.id, k.document, ${l2Sql("q.qemb", "k.embedding")} AS dist
+         |      FROM kept k CROSS JOIN q),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rk FROM d)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, id, document, round(dist, 4) AS dist,
+         |  CAST(cnt.n AS BIGINT) AS n_total
+         |FROM rk, cnt WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // CDC-stream replay: delete odds < 100, patch [100, 110) — the
+    // disjoint-id design makes the final state independent of batch
+    // order, so the closed form needs no sequencing logic.
+    "vector_store_stream_cdc" ->
+      s"""WITH recs AS (SELECT vec_id, 'vec_' || CAST(vec_id AS VARCHAR) AS id,
+         |    CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS document, embedding
+         |  FROM embeddings),
+         |kept AS (SELECT id,
+         |    CASE WHEN vec_id >= 100 AND vec_id < 110 THEN 'patched' ELSE document END AS document,
+         |    embedding
+         |  FROM recs WHERE NOT (vec_id % 2 = 1 AND vec_id < 100)),
          |cnt AS (SELECT count(*) AS n FROM kept),
          |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 3),
          |d AS (SELECT q.qid, k.id, k.document, ${l2Sql("q.qemb", "k.embedding")} AS dist

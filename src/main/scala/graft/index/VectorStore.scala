@@ -155,6 +155,18 @@ class VectorStore(spark: SparkSession, warehouse: String) {
   def delete(name: String, ids: Seq[String]): Long =
     delete(name, col("id").isin(ids: _*))
 
+  /** Frame-based delete — the scalable form (a CDC micro-batch's ids
+    * arrive as a DataFrame, removed via the anti-join rewrite; an
+    * `isin` literal list would bloat the plan at real batch sizes).
+    * The id frame is materialized before the swap, like upsert's.
+    */
+  def delete(name: String, ids: DataFrame): Long = {
+    val del = ids.select(col("id").cast("string").as("id"))
+      .distinct().localCheckpoint(true)
+    val (before, after) = rewrite(name)(_.join(del, Seq("id"), "left_anti"))
+    before - after
+  }
+
   /** collection.upsert(records): replace existing ids, insert new ones —
     * an anti-join rewrite (id-bounded) followed by the normal append.
     * The incoming-id frame is materialized BEFORE the swap so a lazy

@@ -125,6 +125,33 @@ class VectorStoreSpec extends GraftSpec {
     store.deleteCollection("c")
   }
 
+  test("streaming CDC apply: >1 micro-batch drained, per-batch replay is idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft_store_cdc")
+    val store = new VectorStore(spark, base.resolve("wh").toString)
+    store.add("c", records(0 until 20))
+    val srcDir = base.resolve("src").toString
+    records(0 until 5).select($"id", $"document", $"embedding")
+      .withColumn("_op", lit("D")).coalesce(1).write.parquet(s"$srcDir/b0")
+    records(10 until 12).select($"id", lit("patched").as("document"), $"embedding")
+      .withColumn("_op", lit("U")).coalesce(1).write.parquet(s"$srcDir/b1")
+    val q = graft.streaming.StoreMaintenance.streamCdcApply(
+      spark, srcDir, store, "c", base.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "one file per trigger must produce at least two non-empty micro-batches")
+    assert(store.count("c") === 15)
+    val patched = store.get("c", Seq("p10", "p11")).select($"document")
+      .collect().map(_.getString(0)).toSeq
+    assert(patched === Seq("patched", "patched"))
+    assert(store.get("c", Seq("p0", "p4")).count() === 0)
+    // at-least-once: re-applying one batch leaves the state unchanged
+    val replay = spark.read.parquet(s"$srcDir/b1")
+    graft.streaming.StoreMaintenance.applyCdcBatch(store, "c", replay)
+    assert(store.count("c") === 15)
+    assert(store.get("c", Seq("p10")).select($"document").head().getString(0) === "patched")
+    store.deleteCollection("c")
+  }
+
   test("add without a metadata column stores null metadata") {
     val wh = java.nio.file.Files.createTempDirectory("graft_store_nm").toString
     val store = new VectorStore(spark, wh)
