@@ -319,6 +319,80 @@ object Curves {
       }
     }
 
+    if (sections("sq8")) {
+      // SQ8's two claims, measured: (a) ranking quality — recall@10 of
+      // the uint8 fixed-point distance vs the exact float scan; (b)
+      // storage — parquet bytes of the code table vs the float table.
+      graft.functions.VectorExpressions.ensureRegistered(spark)
+      val st = base.select(posexplode($"embedding").as(Seq("d", "v")))
+        .groupBy("d").agg(min($"v").as("lo"), max($"v").as("hi"))
+        .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+        .sortBy(_._1)
+      val loCol = array(st.map(t => lit(t._2)): _*)
+      val rngCol = array(st.map(t => lit(t._3 - t._2)): _*)
+      val sfpCol = array(st.map { t =>
+        val sc = (t._3 - t._2) / 255.0
+        lit(math.floor(sc * sc * 1e12 + 0.5).toLong)
+      }: _*)
+      def codesOf(e: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(63)), d =>
+          when(element_at(rngCol, d + 1) === 0.0, lit(0L))
+            .otherwise(floor((element_at(e, d + 1).cast("double") -
+              element_at(loCol, d + 1)) / element_at(rngCol, d + 1) * lit(255.0)
+              + lit(0.5)).cast("long")))
+      // storage layout = biased int8 (code − 128), the usual SQ8 disk
+      // form — unbiased 0..255 overflows signed tinyint
+      val xCodes = base.select($"vec_id",
+        transform(codesOf($"embedding"), c => (c - 128).cast("byte")).as("code"))
+      val fpPath = s"$work/sq8_float"; val cPath = s"$work/sq8_codes"
+      base.write.mode("overwrite").parquet(fpPath)
+      xCodes.write.mode("overwrite").parquet(cPath)
+      def dirBytes(p: String): Long = {
+        val root = new org.apache.hadoop.fs.Path(p)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(root, true)
+        var n = 0L
+        while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) n += f.getLen }
+        n
+      }
+      val queries5 = base.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qemb"))
+      val qCodes = base.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), codesOf($"embedding").as("qc"))
+      val approx = broadcast(qCodes)
+        .crossJoin(base.select($"vec_id", codesOf($"embedding").as("xc")))
+        .withColumn("sfp", sfpCol)
+        .withColumn("dist_fp", expr(
+          "aggregate(sequence(0, 63), cast(0 as bigint), (acc, d) -> " +
+            "acc + (element_at(qc, d + 1) - element_at(xc, d + 1)) * " +
+            "(element_at(qc, d + 1) - element_at(xc, d + 1)) * element_at(sfp, d + 1))"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+            .orderBy($"dist_fp".asc, $"vec_id".asc)))
+        .filter($"rk" <= 10).select($"qid", $"vec_id", $"rk")
+      val gt = KnnExact.topK(queries5, base, 10)
+      val rec = graft.eval.RecallAtK.evaluate(gt, approx, Seq(10))
+        .agg(avg($"recall_10")).head().getDouble(0)
+      println(f"\n| n | float parquet B | sq8 parquet B | ratio | sq8 recall@10 |")
+      println("|---|---|---|---|---|")
+      val (fb, cb) = (dirBytes(fpPath), dirBytes(cPath))
+      println(f"| $nBase | $fb | $cb | ${fb.toDouble / cb}%.2f | $rec%.2f |")
+
+      // compaction fan-out: stored-index search latency at 8 vs 2
+      // segments (same k, same exhaustive-enough ef)
+      val idx8 = graft.search.Hnsw.buildIndex(spark, base, numGraphs = 8)
+        .localCheckpoint(true)
+      val idx2 = graft.search.Hnsw.compactIndex(spark, idx8, toGraphs = 2)
+        .localCheckpoint(true)
+      def searchMs(idx: org.apache.spark.sql.DataFrame, n: Int) = timeMs {
+        graft.search.Hnsw.searchIndex(spark, queries1, idx, k = 10, numGraphs = n)
+          .write.format("noop").mode("overwrite").save()
+      }
+      println("\n| segments | search ms (5-run median) |")
+      println("|---|---|")
+      println(f"| 8 | ${searchMs(idx8, 8)}%.0f |")
+      println(f"| 2 | ${searchMs(idx2, 2)}%.0f |")
+    }
+
     if (sections("flac")) {
       // FLAC codec: compression ratio + single-thread codec throughput
       // by signal class (the decode path is what multimodal_audio_flac
