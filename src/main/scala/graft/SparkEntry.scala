@@ -3000,6 +3000,41 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // DATA-QUALITY GATE (operators.QualityGate — the validation report
+    // a pipeline runs before promoting a snapshot): four row-local
+    // rules as ONE conditional aggregation over the scan plus a
+    // key-uniqueness aggregate, against BOTH the clean fixture (every
+    // rule passes — the promote path) and a deterministically
+    // corrupted copy (every rule fires — the reject path; empty text
+    // deliberately also trips the n_chars mismatch, rules count
+    // independently). One scan per dataset regardless of rule count —
+    // the shape that keeps a nightly 100 TB validation affordable.
+    "corpus_quality_gate" -> ((s, dir) => {
+      import graft.operators.QualityGate
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val corrupted = docs
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 0, lit("")).otherwise(col("text")).as("text"),
+          when(col("doc_id") % 83 === 0, lit("xxx")).otherwise(col("lang")).as("lang"),
+          when(col("doc_id") % 89 === 0, col("n_chars") + 1).otherwise(col("n_chars")).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") < 3))
+      val rules = Seq(
+        QualityGate.Rule("empty_text",
+          col("text").isNull || trim(col("text")) === ""),
+        QualityGate.Rule("n_chars_mismatch", col("n_chars") =!= length(col("text"))),
+        QualityGate.Rule("bad_lang_code",
+          col("lang").isNull || length(col("lang")) =!= 2),
+        QualityGate.Rule("n_chars_range",
+          col("n_chars") < 0 || col("n_chars") > 100000))
+      QualityGate.gate(docs, rules, "doc_id").withColumn("dataset", lit("base"))
+        .unionByName(QualityGate.gate(corrupted, rules, "doc_id")
+          .withColumn("dataset", lit("corrupted")))
+        .select(col("dataset"), col("rule"), col("n_violations"),
+          col("n_rows"), col("pass"))
+        .orderBy("dataset", "rule")
+    }),
+
     // DSIR-style importance weights (Xie et al. '23): per-token
     // log-likelihood ratio of an add-one-smoothed target unigram LM
     // (here: the English slice) vs the raw LM (everything else) — the
@@ -3522,6 +3557,44 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // IVF with a TRAINED coarse quantizer — full-vector fixed-point
+    // Lloyd k-means, which is exactly the PQ trainer at ONE 64-dim
+    // block (m=1, w=64): same exact-BIGINT re-center sums, same
+    // deterministic seed, so THE WHOLE TRAINING replays in DuckDB via
+    // the pqTrainCtesSql machinery and the probe is hash-matched
+    // end-to-end — upgrading the trained-quantizer path from
+    // MLlib-kmeans recall floors (IvfIndex.kmeansCentroids) to a
+    // value-for-value contract. Assignment/probe/re-rank all run in
+    // the quantized space (exact-integer doubles; sums ≤ 2⁶ · (2²¹)²
+    // stay exactly representable), nprobe = 2 of 8 trained cells, and
+    // the reported dist rescales by 2⁻²⁰ at the end.
+    "ann_ivf_trained_top5" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.search.Pq.train(s, emb, m = 1, w = 64, k = 8, iters = 2)._1
+      val cbDf = graft.search.Pq.codebookDf(s, cb)
+      val sub = graft.search.Pq.subFrame(graft.search.Pq.quantize(emb), 1, 64)
+      val assigned = graft.search.Pq.assignments(sub, cbDf)
+        .select(col("vec_id"), col("code").as("cell"))
+      val qs = sub.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("sub").as("qsub"))
+      val wC = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("code").asc)
+      val probes = broadcast(qs).crossJoin(broadcast(cbDf))
+        .withColumn("d2",
+          graft.functions.VectorExpressions.l2SqD(col("qsub"), col("csub")))
+        .withColumn("crk", row_number().over(wC)).filter(col("crk") <= 2)
+        .select(col("qid"), col("qsub"), col("code").as("cell"))
+      val wK = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("vec_id").asc)
+      broadcast(probes).join(assigned, Seq("cell"))
+        .join(sub.select(col("vec_id"), col("sub")), Seq("vec_id"))
+        .withColumn("dist2",
+          graft.functions.VectorExpressions.l2SqD(col("qsub"), col("sub")))
+        .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 5)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(sqrt(col("dist2")) / graft.search.Pq.QScale, 4).as("dist"))
+        .orderBy("qid", "rk")
+    }),
+
     // IVF-routed HNSW — the extreme-segment-count composition: cells
     // are the segments, a query walks only its nprobe nearest cells'
     // graphs (fan-out O(nprobe), not O(#segments)). At fixture scale
@@ -3604,6 +3677,38 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
           round(sqrt(col("dist")), 4).as("dist"), lit(nSeg).as("n_segments"))
         .orderBy("qid", "rk")
+    }),
+
+    // DELETE from a graph index — tombstones then purge (the full
+    // production lifecycle; see Hnsw.searchIndexTombstoned's Scaladoc
+    // for why HNSW deletes can't unlink nodes). Phase 'tombstone':
+    // deleted ids (vec_id < 20) stay in the graphs, the walk
+    // over-fetches by the tombstone count, results exclude them
+    // (HnswSpec proves the filter actually displaces results at the
+    // small-fixture scale where dead ids dominate the top-10).
+    // Phase 'purged': compactIndex over the filtered index rebuilds
+    // 4 segments without the deleted vectors. BOTH phases must return
+    // the identical exact top-10 over the survivors (exhaustive ef) —
+    // deletes change results once, at delete time, never again at
+    // purge time.
+    "ann_hnsw_tombstone" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx8 = graft.search.Hnsw.buildIndex(s, emb, numGraphs = 8)
+        .localCheckpoint(true) // two searches + the purge rebuild read it
+      val dead = (0L until 20L).toSeq
+      val q = emb.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val phase1 = graft.search.Hnsw.searchIndexTombstoned(s, q, idx8, dead,
+        k = 10, efSearch = 4096)
+      val purged = graft.search.Hnsw.compactIndex(s,
+        idx8.filter(!col("vec_id").isin(dead: _*)), toGraphs = 4)
+      val phase2 = graft.search.Hnsw.searchIndex(s, q, purged, k = 10,
+        numGraphs = 4, efSearch = 4096)
+      phase1.withColumn("phase", lit("tombstone"))
+        .unionByName(phase2.withColumn("phase", lit("purged")))
+        .select(col("phase"), col("qid"), col("vec_id"),
+          col("rk").cast("long").as("rk"), round(sqrt(col("dist")), 4).as("dist"))
+        .orderBy("phase", "qid", "rk")
     }),
 
     // Incremental index maintenance (§2.10 streaming twin of the S8/M4
@@ -4411,6 +4516,18 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q),
          |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // Tombstone/purge replay: both phases are the exact top-10 over
+    // the surviving (vec_id ≥ 20) vectors for the 5 displaced queries.
+    "ann_hnsw_tombstone" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+         |       WHERE vec_id >= 20 AND vec_id < 25),
+         |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist
+         |      FROM embeddings c, q WHERE c.vec_id >= 20),
+         |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d),
+         |ph(phase) AS (VALUES ('tombstone'), ('purged'))
+         |SELECT ph.phase, qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist
+         |FROM r, ph WHERE rk <= 10 ORDER BY ph.phase, qid, rk""".stripMargin,
 
     // Compaction replay: exhaustive-ef search over any segment layout
     // equals exact kNN; n_segments is the compaction target.
@@ -5980,6 +6097,40 @@ object SparkEntry {
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
 
+    // Quality-gate replay: same deterministic corruption, same five
+    // rule counts per dataset (one wide aggregate each), melted by
+    // UNPIVOT into the report schema.
+    "corpus_quality_gate" ->
+      """WITH base AS (SELECT doc_id, text, lang, n_chars FROM documents),
+        |corrupted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN '' ELSE text END AS text,
+        |    CASE WHEN doc_id % 83 = 0 THEN 'xxx' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 89 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id < 3),
+        |w AS (
+        |  SELECT 'base' AS dataset, count(*) AS n_rows,
+        |    sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS empty_text,
+        |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS n_chars_mismatch,
+        |    sum(CASE WHEN lang IS NULL OR length(lang) <> 2 THEN 1 ELSE 0 END) AS bad_lang_code,
+        |    sum(CASE WHEN n_chars < 0 OR n_chars > 100000 THEN 1 ELSE 0 END) AS n_chars_range,
+        |    count(*) - count(DISTINCT doc_id) AS unique_key
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'corrupted', count(*),
+        |    sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN lang IS NULL OR length(lang) <> 2 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN n_chars < 0 OR n_chars > 100000 THEN 1 ELSE 0 END),
+        |    count(*) - count(DISTINCT doc_id)
+        |  FROM corrupted),
+        |u AS (SELECT dataset, n_rows, rule, n_violations FROM w
+        |      UNPIVOT (n_violations FOR rule IN
+        |        (empty_text, n_chars_mismatch, bad_lang_code, n_chars_range, unique_key)))
+        |SELECT dataset, rule, CAST(n_violations AS BIGINT) AS n_violations,
+        |  CAST(n_rows AS BIGINT) AS n_rows, n_violations = 0 AS pass
+        |FROM u ORDER BY dataset, rule""".stripMargin,
+
     // Dup-span replay: same shingles, same coverage explode, same
     // gaps-and-islands; pure integer positions, no float hazard.
     "corpus_dup_spans" ->
@@ -6401,6 +6552,34 @@ object SparkEntry {
          |      FROM probes p JOIN asg s ON p.cell = s.cell),
          |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+    },
+
+    // Trained-IVF replay: the full m=1 Lloyd training (pqTrainCtesSql),
+    // then assignment under the final codebook, the 2-cell probe, and
+    // the quantized-space re-rank — every stage value-for-value.
+    "ann_ivf_trained_top5" -> {
+      s"""WITH ${pqTrainCtesSql(1, 64, 8, 2)},
+         |asg AS (SELECT vec_id, code AS cell FROM (
+         |    SELECT s.vec_id, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${pqD2Sql("s.sub", "c.csub", 64)} ASC, c.code ASC) AS rn
+         |    FROM sub s JOIN cb2 c ON s.block = c.block) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS qid, sub AS qsub FROM sub WHERE vec_id < 5),
+         |pr AS (SELECT qid, cell FROM (
+         |    SELECT q.qid, c.code AS cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${pqD2Sql("q.qsub", "c.csub", 64)} ASC, c.code ASC) AS rn
+         |    FROM qs q JOIN cb2 c ON c.block = 0) WHERE rn <= 2),
+         |d AS (SELECT p.qid, a.vec_id,
+         |    ${pqD2Sql("q.qsub", "x.sub", 64)} AS dist2
+         |  FROM pr p JOIN asg a ON a.cell = p.cell
+         |  JOIN qs q ON q.qid = p.qid
+         |  JOIN sub x ON x.vec_id = a.vec_id),
+         |r AS (SELECT qid, vec_id, dist2,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist2 ASC, vec_id ASC) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk,
+         |  round(sqrt(dist2) / 1048576.0, 4) AS dist
+         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
     },
 
     "ann_ivf_top5" -> {

@@ -573,6 +573,60 @@ object Hnsw {
     buildIndex(spark, index.select(col(idCol), col(embCol)), m, efConstruction,
       toGraphs, idCol, embCol)
 
+  /** TOMBSTONE-aware stored-index search — the DELETE story for a graph
+    * index: an HNSW node cannot be cheaply unlinked (its neighbors'
+    * connectivity routes THROUGH it), so real stores keep deleted ids
+    * in the graphs as tombstones, filter them from results, and purge
+    * on the next compaction. The per-segment walk over-fetches by the
+    * tombstone count, so k live results survive filtering whenever k
+    * live vectors exist; the tombstone set is broadcast and stays
+    * bounded by design (deletes accumulate only between compactions —
+    * [[compactIndex]] over the filtered index rebuilds without them,
+    * resetting the over-fetch cost to zero).
+    */
+  def searchIndexTombstoned(
+      spark: SparkSession,
+      queries: DataFrame,
+      index: DataFrame,
+      tombstones: Seq[Long],
+      k: Int,
+      m: Int = 16,
+      efConstruction: Int = 100,
+      efSearch: Int = 128,
+      numGraphs: Int = 8,
+      qidCol: String = "qid",
+      qEmbCol: String = "qemb",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val qArr = queries.select(col(qidCol), col(qEmbCol)).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(qArr)
+    val tombB = spark.sparkContext.broadcast(tombstones.toSet)
+    val fetch = k + tombstones.size
+    val candidates = index.select(col("seg"), col(idCol), col(embCol), col("nbrs"))
+      .repartition(numGraphs, col("seg"))
+      .as[(Int, Long, Array[Float], Array[Array[Long]])]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val g = graphFromAdjacency(
+            rows.map { case (_, id, v, nb) => (id, v, nb) }, m, efConstruction)
+          val tomb = tombB.value
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, fetch, math.max(efSearch, fetch))
+              .filterNot { case (id, _) => tomb.contains(id) }
+              .map { case (id, d) => (qid, id, d) }
+          }
+        }
+      }
+      .toDF(qidCol, idCol, "dist")
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("dist").asc, col(idCol).asc)
+    candidates
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qidCol), col(idCol), col("rk"), col("dist"))
+  }
+
   def searchIndex(
       spark: SparkSession,
       queries: DataFrame,

@@ -55,6 +55,32 @@ class HnswSpec extends GraftSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("tombstoned search: dead ids excluded, equals exact over survivors, purge preserves") {
+    val dead = (0L until 20L).toSeq
+    val qs = emb.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val n = emb.count().toInt
+    val idx = Hnsw.buildIndex(spark, emb, numGraphs = 8)
+    val res = Hnsw.searchIndexTombstoned(spark, qs, idx, dead, 10, efSearch = n + 1)
+      .select(col("qid"), col("vec_id"), col("rk"))
+    // exactly the brute-force top-10 over the survivors
+    val exact = KnnExact.topK(qs, emb.filter(col("vec_id") >= 20), 10)
+      .select(col("qid"), col("vec_id"), col("rk"))
+    assert(res.exceptAll(exact).isEmpty && exact.exceptAll(res).isEmpty)
+    // the filter genuinely displaced results: unfiltered search at the
+    // same ef returns dead ids at this fixture scale
+    val unfiltered = Hnsw.searchIndex(spark, qs, idx, 10, efSearch = n + 1)
+    assert(unfiltered.filter(col("vec_id") < 20).count() > 0,
+      "fixture must make tombstones displace results, or the test proves nothing")
+    assert(res.filter(col("vec_id") < 20).count() === 0)
+    // purge = compact over the filtered index; same answers, fresh graphs
+    val purged = Hnsw.compactIndex(spark,
+      idx.filter(!col("vec_id").isin(dead: _*)), toGraphs = 4)
+    val after = Hnsw.searchIndex(spark, qs, purged, 10, efSearch = n + 1, numGraphs = 4)
+      .select(col("qid"), col("vec_id"), col("rk"))
+    assert(after.exceptAll(exact).isEmpty && exact.exceptAll(after).isEmpty)
+  }
+
   test("segment-merged recall@10 vs exact clears the oracle floor") {
     val gt = KnnExact.topK(queries, emb, 10)
     val approx = Hnsw.topK(spark, queries, emb, 10)
