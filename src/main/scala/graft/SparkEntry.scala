@@ -3000,6 +3000,79 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // PSI DRIFT (population stability index — the monitoring metric
+    // model-ops dashboards alarm on): document-length distribution of
+    // the even-id cohort vs the odd-id cohort over fixed-width buckets
+    // (floor(n_chars/100), capped at 10 — fixed edges, no percentile
+    // float hazard), add-one smoothed so empty buckets stay defined.
+    // Every probability is a BIGINT-count ratio (bit-identical doubles
+    // in both engines) and each bucket's (pA−pB)·ln(pA/pB) term is
+    // quantized to micro-units before the grand sum — the fixed-point
+    // discipline, so the total can never drift with partitioning. Two
+    // count aggregates + a 10-row reduce; trivially 100 TB-safe.
+    "corpus_psi_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("bucket", least(expr("n_chars div 100"), lit(9L)))
+        .withColumn("cohort", when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+      val counts = docs.groupBy("bucket")
+        .agg(sum(when(col("cohort") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("cohort") === "b", 1L).otherwise(0L)).as("n_b"))
+      val tot = docs.groupBy()
+        .agg(sum(when(col("cohort") === "a", 1L).otherwise(0L)).as("t_a"),
+          sum(when(col("cohort") === "b", 1L).otherwise(0L)).as("t_b"))
+      val pA = (col("n_a") + 1).cast("double") / (col("t_a") + 10).cast("double")
+      val pB = (col("n_b") + 1).cast("double") / (col("t_b") + 10).cast("double")
+      val termed = counts.crossJoin(broadcast(tot))
+        .withColumn("term_fp",
+          floor((pA - pB) * log(pA / pB) * lit(1000000.0) + lit(0.5)).cast("long"))
+      val w = Window.partitionBy()
+      termed
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          round(col("term_fp").cast("double") / lit(1000000.0), 6).as("psi_term"),
+          round(sum(col("term_fp")).over(w).cast("double") / lit(1000000.0), 6)
+            .as("psi_total"))
+        .orderBy("bucket")
+    }),
+
+    // SNAPSHOT DIFF — the table-versioning primitive (what Delta/Iceberg
+    // expose as change-data-feed between versions): old and new
+    // snapshots compared by ONE full-outer join on the key, each row
+    // classified added / removed / changed / unchanged, then a 4-row
+    // verdict summary with key ranges. The new snapshot reuses the
+    // quality-gate's deterministic mutation plus drops (% 101) and
+    // synthetic adds (key + 10⁶), so every verdict class is non-empty
+    // and the oracle replays the whole comparison. At 100 TB both
+    // sides shuffle once on the key (or zero times if both snapshots
+    // are bucketed by it — the join_bucketed_revenue layout).
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val next = docs
+        .filter(col("doc_id") % 101 =!= 0) // deletions
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 0, lit("")).otherwise(col("text")).as("text"),
+          when(col("doc_id") % 83 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+          when(col("doc_id") % 89 === 0, col("n_chars") + 1).otherwise(col("n_chars")).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") < 5) // insertions
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("lang"), col("n_chars")))
+      val old = docs.select(col("doc_id"), col("text").as("o_text"),
+        col("lang").as("o_lang"), col("n_chars").as("o_n"))
+      val neu = next.select(col("doc_id"), col("text").as("n_text"),
+        col("lang").as("n_lang"), col("n_chars").as("n_n"))
+      old.join(neu, Seq("doc_id"), "full_outer")
+        .withColumn("verdict",
+          when(col("n_text").isNull && col("n_lang").isNull && col("n_n").isNull, "removed")
+            .when(col("o_text").isNull && col("o_lang").isNull && col("o_n").isNull, "added")
+            .when(col("o_text") =!= col("n_text") || col("o_lang") =!= col("n_lang") ||
+              col("o_n") =!= col("n_n"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_key"),
+          max(col("doc_id")).as("max_key"))
+        .orderBy("verdict")
+    }),
+
     // DATA-QUALITY GATE (operators.QualityGate — the validation report
     // a pipeline runs before promoting a snapshot): four row-local
     // rules as ONE conditional aggregation over the scan plus a
@@ -6096,6 +6169,51 @@ object SparkEntry {
          |  round(CAST(agg.ll_fp AS DOUBLE) / 1000000.0 / agg.nt, 4) AS mean_logprob
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
+
+    // PSI replay: same fixed buckets, same smoothed BIGINT-ratio
+    // probabilities, same micro-unit term quantization before the sum.
+    "corpus_psi_drift" ->
+      """WITH d AS (SELECT least(n_chars // 100, 9) AS bucket,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort FROM documents),
+        |c AS (SELECT bucket,
+        |    sum(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS n_b
+        |  FROM d GROUP BY bucket),
+        |t AS (SELECT sum(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS t_a,
+        |    sum(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS t_b FROM d),
+        |f AS (SELECT bucket, n_a, n_b,
+        |    CAST(floor((CAST(n_a + 1 AS DOUBLE) / CAST(t_a + 10 AS DOUBLE)
+        |        - CAST(n_b + 1 AS DOUBLE) / CAST(t_b + 10 AS DOUBLE))
+        |      * ln((CAST(n_a + 1 AS DOUBLE) / CAST(t_a + 10 AS DOUBLE))
+        |           / (CAST(n_b + 1 AS DOUBLE) / CAST(t_b + 10 AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS term_fp
+        |  FROM c, t)
+        |SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(CAST(term_fp AS DOUBLE) / 1000000.0, 6) AS psi_term,
+        |  round(CAST(sum(term_fp) OVER () AS DOUBLE) / 1000000.0, 6) AS psi_total
+        |FROM f ORDER BY bucket""".stripMargin,
+
+    // Snapshot-diff replay: same mutation/drop/add, same full-outer
+    // classification, same 4-row verdict summary.
+    "snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text, lang, n_chars FROM documents),
+        |nxt AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN '' ELSE text END AS text,
+        |    CASE WHEN doc_id % 83 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 89 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 101 <> 0
+        |  UNION ALL SELECT doc_id + 1000000, text, lang, n_chars
+        |  FROM documents WHERE doc_id < 5),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN o.text <> n.text OR o.lang <> n.lang OR o.n_chars <> n.n_chars
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS verdict
+        |  FROM old o FULL OUTER JOIN nxt n ON o.doc_id = n.doc_id)
+        |SELECT verdict, CAST(count(*) AS BIGINT) AS n,
+        |  min(doc_id) AS min_key, max(doc_id) AS max_key
+        |FROM j GROUP BY verdict ORDER BY verdict""".stripMargin,
 
     // Quality-gate replay: same deterministic corruption, same five
     // rule counts per dataset (one wide aggregate each), melted by
