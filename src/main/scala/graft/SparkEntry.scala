@@ -323,6 +323,30 @@ object SparkEntry {
     * sublist — the DuckDB twin of graft_l2sq_d over [[graft.search.Pq]]
     * frames (same left fold, same widening).
     */
+  /** SQ8 CTE chain (ends in `sq8r(qid, vec_id, dist_fp, rk)`) shared by
+    * the ann_sq8_top10 and ann_sq8_recall oracles — the DuckDB twin of
+    * [[sq8TopK]].
+    */
+  private val sq8CtesSql: String =
+    """st AS (SELECT i.i AS d,
+      |    min(CAST(e.embedding[i.i + 1] AS DOUBLE)) AS lo,
+      |    max(CAST(e.embedding[i.i + 1] AS DOUBLE)) AS hi
+      |  FROM embeddings e, range(0, 64) i(i) GROUP BY 1),
+      |sf AS (SELECT d, lo, hi,
+      |    CAST(floor((hi - lo) / 255.0 * ((hi - lo) / 255.0) * 1000000000000.0 + 0.5) AS BIGINT) AS sfp
+      |  FROM st),
+      |xc AS (SELECT e.vec_id, sf.d, sf.sfp,
+      |    CASE WHEN sf.hi = sf.lo THEN 0
+      |         ELSE CAST(floor((CAST(e.embedding[sf.d + 1] AS DOUBLE) - sf.lo)
+      |                / (sf.hi - sf.lo) * 255.0 + 0.5) AS BIGINT) END AS c
+      |  FROM embeddings e, sf),
+      |qcod AS (SELECT vec_id AS qid, d, c FROM xc WHERE vec_id < 5),
+      |dd AS (SELECT qcod.qid, xc.vec_id,
+      |    sum((qcod.c - xc.c) * (qcod.c - xc.c) * xc.sfp) AS dist_fp
+      |  FROM qcod JOIN xc ON qcod.d = xc.d GROUP BY 1, 2),
+      |sq8r AS (SELECT qid, vec_id, dist_fp,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dist_fp, vec_id) AS rk FROM dd)""".stripMargin
+
   private def pqD2Sql(a: String, b: String, w: Int): String =
     s"list_sum(list_transform(range(1, ${w + 1}), " +
       s"i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])))"
@@ -418,6 +442,45 @@ object SparkEntry {
     * count is a 1-row driver count (parameter-bounded), so the plan
     * carries no crossJoin.
     */
+  /** SQ8 fixed-point top-k (shared by ann_sq8_top10 / ann_sq8_recall):
+    * per-dimension [min, max] via a 64-row dim-bounded collect (the
+    * codebook discipline), floor(·+½) affine uint8 codes, and a PURE
+    * BIGINT ranking distance Σ_d (Δcode_d)²·sfp_d with the squared
+    * per-dim scale pre-quantized to 10⁻¹² units — summation order can
+    * never flip a rank. Queries = vec_id < 5 (suite convention).
+    */
+  private def sq8TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val st = emb.select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("d").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+      .sortBy(_._1)
+    val loCol = array(st.map(t => lit(t._2)): _*)
+    val rngCol = array(st.map(t => lit(t._3 - t._2)): _*)
+    val sfpCol = array(st.map { t =>
+      val sc = (t._3 - t._2) / 255.0
+      lit(math.floor(sc * sc * 1e12 + 0.5).toLong)
+    }: _*)
+    def codesOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(sequence(lit(0), lit(63)), d =>
+        when(element_at(rngCol, d + 1) === 0.0, lit(0L))
+          .otherwise(floor((element_at(e, d + 1).cast("double") -
+            element_at(loCol, d + 1)) / element_at(rngCol, d + 1) * lit(255.0)
+            + lit(0.5)).cast("long")))
+    val xCodes = emb.select(col("vec_id"), codesOf(col("embedding")).as("xc"))
+    val qCodes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), codesOf(col("embedding")).as("qc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist_fp").asc, col("vec_id").asc)
+    broadcast(qCodes).crossJoin(xCodes)
+      .withColumn("sfp", sfpCol)
+      .withColumn("dist_fp", expr(
+        "aggregate(sequence(0, 63), cast(0 as bigint), (acc, d) -> " +
+          "acc + (element_at(qc, d + 1) - element_at(xc, d + 1)) * " +
+          "(element_at(qc, d + 1) - element_at(xc, d + 1)) * element_at(sfp, d + 1))"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("rk"), col("dist_fp"))
+  }
+
   private def pagerankFixedPoint(nodes: DataFrame, edges: DataFrame,
       iters: Int = 3): DataFrame = {
     val n = nodes.count()
@@ -2194,38 +2257,23 @@ object SparkEntry {
     // can never flip a rank and the oracle replays bit-for-bit. At
     // 100 TB the scan reads 64-byte codes instead of 256-byte floats;
     // the query side broadcasts (5 rows) onto the code scan.
-    "ann_sq8_top10" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val st = emb.select(posexplode(col("embedding")).as(Seq("d", "v")))
-        .groupBy("d").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-        .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
-        .sortBy(_._1)
-      val loCol = array(st.map(t => lit(t._2)): _*)
-      val rngCol = array(st.map(t => lit(t._3 - t._2)): _*)
-      val sfpCol = array(st.map { t =>
-        val sc = (t._3 - t._2) / 255.0
-        lit(math.floor(sc * sc * 1e12 + 0.5).toLong)
-      }: _*)
-      def codesOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        transform(sequence(lit(0), lit(63)), d =>
-          when(element_at(rngCol, d + 1) === 0.0, lit(0L))
-            .otherwise(floor((element_at(e, d + 1).cast("double") -
-              element_at(loCol, d + 1)) / element_at(rngCol, d + 1) * lit(255.0)
-              + lit(0.5)).cast("long")))
-      val xCodes = emb.select(col("vec_id"), codesOf(col("embedding")).as("xc"))
-      val qCodes = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), codesOf(col("embedding")).as("qc"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("dist_fp").asc, col("vec_id").asc)
-      broadcast(qCodes).crossJoin(xCodes)
-        .withColumn("sfp", sfpCol)
-        .withColumn("dist_fp", expr(
-          "aggregate(sequence(0, 63), cast(0 as bigint), (acc, d) -> " +
-            "acc + (element_at(qc, d + 1) - element_at(xc, d + 1)) * " +
-            "(element_at(qc, d + 1) - element_at(xc, d + 1)) * element_at(sfp, d + 1))"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+    "ann_sq8_top10" -> ((s, dir) =>
+      sq8TopK(s, dir, 10)
         .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
           col("dist_fp"))
-        .orderBy("qid", "rk")
+        .orderBy("qid", "rk")),
+
+    // The SQ8 quality contract, oracle-gated (not just measured in
+    // CURVES): Recall@10 of the quantized ranking vs the exact float
+    // scan, per query — both sides already value-for-value replayable,
+    // so the recall itself is a closed-form BIGINT-ratio. The measured
+    // sf0.1 figure is 0.98 (docs/CURVES.md); this row pins the sf0.01
+    // value exactly.
+    "ann_sq8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val gt = KnnExact.topK(queryVectors(s, dir, 5), emb, 10)
+      graft.eval.RecallAtK.evaluate(gt, sq8TopK(s, dir, 10), Seq(10))
+        .orderBy("qid")
     }),
 
     // Product-quantization codes from the TRAINED codebook (the memory
@@ -2998,6 +3046,33 @@ object SparkEntry {
           (max(col("i")) + lit(8) - min(col("i"))).cast("long").as("span_len"))
         .select(col("doc_id"), col("span_start"), col("span_len"))
         .orderBy("doc_id", "span_start")
+    }),
+
+    // ENTITY RESOLUTION (record linkage) — the dedup family for
+    // STRUCTURED records: multi-level BLOCKING (nation × name-prefix —
+    // any equi-key that bounds the quadratic term; real pipelines use
+    // zip / phone-prefix / soundex) makes candidate generation an
+    // equi-join, then pairs score by Levenshtein edit distance on the
+    // name — an exact INTEGER both engines compute with the classic DP,
+    // so the match is value-for-value — plus a segment-agreement field.
+    // The blocking-recall trade is the standard one: pairs differing
+    // inside the prefix are unreachable by design (that is what makes
+    // the op linear-ish); finer thresholds ride finer keys. Top-100 by
+    // (dist, keys) through a TakeOrdered heap.
+    "customers_entity_match" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"), substring(col("c_name"), 1, 15).as("blk"))
+      c.as("a").join(c.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.blk") === col("b.blk") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .withColumn("name_dist", levenshtein(col("a.c_name"), col("b.c_name")))
+        .filter(col("name_dist") <= 3)
+        .select(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"),
+          col("name_dist").cast("long").as("name_dist"),
+          (col("a.c_mktsegment") === col("b.c_mktsegment")).as("segment_match"))
+        .orderBy(col("name_dist"), col("key_a"), col("key_b")).limit(100)
     }),
 
     // PSI DRIFT (population stability index — the monitoring metric
@@ -4626,26 +4701,26 @@ object SparkEntry {
     // and product is the same IEEE double / BIGINT sequence as the
     // Spark side, so the match is value-for-value.
     "ann_sq8_top10" ->
-      """WITH st AS (SELECT i.i AS d,
-        |    min(CAST(e.embedding[i.i + 1] AS DOUBLE)) AS lo,
-        |    max(CAST(e.embedding[i.i + 1] AS DOUBLE)) AS hi
-        |  FROM embeddings e, range(0, 64) i(i) GROUP BY 1),
-        |sf AS (SELECT d, lo, hi,
-        |    CAST(floor((hi - lo) / 255.0 * ((hi - lo) / 255.0) * 1000000000000.0 + 0.5) AS BIGINT) AS sfp
-        |  FROM st),
-        |xc AS (SELECT e.vec_id, sf.d, sf.sfp,
-        |    CASE WHEN sf.hi = sf.lo THEN 0
-        |         ELSE CAST(floor((CAST(e.embedding[sf.d + 1] AS DOUBLE) - sf.lo)
-        |                / (sf.hi - sf.lo) * 255.0 + 0.5) AS BIGINT) END AS c
-        |  FROM embeddings e, sf),
-        |qc AS (SELECT vec_id AS qid, d, c FROM xc WHERE vec_id < 5),
-        |dd AS (SELECT qc.qid, xc.vec_id,
-        |    sum((qc.c - xc.c) * (qc.c - xc.c) * xc.sfp) AS dist_fp
-        |  FROM qc JOIN xc ON qc.d = xc.d GROUP BY 1, 2),
-        |r AS (SELECT qid, vec_id, dist_fp,
-        |    row_number() OVER (PARTITION BY qid ORDER BY dist_fp, vec_id) AS rk FROM dd)
-        |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, CAST(dist_fp AS BIGINT) AS dist_fp
-        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+      s"""WITH $sq8CtesSql
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, CAST(dist_fp AS BIGINT) AS dist_fp
+         |FROM sq8r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // SQ8-recall replay: quantized top-10 (the chain above) ∩ exact
+    // top-10, per query — recall_10 is a 10-denominator integer ratio.
+    "ann_sq8_recall" ->
+      s"""WITH $sq8CtesSql,
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |ex AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist
+         |       FROM embeddings c, q),
+         |gt AS (SELECT qid, list(vec_id ORDER BY rk) AS ids FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk
+         |  FROM ex) WHERE rk <= 10 GROUP BY qid),
+         |rt AS (SELECT qid, list(vec_id ORDER BY rk) AS ids FROM sq8r
+         |       WHERE rk <= 10 GROUP BY qid)
+         |SELECT gt.qid,
+         |  round(CAST(len(list_intersect(gt.ids, rt.ids)) AS DOUBLE)
+         |        / CAST(len(gt.ids) AS DOUBLE), 4) AS recall_10
+         |FROM gt JOIN rt ON gt.qid = rt.qid ORDER BY gt.qid""".stripMargin,
 
     "knn_cosine_top10" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
@@ -6169,6 +6244,21 @@ object SparkEntry {
          |  round(CAST(agg.ll_fp AS DOUBLE) / 1000000.0 / agg.nt, 4) AS mean_logprob
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
+
+    // Entity-match replay: same blocking keys, same integer edit
+    // distance, same (dist, keys) top-100.
+    "customers_entity_match" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    substring(c_name, 1, 15) AS blk FROM customer),
+        |p AS (SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |    levenshtein(a.c_name, b.c_name) AS name_dist,
+        |    a.c_mktsegment = b.c_mktsegment AS segment_match
+        |  FROM c a JOIN c b
+        |    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT key_a, key_b, CAST(name_dist AS BIGINT) AS name_dist, segment_match
+        |FROM p WHERE name_dist <= 3
+        |ORDER BY name_dist, key_a, key_b LIMIT 100""".stripMargin,
 
     // PSI replay: same fixed buckets, same smoothed BIGINT-ratio
     // probabilities, same micro-unit term quantization before the sum.
