@@ -3048,6 +3048,32 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // MAD OUTLIERS — robust per-language length anomalies: median /
+    // median-absolute-deviation survive the heavy tail that wrecks the
+    // z-score row's mean/stddev (the two rows are deliberate
+    // companions). Exact interpolated medians (the chars_percentiles
+    // parity precedent) in two grouped passes; the per-lang stats
+    // broadcast back over the scan for the 3·MAD flag. Both engines
+    // compare identical doubles, so flags can never straddle.
+    "docs_mad_outliers" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val med = docs.groupBy("lang")
+        .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+      val dev = docs.join(broadcast(med), Seq("lang"))
+        .withColumn("adev", abs(col("n_chars").cast("double") - col("med")))
+      val mad = dev.groupBy("lang")
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("lang"))
+        .withColumn("is_out", col("adev") > col("mad") * 3)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 4).as("med"),
+          round(max(col("mad")), 4).as("mad"),
+          sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+          min(when(col("is_out"), col("doc_id"))).as("first_outlier"))
+        .orderBy("lang")
+    }),
+
     // ENTITY RESOLUTION (record linkage) — the dedup family for
     // STRUCTURED records: multi-level BLOCKING (nation × name-prefix —
     // any equi-key that bounds the quadratic term; real pipelines use
@@ -6244,6 +6270,22 @@ object SparkEntry {
          |  round(CAST(agg.ll_fp AS DOUBLE) / 1000000.0 / agg.nt, 4) AS mean_logprob
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
+
+    // MAD replay: quantile_cont is the interpolated median both
+    // engines share (chars_percentiles precedent); identical doubles →
+    // identical 3·MAD flags.
+    "docs_mad_outliers" ->
+      """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY lang),
+        |d AS (SELECT doc_id, d0.lang, m.med,
+        |    abs(CAST(n_chars AS DOUBLE) - m.med) AS adev
+        |  FROM documents d0 JOIN m USING (lang)),
+        |a AS (SELECT lang, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY lang)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(d.med), 4) AS med, round(max(a.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > a.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  min(CASE WHEN d.adev > a.mad * 3 THEN doc_id END) AS first_outlier
+        |FROM d JOIN a USING (lang) GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // Entity-match replay: same blocking keys, same integer edit
     // distance, same (dist, keys) top-100.

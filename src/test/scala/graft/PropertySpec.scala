@@ -286,6 +286,68 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("property: MSV1 roundtrip agrees with an independent block-model interpretation") {
+    // Random block programs; this test re-implements the PUBLIC block
+    // grammar independently (bottom-up blocks, flag LSB = block's
+    // bottom-left pixel, SET bit -> pair's first color, quadrant =
+    // (py&2)|((px&2)>>1), skips carry the previous frame) and the real
+    // opcode decoder must agree pixel-for-pixel after encode->decode.
+    import graft.multimodal.Multimodal._
+    def model(pix: Array[Int], w: Int, blocks: Seq[Msv1Block]): Unit = {
+      val bw = w / 4
+      var blk = 0
+      def paint(bx: Int, by: Int)(f: (Int, Int) => Int): Unit =
+        for (py <- 0 until 4; px <- 0 until 4)
+          pix((by * 4 + py) * w + bx * 4 + px) = f(px, py)
+      blocks.foreach {
+        case Msv1Skip(n) => blk += n
+        case Msv1One(c) => paint(blk % bw, blk / bw)((_, _) => c); blk += 1
+        case Msv1Two(flags, c0, c1) =>
+          paint(blk % bw, blk / bw) { (px, py) =>
+            if (((flags >> (py * 4 + px)) & 1) != 0) c0 else c1
+          }; blk += 1
+        case Msv1Eight(flags, cs) =>
+          paint(blk % bw, blk / bw) { (px, py) =>
+            val q = (py & 2) | ((px & 2) >> 1)
+            if (((flags >> (py * 4 + px)) & 1) != 0) cs(q * 2) else cs(q * 2 + 1)
+          }; blk += 1
+      }
+    }
+    val blockGen: Gen[Msv1Block] = Gen.oneOf(
+      Gen.chooseNum(0, 255).map(Msv1One(_)),
+      for (f <- Gen.chooseNum(0, 0x7fff); a <- Gen.chooseNum(0, 0x7f);
+           b <- Gen.chooseNum(0, 255)) yield Msv1Two(f, a, b),
+      for (f <- Gen.chooseNum(0, 0x7fff);
+           cs <- Gen.listOfN(8, Gen.chooseNum(0, 255)))
+        yield Msv1Eight(f, (0x80 | cs.head) +: cs.tail),
+      Gen.chooseNum(1, 3).map(Msv1Skip(_)))
+    val (w, h) = (12, 8) // 3×2 blocks
+    val nBlocks = (w / 4) * (h / 4)
+    val progGen: Gen[Seq[Msv1Block]] = Gen.listOfN(nBlocks * 2, blockGen).map { raw =>
+      // trim to exactly nBlocks of coverage (skips count their n)
+      val out = Seq.newBuilder[Msv1Block]
+      var covered = 0
+      raw.iterator.takeWhile(_ => covered < nBlocks).foreach {
+        case Msv1Skip(n) =>
+          val take = math.min(n, nBlocks - covered)
+          if (take > 0) { out += Msv1Skip(take); covered += take }
+        case b => out += b; covered += 1
+      }
+      if (covered < nBlocks) out += Msv1Skip(nBlocks - covered)
+      out.result()
+    }
+    cases(Gen.listOfN(3, progGen), 15).foreach { frames =>
+      val expect = new Array[Int](w * h)
+      val got = new Array[Int](w * h)
+      frames.foreach { blocks =>
+        model(expect, w, blocks)
+        val bytes = msv1FrameBytes(blocks)
+        msv1DecodeFrame(java.nio.ByteBuffer.wrap(bytes), 0, bytes.length, w, h, got)
+        assert(got.toSeq === expect.toSeq, s"frame program: $blocks")
+      }
+    }
+  }
+
   test("property: fixed-point LM sums are partition-count invariant") {
     // The backoff-LM rows aggregate sum(tf * lp_fp) where lp_fp is a
     // BIGINT micro-nat quantization of the per-n-gram ln ratio. A
