@@ -1686,6 +1686,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // EVALUATION of the langid heuristic against the fixture's labels —
+    // the confusion matrix + per-class recall a pipeline tracks when it
+    // swaps language models (model-eval telemetry, not just the raw
+    // predictions lang_id emits). One codegen'd prediction pass, one
+    // (actual, predicted) count aggregate, per-class totals via a tiny
+    // window over the ≤|langs|² matrix; recall is an exact-count ratio.
+    "lang_id_confusion" -> ((s, dir) => {
+      graft.functions.TextExpressions.ensureRegistered(s)
+      val pred = Tables.documents(s, dir)
+        .select(col("lang").as("actual"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+      val w = Window.partitionBy(col("actual"))
+      pred.groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+        .withColumn("n_actual", sum(col("n")).over(w))
+        .withColumn("recall_r4",
+          round(col("n").cast("double") / col("n_actual"), 4))
+        .orderBy("actual", "predicted")
+    }),
+
     // Quality scoring.
     "quality_score" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")
@@ -5409,6 +5428,26 @@ object SparkEntry {
          |r AS (SELECT doc_id, lang, hits, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rk FROM s)
          |SELECT doc_id, CASE WHEN hits = 0 THEN 'und' ELSE lang END AS lang_pred
          |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // Confusion replay: the lang_id chain joined back to the labels,
+    // grouped, per-class totals via the same window.
+    "lang_id_confusion" -> {
+      val langs = TextAnalysis.stopwords.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"SELECT doc_id, '$lang' AS lang, len(list_filter(toks, x -> x IN ($inList))) AS hits FROM t"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |s AS ($langs),
+         |r AS (SELECT doc_id, lang, hits, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rk FROM s),
+         |p AS (SELECT r.doc_id, CASE WHEN hits = 0 THEN 'und' ELSE r.lang END AS predicted
+         |      FROM r WHERE rk = 1),
+         |c AS (SELECT d.lang AS actual, p.predicted, count(*) AS n
+         |      FROM documents d JOIN p ON p.doc_id = d.doc_id GROUP BY 1, 2)
+         |SELECT actual, predicted, CAST(n AS BIGINT) AS n,
+         |  CAST(sum(n) OVER (PARTITION BY actual) AS BIGINT) AS n_actual,
+         |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY actual) AS DOUBLE), 4) AS recall_r4
+         |FROM c ORDER BY actual, predicted""".stripMargin
     },
 
     "quality_score" -> {
