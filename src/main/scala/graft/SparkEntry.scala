@@ -3101,13 +3101,16 @@ object SparkEntry {
     // compare identical doubles, so flags can never straddle.
     "docs_mad_outliers" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // med/mad are lang-grained aggregates (≤ |langs| rows) — no
+      // broadcast hint needed; AQE sees the tiny post-agg stats and
+      // broadcasts on its own (the q8 lesson the lint enforces)
       val med = docs.groupBy("lang")
         .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
-      val dev = docs.join(broadcast(med), Seq("lang"))
+      val dev = docs.join(med, Seq("lang"))
         .withColumn("adev", abs(col("n_chars").cast("double") - col("med")))
       val mad = dev.groupBy("lang")
         .agg(percentile(col("adev"), lit(0.5)).as("mad"))
-      dev.join(broadcast(mad), Seq("lang"))
+      dev.join(mad, Seq("lang"))
         .withColumn("is_out", col("adev") > col("mad") * 3)
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
