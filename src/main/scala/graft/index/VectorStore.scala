@@ -143,8 +143,12 @@ class VectorStore(spark: SparkSession, warehouse: String) {
     (before, after)
   }
 
-  /** collection.delete(where=...) — the reference's metadata-predicate
-    * delete. Returns the number of rows removed.
+  /** collection.delete(where=...) — the row-level half of the client
+    * API the reference only exercises at collection grain
+    * (delete_collection, create_collections.py:256; chromadb's client
+    * also exposes collection.delete(ids=/where=) and upsert, which a
+    * user switching engines expects). Returns the number of rows
+    * removed.
     */
   def delete(name: String, where: org.apache.spark.sql.Column): Long = {
     val (before, after) = rewrite(name)(_.filter(!where))
