@@ -456,6 +456,32 @@ object SparkEntry {
       graft.search.Pq.train(spark, Tables.embeddings(spark, dir),
         m = 1, w = 64, k = 8, iters = 2)._1)
 
+  /** Orthonormal 8×8 DCT-II basis, flattened A[u·8+x] — computed ONCE
+    * in Scala and shared with the oracle as decimal literals, so
+    * neither engine's libm cos() enters the comparison (the
+    * rplshBandsSql sign-literal discipline, applied to transform
+    * coding). Both engines parse the same decimal text to the same
+    * nearest double.
+    */
+  private val dctBasis: Seq[Double] =
+    for (u <- 0 until 8; x <- 0 until 8) yield {
+      val alpha = if (u == 0) math.sqrt(1.0 / 8) else math.sqrt(2.0 / 8)
+      alpha * math.cos((2 * x + 1) * u * math.Pi / 16)
+    }
+
+  /** The public JPEG Annex-K luminance quantization table (quality-50
+    * base matrix) — integer divisors, zig-zag-free row-major.
+    */
+  private val jpegQuant: Seq[Int] = Seq(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
   /** SQ8 fixed-point top-k (shared by ann_sq8_top10 / ann_sq8_recall):
     * per-dimension [min, max] via a 64-row dim-bounded collect (the
     * codebook discipline), floor(·+½) affine uint8 codes, and a PURE
@@ -2788,6 +2814,56 @@ object SparkEntry {
           round(element_at(col("m"), 2).cast("double") * 64).cast("long").as("sum_g"),
           round(element_at(col("m"), 3).cast("double") * 64).cast("long").as("sum_b"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // TRANSFORM CODING from scratch — the 8×8 DCT-II + quantization
+    // round trip that every JPEG/MP3-family codec is built on (the one
+    // codec family the suite previously only exercised through the
+    // JDK's own JPEG decoder). The orthonormal basis is computed ONCE
+    // in Scala and shared with the oracle as decimal literals, so no
+    // engine's cos() enters the comparison; quantization uses the
+    // public JPEG Annex-K luminance table. Forward transform,
+    // floor(·+½) quantize, dequantize, inverse transform, round+clamp
+    // — every float op is a fixed-order literal×integer product chain
+    // (the l2Sql precedent), so the reconstruction errors and
+    // coefficient sparsity replay BIT-FOR-BIT: the lossy family's
+    // LOSS, measured exactly. Scan-parallel per row, zero shuffle.
+    "multimodal_dct_block" -> ((s, dir) => {
+      val aCol = array(dctBasis.map(lit): _*)
+      val qmCol = array(jpegQuant.map(v => lit(v.toLong)): _*)
+      Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"))
+        .withColumn("a", aCol)
+        .withColumn("qm", qmCol)
+        .withColumn("px", expr(
+          "transform(sequence(0, 63), k -> " +
+            "cast((doc_id * 3 + (k div 8) * 7 + (k % 8) * 11) % 256 as double))"))
+        .withColumn("coef", expr(
+          """transform(sequence(0, 63), uv ->
+            |  aggregate(sequence(0, 63), cast(0.0 as double), (acc, k) ->
+            |    acc + element_at(a, cast((uv div 8) * 8 + (k div 8) + 1 as int))
+            |        * element_at(a, cast((uv % 8) * 8 + (k % 8) + 1 as int))
+            |        * element_at(px, k + 1)))""".stripMargin))
+        .withColumn("qc", expr(
+          "transform(sequence(0, 63), uv -> cast(floor(" +
+            "element_at(coef, uv + 1) / element_at(qm, uv + 1) + 0.5D) as bigint))"))
+        .withColumn("recon", expr(
+          """transform(sequence(0, 63), k ->
+            |  least(greatest(cast(floor(
+            |    aggregate(sequence(0, 63), cast(0.0 as double), (acc, uv) ->
+            |      acc + element_at(a, cast((uv div 8) * 8 + (k div 8) + 1 as int))
+            |          * element_at(a, cast((uv % 8) * 8 + (k % 8) + 1 as int))
+            |          * cast(element_at(qc, uv + 1) * element_at(qm, uv + 1) as double))
+            |    + 0.5D) as bigint), cast(0 as bigint)), cast(255 as bigint)))""".stripMargin))
+        .select(col("doc_id"),
+          expr("cast(size(filter(qc, c -> c != 0)) as bigint)").as("n_nonzero"),
+          expr("aggregate(sequence(0, 63), cast(0 as bigint), (acc, k) -> " +
+            "acc + abs(element_at(recon, k + 1) - cast(element_at(px, k + 1) as bigint)))")
+            .as("sum_abs_err"),
+          expr("aggregate(sequence(0, 63), cast(0 as bigint), (acc, k) -> " +
+            "greatest(acc, abs(element_at(recon, k + 1) - cast(element_at(px, k + 1) as bigint))))")
+            .as("max_abs_err"))
+        .orderBy("doc_id")
     }),
 
     // IVFADC end-to-end (Jégou et al., TPAMI'11 — the full production
@@ -6059,6 +6135,44 @@ object SparkEntry {
         |  CAST((d.doc_id * 17 + f.f * 11) % 256 AS BIGINT) AS b
         |FROM documents d, range(0, 3) f(f) WHERE d.doc_id < 50
         |ORDER BY d.doc_id, frame_idx""".stripMargin,
+
+    // DCT replay: the SAME basis decimals (both engines parse the same
+    // text to the same nearest double), same fixed-order product
+    // chains, same floor(·+½) grids — bit-for-bit loss accounting.
+    "multimodal_dct_block" -> {
+      val aList = dctBasis.map(_.toString).mkString("[", ", ", "]")
+      val qList = jpegQuant.mkString("[", ", ", "]")
+      s"""WITH cfg AS (SELECT CAST($aList AS DOUBLE[]) AS a, $qList AS qm),
+         |d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+         |px AS (SELECT doc_id, a, qm, list_transform(range(0, 64), k ->
+         |    CAST((doc_id * 3 + (k // 8) * 7 + (k % 8) * 11) % 256 AS DOUBLE)) AS px
+         |  FROM d, cfg),
+         |co AS (SELECT doc_id, a, qm, px,
+         |    list_transform(range(0, 64), uv ->
+         |      list_sum(list_transform(range(0, 64), k ->
+         |        a[(uv // 8) * 8 + (k // 8) + 1] * a[(uv % 8) * 8 + (k % 8) + 1]
+         |          * px[k + 1]))) AS coef
+         |  FROM px),
+         |qz AS (SELECT doc_id, a, qm, px,
+         |    list_transform(range(0, 64), uv ->
+         |      CAST(floor(coef[uv + 1] / qm[uv + 1] + 0.5) AS BIGINT)) AS qc
+         |  FROM co),
+         |rc AS (SELECT doc_id, px, qc,
+         |    list_transform(range(0, 64), k ->
+         |      least(greatest(CAST(floor(
+         |        list_sum(list_transform(range(0, 64), uv ->
+         |          a[(uv // 8) * 8 + (k // 8) + 1] * a[(uv % 8) * 8 + (k % 8) + 1]
+         |            * CAST(qc[uv + 1] * qm[uv + 1] AS DOUBLE)))
+         |        + 0.5) AS BIGINT), 0), 255)) AS recon
+         |  FROM qz)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(qc, c -> c <> 0)) AS BIGINT) AS n_nonzero,
+         |  CAST(list_sum(list_transform(range(0, 64), k ->
+         |    abs(recon[k + 1] - CAST(px[k + 1] AS BIGINT)))) AS BIGINT) AS sum_abs_err,
+         |  CAST(list_max(list_transform(range(0, 64), k ->
+         |    abs(recon[k + 1] - CAST(px[k + 1] AS BIGINT)))) AS BIGINT) AS max_abs_err
+         |FROM rc ORDER BY doc_id""".stripMargin
+    },
 
     // MS Video 1 replay: the fixture's per-frame channel sums in
     // closed form. Each (palette-index, pixel-count) weight pair comes
