@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
   * oracle-checked via `multimodal_video_mjpeg`), for MS-RLE8
   * (`multimodal_video_rle` — own opcode walker) INCLUDING
   * INTER-FRAME delta frames whose pixels carry across frames
-  * (`multimodal_video_delta`). Only TRANSFORM codecs (H.264/VP9,
-  * MP3/AAC) remain STUBBED — the parts that genuinely need a native
-  * library (see [[DecodeStub]]);
+  * (`multimodal_video_delta`), and for MS VIDEO 1 — the lossy
+  * vector-quantization family, own opcode walker + persistent buffer
+  * (`multimodal_video_msv1`). The lossy TRANSFORM family's core (8×8
+  * DCT-II + JPEG-table quantization) is implemented from scratch with
+  * bit-replayable loss accounting (`multimodal_dct_block` in
+  * SparkEntry); only FULL MP3/AAC/H.264 bitstreams remain STUBBED —
+  * entropy coding + spec scale genuinely need a native library (see
+  * [[DecodeStub]]);
   * everything Spark-side is real either way: schema, binary column
   * handling, partition-batched UDF shape, and the metadata extraction
   * that IS engine-portable (sizes, digests, magic bytes). At 100 TB
