@@ -2831,22 +2831,30 @@ object SparkEntry {
     "multimodal_dct_block" -> ((s, dir) => {
       val aCol = array(dctBasis.map(lit): _*)
       val qmCol = array(jpegQuant.map(v => lit(v.toLong)): _*)
-      Tables.documents(s, dir).filter(col("doc_id") < 50)
+      // qc folds the quantizer straight over each coefficient's own
+      // 64-term sum (no separate coef column), and the two
+      // localCheckpoints on the 50-row frame stop CollapseProject from
+      // re-inlining a whole intermediate ARRAY expression into every
+      // element_at of the next stage — un-staged, the recon pass
+      // re-derived the full coefficient array per (pixel, uv) term and
+      // the row cost exploded ~60x (measured 18.8 s at sf0.1; staged
+      // it is the expected few hundred ms).
+      val staged = Tables.documents(s, dir).filter(col("doc_id") < 50)
         .select(col("doc_id"))
         .withColumn("a", aCol)
         .withColumn("qm", qmCol)
         .withColumn("px", expr(
           "transform(sequence(0, 63), k -> " +
             "cast((doc_id * 3 + (k div 8) * 7 + (k % 8) * 11) % 256 as double))"))
-        .withColumn("coef", expr(
-          """transform(sequence(0, 63), uv ->
+        .withColumn("qc", expr(
+          """transform(sequence(0, 63), uv -> cast(floor(
             |  aggregate(sequence(0, 63), cast(0.0 as double), (acc, k) ->
             |    acc + element_at(a, cast((uv div 8) * 8 + (k div 8) + 1 as int))
             |        * element_at(a, cast((uv % 8) * 8 + (k % 8) + 1 as int))
-            |        * element_at(px, k + 1)))""".stripMargin))
-        .withColumn("qc", expr(
-          "transform(sequence(0, 63), uv -> cast(floor(" +
-            "element_at(coef, uv + 1) / element_at(qm, uv + 1) + 0.5D) as bigint))"))
+            |        * element_at(px, k + 1))
+            |  / element_at(qm, uv + 1) + 0.5D) as bigint))""".stripMargin))
+        .localCheckpoint(true)
+      staged
         .withColumn("recon", expr(
           """transform(sequence(0, 63), k ->
             |  least(greatest(cast(floor(
@@ -2855,6 +2863,7 @@ object SparkEntry {
             |          * element_at(a, cast((uv % 8) * 8 + (k % 8) + 1 as int))
             |          * cast(element_at(qc, uv + 1) * element_at(qm, uv + 1) as double))
             |    + 0.5D) as bigint), cast(0 as bigint)), cast(255 as bigint)))""".stripMargin))
+        .localCheckpoint(true)
         .select(col("doc_id"),
           expr("cast(size(filter(qc, c -> c != 0)) as bigint)").as("n_nonzero"),
           expr("aggregate(sequence(0, 63), cast(0 as bigint), (acc, k) -> " +
