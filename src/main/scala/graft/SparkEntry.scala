@@ -524,8 +524,14 @@ object SparkEntry {
   private def pagerankFixedPoint(nodes: DataFrame, edges: DataFrame,
       iters: Int = 3): DataFrame = {
     val n = nodes.count()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgeDeg = edges.join(deg, Seq("src"))
+    // Each iteration (and deg) re-references the edge frame; without
+    // materialization the edge-generation DAG (for graph_pagerank_hnsw:
+    // the per-segment HNSW build+search) would be re-evaluated per
+    // iteration. The edge list is k·n rows — bounded — so stage it once,
+    // the same discipline the DCT and winnow rows apply.
+    val edgesM = edges.localCheckpoint(true)
+    val deg = edgesM.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgeDeg = edgesM.join(deg, Seq("src")).localCheckpoint(true)
     val base = 1000000000000L / n
     var ranks = nodes.select(col("id"), lit(base).as("r"))
     for (_ <- 1 to iters) {

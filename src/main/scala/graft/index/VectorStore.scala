@@ -63,13 +63,21 @@ class VectorStore(spark: SparkSession, warehouse: String) {
     */
   def add(name: String, records: DataFrame): Unit = {
     getOrCreateCollection(name)
+    normalized(records)
+      .write.mode(SaveMode.Append).parquet(dir(name).toString)
+  }
+
+  /** Incoming records coerced to the collection schema: extra columns
+    * dropped, missing metadata stored as null — add()'s per-batch
+    * semantics, shared with upsert's single-rewrite path.
+    */
+  private def normalized(records: DataFrame): DataFrame = {
     val meta =
       if (records.columns.contains("metadata")) col("metadata")
       else lit(null).cast(Schemas.collection("metadata").dataType)
     records
       .select(col("id").cast("string"), col("document").cast("string"),
         col("embedding").cast("array<float>"), meta.as("metadata"))
-      .write.mode(SaveMode.Append).parquet(dir(name).toString)
   }
 
   /** collection.count() (chromadb_speed_experiment.py:399-418). */
@@ -151,7 +159,11 @@ class VectorStore(spark: SparkSession, warehouse: String) {
     * removed.
     */
   def delete(name: String, where: org.apache.spark.sql.Column): Long = {
-    val (before, after) = rewrite(name)(_.filter(!where))
+    // A NULL predicate (e.g. a `where` over nullable metadata) must KEEP
+    // the row, matching the client semantics: only rows where the filter
+    // definitively matches are deleted. `!where` alone would turn NULL
+    // into NULL and silently drop the row.
+    val (before, after) = rewrite(name)(_.filter(!coalesce(where, lit(false))))
     before - after
   }
 
@@ -177,17 +189,37 @@ class VectorStore(spark: SparkSession, warehouse: String) {
     * read can never observe the collection mid-rewrite.
     */
   def upsert(name: String, records: DataFrame): Unit = {
-    val incoming = records.select(col("id").cast("string").as("id"))
-      .distinct().localCheckpoint(true)
-    rewrite(name)(_.join(incoming, Seq("id"), "left_anti"))
-    add(name, records)
+    getOrCreateCollection(name)
+    // The anti-join (drop replaced ids) AND the insert of the new
+    // versions ride ONE rewrite, so the staging→live swap is the single
+    // commit point: a crash at any rename leaves either the full old
+    // collection (restorable from .bak) or the full new one — never a
+    // state with the old versions deleted but the new rows not yet
+    // appended. The new rows are materialized before the swap so a lazy
+    // read can never observe the collection mid-rewrite.
+    val newRows = normalized(records).localCheckpoint(true)
+    val incoming = newRows.select(col("id")).distinct()
+    rewrite(name)(
+      _.join(incoming, Seq("id"), "left_anti").unionByName(newRows))
   }
 
-  /** list_collections(): filesystem metadata, no Spark job. */
+  /** list_collections(): filesystem metadata, no Spark job. Rewrite
+    * scratch dirs (`.bak` left by a crash, `.staging` of an in-flight
+    * rewrite) are internal state, not collections — hidden here.
+    */
   def listCollections(): Seq[String] =
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => !n.endsWith(".bak") && !n.endsWith(".staging"))
+      .toSeq.sorted
 
-  /** delete_collection(name). */
-  def deleteCollection(name: String): Boolean = fs.delete(dir(name), true)
+  /** delete_collection(name) — also removes any `.bak`/`.staging`
+    * scratch dirs, so a stale crash backup can't resurrect a deleted
+    * collection through recoverIfCrashed on the next getOrCreate.
+    */
+  def deleteCollection(name: String): Boolean = {
+    fs.delete(new Path(root, name + ".bak"), true)
+    fs.delete(new Path(root, name + ".staging"), true)
+    fs.delete(dir(name), true)
+  }
 }

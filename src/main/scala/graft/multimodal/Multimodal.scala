@@ -836,11 +836,16 @@ object Multimodal {
         val (bx, by) = (blk % bw, blk / bw)
         if ((b & 0xFC) == 0x84) skip = ((b - 0x84) << 8) + a - 1
         else if (b < 0x80) {
+          // Color payloads are bounds-checked like the opcode: a
+          // truncated/corrupt frame must stop the walk at the chunk
+          // edge, not silently read adjacent payload bytes as colors.
+          if (p + 1 >= base + len) return
           var flags = (b << 8) | a
           val c0 = bb.get(p) & 0xff
           val c1 = bb.get(p + 1) & 0xff
           p += 2
           if ((c0 & 0x80) != 0) { // 8-color: per-2×2-quadrant pairs
+            if (p + 5 >= base + len) return
             val cs = new Array[Int](8)
             cs(0) = c0; cs(1) = c1
             var k = 2

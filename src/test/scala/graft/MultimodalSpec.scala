@@ -333,6 +333,27 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("MSV1: truncated color payloads stop the walk at the chunk edge") {
+    import graft.multimodal.Multimodal._
+    val full = msv1FrameBytes(Seq(
+      Msv1Two(0x0001, 7, 2),
+      Msv1Eight(0x0004, Seq(0x84, 1, 2, 3, 9, 5, 6, 11))))
+    // pad the buffer past the chunk with bytes that WOULD paint if read
+    val padded = full ++ Array.fill[Byte](16)(0x3f)
+    for (cut <- Seq(
+        3, // 2-color opcode present, color pair truncated
+        full.length - 3)) { // 8-color opcode+pair present, quadrant colors cut
+      val pix = Array.fill(64)(-1)
+      msv1DecodeFrame(java.nio.ByteBuffer.wrap(padded), 0, cut, 8, 8, pix)
+      assert(!pix.contains(0x3f),
+        s"len=$cut: no pixel may come from bytes beyond the chunk")
+    }
+    // sanity: the untruncated frame still paints both blocks
+    val pix = Array.fill(64)(-1)
+    msv1DecodeFrame(java.nio.ByteBuffer.wrap(padded), 0, full.length, 8, 8, pix)
+    assert(pix(0) === 7 && pix.count(_ >= 0) === 32)
+  }
+
   test("decodeAvi: MSV1 skip opcodes carry previous-frame blocks (inter-frame)") {
     import spark.implicits._
     import graft.multimodal.Multimodal._

@@ -152,6 +152,62 @@ class VectorStoreSpec extends GraftSpec {
     store.deleteCollection("c")
   }
 
+  test("upsert is crash-atomic: a failure before the swap loses nothing") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_store_atomic").toString
+    val store = new VectorStore(spark, wh)
+    store.add("c", records(0 until 10))
+    // A records frame whose evaluation throws mid-write: under a
+    // two-step (rewrite-then-append) upsert the anti-join rewrite would
+    // already have deleted the old versions before the append failed;
+    // the single-rewrite upsert must leave the collection untouched.
+    val boom = udf((id: String) =>
+      if (id == "p7") throw new RuntimeException("injected") else s"new $id")
+    val bad = records(5 until 10).withColumn("document", boom($"id"))
+    intercept[Exception](store.upsert("c", bad))
+    assert(store.count("c") === 10, "failed upsert must not change row count")
+    assert(store.get("c", Seq("p7")).select($"document").head().getString(0)
+      === "doc 7", "old version of every replaced id must survive a failed upsert")
+    store.deleteCollection("c")
+  }
+
+  test("delete(where): NULL predicate rows are KEPT, not deleted") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_store_null").toString
+    val store = new VectorStore(spark, wh)
+    store.add("c", records(0 until 3))
+    // a row with null metadata: any metadata predicate is NULL for it
+    store.add("c", Seq(("pX", "no meta", Array(9.0f, 9.0f)))
+      .toDF("id", "document", "embedding"))
+    assert(store.delete("c", $"metadata.pdf_name" === "f1.pdf") === 1L,
+      "only the definitively-matching row is deleted")
+    assert(store.get("c", Seq("pX")).count() === 1,
+      "the null-metadata row must be kept (chromadb where semantics)")
+    assert(store.count("c") === 3)
+    store.deleteCollection("c")
+  }
+
+  test("deleteCollection purges crash scratch; list hides .bak/.staging") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_store_scratch").toString
+    val store = new VectorStore(spark, wh)
+    store.add("c", records(0 until 4))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(wh)
+    val fs = root.getFileSystem(conf)
+    // simulate a mid-rewrite crash leaving both scratch dirs behind
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "c.staging"))
+    val bak = new org.apache.hadoop.fs.Path(root, "c.bak")
+    fs.mkdirs(bak)
+    store.collection("c").limit(2).write.parquet(bak.toString + "/part")
+    assert(store.listCollections() === Seq("c"),
+      "scratch dirs are internal state, not collections")
+    store.deleteCollection("c")
+    assert(store.listCollections() === Seq.empty)
+    // the stale .bak must not resurrect the deleted collection
+    store.getOrCreateCollection("c")
+    assert(store.count("c") === 0,
+      "a deleted collection must come back empty, not recovered from stale .bak")
+    store.deleteCollection("c")
+  }
+
   test("add without a metadata column stores null metadata") {
     val wh = java.nio.file.Files.createTempDirectory("graft_store_nm").toString
     val store = new VectorStore(spark, wh)
