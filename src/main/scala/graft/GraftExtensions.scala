@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.VectorDistanceRules)
+    e.injectOptimizerRule(_ => graft.plans.AnnIndexRewrite)
     e.injectFunction((FunctionIdentifier("graft_l2sq"),
       info("graft_l2sq", "squared L2 distance between two float arrays"),
       (exprs: Seq[Expression]) => FloatVecL2Sq(exprs(0), exprs(1))))

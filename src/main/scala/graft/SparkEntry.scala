@@ -3969,6 +3969,38 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // PLANNER-CHOSEN ANN (plans/AnnIndexRewrite): the user writes the
+    // canonical EXACT kNN plan — distance-orderBy-limit over the raw
+    // collection scan — and the optimizer rewrites it into a semi-join
+    // with the stored routed-HNSW index probe, the way a relational
+    // planner turns ORDER BY ... LIMIT into an index scan. Registration
+    // uses exhaustive knobs (nprobe = all cells, efSearch ≫ cell size),
+    // so the rewritten plan must HASH-MATCH the closed-form exact-kNN
+    // oracle: acceleration is a plan property, never a result change.
+    // No index registered → the same code runs Catalyst's exact
+    // TakeOrderedAndProject (AnnRewriteSpec pins both the firing
+    // pattern and the fallback).
+    "ann_planner_rewrite" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = IvfIndex.seedCentroids(emb, 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+      graft.search.Hnsw.buildRoutedIndex(s, emb, cent)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      graft.plans.AnnIndexRewrite.register(s"$dir/embeddings.parquet",
+        graft.plans.AnnIndexRewrite.IndexSpec(s.read.parquet(tmp), cent,
+          nprobe = 8, efSearch = 4096, overfetch = 2))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val topk = emb
+        .select(col("vec_id"),
+          graft.functions.VectorExpressions.l2Sq(typedLit(qv), col("embedding"))
+            .as("dist2"))
+        .orderBy(col("dist2"), col("vec_id"))
+        .limit(10)
+      topk.select(col("vec_id"), round(sqrt(col("dist2")), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+    }),
+
     // SEGMENT COMPACTION (Hnsw.compactIndex — the Lucene-merge-shaped
     // maintenance op): an 8-segment stored index rebuilt into 2
     // segments from its own STORED vectors, then searched. At
@@ -4840,6 +4872,14 @@ object SparkEntry {
          |ph(phase) AS (VALUES ('tombstone'), ('purged'))
          |SELECT ph.phase, qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist
          |FROM r, ph WHERE rk <= 10 ORDER BY ph.phase, qid, rk""".stripMargin,
+
+    // Planner-rewrite replay: the rewritten (index-probe semi-join)
+    // plan must equal the exact top-10 — acceleration is a plan
+    // property, not a result change.
+    "ann_planner_rewrite" ->
+      s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q)
+         |SELECT vec_id, round(dist, 4) AS dist FROM d ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
     // Compaction replay: exhaustive-ef search over any segment layout
     // equals exact kNN; n_segments is the compaction target.

@@ -3,7 +3,15 @@
 against DuckDB oracle SQL on the same parquet fixtures and compare
 row-by-row (columns sorted by name, rows sorted, values hashed).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [summaryJson]
+
+With a third argument, also writes a machine-readable per-query summary
+in the driver's CORRECTNESS_r{N}.json schema:
+  {"<query>": {"rows_match": bool, "schema_match": bool,
+               "hash_match": bool, "err": str|null}, ...}
+so the repo carries committable correctness evidence even when the
+driver's own artifact fails to land (round 13 closed with
+CORRECTNESS_r13.json == {}).
 """
 import json, os, sys, glob
 import duckdb
@@ -33,6 +41,8 @@ def canon(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    summary_path = sys.argv[3] if len(sys.argv) > 3 else None
+    summary = {}
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
@@ -45,6 +55,8 @@ def main():
     # crashed inside Verify must FAIL here, not silently vanish
     for qname in sorted(set(oracle) - out_dirs):
         print(f"  ✗ {qname}: declared in oracle_sql.json but produced no output (Verify crash?)")
+        summary[qname] = {"rows_match": False, "schema_match": False,
+                          "hash_match": False, "err": "no Verify output"}
         n_fail += 1
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(qdir):
@@ -54,32 +66,51 @@ def main():
         if qname not in oracle:
             if len(got) > 0:
                 print(f"  ~ {qname}: rows-only check, rows={len(got)} OK")
+                summary[qname] = {"rows_match": True, "schema_match": None,
+                                  "hash_match": None, "err": None}
             else:
                 print(f"  ✗ {qname}: rows-only check but EMPTY result")
+                summary[qname] = {"rows_match": False, "schema_match": None,
+                                  "hash_match": None, "err": "empty result"}
                 n_fail += 1
             continue
         try:
             exp = con.sql(oracle[qname]).df()
         except Exception as e:
             print(f"  ✗ {qname}: oracle SQL error: {e}")
+            summary[qname] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False, "err": f"oracle SQL error: {e}"}
             n_fail += 1
             continue
         gc, gr = canon(got)
         ec, er = canon(exp)
-        if gc != ec:
-            print(f"  ✗ {qname}: column mismatch spark={gc} oracle={ec}")
+        rows_match = len(gr) == len(er)
+        schema_match = gc == ec
+        hash_match = schema_match and rows_match and gr == er
+        err = None
+        if not schema_match:
+            err = f"column mismatch spark={gc} oracle={ec}"
+            print(f"  ✗ {qname}: {err}")
             n_fail += 1
-        elif len(gr) != len(er):
-            print(f"  ✗ {qname}: row count spark={len(gr)} oracle={len(er)}")
+        elif not rows_match:
+            err = f"row count spark={len(gr)} oracle={len(er)}"
+            print(f"  ✗ {qname}: {err}")
             n_fail += 1
-        elif gr != er:
+        elif not hash_match:
             diffs = [(a, b) for a, b in zip(gr, er) if a != b][:3]
-            print(f"  ✗ {qname}: value mismatch, first diffs: {diffs}")
+            err = f"value mismatch, first diffs: {diffs}"
+            print(f"  ✗ {qname}: {err}")
             n_fail += 1
         else:
             print(f"  ✓ {qname}: {len(gr)} rows match")
             n_pass += 1
+        summary[qname] = {"rows_match": rows_match, "schema_match": schema_match,
+                          "hash_match": hash_match, "err": err}
     print(f"PASS {n_pass} FAIL {n_fail}")
+    if summary_path:
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {summary_path} ({len(summary)} queries)")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
