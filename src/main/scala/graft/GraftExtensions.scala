@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "dot product of two float arrays"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_l2sq_d"),
+      info("graft_l2sq_d", "squared L2 distance between two double arrays"),
+      (exprs: Seq[Expression]) => graft.functions.DoubleVecL2Sq(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "distinct hashed word n-gram shingles of text"),
       (exprs: Seq[Expression]) => HashedShinglesExpr(exprs(0),

@@ -4380,6 +4380,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LEARNED embedder (round-13 verdict item 4): seeded MLlib Word2Vec
+    // behind the same Embedder trait. The query TRAINS on the given dir
+    // and emits every trained vector; the oracle carries the frozen
+    // literals (W2vOracle, FreezeW2v-verified bit-identical across
+    // fits), so this row re-proves seeded-training determinism every
+    // round — the MllibLshOracle discipline applied to a data-dependent
+    // model.
+    "embed_w2v" -> ((s, dir) => {
+      val m = graft.embed.W2vEmbedder.fit(Tables.documents(s, dir))
+      m.vectors
+        .select(col("word"), posexplode(col("vec")).as(Seq("i", "x")))
+        .select(col("word"), col("i").cast("long").as("i"),
+          round(col("x"), 6).as("x"))
+        .orderBy("word", "i")
+    }),
+
+    // Downstream kNN over the LEARNED doc embeddings: mean in-vocab
+    // word vector per doc (explode → broadcast vocab join → 16-col avg;
+    // all-double arithmetic), exact top-10 by L2 via the codegen'd
+    // DoubleVecL2Sq. The oracle replays the averaging AND the distances
+    // from the frozen vectors — the full learned-retrieval path is
+    // hash-checked end-to-end. (Every fixture doc has ≥1 in-vocab
+    // token — minCount=1 trains on the same corpus — so the zero-vector
+    // fallback for vocab-less docs never fires here; EmbedderSpec
+    // covers it.)
+    "knn_w2v_top10" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = graft.embed.W2vEmbedder.fit(docs)
+      val emb = m.embed(docs.select(col("doc_id"), col("text")), "text", "emb")
+        .select(col("doc_id"), col("emb"))
+      val q = emb.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("emb").as("qemb"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dist2").asc, col("doc_id").asc)
+      emb.crossJoin(broadcast(q))
+        .withColumn("dist2",
+          graft.functions.VectorExpressions.l2SqD(col("qemb"), col("emb")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("qid"), col("doc_id"), col("rk").cast("long").as("rk"),
+          round(sqrt(col("dist2")), 4).as("dist"))
+        .orderBy("qid", "rk")
+    }),
+
     // TPC-H Q18 shape: large-quantity orders. Aggregate lineitem FIRST
     // (map-side partial agg shrinks the fact table before any join),
     // then join orders → customer on the already-small survivor set;
@@ -7099,6 +7142,35 @@ object SparkEntry {
       """SELECT doc_id, CAST(64 AS BIGINT) AS dim,
         |  CASE WHEN length(trim(text)) = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS l2norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Frozen-literal replay of the seeded Word2Vec fit (W2vOracle):
+    // value-exact training determinism, re-proven every round.
+    "embed_w2v" ->
+      s"""WITH wv(word, vec) AS (VALUES
+         |  ${graft.W2vOracle.vectorsSql})
+         |SELECT word, CAST(t.i AS BIGINT) AS i, round(vec[t.i + 1], 6) AS x
+         |FROM wv, range(0, 16) t(i) ORDER BY word, i""".stripMargin,
+
+    // Learned-retrieval replay: doc embedding = mean in-vocab word
+    // vector (parallel-unnest dims), exact L2 top-10 — the averaging
+    // and the distances both recomputed from the frozen vectors.
+    "knn_w2v_top10" ->
+      s"""WITH wv(word, vec) AS (VALUES
+         |  ${graft.W2vOracle.vectorsSql}),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+         |         FROM documents),
+         |tv AS (SELECT t.doc_id, v.vec FROM toks t JOIN wv v USING (word)),
+         |dims AS (SELECT doc_id, unnest(vec) AS x, unnest(range(1, 17)) AS i FROM tv),
+         |emb AS (SELECT doc_id, i, avg(x) AS e FROM dims GROUP BY doc_id, i),
+         |d AS (SELECT q.doc_id AS qid, c.doc_id,
+         |        sqrt(sum((q.e - c.e) * (q.e - c.e))) AS dist
+         |      FROM emb q JOIN emb c USING (i) WHERE q.doc_id < 3
+         |      GROUP BY q.doc_id, c.doc_id),
+         |r AS (SELECT qid, doc_id, dist,
+         |        row_number() OVER (PARTITION BY qid ORDER BY dist, doc_id) AS rk
+         |      FROM d)
+         |SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     "vector_norms" ->
       s"""SELECT vec_id, round(sqrt(${dotSql("embedding", "embedding")}), 4) AS l2_norm

@@ -29,6 +29,33 @@ class EmbedderSpec extends GraftSpec {
     assert(out.select("doc_id", "emb").except(out3.select("doc_id", "emb")).count() === 0)
   }
 
+  test("w2v: seeded fit is bit-identical; doc embeddings average in-vocab vectors") {
+    import graft.embed.W2vEmbedder
+    val docs = Tables.documents(spark, sfDir)
+    val m1 = W2vEmbedder.fit(docs)
+    val m2 = W2vEmbedder.fit(docs)
+    val v1 = m1.vectors.collect().map(r => (r.getString(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(v1.toSeq === m2.vectors.collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1))).sortBy(_._1).toSeq,
+      "two seeded fits must be bit-identical (oracle freezing depends on it)")
+    assert(v1.forall(_._2.length === 16))
+    // a one-word doc's embedding IS that word's vector (mean of one)
+    val vocabWord = v1.head._1
+    val single = Seq((1L, vocabWord)).toDF("doc_id", "text")
+    val e = m1.embed(single, "text", "emb").select("emb").head().getSeq[Double](0)
+    assert(e.toSeq === v1.head._2.toSeq)
+    // a doc with NO in-vocabulary token gets the zero vector, not null
+    val oov = Seq((2L, "zzzz_not_in_vocab qqqq_neither")).toDF("doc_id", "text")
+    val z = m1.embed(oov, "text", "emb").select("emb").head().getSeq[Double](0)
+    assert(z.forall(_ == 0.0) && z.length === 16)
+    // two-word doc = elementwise mean of the two word vectors
+    val w2 = v1(1)
+    val pair = Seq((3L, s"$vocabWord ${w2._1}")).toDF("doc_id", "text")
+    val p = m1.embed(pair, "text", "emb").select("emb").head().getSeq[Double](0)
+    val expect = v1.head._2.zip(w2._2).map { case (a, b) => (a + b) / 2.0 }
+    assert(p.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
   test("multimodal: metadata digests match and the decode stub is deterministic") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val media = Multimodal.withPayload(docs, "doc_id", "text")
