@@ -1865,6 +1865,31 @@ object SparkEntry {
         .orderBy("doc_id", "page_num")
     }),
 
+    // The LZW twin of pdf_extract_pages: the same page text stored as
+    // /Filter /LZWDecode behind a PNG /Predictor 12 — the layout older
+    // arXiv-era generators emit, which is the reference's actual corpus
+    // (dl:56-57). Decode walks variable-width LZW codes then undoes the
+    // per-row PNG filters (SimplePdf.lzwDecode/undoPredictor, both
+    // from-scratch); the text contract — and so the closed-form
+    // oracle — is unchanged from the classic layout.
+    "pdf_extract_lzw" -> ((s, dir) => {
+      val writeExtract = udf((text: String) => {
+        val trimmed = text.replaceAll("\\A +", "").replaceAll(" +\\z", "")
+        val toks: Seq[String] =
+          if (trimmed.isEmpty) Seq.empty
+          else trimmed.split(graft.functions.TextFunctions.wsPattern, -1).toSeq
+        val pages = Seq(Seq(toks.take(4).mkString(" ")),
+          Seq(toks.slice(4, 8).mkString(" ")))
+        graft.ingest.SimplePdf.extractPages(
+          graft.ingest.SimplePdfWriter.writeLzw(pages, predictor = 12))
+      })
+      Tables.documents(s, dir)
+        .filter(col("lang") === "en" && col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(writeExtract(col("text"))).as(Seq("pos", "page_text")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("page_num"), col("page_text"))
+        .orderBy("doc_id", "page_num")
+    }),
+
     // The PDF 1.5 twin of pdf_extract_pages: the SAME page text packed
     // the MODERN way — every dict object inside a Flate-compressed
     // /Type /ObjStm object stream, cross-reference as a /Type /XRef
@@ -5722,6 +5747,17 @@ object SparkEntry {
     // PDF roundtrip: the expected page text in closed form from the
     // same whitespace tokens the writer consumed.
     "pdf_extract_pages" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
+         |  WHERE lang = 'en' AND doc_id < 100),
+         |p AS (SELECT doc_id, 1 AS page_num, array_to_string(toks[1:4], ' ') AS page_text FROM t
+         |      UNION ALL
+         |      SELECT doc_id, 2, array_to_string(toks[5:8], ' ') FROM t)
+         |SELECT doc_id, CAST(page_num AS BIGINT) AS page_num, page_text
+         |FROM p ORDER BY doc_id, page_num""".stripMargin,
+
+    // LZW twin: the storage changed (LZW codes behind PNG row filters),
+    // the text contract did not — same closed form.
+    "pdf_extract_lzw" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
          |  WHERE lang = 'en' AND doc_id < 100),
          |p AS (SELECT doc_id, 1 AS page_num, array_to_string(toks[1:4], ' ') AS page_text FROM t

@@ -14,8 +14,11 @@ import java.util.zip.Inflater
   * either xref form), OBJECT STREAMS (/Type /ObjStm — the compressed
   * dict containers modern generators put catalogs/pages in; expanded
   * via /N /First + the offset-pair header), page trees via /Pages
-  * /Kids with document-order fallback, content streams raw or
-  * /FlateDecode (java.util.zip.Inflater), text via Tj / ' / " / TJ
+  * /Kids with document-order fallback, content streams raw,
+  * /FlateDecode (java.util.zip.Inflater), or /LZWDecode (from-scratch
+  * variable-width decoder incl. /EarlyChange 0) — either optionally
+  * behind a /Predictor (TIFF 2 or PNG 10–15 per-row filters, undone
+  * after decompression), text via Tj / ' / " / TJ
   * with literal `(...)` strings (all escapes + octal) and `<hex>`
   * strings, single-byte encodings read as Latin-1, AND Type0/CID
   * fonts with /ToUnicode remapping (per-page font resolution through
@@ -253,9 +256,143 @@ object SimplePdf {
     } finally inf.end()
   }
 
+  /** PDF LZWDecode (spec 7.4.4 — the TIFF variant): MSB-first variable-
+    * width codes, 9→12 bits, 256 = clear, 257 = EOD; `earlyChange`
+    * (default 1) widens the code length one code early. The width
+    * schedule is the standard nextCode-driven formula, applied
+    * identically by [[SimplePdfWriter.lzwEncode]], so roundtrips stay in
+    * sync across every boundary including dictionary-full reset
+    * (SimplePdfSpec crosses all of them). Corrupt input degrades to the
+    * bytes decoded so far — never a throw (the per-page "" discipline).
+    */
+  def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def reset(): Unit = {
+      table.clear()
+      var i = 0
+      while (i < 256) { table += Array(i.toByte); i += 1 }
+      table += Array.emptyByteArray // 256 clear
+      table += Array.emptyByteArray // 257 EOD
+    }
+    def widthFor(nextCode: Int): Int = {
+      val n = nextCode + earlyChange
+      if (n < 512) 9 else if (n < 1024) 10 else if (n < 2048) 11 else 12
+    }
+    reset()
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev: Array[Byte] = null
+    while (pos < data.length || bitCnt >= width) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) return out.toByteArray // truncated: degrade
+      val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+      bitCnt -= width
+      if (code == 256) { reset(); width = 9; prev = null }
+      else if (code == 257) return out.toByteArray
+      else {
+        val entry: Array[Byte] =
+          if (code < table.length) table(code)
+          else if (code == table.length && prev != null) prev :+ prev(0) // KwKwK
+          else return out.toByteArray // corrupt: degrade
+        out.write(entry, 0, entry.length)
+        if (prev != null && table.length < 4096) {
+          table += (prev :+ entry(0))
+          width = math.min(12, widthFor(table.length))
+        }
+        prev = entry
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Undo a /Predictor on decompressed stream data: 2 = TIFF horizontal
+    * differencing (8-bit components), ≥ 10 = PNG per-row filters (each
+    * row carries its filter byte: 0 None, 1 Sub, 2 Up, 3 Average,
+    * 4 Paeth — RFC 2083 §6). Ragged trailing data is passed through
+    * unfiltered rather than thrown on.
+    */
+  def undoPredictor(data: Array[Byte], predictor: Int,
+      colors: Int, bpc: Int, columns: Int): Array[Byte] = {
+    val bpp = math.max(1, colors * bpc / 8)
+    if (predictor == 2) {
+      if (bpc != 8) return data // unsupported depth: degrade
+      val rowLen = columns * bpp
+      val out = data.clone()
+      var r = 0
+      while ((r + 1) * rowLen <= out.length) {
+        var i = r * rowLen + bpp
+        while (i < (r + 1) * rowLen) {
+          out(i) = (out(i) + out(i - bpp)).toByte; i += 1
+        }
+        r += 1
+      }
+      out
+    } else if (predictor >= 10) {
+      val rowLen = (columns * colors * bpc + 7) / 8
+      val nRows = data.length / (rowLen + 1)
+      val out = new Array[Byte](nRows * rowLen)
+      val zero = new Array[Byte](rowLen)
+      var priorStart = -1
+      var r = 0
+      while (r < nRows) {
+        val src = r * (rowLen + 1)
+        val ft = data(src) & 0xff
+        val dst = r * rowLen
+        def prior(i: Int): Int =
+          if (priorStart < 0) 0 else out(priorStart + i) & 0xff
+        var i = 0
+        while (i < rowLen) {
+          val x = data(src + 1 + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = prior(i)
+          val ul = if (i >= bpp) prior(i - bpp) else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + (left + up) / 2
+            case 4 => // Paeth
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case _ => x
+          }
+          out(dst + i) = v.toByte
+          i += 1
+        }
+        priorStart = dst
+        r += 1
+      }
+      out
+    } else data
+  }
+
+  private val PredictorRe = """/Predictor\s+(\d+)""".r
+  private val ColumnsRe = """/Columns\s+(\d+)""".r
+  private val ColorsRe = """/Colors\s+(\d+)""".r
+  private val BpcRe = """/BitsPerComponent\s+(\d+)""".r
+  private val EarlyChangeRe = """/EarlyChange\s+(\d+)""".r
+
   private def decodeStream(o: PdfObj): Option[String] =
     o.stream.map { raw =>
-      val data = if (o.dict.contains("/FlateDecode")) inflate(raw) else raw
+      var data =
+        if (o.dict.contains("/FlateDecode")) inflate(raw)
+        else if (o.dict.contains("/LZWDecode"))
+          lzwDecode(raw, EarlyChangeRe.findFirstMatchIn(o.dict)
+            .map(_.group(1).toInt).getOrElse(1))
+        else raw
+      val pred = PredictorRe.findFirstMatchIn(o.dict).map(_.group(1).toInt).getOrElse(1)
+      if (pred > 1) {
+        data = undoPredictor(data, pred,
+          ColorsRe.findFirstMatchIn(o.dict).map(_.group(1).toInt).getOrElse(1),
+          BpcRe.findFirstMatchIn(o.dict).map(_.group(1).toInt).getOrElse(8),
+          ColumnsRe.findFirstMatchIn(o.dict).map(_.group(1).toInt).getOrElse(1))
+      }
       new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
     }
 

@@ -29,6 +29,145 @@ object SimplePdfWriter {
     out.toByteArray
   }
 
+  /** LZW encoder (the generator half of [[SimplePdf.lzwDecode]]):
+    * greedy longest-match, MSB-first variable-width codes, leading
+    * clear code, EOD terminator, clear+reset when the dictionary
+    * fills. The width schedule is the same nextCode-driven formula the
+    * decoder applies, evaluated after every dictionary add, so both
+    * sides widen in lockstep (`earlyChange` 1 is the PDF default).
+    */
+  def lzwEncode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    def widthFor(nextCode: Int): Int = {
+      val n = nextCode + earlyChange
+      if (n < 512) 9 else if (n < 1024) 10 else if (n < 2048) 11 else 12
+    }
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    var nextCode = 258
+    def codeOf(s: Vector[Byte]): Int =
+      if (s.length == 1) s(0) & 0xff else dict(s)
+    emit(256)
+    var cur = Vector.empty[Byte]
+    var i = 0
+    while (i < data.length) {
+      val ext = cur :+ data(i)
+      if (ext.length == 1 || dict.contains(ext)) cur = ext
+      else {
+        emit(codeOf(cur))
+        if (nextCode < 4096) {
+          dict(ext) = nextCode; nextCode += 1
+          // the decoder's dictionary lags this one by exactly one add
+          // (it learns an entry only on the NEXT code), so the width for
+          // the next emitted code is widthFor(nextCode - 1) — bumping at
+          // the same nextCode as the decoder would widen one code early
+          // relative to it and desynchronize every boundary
+          width = math.min(12, widthFor(nextCode - 1))
+        } else { // dictionary full: clear and restart
+          emit(256); dict.clear(); nextCode = 258; width = 9
+        }
+        cur = Vector(data(i))
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) emit(codeOf(cur))
+    emit(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** PNG-predictor-encode (the generator half of
+    * [[SimplePdf.undoPredictor]]): rows of `columns` bytes, each
+    * prefixed with its filter byte. Row i uses filter i % 5, so one
+    * fixture exercises None/Sub/Up/Average/Paeth. Input length must be
+    * a multiple of `columns` (content streams pad with spaces — inert
+    * past the ET operator).
+    */
+  def pngPredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    require(data.length % columns == 0, "pad input to a row multiple first")
+    val nRows = data.length / columns
+    val out = new Array[Byte](nRows * (columns + 1))
+    var r = 0
+    while (r < nRows) {
+      val ft = r % 5
+      out(r * (columns + 1)) = ft.toByte
+      var i = 0
+      while (i < columns) {
+        val x = data(r * columns + i) & 0xff
+        val left = if (i >= 1) data(r * columns + i - 1) & 0xff else 0
+        val up = if (r >= 1) data((r - 1) * columns + i) & 0xff else 0
+        val ul = if (r >= 1 && i >= 1) data((r - 1) * columns + i - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x - left
+          case 2 => x - up
+          case 3 => x - (left + up) / 2
+          case _ =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            x - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        out(r * (columns + 1) + 1 + i) = v.toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** The LZW twin of [[write]]: content streams stored as
+    * /Filter /LZWDecode, optionally behind a PNG /Predictor (content
+    * space-padded to a row multiple — inert past ET). The layout older
+    * arXiv-era generators emit, which is the reference's actual corpus
+    * (dl:56-57).
+    */
+  def writeLzw(pages: Seq[Seq[String]], predictor: Int = 0,
+               columns: Int = 16, earlyChange: Int = 1): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val fontObj = 3 + 2 * n
+    val objs = scala.collection.mutable.ArrayBuffer[String]()
+    objs += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n"
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      objs += s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents $contObj 0 R >>\nendobj\n"
+      var raw = contentFor(lines).getBytes(ISO_8859_1)
+      val parms = new StringBuilder()
+      if (earlyChange != 1) parms ++= s" /EarlyChange $earlyChange"
+      if (predictor >= 10) {
+        val pad = (columns - raw.length % columns) % columns
+        raw = raw ++ Array.fill[Byte](pad)(' ')
+        raw = pngPredict(raw, columns)
+        parms ++= s" /Predictor $predictor /Columns $columns"
+      }
+      val data = lzwEncode(raw, earlyChange)
+      val dp = if (parms.nonEmpty) s" /DecodeParms <<${parms.toString} >>" else ""
+      objs += s"$contObj 0 obj\n<< /Length ${data.length} /Filter /LZWDecode$dp >>\nstream\n" +
+        new String(data, ISO_8859_1) + "\nendstream\nendobj\n"
+    }
+    objs += s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+
+    val body = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.map { o => val off = body.length; body ++= o; off }
+    val xrefOff = body.length
+    body ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    offsets.foreach(o => body ++= f"$o%010d 00000 n \n")
+    body ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n"
+    body.toString.getBytes(ISO_8859_1)
+  }
+
   /** One document; `pages` holds each page's lines. `contentOverride`
     * substitutes a raw content stream for page 0 (spec hook).
     */

@@ -210,4 +210,64 @@ class SimplePdfSpec extends GraftSpec {
       dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
     }
   }
+  test("LZW roundtrip across every code width, clear/reset, and EarlyChange") {
+    import graft.ingest.{SimplePdf, SimplePdfWriter}
+    // deterministic pseudo-random bytes: enough entropy to push the
+    // dictionary through 9->10->11->12 bits and a full-table reset
+    def prng(n: Int): Array[Byte] = {
+      var s = 0x9e3779b97f4a7c15L
+      Array.fill(n) { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33).toByte }
+    }
+    for (n <- Seq(0, 1, 100, 4000, 60000); ec <- Seq(1, 0)) {
+      val data = prng(n)
+      val dec = SimplePdf.lzwDecode(SimplePdfWriter.lzwEncode(data, ec), ec)
+      assert(dec.toSeq === data.toSeq, s"n=$n earlyChange=$ec")
+    }
+    // compressible input (repeats exercise multi-byte codes heavily)
+    val rep = ("the quick brown fox " * 3000).getBytes("ISO-8859-1")
+    assert(SimplePdf.lzwDecode(SimplePdfWriter.lzwEncode(rep)).toSeq === rep.toSeq)
+    // truncated/corrupt streams degrade to a prefix, never throw
+    val enc = SimplePdfWriter.lzwEncode(prng(5000))
+    for (cut <- Seq(1, enc.length / 2)) {
+      val partial = SimplePdf.lzwDecode(enc.take(cut))
+      assert(partial.toSeq === prng(5000).toSeq.take(partial.length))
+    }
+  }
+
+  test("PNG predictor roundtrip: all five row filters undo exactly") {
+    import graft.ingest.{SimplePdf, SimplePdfWriter}
+    def prng(n: Int): Array[Byte] = {
+      var s = 42L
+      Array.fill(n) { s = s * 6364136223846793005L + 1L; (s >>> 33).toByte }
+    }
+    for (cols <- Seq(1, 7, 16)) {
+      val rows = 12 // >= 5 rows so every filter type appears
+      val data = prng(rows * cols)
+      val filtered = SimplePdfWriter.pngPredict(data, cols)
+      assert(SimplePdf.undoPredictor(filtered, 12, 1, 8, cols).toSeq === data.toSeq,
+        s"cols=$cols")
+    }
+    // TIFF predictor 2: horizontal differencing undone
+    val row = Array[Byte](10, 20, 25, 23, 40)
+    val diffed = row.clone()
+    for (i <- (1 until diffed.length).reverse) diffed(i) = (diffed(i) - diffed(i - 1)).toByte
+    assert(SimplePdf.undoPredictor(diffed, 2, 1, 8, 5).toSeq === row.toSeq)
+  }
+
+  test("LZWDecode content streams (with and without PNG predictor) extract to the text") {
+    import graft.ingest.{SimplePdf, SimplePdfWriter}
+    val pages = Seq(
+      Seq("LZW arrived with PDF 1.0.", "It predates FlateDecode."),
+      Seq("Older arXiv PDFs still carry it."))
+    val expect = SimplePdf.extractPages(SimplePdfWriter.write(pages))
+    assert(SimplePdf.extractPages(SimplePdfWriter.writeLzw(pages)) === expect)
+    assert(SimplePdf.extractPages(SimplePdfWriter.writeLzw(pages, predictor = 12)) === expect,
+      "PNG-predicted LZW stream must extract identically")
+    assert(SimplePdf.extractPages(SimplePdfWriter.writeLzw(pages, earlyChange = 0)) === expect,
+      "/EarlyChange 0 must be honored")
+    // the stored stream must actually be LZW bytes (operators invisible)
+    val s = new String(SimplePdfWriter.writeLzw(pages), "ISO-8859-1")
+    assert(s.contains("/LZWDecode") && !s.contains("BT /F1"))
+  }
+
 }
