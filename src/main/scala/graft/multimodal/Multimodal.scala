@@ -31,7 +31,13 @@ import org.apache.spark.sql.functions._
   * bit-replayable loss accounting (`multimodal_dct_block` in
   * SparkEntry); only FULL MP3/AAC/H.264 bitstreams remain STUBBED —
   * entropy coding + spec scale genuinely need a native library (see
-  * [[DecodeStub]]);
+  * [[DecodeStub]]). MPEG-1 Audio Layer I/II was evaluated as the next
+  * rung (r13 verdict) and deliberately NOT built: its polyphase
+  * filterbank is defined by ISO 11172-3 Table B.3 — 512 empirical
+  * window coefficients with no closed form — which this offline
+  * environment does not carry; shipping a lookalike filterbank under
+  * the MPEG name would be dishonest, so the family stays on the stub
+  * list with this reason;
   * everything Spark-side is real either way: schema, binary column
   * handling, partition-batched UDF shape, and the metadata extraction
   * that IS engine-portable (sizes, digests, magic bytes). At 100 TB

@@ -75,6 +75,50 @@ object StateCheck {
     }
   }
 
+  /** Bench-number provenance (round-13 verdict: the committed
+    * BENCH_r13.json said 53.78 s while the commit message said 51.5 s —
+    * prose numbers drifted from artifacts). STATE.md's bench line must
+    * be byte-derived from BENCH_DETAIL.json: `--fix` rewrites it, plain
+    * runs fail on drift.
+    */
+  private val benchRe: Regex =
+    """Bench \(from BENCH_DETAIL\.json\): \*\*([0-9.]+) s wall for (\d+) queries,\s*(\d+) failed\*\*""".r
+
+  private def checkBench(fix: Boolean): Int = {
+    val bd = Paths.get("BENCH_DETAIL.json")
+    val st = Paths.get(statePath)
+    if (!Files.exists(bd) || !Files.exists(st)) return 0
+    val detail = new String(Files.readAllBytes(bd), "UTF-8")
+    val wall = """"value":([0-9.]+)""".r.findFirstMatchIn(detail).map(_.group(1))
+    val qmap = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(detail).map(_.group(1))
+    (wall, qmap) match {
+      case (Some(w), Some(qs)) =>
+        val n = """"[^"]+":""".r.findAllIn(qs).length
+        val failed = """:-1\.0""".r.findAllIn(qs).length
+        val line = s"Bench (from BENCH_DETAIL.json): **$w s wall for $n queries,\n$failed failed**"
+        val text = new String(Files.readAllBytes(st), "UTF-8")
+        benchRe.findFirstMatchIn(text) match {
+          case None =>
+            println(s"[state] $statePath has no bench-provenance line — skip")
+            0
+          case Some(m) if m.group(1) == w && m.group(2).toInt == n &&
+              m.group(3).toInt == failed =>
+            println(s"[state] ✓ $statePath bench numbers match BENCH_DETAIL.json")
+            0
+          case Some(m) =>
+            println(s"[state] ✗ $statePath bench line (${m.group(1)}s/${m.group(2)}q/" +
+              s"${m.group(3)}f) vs BENCH_DETAIL.json ($w s/$n q/$failed f)")
+            if (fix) {
+              Files.write(st, benchRe.replaceAllIn(text,
+                Regex.quoteReplacement(line)).getBytes("UTF-8"))
+              println(s"[state]   → rewrote $statePath bench line")
+              0
+            } else 1
+        }
+      case _ => println("[state] BENCH_DETAIL.json unparsable — skip"); 0
+    }
+  }
+
   private def testReportTotals(): (Int, Int) = {
     val dir = new java.io.File("target/test-reports")
     val reports = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -136,6 +180,7 @@ object StateCheck {
         s"round ${m.group(1)}: **$nQueries queries,\nALL $nOracle with DuckDB-oracle entries"))
 
     if (nQueries > 0) drift += correctnessEvidence()
+    drift += checkBench(fix)
 
     if (drift > 0) {
       System.err.println(s"[state] DRIFT in $drift file(s) — run with --fix")
