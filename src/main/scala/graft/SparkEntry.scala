@@ -1964,6 +1964,31 @@ object SparkEntry {
         .orderBy("doc_id", "page_num")
     }),
 
+    // The PDF 2.0 twin: AES-256 / R 6 (/AESV3) with a REAL non-empty
+    // user password — the SHA-2 hardening loop (ISO 32000-2 Algorithm
+    // 2.B), U/UE validation + file-key unwrap, and one 256-bit file key
+    // for every stream (V5 has no per-object keys). The no-password
+    // read degrades to ""; only the password recovers the text. Same
+    // closed-form text oracle.
+    "pdf_extract_aes256" -> ((s, dir) => {
+      val writeExtract = udf((text: String) => {
+        val trimmed = text.replaceAll("\\A +", "").replaceAll(" +\\z", "")
+        val toks: Seq[String] =
+          if (trimmed.isEmpty) Seq.empty
+          else trimmed.split(graft.functions.TextFunctions.wsPattern, -1).toSeq
+        val pages = Seq(Seq(toks.take(4).mkString(" ")),
+          Seq(toks.slice(4, 8).mkString(" ")))
+        graft.ingest.SimplePdf.extractPages(
+          graft.ingest.SimplePdfWriter.writeEncryptedAes256(pages,
+            userPassword = "s3cret"), "s3cret")
+      })
+      Tables.documents(s, dir)
+        .filter(col("lang") === "en" && col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(writeExtract(col("text"))).as(Seq("pos", "page_text")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("page_num"), col("page_text"))
+        .orderBy("doc_id", "page_num")
+    }),
+
     // The Type0/CID twin: the SAME page text as a modern unicode PDF —
     // content hex strings carry 2-byte CIDs at codepoint+7 (byte-pair
     // decoding yields garbage by construction), the font is
@@ -5769,6 +5794,17 @@ object SparkEntry {
     // encrypted twin: the storage changed (RC4 ciphertext streams), the
     // text contract did not — same closed form.
     "pdf_extract_encrypted" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
+         |  WHERE lang = 'en' AND doc_id < 100),
+         |p AS (SELECT doc_id, 1 AS page_num, array_to_string(toks[1:4], ' ') AS page_text FROM t
+         |      UNION ALL
+         |      SELECT doc_id, 2, array_to_string(toks[5:8], ' ') FROM t)
+         |SELECT doc_id, CAST(page_num AS BIGINT) AS page_num, page_text
+         |FROM p ORDER BY doc_id, page_num""".stripMargin,
+
+    // AES-256/R6 twin: the PDF 2.0 handler with a real password; the
+    // text contract is unchanged — same closed form.
+    "pdf_extract_aes256" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
          |  WHERE lang = 'en' AND doc_id < 100),
          |p AS (SELECT doc_id, 1 AS page_num, array_to_string(toks[1:4], ' ') AS page_text FROM t

@@ -33,12 +33,18 @@ import java.util.zip.Inflater
   * 50-round rev-3+ key derivation, the sAlT per-object keys, and the
   * IV-prefixed PKCS#5 stream layout are all the spec's algorithms
   * 1–5), exercised end-to-end by the writer's own encrypted output.
+  * V 5 / R 6 (/AESV3 — the PDF 2.0 handler) is supported INCLUDING
+  * real non-empty user/owner passwords: the SHA-256/384/512 + AES
+  * hardening loop (ISO 32000-2 Algorithm 2.B, [[hash2B]]), U/UE & O/OE
+  * validation and file-key unwrap, one AES-256-CBC file key for every
+  * stream. Pass the password via `extractPages(bytes, password)`; a
+  * wrong/missing password degrades to Seq("").
   *
-  * NOT supported, by documented choice: non-empty passwords, the V 5
-  * (AESV3/SHA-256) handler, and CID text in literal (non-hex) strings.
-  * A page that needs those yields "" — the reference's own per-page
-  * failure placeholder semantics (cc:41-47), keeping page numbering
-  * aligned.
+  * NOT supported, by documented choice: non-empty passwords at R ≤ 4
+  * (real corpora that use passwords at all use R6 today) and CID text
+  * in literal (non-hex) strings. A page that needs those yields "" —
+  * the reference's own per-page failure placeholder semantics
+  * (cc:41-47), keeping page numbering aligned.
   */
 object SimplePdf {
 
@@ -196,6 +202,67 @@ object SimplePdf {
     iv ++ c.doFinal(data)
   }
 
+  /** AES-CBC without padding — the R6 key-wrapping primitive (UE/OE
+    * hold the 32-byte file key as exactly two blocks; Algorithm 2.B's
+    * inner encryption is also unpadded).
+    */
+  private[graft] def aesNoPad(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** ISO 32000-2 Algorithm 2.B — the revision-6 password hash: an
+    * iterated SHA-256/384/512 + AES-128-CBC hardening loop (≥ 64
+    * rounds, data-dependent tail). Pure JDK: MessageDigest + Cipher.
+    * `udata` is the 48-byte U string for owner-password hashes, empty
+    * for user-password hashes.
+    */
+  private[graft] def hash2B(password: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance(alg)
+      parts.foreach(d.update)
+      d.digest()
+    }
+    var k = sha("SHA-256", password, salt, udata)
+    var e = Array.emptyByteArray
+    var i = 0
+    while (i < 64 || (e(e.length - 1) & 0xff) > i - 32) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      for (j <- 0 until 64) System.arraycopy(block, 0, k1, j * block.length, block.length)
+      e = aesNoPad(encrypt = true, k.take(16), k.slice(16, 32), k1)
+      val mod = (0 until 16).map(e(_) & 0xff).sum % 3
+      k = sha(if (mod == 0) "SHA-256" else if (mod == 1) "SHA-384" else "SHA-512", e)
+      i += 1
+    }
+    k.take(32)
+  }
+
+  /** R6 file key from the U/UE (user) or O/OE (owner) pair: validate
+    * the password against the 32-byte verification hash, then unwrap
+    * the 256-bit file key (AES-CBC, zero IV, no padding). Returns None
+    * if the password matches neither role — the document degrades to
+    * Seq(""), never garbage.
+    */
+  private[graft] def fileKeyR6(password: Array[Byte], u: Array[Byte], ue: Array[Byte],
+      o: Array[Byte], oe: Array[Byte]): Option[Array[Byte]] = {
+    val zeroIv = new Array[Byte](16)
+    if (u.length >= 48 && ue.length == 32 &&
+        hash2B(password, u.slice(32, 40), Array.emptyByteArray).sameElements(u.take(32)))
+      Some(aesNoPad(encrypt = false,
+        hash2B(password, u.slice(40, 48), Array.emptyByteArray), zeroIv, ue))
+    else if (o.length >= 48 && oe.length == 32 && u.length >= 48 &&
+        hash2B(password, o.slice(32, 40), u.take(48)).sameElements(o.take(32)))
+      Some(aesNoPad(encrypt = false,
+        hash2B(password, o.slice(40, 48), u.take(48)), zeroIv, oe))
+    else None
+  }
+
   /** Per-object key (Alg. 1): MD5(key ‖ objnum LE24 ‖ gen LE16) truncated
     * to min(keyLen+5, 16).
     */
@@ -206,24 +273,30 @@ object SimplePdf {
   }
 
   private final case class Enc(cipher: String, rev: Int, keyLen: Int,
-      o: Array[Byte], p: Int, id0: Array[Byte])
+      o: Array[Byte], p: Int, id0: Array[Byte],
+      u: Array[Byte] = Array.emptyByteArray,
+      ue: Array[Byte] = Array.emptyByteArray,
+      oe: Array[Byte] = Array.emptyByteArray)
 
   /** Encryption parameters from the trailer for the standard security
-    * handler: V 1 / R 2 (40-bit RC4), V 2 (longer-key RC4), and
-    * V 4 / R 4 with /CFM /AESV2 (AES-128-CBC) or /CFM /V2 (RC4-128).
-    * Unsupported handlers (V 5 AESV3, crypt filters beyond /StdCF)
-    * return None and the document degrades to Seq("").
+    * handler: V 1 / R 2 (40-bit RC4), V 2 (longer-key RC4),
+    * V 4 / R 4 with /CFM /AESV2 (AES-128-CBC) or /CFM /V2 (RC4-128),
+    * and V 5 / R 6 with /CFM /AESV3 (AES-256, SHA-2 password hashing —
+    * the PDF 2.0 handler). Unsupported handlers return None and the
+    * document degrades to Seq("").
     */
   private def encryptionOf(s: String, objs: Map[Int, PdfObj]): Option[Enc] = {
     val ti = s.lastIndexOf("trailer")
     val region = if (ti >= 0) s.substring(ti) else s
+    def hexEntry(dict: String, name: String): Option[Array[Byte]] =
+      (name + """\s*<([0-9A-Fa-f]+)>""").r.findFirstMatchIn(dict)
+        .map(m => hexBytes(m.group(1)))
     for {
       em <- """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(region)
       enc <- objs.get(em.group(1).toInt)
       if enc.dict.contains("/Standard")
-      om <- """/O\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(enc.dict)
+      om <- hexEntry(enc.dict, "/O")
       pm <- """/P\s+(-?\d+)""".r.findFirstMatchIn(enc.dict)
-      im <- """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(region)
       v = """/V\s+(\d+)""".r.findFirstMatchIn(enc.dict).map(_.group(1).toInt).getOrElse(1)
       r = """/R\s+(\d+)""".r.findFirstMatchIn(enc.dict).map(_.group(1).toInt).getOrElse(2)
       lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(enc.dict)
@@ -232,10 +305,18 @@ object SimplePdf {
         case 1 | 2 => Some("rc4")
         case 4 if enc.dict.contains("/AESV2") => Some("aes")
         case 4 if enc.dict.contains("/CFM") && enc.dict.contains("/V2") => Some("rc4")
-        case _ => None // V 5 / AESV3 etc: degrade, never emit garbage
+        case 5 if enc.dict.contains("/AESV3") && r >= 5 => Some("aes256")
+        case _ => None // other handlers: degrade, never emit garbage
       }
+      // V5 has no /ID dependence; earlier revisions require it
+      id0 <- if (cipher == "aes256") Some(Array.emptyByteArray)
+        else """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(region)
+          .map(m => hexBytes(m.group(1)))
     } yield Enc(cipher, r, if (v == 1) 5 else math.max(5, lenBits / 8),
-      hexBytes(om.group(1)), pm.group(1).toInt, hexBytes(im.group(1)))
+      om, pm.group(1).toInt, id0,
+      u = hexEntry(enc.dict, "/U").getOrElse(Array.emptyByteArray),
+      ue = hexEntry(enc.dict, "/UE").getOrElse(Array.emptyByteArray),
+      oe = hexEntry(enc.dict, "/OE").getOrElse(Array.emptyByteArray))
   }
 
   private def hexBytes(h: String): Array[Byte] =
@@ -643,16 +724,33 @@ object SimplePdf {
   /** All pages' text, reference placeholder semantics: unparseable page
     * → "" at its index; unparseable document → Seq("").
     */
-  def extractPages(bytes: Array[Byte]): Seq[String] =
+  def extractPages(bytes: Array[Byte]): Seq[String] = extractPages(bytes, "")
+
+  /** As [[extractPages]], with a password for protected documents (R6
+    * accepts either the user or the owner password; earlier revisions
+    * keep the empty-user-password path).
+    */
+  def extractPages(bytes: Array[Byte], password: String): Seq[String] =
     try {
       val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
       if (!s.startsWith("%PDF")) return Seq("")
       val parsed = parseObjects(bytes)
-      // standard-security-handler decryption (empty user password):
-      // every object stream is RC4'd under its per-object key before
-      // any other processing — Flate, ObjStm expansion, and CMaps then
-      // see plaintext exactly as in an unencrypted file
+      // standard-security-handler decryption: every object stream is
+      // deciphered under its key before any other processing — Flate,
+      // ObjStm expansion, and CMaps then see plaintext exactly as in an
+      // unencrypted file. V≤4 derives per-object keys from the MD5 file
+      // key; V5/R6 (AESV3) uses ONE 256-bit file key unwrapped from
+      // U/UE (or O/OE) after the SHA-2 password hash validates.
       val topLevel = encryptionOf(s, parsed) match {
+        case Some(enc) if enc.cipher == "aes256" =>
+          fileKeyR6(password.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            enc.u, enc.ue, enc.o, enc.oe) match {
+            case Some(fk) =>
+              parsed.map { case (num, obj) =>
+                num -> obj.copy(stream = obj.stream.map(raw => aesDecrypt(fk, raw)))
+              }
+            case None => return Seq("") // wrong password: degrade
+          }
         case Some(enc) =>
           val key = fileKeyR(enc.o, enc.p, enc.id0, enc.rev, enc.keyLen)
           parsed.map { case (num, obj) =>

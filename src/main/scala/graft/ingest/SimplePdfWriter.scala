@@ -315,6 +315,79 @@ object SimplePdfWriter {
     body.toString.getBytes(ISO_8859_1)
   }
 
+  /** An AES-256 / R6 ENCRYPTED document (PDF 2.0's /AESV3 handler,
+    * standard security handler V 5 / R 6): the U/UE and O/OE pairs
+    * carry the SHA-2-hardened password hashes (ISO 32000-2 Algorithm
+    * 2.B via [[SimplePdf.hash2B]]) and the AES-wrapped 256-bit file
+    * key; every stream is AES-256-CBC under that ONE file key (V5 has
+    * no per-object keys). Non-empty passwords are real here — R6
+    * hashes the password itself, so this writer/reader pair closes the
+    * "empty user password only" limitation for the modern handler.
+    * All material (file key, salts, IVs) is derived deterministically
+    * from the content so fixtures are reproducible.
+    */
+  def writeEncryptedAes256(pages: Seq[Seq[String]], userPassword: String = "",
+                           ownerPassword: String = "own3r",
+                           compress: Boolean = true): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val fontObj = 3 + 2 * n
+    val encObj = fontObj + 1
+    val perm = -44
+    def sha256(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      parts.foreach(d.update)
+      d.digest()
+    }
+    val seed = sha256(pages.flatten.mkString("\n").getBytes(ISO_8859_1))
+    val fileKey = sha256(seed, "filekey".getBytes(ISO_8859_1))
+    def salt(tag: String): Array[Byte] = sha256(seed, tag.getBytes(ISO_8859_1)).take(8)
+    val zeroIv = new Array[Byte](16)
+    val upw = userPassword.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val opw = ownerPassword.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val u = SimplePdf.hash2B(upw, salt("uval"), Array.emptyByteArray) ++
+      salt("uval") ++ salt("ukey")
+    val ue = SimplePdf.aesNoPad(encrypt = true,
+      SimplePdf.hash2B(upw, salt("ukey"), Array.emptyByteArray), zeroIv, fileKey)
+    val o = SimplePdf.hash2B(opw, salt("oval"), u) ++ salt("oval") ++ salt("okey")
+    val oe = SimplePdf.aesNoPad(encrypt = true,
+      SimplePdf.hash2B(opw, salt("okey"), u), zeroIv, fileKey)
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    def ivFor(objNum: Int): Array[Byte] =
+      sha256(seed, s"iv$objNum".getBytes(ISO_8859_1)).take(16)
+
+    val objs = scala.collection.mutable.ArrayBuffer[String]()
+    objs += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n"
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      objs += s"$pageObj 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontObj 0 R >> >> /Contents $contObj 0 R >>\nendobj\n"
+      val raw = contentFor(lines).getBytes(ISO_8859_1)
+      val (plain, filter) =
+        if (compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      val data = SimplePdf.aesEncrypt(fileKey, ivFor(contObj), plain)
+      objs += s"$contObj 0 obj\n<< /Length ${data.length}$filter >>\nstream\n" +
+        new String(data, ISO_8859_1) + "\nendstream\nendobj\n"
+    }
+    objs += s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+    objs += s"$encObj 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(o)}> /OE <${hex(oe)}> /U <${hex(u)}> /UE <${hex(ue)}> " +
+      s"/P $perm >>\nendobj\n"
+
+    val body = new StringBuilder("%PDF-2.0\n")
+    val offsets = objs.map { ob => val off = body.length; body ++= ob; off }
+    val xrefOff = body.length
+    body ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    offsets.foreach(off => body ++= f"$off%010d 00000 n \n")
+    body ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R " +
+      s"/Encrypt $encObj 0 R >>\nstartxref\n$xrefOff\n%%EOF\n"
+    body.toString.getBytes(ISO_8859_1)
+  }
+
   /** A Type0 (CID) font document with /ToUnicode remapping — the
     * layout every modern unicode-text PDF uses: content hex strings
     * carry 2-byte CIDs (here codepoint + `cidOffset`, so naive

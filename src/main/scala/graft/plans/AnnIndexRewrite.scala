@@ -54,6 +54,12 @@ import graft.functions.FloatVecL2Sq
   * queries keep the exact plan) — and the strictness doubles as the
   * idempotence guard: after the rewrite the Project's child is a Join,
   * so the pattern can never re-fire on its own output.
+  *
+  * Known limitation, by design: a `cache()`d source table is
+  * substituted with an InMemoryRelation before optimization, which
+  * hides the scan's path — such plans keep the exact path (correct,
+  * just unaccelerated). Registration is per source path, so per
+  * (table, index) pair.
   */
 object AnnIndexRewrite extends Rule[LogicalPlan] {
 

@@ -17,8 +17,19 @@ import graft.search.{Hnsw, IvfIndex}
 class AnnRewriteSpec extends GraftSpec {
   import spark.implicits._
 
-  private lazy val emb = Tables.embeddings(spark, sfDir)
   private lazy val srcPath = s"$sfDir/embeddings.parquet"
+
+  /** The shared test session may carry a cache() of this very table
+    * from another suite (VectorDistanceRulesSpec does), and cache
+    * substitution replaces the scan with an InMemoryRelation — which
+    * hides the source path and (by documented design) keeps the exact
+    * plan. Drop any such cache entry so these tests see the real scan.
+    */
+  private def emb = {
+    val df = Tables.embeddings(spark, sfDir)
+    df.unpersist(true)
+    df
+  }
 
   private def pattern(qv: Array[Float]): DataFrame =
     emb.select($"vec_id",

@@ -270,4 +270,27 @@ class SimplePdfSpec extends GraftSpec {
     assert(s.contains("/LZWDecode") && !s.contains("BT /F1"))
   }
 
+  test("AES-256/R6 PDF (V5 AESV3, PDF 2.0 handler) decrypts for user, owner, and empty passwords") {
+    val pages = Seq(
+      Seq("This stream is AES-256-CBC ciphertext.", "One file key, unwrapped from UE."),
+      Seq("Algorithm 2.B hardens the password", "through SHA-256/384/512 + AES rounds."))
+    // empty user password: transparent extraction, like the other handlers
+    Seq(false, true).foreach { compress =>
+      val pdf = SimplePdfWriter.writeEncryptedAes256(pages, compress = compress)
+      val s = new String(pdf, ISO_8859_1)
+      assert(s.contains("/AESV3") && s.contains("/R 6") && s.contains("/UE"))
+      if (!compress) assert(!s.contains("BT /F1"), "content must be ciphertext on disk")
+      assert(SimplePdf.extractPages(pdf) === pages.map(_.mkString("\n")), s"compress=$compress")
+    }
+    // a REAL (non-empty) user password: R6 hashes the password itself,
+    // so the no-password read degrades to Seq("") and the correct
+    // password recovers the text — as does the OWNER password via O/OE
+    val locked = SimplePdfWriter.writeEncryptedAes256(pages, userPassword = "s3cret")
+    assert(SimplePdf.extractPages(locked) === Seq(""), "no password must degrade, not throw")
+    assert(SimplePdf.extractPages(locked, "wrong") === Seq(""))
+    assert(SimplePdf.extractPages(locked, "s3cret") === pages.map(_.mkString("\n")))
+    assert(SimplePdf.extractPages(locked, "own3r") === pages.map(_.mkString("\n")),
+      "the owner password must unwrap the same file key via O/OE")
+  }
+
 }
