@@ -175,9 +175,18 @@ object StateCheck {
         s"Canonical counts: **$nQueries `SparkEntry.queries` entries, " +
           s"$nOracle `oracleSql`\nentries (zero rows-only), $nTests ScalaTests " +
           s"($nSuites suites).**"))
-    checkFile(surveyPath, surveyRe, (text, re) =>
+    // SURVEY §8 is a per-round LOG — only the NEWEST round's line may be
+    // rewritten (an unconditional replaceAllIn silently rewrote every
+    // historical round's counts to the current value through r13;
+    // restored by hand in r14).
+    checkFile(surveyPath, surveyRe, (text, re) => {
+      val maxRound = re.findAllMatchIn(text).map(_.group(1).toInt).max
       re.replaceAllIn(text, m =>
-        s"round ${m.group(1)}: **$nQueries queries,\nALL $nOracle with DuckDB-oracle entries"))
+        if (m.group(1).toInt == maxRound)
+          Regex.quoteReplacement(
+            s"round ${m.group(1)}: **$nQueries queries,\nALL $nOracle with DuckDB-oracle entries")
+        else Regex.quoteReplacement(m.matched))
+    })
 
     if (nQueries > 0) drift += correctnessEvidence()
     drift += checkBench(fix)
