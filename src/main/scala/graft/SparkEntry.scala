@@ -4236,6 +4236,49 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // Unigram-LM tokenizer TRAINING (textual/UnigramLm.scala — Kudo
+    // ACL'18, the SentencePiece algorithm: THE other real tokenizer
+    // family next to BPE): substring seed vocab → EM (per-word
+    // forward–backward expected counts, BIGINT-micro-unit quantized
+    // before every cross-word sum — partition-count invariance is
+    // spec-pinned) → prune to 96 pieces. EM can't be replayed as CTEs
+    // (per-word DP), so the oracle carries the FROZEN trained vocab
+    // (UnigramOracle, FreezeUnigram-verified bit-identical across
+    // fits) — the W2vOracle discipline: the gate re-proves training
+    // determinism every round.
+    "tok_unigram_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.textual.UnigramLm.train(s, Tables.documents(s, dir), "text",
+          vocabSize = 96)
+        .pieces.toSeq.sortBy(_._1)
+        .toDF("piece", "score_fp")
+        .orderBy("piece")
+    }),
+
+    // The trained unigram tokenizer APPLIED: Viterbi-segment every
+    // DISTINCT word (pure-BIGINT path scores, deterministic
+    // longer-piece tie-break), then per-doc stats via a broadcast join
+    // of corpus tokens against the word→pieces table — one corpus
+    // pass, same memoization shape as bpe_tokenize_stats. The oracle
+    // joins the same corpus tokens against the FROZEN (word, n_pieces)
+    // map and replays the per-doc arithmetic in closed form — so
+    // training + segmentation are pinned by frozen literals while the
+    // corpus-level math stays fully SQL-replayed.
+    "tok_unigram_segment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v = graft.textual.UnigramLm.train(s, docs, "text", vocabSize = 96)
+      val seg = graft.textual.UnigramLm.segmentation(s, docs, "text", v)
+        .select(col("word"), col("n_pieces"))
+      docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .join(broadcast(seg), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+        .withColumn("pieces_per_word",
+          round(col("n_pieces").cast("double") / col("n_words"), 4))
+        .orderBy("doc_id")
+    }),
+
     // The trained tokenizer APPLIED: per-doc whitespace-token and BPE
     // subtoken counts via a join against the final word→symbols table
     // (tokenizing a corpus is a vocab join — one corpus pass, the vocab
@@ -7356,6 +7399,23 @@ object SparkEntry {
 
     // The whole BPE training replayed as 8 CTE rounds; the learned
     // merge table (with pair counts) must hash-match.
+    // Frozen-literal replay of the seeded unigram-LM fit (the
+    // W2vOracle discipline — EM's per-word DP is not CTE-replayable).
+    "tok_unigram_train" ->
+      s"""WITH v(piece, score_fp) AS (VALUES
+         |  ${graft.UnigramOracle.vocabSql})
+         |SELECT piece, CAST(score_fp AS BIGINT) AS score_fp FROM v ORDER BY piece""".stripMargin,
+
+    // Frozen per-word segmentation + fully SQL-replayed corpus math.
+    "tok_unigram_segment" ->
+      s"""WITH seg(word, n_pieces) AS (VALUES
+         |  ${graft.UnigramOracle.segmentationSql}),
+         |toks AS (SELECT doc_id, unnest(${toksSql("text")}) AS word FROM documents),
+         |j AS (SELECT t.doc_id, s.n_pieces FROM toks t JOIN seg s USING (word))
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 4) AS pieces_per_word
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "bpe_train_merges" -> {
       val union = (1 to BpeMerges).map(i =>
         s"SELECT $i AS step, rtrim(a, chr(2)) AS lhs, rtrim(b, chr(2)) AS rhs, cnt FROM b$i")
