@@ -293,4 +293,36 @@ class SimplePdfSpec extends GraftSpec {
       "the owner password must unwrap the same file key via O/OE")
   }
 
+  test("lzwDecode total on arbitrary bytes: never throws, always terminates") {
+    import graft.ingest.SimplePdf
+    // decoder robustness on garbage input (the per-page "" degrade
+    // contract depends on it): deterministic pseudo-random buffers of
+    // several sizes, both EarlyChange values, must return SOME prefix
+    // without throwing — including all-0xFF (max codes) and all-zero
+    // (dense code 0 repeats) adversarial patterns
+    var s = 77L
+    def prng(n: Int): Array[Byte] =
+      Array.fill(n) { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 29).toByte }
+    for (n <- Seq(1, 2, 17, 1000, 20000); ec <- Seq(0, 1)) {
+      SimplePdf.lzwDecode(prng(n), ec)
+      SimplePdf.lzwDecode(Array.fill[Byte](n)(0xFF.toByte), ec)
+      SimplePdf.lzwDecode(new Array[Byte](n), ec)
+    }
+    succeed
+  }
+
+  test("undoPredictor total on ragged/garbage input: never throws") {
+    import graft.ingest.SimplePdf
+    var s = 13L
+    def prng(n: Int): Array[Byte] =
+      Array.fill(n) { s = s * 6364136223846793005L + 1L; (s >>> 30).toByte }
+    for (n <- Seq(0, 1, 5, 33, 1000); pred <- Seq(2, 10, 12, 15); cols <- Seq(1, 4, 16)) {
+      SimplePdf.undoPredictor(prng(n), pred, 1, 8, cols)
+    }
+    // bogus filter-type bytes (>4) pass data through rather than throw
+    val weird = Array[Byte](9, 1, 2, 3, 4) // filter byte 9, one 4-byte row
+    assert(SimplePdf.undoPredictor(weird, 12, 1, 8, 4).length === 4)
+    succeed
+  }
+
 }
