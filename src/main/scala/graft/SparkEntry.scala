@@ -171,6 +171,8 @@ object SparkEntry {
     }
     pqCodebookCache.clear() // driver-side Seqs, nothing persisted
     kmeansCache.clear()
+    w2vCache.clear() // driver-side models, nothing persisted
+    unigramCache.clear()
     val it4 = bpeCache.entrySet().iterator()
     while (it4.hasNext) {
       val e = it4.next()
@@ -188,6 +190,28 @@ object SparkEntry {
     * merge-table row and the corpus tokenization row.
     */
   private val BpeMerges = 8
+
+  /** One seeded Word2Vec fit per (session, dir) serves embed_w2v and
+    * knn_w2v_top10 (training is the expensive half of both rows; the
+    * model is a 31-row broadcastable vocab table). Driver-side object
+    * holding an unpersisted DataFrame — nothing to unpersist in
+    * clearCaches beyond dropping the entry.
+    */
+  private val w2vCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.embed.W2vEmbedderModel]()
+  private def sharedW2v(spark: SparkSession, dir: String): graft.embed.W2vEmbedderModel =
+    w2vCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ =>
+      graft.embed.W2vEmbedder.fit(Tables.documents(spark, dir)))
+
+  /** One unigram-LM fit per (session, dir) serves tok_unigram_train and
+    * tok_unigram_segment. Plain driver-side Map — clearCaches drops it.
+    */
+  private val unigramCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.textual.UnigramLm.Vocab]()
+  private def sharedUnigram(spark: SparkSession, dir: String): graft.textual.UnigramLm.Vocab =
+    unigramCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ =>
+      graft.textual.UnigramLm.train(spark, Tables.documents(spark, dir),
+        "text", vocabSize = 96))
 
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[graft.textual.Bpe.Merge], DataFrame)]()
@@ -4248,8 +4272,7 @@ object SparkEntry {
     // determinism every round.
     "tok_unigram_train" -> ((s, dir) => {
       import s.implicits._
-      graft.textual.UnigramLm.train(s, Tables.documents(s, dir), "text",
-          vocabSize = 96)
+      sharedUnigram(s, dir)
         .pieces.toSeq.sortBy(_._1)
         .toDF("piece", "score_fp")
         .orderBy("piece")
@@ -4266,7 +4289,7 @@ object SparkEntry {
     // corpus-level math stays fully SQL-replayed.
     "tok_unigram_segment" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val v = graft.textual.UnigramLm.train(s, docs, "text", vocabSize = 96)
+      val v = sharedUnigram(s, dir)
       val seg = graft.textual.UnigramLm.segmentation(s, docs, "text", v)
         .select(col("word"), col("n_pieces"))
       docs.select(col("doc_id"),
@@ -4481,7 +4504,7 @@ object SparkEntry {
     // round — the MllibLshOracle discipline applied to a data-dependent
     // model.
     "embed_w2v" -> ((s, dir) => {
-      val m = graft.embed.W2vEmbedder.fit(Tables.documents(s, dir))
+      val m = sharedW2v(s, dir)
       m.vectors
         .select(col("word"), posexplode(col("vec")).as(Seq("i", "x")))
         .select(col("word"), col("i").cast("long").as("i"),
@@ -4500,7 +4523,7 @@ object SparkEntry {
     // covers it.)
     "knn_w2v_top10" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val m = graft.embed.W2vEmbedder.fit(docs)
+      val m = sharedW2v(s, dir)
       val emb = m.embed(docs.select(col("doc_id"), col("text")), "text", "emb")
         .select(col("doc_id"), col("emb"))
       val q = emb.filter(col("doc_id") < 3)
