@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_l2sq_d"),
       info("graft_l2sq_d", "squared L2 distance between two double arrays"),
       (exprs: Seq[Expression]) => graft.functions.DoubleVecL2Sq(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_dot_d"),
+      info("graft_dot_d", "dot product of two double arrays"),
+      (exprs: Seq[Expression]) => graft.functions.DoubleVecDot(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "distinct hashed word n-gram shingles of text"),
       (exprs: Seq[Expression]) => HashedShinglesExpr(exprs(0),

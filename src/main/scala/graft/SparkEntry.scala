@@ -4539,6 +4539,47 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // LATE-INTERACTION retrieval (ColBERT-style MaxSim, Khattab &
+    // Zaharia SIGIR'20) over the learned vectors: score(q, d) =
+    // Σ_{query token} max_{doc token} ⟨q_tok, d_tok⟩ — the multi-vector
+    // family between bi-encoder kNN and full cross-attention. All
+    // arithmetic is the fixed-point discipline: per-pair dots are
+    // codegen'd DoubleVecDot quantized to BIGINT micro-units, so max
+    // and the per-query sum are pure-integer (order-proof), and the
+    // oracle replays every step from the FROZEN w2v vectors. Both
+    // sides' token vectors ride one broadcast vocab join; the doc side
+    // is one corpus pass. At 100 TB the doc side is first pruned by an
+    // ANN candidate pass (compose with the ann_* families); this row
+    // scores the full fixture exactly, which is what the oracle needs.
+    "search_maxsim" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vecs = sharedW2v(s, dir).vectors
+      val dtoks = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .join(broadcast(vecs), Seq("word"))
+        .select(col("doc_id"), col("vec"))
+      val qtoks = docs.filter(col("doc_id") < 2)
+        .select(col("doc_id").as("qid"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .distinct()
+        .join(broadcast(vecs), Seq("word"))
+        .select(col("qid"), col("word").as("qword"), col("vec").as("qvec"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score_fp").desc, col("doc_id").asc)
+      dtoks.crossJoin(broadcast(qtoks))
+        .withColumn("dot_fp",
+          round(graft.functions.VectorExpressions.dotD(col("qvec"), col("vec")) * 1e6)
+            .cast("long"))
+        .groupBy(col("qid"), col("doc_id"), col("qword"))
+        .agg(max(col("dot_fp")).as("m"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("m")).as("score_fp"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("qid"), col("doc_id"), col("rk").cast("long").as("rk"),
+          col("score_fp"))
+        .orderBy("qid", "rk")
+    }),
+
     // TPC-H Q18 shape: large-quantity orders. Aggregate lineitem FIRST
     // (map-side partial agg shrinks the fact table before any join),
     // then join orders → customer on the already-small survivor set;
@@ -7308,6 +7349,28 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY qid ORDER BY dist, doc_id) AS rk
          |      FROM d)
          |SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // MaxSim replay: token vectors from the frozen w2v literals, per-
+    // pair dot in the same left-fold order, quantized to BIGINT before
+    // max/sum — every step closed-form.
+    "search_maxsim" ->
+      s"""WITH wv(word, vec) AS (VALUES
+         |  ${graft.W2vOracle.vectorsSql}),
+         |dtoks AS (SELECT doc_id, unnest(${toksSql("text")}) AS word FROM documents),
+         |dt AS (SELECT t.doc_id, v.vec FROM dtoks t JOIN wv v USING (word)),
+         |qwords AS (SELECT DISTINCT doc_id AS qid, unnest(${toksSql("text")}) AS word
+         |           FROM documents WHERE doc_id < 2),
+         |qt AS (SELECT q.qid, q.word AS qword, v.vec AS qvec FROM qwords q JOIN wv v USING (word)),
+         |p AS (SELECT qt.qid, dt.doc_id, qt.qword,
+         |        max(CAST(round(list_sum(list_transform(range(1, 17),
+         |          i -> qt.qvec[i] * dt.vec[i])) * 1000000) AS BIGINT)) AS m
+         |      FROM dt, qt GROUP BY 1, 2, 3),
+         |sc AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_fp FROM p GROUP BY 1, 2),
+         |r AS (SELECT qid, doc_id, score_fp,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rk
+         |      FROM sc)
+         |SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk, score_fp
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     "vector_norms" ->

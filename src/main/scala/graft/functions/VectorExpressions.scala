@@ -166,6 +166,50 @@ case class DoubleVecL2Sq(left: Expression, right: Expression) extends FloatVecBi
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Dot product over array<double> inputs — the learned-embedding
+  * (Word2Vec) retrieval path works in doubles end-to-end (the float
+  * accessor would be a type error). Same left-fold order as
+  * [[FloatVecDot]] and as the DuckDB oracle's list_sum, so cross-engine
+  * results are bit-identical.
+  */
+case class DoubleVecDot(left: Expression, right: Expression) extends FloatVecBinary {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"DoubleVecDot requires array<double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = checkedLength("graft_dot_d", x, y)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |${lengthGuard("graft_dot_d", n, a, b)}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Session registration + Column API for the codegen'd expressions. */
 object VectorExpressions {
   /** Idempotently register graft_l2sq / graft_dot / graft_l2sq_d in the
@@ -178,9 +222,12 @@ object VectorExpressions {
       "graft_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2sq_d", exprs => DoubleVecL2Sq(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_d", exprs => DoubleVecDot(exprs(0), exprs(1)), "scala_udf")
   }
 
   def l2Sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def l2SqD(a: Column, b: Column): Column = call_function("graft_l2sq_d", a, b)
+  def dotD(a: Column, b: Column): Column = call_function("graft_dot_d", a, b)
 }

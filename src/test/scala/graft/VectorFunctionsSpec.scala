@@ -48,4 +48,16 @@ class VectorFunctionsSpec extends GraftSpec {
     assert(one(VectorFunctions.l2Fast(a, b)) === one(VectorFunctions.l2Fast(b, a)))
     assert(one(VectorFunctions.l2Fast(a, a)) === 0.0)
   }
+  test("graft_dot_d: double-array dot matches the manual fold, codegen and interpreted") {
+    VectorExpressions.ensureRegistered(spark)
+    val rows = Seq(
+      (Array(1.0, 2.0, 3.0), Array(0.5, -1.0, 2.0)),
+      (Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0)),
+      (Array(1e-9, -1e9, 3.25), Array(7.125, 2.0, -0.5))).toDF("a", "b")
+    val got = rows.select(VectorExpressions.dotD($"a", $"b")).collect().map(_.getDouble(0))
+    val want = Seq(1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0, 0.0,
+      1e-9 * 7.125 + -1e9 * 2.0 + 3.25 * -0.5)
+    assert(got.toSeq === want)
+  }
+
 }
