@@ -4539,6 +4539,22 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // k-CENTER GREEDY CORESET (farthest-point sampling — the standard
+    // diversity-selection pass for training subsets, and a 2-approx to
+    // the k-center cover): 8 picks over the embeddings, each round ONE
+    // linear pass updating a running min-distance frame with the last
+    // pick only (operators/Coreset). Distances are BIGINT fixed-point,
+    // argmax tie-break (md DESC, vec_id ASC), seed = smallest id — so
+    // the WHOLE greedy trajectory, radius curve included, replays as 8
+    // generated CTE rounds (the bpe/pq iterative-oracle discipline).
+    "corpus_coreset_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Coreset.kcenter(s, Tables.embeddings(s, dir), 8)
+        .map(p => (p.step, p.vecId, p.radiusFp))
+        .toDF("step", "vec_id", "radius_fp")
+        .orderBy("step")
+    }),
+
     // LATE-INTERACTION retrieval (ColBERT-style MaxSim, Khattab &
     // Zaharia SIGIR'20) over the learned vectors: score(q, d) =
     // Σ_{query token} max_{doc token} ⟨q_tok, d_tok⟩ — the multi-vector
@@ -7350,6 +7366,37 @@ object SparkEntry {
          |      FROM d)
          |SELECT qid, doc_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // k-center replay: 8 generated greedy rounds — each round picks
+    // argmax of the running min fixed-point distance, then folds the
+    // pick into the running min with least().
+    "corpus_coreset_kcenter" -> {
+      def fp(a: String, b: String): String =
+        s"CAST(round(list_sum(list_transform(range(1, len($a)+1), " +
+          s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))) * 1000000) AS BIGINT)"
+      val k = 8
+      val rounds = (1 until k).map { i =>
+        val seen = (0 until i).map { j =>
+          if (j == 0) "SELECT vec_id FROM s0" else s"SELECT vec_id FROM p$j"
+        }.mkString(" UNION ALL ")
+        s"""p$i AS (SELECT m.vec_id, m.embedding, m.md FROM m${i - 1} m
+           |  WHERE m.vec_id NOT IN ($seen)
+           |  ORDER BY m.md DESC, m.vec_id LIMIT 1),
+           |m$i AS (SELECT m.vec_id, m.embedding, least(m.md, ${fp("m.embedding", "p.embedding")}) AS md
+           |  FROM m${i - 1} m, p$i p)""".stripMargin
+      }.mkString(",\n")
+      val out = (0 until k).map { i =>
+        if (i == 0) "SELECT CAST(0 AS BIGINT) AS step, vec_id, CAST(0 AS BIGINT) AS radius_fp FROM s0"
+        else s"SELECT CAST($i AS BIGINT), vec_id, md FROM p$i"
+      }.mkString("\nUNION ALL ")
+      s"""WITH s0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+         |m0 AS (SELECT e.vec_id, e.embedding, ${fp("e.embedding", "s.embedding")} AS md
+         |       FROM embeddings e, s0 s),
+         |$rounds
+         |$out
+         |ORDER BY step""".stripMargin
+    },
 
     // MaxSim replay: token vectors from the frozen w2v literals, per-
     // pair dot in the same left-fold order, quantized to BIGINT before
