@@ -173,6 +173,8 @@ object SparkEntry {
     kmeansCache.clear()
     w2vCache.clear() // driver-side models, nothing persisted
     unigramCache.clear()
+    plannerIndexCache.values().forEach(p => graft.plans.AnnIndexRewrite.unregister(p))
+    plannerIndexCache.clear()
     val it4 = bpeCache.entrySet().iterator()
     while (it4.hasNext) {
       val e = it4.next()
@@ -212,6 +214,27 @@ object SparkEntry {
     unigramCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ =>
       graft.textual.UnigramLm.train(spark, Tables.documents(spark, dir),
         "text", vocabSize = 96))
+
+  /** One stored routed-HNSW index build + AnnIndexRewrite registration
+    * per (session, dir) — the build-once/search-many split applied to
+    * the planner path itself (re-registering per query invocation would
+    * rebuild and rewrite the index parquet each time). The temp dir
+    * lives for the JVM; clearCaches drops the registration.
+    */
+  private val plannerIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+  private def sharedPlannerIndex(s: SparkSession, dir: String): Unit =
+    plannerIndexCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = IvfIndex.seedCentroids(emb, 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+      graft.search.Hnsw.buildRoutedIndex(s, emb, cent)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      graft.plans.AnnIndexRewrite.register(s"$dir/embeddings.parquet",
+        graft.plans.AnnIndexRewrite.IndexSpec(s.read.parquet(tmp), cent,
+          nprobe = 8, efSearch = 4096, overfetch = 2))
+      s"$dir/embeddings.parquet"
+    })
 
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[graft.textual.Bpe.Merge], DataFrame)]()
@@ -4056,13 +4079,7 @@ object SparkEntry {
     // pattern and the fallback).
     "ann_planner_rewrite" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cent = IvfIndex.seedCentroids(emb, 8)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_annidx").toString
-      graft.search.Hnsw.buildRoutedIndex(s, emb, cent)
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-      graft.plans.AnnIndexRewrite.register(s"$dir/embeddings.parquet",
-        graft.plans.AnnIndexRewrite.IndexSpec(s.read.parquet(tmp), cent,
-          nprobe = 8, efSearch = 4096, overfetch = 2))
+      sharedPlannerIndex(s, dir) // build+register once per (session, dir)
       val qv = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       val topk = emb
