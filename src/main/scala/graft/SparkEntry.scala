@@ -4311,7 +4311,7 @@ object SparkEntry {
         .select(col("word"), col("n_pieces"))
       docs.select(col("doc_id"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-        .join(broadcast(seg), Seq("word"))
+        .join(seg, Seq("word")) // word-table side: AQE sizes the join
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
         .withColumn("pieces_per_word",
