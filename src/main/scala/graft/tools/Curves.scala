@@ -29,7 +29,7 @@ object Curves {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // optional section filter: any of {ann, recall, dedup}; default all
     val sections: Set[String] =
-      if (args.isEmpty) Set("ann", "recall", "dedup", "bpe", "flac") else args.toSet
+      if (args.isEmpty) Set("ann", "recall", "dedup", "bpe", "flac", "w2v") else args.toSet
     val spark = GraftSession.builder("graft-curves", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -419,6 +419,35 @@ object Curves {
         val ratio = (n * 2).toDouble / bytes.length
         println(f"| $label%s | ${bytes.length}%d | ${ratio}%.2fx | $encMs%.1f | $decMs%.1f |")
       }
+    }
+    // Recall of the ANN families over the LEARNED (Word2Vec) document
+    // embeddings — the r13 verdict's ask: hashed TF-IDF can't exhibit
+    // semantic neighborhood structure, so the recall curves are re-run
+    // against the learned space (16-dim, L2-normalized doc means).
+    if (sections("w2v")) {
+      val docs = graft.model.Tables.documents(spark, sfDir)
+      val model = graft.embed.W2vEmbedder.fit(docs)
+      val nrm = org.apache.spark.sql.functions.sqrt(
+        graft.functions.VectorExpressions.dotD($"emb", $"emb"))
+      val demb = model.embed(docs.select($"doc_id", $"text"), "text", "emb")
+        .select($"doc_id".as("vec_id"),
+          org.apache.spark.sql.functions.transform($"emb",
+            x => (x / nrm).cast("float")).as("embedding"))
+        .localCheckpoint(true)
+      val nDocs = demb.count()
+      val qs = demb.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+      val gt = KnnExact.topK(qs, demb, 10)
+      def meanRecall(ret: org.apache.spark.sql.DataFrame): Double =
+        graft.eval.RecallAtK.evaluate(gt, ret, Seq(10))
+          .agg(org.apache.spark.sql.functions.avg($"recall_10")).head().getDouble(0)
+      val rp = RpLsh.topK(qs, demb, 10, numTables = 8, dim = 16, w = 0.5)
+      val hnsw = graft.search.Hnsw.topK(spark, qs, demb, 10,
+        numGraphs = 8, efSearch = 128)
+      println(s"| index over learned w2v doc space (n=$nDocs, 16d, L2-normalized) | recall@10 |")
+      println("|---|---|")
+      println(f"| RP-LSH (T=8, w=0.5) | ${meanRecall(rp)}%.2f |")
+      println(f"| HNSW (m=16, ef=128, 8 segments) | ${meanRecall(hnsw)}%.2f |")
     }
     spark.stop()
   }
