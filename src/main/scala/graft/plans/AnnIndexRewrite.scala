@@ -110,8 +110,18 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
   private def specOf(leaf: LogicalPlan): Option[IndexSpec] = leaf match {
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation =>
-        h.location.rootPaths.headOption
-          .flatMap(p => registry.get(p.toUri.getPath))
+        h.location.rootPaths.headOption.flatMap { p =>
+          val key = p.toUri.getPath
+          registry.get(key).flatMap { spec =>
+            // a registration outlives its owning session only as a bug:
+            // handing a stopped session's DataFrame to a live query
+            // would fail at execution. Self-heal by dropping it — the
+            // query falls back to the exact plan (the rule's contract).
+            if (spec.index.sparkSession.sparkContext.isStopped) {
+              registry.remove(key); None
+            } else Some(spec)
+          }
+        }
       case _ => None
     }
     case _ => None
