@@ -48,9 +48,11 @@ object Coreset {
       .localCheckpoint(true)
     try {
       for (step <- 1L until k.toLong) {
-        val next = mind.filter(!col(idCol).isin(picks.map(_.vecId).toSeq: _*))
+        val cand = mind.filter(!col(idCol).isin(picks.map(_.vecId).toSeq: _*))
           .orderBy(col("md").desc, col(idCol).asc).limit(1)
-          .select(col(idCol), col(embCol), col("md")).head()
+          .select(col(idCol), col(embCol), col("md")).collect()
+        if (cand.isEmpty) return picks.toSeq // k > n: the whole set IS the coreset
+        val next = cand.head
         picks += Pick(step, next.getLong(0), next.getLong(2))
         lastVec = next.getSeq[Float](1).toArray
         val prev = mind

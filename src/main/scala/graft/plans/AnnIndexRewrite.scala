@@ -153,7 +153,19 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     * `Sort(dist ASC) → Project → (Scan ⋉ probe)`, or None if the shape
     * / registration / sort key doesn't qualify.
     */
-  private def rewriteSort(srt: Sort, k: Int): Option[Sort] = srt match {
+  private def rewriteSort(srt: Sort, k: Int): Option[Sort] =
+    try rewriteSortUnsafe(srt, k)
+    catch {
+      // The planner contract: a failed ACCELERATION attempt (corrupt
+      // index files, a mid-flight dropped registration, an unexpected
+      // literal shape) must never fail the QUERY — log and keep the
+      // exact plan.
+      case e: Exception =>
+        logWarning(s"graft ANN rewrite failed; keeping the exact plan: ${e.getMessage}")
+        None
+    }
+
+  private def rewriteSortUnsafe(srt: Sort, k: Int): Option[Sort] = srt match {
     case Sort(SortOrder(key, Ascending, _, _) +: _, true,
         p @ Project(projList, leaf), _) =>
       specOf(leaf).flatMap { spec =>

@@ -36,4 +36,11 @@ class CoresetSpec extends GraftSpec {
         "reported radius is the true min distance to earlier picks (micro-units)")
     }
   }
+  test("k larger than the collection returns the whole set, no throw") {
+    val emb = Tables.embeddings(spark, sfDir).limit(3)
+    val picks = Coreset.kcenter(spark, emb, 10)
+    assert(picks.length === 3)
+    assert(picks.map(_.vecId).distinct.length === 3)
+  }
+
 }
