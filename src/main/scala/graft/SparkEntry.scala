@@ -232,7 +232,8 @@ object SparkEntry {
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       graft.plans.AnnIndexRewrite.register(s"$dir/embeddings.parquet",
         graft.plans.AnnIndexRewrite.IndexSpec(s.read.parquet(tmp), cent,
-          nprobe = 8, efSearch = 4096, overfetch = 2))
+          nprobe = 8, efSearch = 4096, overfetch = 2,
+          indexPath = Some(tmp))) // fresh exprIds per splice
       s"$dir/embeddings.parquet"
     })
 

@@ -76,7 +76,8 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
       embCol: String = "embedding",
       nprobe: Int = 2,
       efSearch: Int = 128,
-      overfetch: Int = 2)
+      overfetch: Int = 2,
+      indexPath: Option[String] = None)
 
   /** Fitted indexes keyed by normalized source path (the scan's root
     * path URI path component). Registration is session-lived, like a
@@ -153,8 +154,9 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     * `Sort(dist ASC) → Project → (Scan ⋉ probe)`, or None if the shape
     * / registration / sort key doesn't qualify.
     */
-  private def rewriteSort(srt: Sort, k: Int): Option[Sort] =
-    try rewriteSortUnsafe(srt, k)
+  private def rewriteSort(srt: Sort, k: Int,
+      guard: IndexSpec => Boolean): Option[Sort] =
+    try rewriteSortUnsafe(srt, k, guard)
     catch {
       // The planner contract: a failed ACCELERATION attempt (corrupt
       // index files, a mid-flight dropped registration, an unexpected
@@ -165,18 +167,26 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
         None
     }
 
-  private def rewriteSortUnsafe(srt: Sort, k: Int): Option[Sort] = srt match {
+  private def rewriteSortUnsafe(srt: Sort, k: Int,
+      guard: IndexSpec => Boolean): Option[Sort] = srt match {
     case Sort(SortOrder(key, Ascending, _, _) +: _, true,
         p @ Project(projList, leaf), _) =>
-      specOf(leaf).flatMap { spec =>
+      specOf(leaf).filter(guard).flatMap { spec =>
         (queryVectorOf(key, projList), leaf.output.find(_.name == spec.idCol)) match {
           case (Some((qv, embAttr)), Some(leftId))
               if leaf.outputSet.contains(embAttr) && embAttr.name == spec.embCol =>
             val spark = spec.index.sparkSession
             import spark.implicits._
+            // exprId hygiene for MULTIPLE patterns in one query: a
+            // path-backed spec splices a FRESH read per rewrite (fresh
+            // relation attrs every time); a DataFrame-backed spec can
+            // only be spliced once per plan — if its attrs are already
+            // in the tree, this match keeps the exact plan (never
+            // wrong, only unaccelerated).
+            val idx = spec.indexPath.map(spark.read.parquet(_)).getOrElse(spec.index)
             val probe = graft.search.Hnsw.searchRoutedIndex(
               spark, Seq((0L, qv)).toDF("qid", "qemb"),
-              spec.index, spec.centroids,
+              idx, spec.centroids,
               k = math.max(k, 1) * math.max(spec.overfetch, 1),
               nprobe = spec.nprobe, efSearch = spec.efSearch,
               idCol = spec.idCol, embCol = spec.embCol)
@@ -194,12 +204,31 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** A DataFrame-backed spec's index attrs, for the spliced-once guard
+    * (a path-backed spec reads fresh attrs per splice and needs none).
+    */
+  private def dfSpecAttrs(plan: LogicalPlan): org.apache.spark.sql.catalyst.expressions.AttributeSet = {
+    val specs = registry.values.filter(_.indexPath.isEmpty)
+    specs.foldLeft(org.apache.spark.sql.catalyst.expressions.AttributeSet.empty) {
+      (acc, sp) => acc ++ sp.index.queryExecution.analyzed.outputSet
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled || registry.isEmpty) return plan
+    // exprId hygiene: a DataFrame-backed spec holds ONE analyzed index
+    // subtree, so splicing it twice into one plan would duplicate its
+    // exprIds (attribute-binding corruption). If its attrs are already
+    // anywhere in this plan, further matches keep the exact path.
+    // Path-backed specs are immune — each splice reads fresh.
+    var dfSpliced = plan.collectLeaves()
+      .exists(l => l.outputSet.intersect(dfSpecAttrs(plan)).nonEmpty)
+    def guardDf(spec: IndexSpec): Boolean =
+      spec.indexPath.isDefined || { val ok = !dfSpliced; if (ok) dfSpliced = true; ok }
     plan.transformDown {
       // the analyzed shape: Limit directly over the Sort
       case gl @ GlobalLimit(IntegerLiteral(k), ll @ LocalLimit(_, srt: Sort)) =>
-        rewriteSort(srt, k)
+        rewriteSort(srt, k, guardDf)
           .map(ns => gl.copy(child = ll.copy(child = ns)))
           .getOrElse(gl)
       // after projection pushdown the optimizer moves row-preserving
@@ -209,7 +238,7 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
       case gl @ GlobalLimit(IntegerLiteral(k),
           ll @ LocalLimit(_, mid @ Project(midList, srt: Sort)))
           if midList.forall(_.deterministic) =>
-        rewriteSort(srt, k)
+        rewriteSort(srt, k, guardDf)
           .map(ns => gl.copy(child = ll.copy(child = mid.copy(child = ns))))
           .getOrElse(gl)
     }

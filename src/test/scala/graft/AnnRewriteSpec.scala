@@ -141,4 +141,44 @@ class AnnRewriteSpec extends GraftSpec {
       AnnIndexRewrite.clear()
     }
   }
+  test("two ANN patterns in one query: no exprId collision, both exact") {
+    // a union of two kNN results over the same registered table: a
+    // DataFrame-backed spec may splice only ONCE per plan (the second
+    // pattern keeps the exact path); a path-backed spec splices fresh
+    // reads and may fire for both. Either way the RESULT must equal
+    // the pure-exact union — and analysis must not blow up on
+    // duplicated index attrs, which is what an unguarded second splice
+    // did.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val qv1 = qv0
+    val qv2 = emb.filter($"vec_id" === 1).select("embedding").head().getSeq[Float](0).toArray
+    def both: DataFrame = pattern(qv1).unionByName(pattern(qv2))
+    val expected = both.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    registerExhaustive() // DataFrame-backed (indexPath = None)
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val got = both.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+      assert(got.toSeq === expected.toSeq)
+      // path-backed: write the index, register with indexPath, expect
+      // BOTH patterns accelerated and the same exact rows
+      AnnIndexRewrite.clear()
+      val cent = IvfIndex.seedCentroids(emb, 4)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_annidx_spec").toString
+      Hnsw.buildRoutedIndex(spark, emb, cent)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      AnnIndexRewrite.register(srcPath,
+        AnnIndexRewrite.IndexSpec(spark.read.parquet(tmp), cent,
+          nprobe = 4, efSearch = 4096, indexPath = Some(tmp)))
+      val df2 = both
+      assert(semiJoins(df2).size === 2,
+        "path-backed spec must accelerate BOTH patterns (fresh reads per splice)")
+      val got2 = df2.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+      assert(got2.toSeq === expected.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
 }
