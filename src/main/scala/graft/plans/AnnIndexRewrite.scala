@@ -207,7 +207,7 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
   /** A DataFrame-backed spec's index attrs, for the spliced-once guard
     * (a path-backed spec reads fresh attrs per splice and needs none).
     */
-  private def dfSpecAttrs(plan: LogicalPlan): org.apache.spark.sql.catalyst.expressions.AttributeSet = {
+  private def dfSpecAttrs(): org.apache.spark.sql.catalyst.expressions.AttributeSet = {
     val specs = registry.values.filter(_.indexPath.isEmpty)
     specs.foldLeft(org.apache.spark.sql.catalyst.expressions.AttributeSet.empty) {
       (acc, sp) => acc ++ sp.index.queryExecution.analyzed.outputSet
@@ -222,7 +222,7 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     // anywhere in this plan, further matches keep the exact path.
     // Path-backed specs are immune — each splice reads fresh.
     var dfSpliced = plan.collectLeaves()
-      .exists(l => l.outputSet.intersect(dfSpecAttrs(plan)).nonEmpty)
+      .exists(l => l.outputSet.intersect(dfSpecAttrs()).nonEmpty)
     def guardDf(spec: IndexSpec): Boolean =
       spec.indexPath.isDefined || { val ok = !dfSpliced; if (ok) dfSpliced = true; ok }
     plan.transformDown {
