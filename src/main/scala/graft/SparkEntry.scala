@@ -579,21 +579,30 @@ object SparkEntry {
     // the same discipline the DCT and winnow rows apply.
     val edgesM = edges.localCheckpoint(true)
     val deg = edgesM.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgeDeg = edgesM.join(deg, Seq("src")).localCheckpoint(true)
-    val base = 1000000000000L / n
-    var ranks = nodes.select(col("id"), lit(base).as("r"))
-    for (_ <- 1 to iters) {
-      val shares = edgeDeg
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), expr("r div outdeg").as("sh"))
-        .groupBy("id").agg(sum(col("sh")).as("sh"))
-      ranks = nodes.join(shares, Seq("id"), "left")
-        .select(col("id"),
-          expr(s"(15 * cast($base as bigint) + " +
-            "85 * coalesce(sh, cast(0 as bigint))) div 100").as("r"))
-    }
-    ranks.select(col("id").as("vec_id"), col("r").cast("long").as("rank_fp"))
-      .orderBy("vec_id")
+    // edgeDeg's eager checkpoint materializes the join, after which the
+    // raw edge checkpoint is dead weight — release both caches as soon
+    // as their last consumer has materialized (try/finally, the repo's
+    // unpersist discipline) instead of leaking them for the session.
+    val edgeDeg =
+      try edgesM.join(deg, Seq("src")).localCheckpoint(true)
+      finally graft.textual.Bpe.unpersistCheckpoint(edgesM)
+    try {
+      val base = 1000000000000L / n
+      var ranks = nodes.select(col("id"), lit(base).as("r"))
+      for (_ <- 1 to iters) {
+        val shares = edgeDeg
+          .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"), expr("r div outdeg").as("sh"))
+          .groupBy("id").agg(sum(col("sh")).as("sh"))
+        ranks = nodes.join(shares, Seq("id"), "left")
+          .select(col("id"),
+            expr(s"(15 * cast($base as bigint) + " +
+              "85 * coalesce(sh, cast(0 as bigint))) div 100").as("r"))
+      }
+      ranks.select(col("id").as("vec_id"), col("r").cast("long").as("rank_fp"))
+        .orderBy("vec_id")
+        .localCheckpoint(true) // result materialized so edgeDeg can drop
+    } finally graft.textual.Bpe.unpersistCheckpoint(edgeDeg)
   }
 
   /** DuckDB CTE chain mirroring [[winnowFrame]] (ends in `w(doc_id, gh,
@@ -4093,6 +4102,41 @@ object SparkEntry {
         .orderBy(col("dist"), col("vec_id"))
     }),
 
+    // PLANNER-CHOSEN **FILTERED** ANN (the r14 verdict's top ask — the
+    // most-hit real-world vector-query shape: metadata predicate +
+    // distance top-k, the reference's query(where=…) written
+    // DECLARATIVELY): the user writes filter → distance-orderBy-limit
+    // over the raw scan, and AnnIndexRewrite probes the stored index
+    // with an ENLARGED candidate set (k·overfetch·filteredOverfetch),
+    // counts the filter's survivors at plan time, and splices the
+    // candidate-id predicate into the Filter only when survivors ≥ k —
+    // at the exhaustive registration knobs the candidates are the true
+    // global top-K′, so ≥ k survivors makes the rewrite EXACT (the
+    // closed-form filtered-kNN oracle is the proof). Survivors < k →
+    // the exact plan (filteredFallbacks counter): recall safety as an
+    // adaptive choice, not a hard block. `rewrite_fired` pins IN THE
+    // HASH that the accelerated plan (not a silent exact fallback)
+    // produced these rows.
+    "ann_planner_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerIndex(s, dir) // build+register once per (session, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val before = graft.plans.AnnIndexRewrite.firedFiltered.get()
+      val topk = emb
+        .filter(col("label") === 3)
+        .select(col("vec_id"),
+          graft.functions.VectorExpressions.l2Sq(typedLit(qv), col("embedding"))
+            .as("dist2"))
+        .orderBy(col("dist2"), col("vec_id"))
+        .limit(10)
+      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
+      val firedNow = graft.plans.AnnIndexRewrite.firedFiltered.get() > before
+      topk.select(col("vec_id"), round(sqrt(col("dist2")), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .withColumn("rewrite_fired", lit(firedNow))
+    }),
+
     // SEGMENT COMPACTION (Hnsw.compactIndex — the Lucene-merge-shaped
     // maintenance op): an 8-segment stored index rebuilt into 2
     // segments from its own STORED vectors, then searched. At
@@ -5119,9 +5163,25 @@ object SparkEntry {
     // plan must equal the exact top-10 — acceleration is a plan
     // property, not a result change.
     "ann_planner_rewrite" ->
+      // top-10 SET chosen by the UNROUNDED distance (t), matching the
+      // Spark side's limit-before-round — ordering/limiting by the
+      // rounded select alias would diverge on a rounding tie at k.
       s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
-         |d AS (SELECT c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q)
-         |SELECT vec_id, round(dist, 4) AS dist FROM d ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+         |d AS (SELECT c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q),
+         |t AS (SELECT vec_id, dist FROM d ORDER BY d.dist, vec_id LIMIT 10)
+         |SELECT vec_id, round(dist, 4) AS dist FROM t ORDER BY round(dist, 4), vec_id""".stripMargin,
+
+    // Filtered-planner replay: exact filtered kNN (predicate BEFORE any
+    // distance work), top-10 set chosen by the unrounded distance;
+    // rewrite_fired = TRUE pins that Spark's rows came from the
+    // accelerated plan.
+    "ann_planner_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist
+         |      FROM embeddings c, q WHERE c.label = 3),
+         |t AS (SELECT vec_id, dist FROM d ORDER BY d.dist, vec_id LIMIT 10)
+         |SELECT vec_id, round(dist, 4) AS dist, TRUE AS rewrite_fired
+         |FROM t ORDER BY round(dist, 4), vec_id""".stripMargin,
 
     // Compaction replay: exhaustive-ef search over any segment layout
     // equals exact kNN; n_segments is the compaction target.

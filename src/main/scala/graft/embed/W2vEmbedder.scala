@@ -58,9 +58,44 @@ final class W2vEmbedderModel(
 }
 
 object W2vEmbedder {
+  /** The deterministic, BOUNDED training frame `fit` consumes: at most
+    * ~`maxTrainRows` docs regardless of corpus size. The serial
+    * one-partition shuffle below is the determinism contract's price,
+    * so its input must be capped IN CODE, not by caller discipline —
+    * a 100 TB corpus trains on a hash-selected sample, never on a
+    * single-task shuffle of everything. Selection is
+    * [[graft.operators.ApproxOps.hashSample]] (md5-bucketed — the same
+    * rows every run and every engine) over-sampled one bucket high,
+    * then a hard `limit` on the sorted single partition (deterministic:
+    * the sample's smallest ids win), so the cap is exact, not
+    * fraction-approximate.
+    */
+  private[graft] def trainingTokens(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxTrainRows: Long): DataFrame = {
+    val n = corpus.count()
+    val capped =
+      if (n <= maxTrainRows) corpus
+      else graft.operators.ApproxOps.hashSample(
+        corpus, idCol,
+        // one 1/256 bucket of headroom so the hash sample lands AT or
+        // above the cap (the limit below trims the overshoot exactly)
+        math.min(1.0, maxTrainRows.toDouble / n + 1.0 / 256))
+    val toks = capped
+      .select(col(idCol), split(lower(col(textCol)), "\\s+").as("__tokens"))
+      .withColumn("__tokens", filter(col("__tokens"), w => length(w) > 0))
+      .coalesce(1)
+      .sortWithinPartitions(idCol)
+    if (n <= maxTrainRows) toks
+    else toks.limit(math.min(maxTrainRows, Int.MaxValue.toLong).toInt)
+  }
+
   /** Fit a seeded skip-gram model on the corpus. One sorted partition +
     * fixed seed + maxIter 1 ⇒ reproducible vectors (FreezeW2v verifies
-    * bit-identity across fits before freezing).
+    * bit-identity across fits before freezing). `maxTrainRows` bounds
+    * the serial determinism stage — see [[trainingTokens]].
     */
   def fit(
       corpus: DataFrame,
@@ -69,12 +104,9 @@ object W2vEmbedder {
       dim: Int = 16,
       seed: Long = 42L,
       minCount: Int = 1,
-      maxIter: Int = 1): W2vEmbedderModel = {
-    val toks = corpus
-      .select(col(idCol), split(lower(col(textCol)), "\\s+").as("__tokens"))
-      .withColumn("__tokens", filter(col("__tokens"), w => length(w) > 0))
-      .coalesce(1)
-      .sortWithinPartitions(idCol)
+      maxIter: Int = 1,
+      maxTrainRows: Long = 1000000L): W2vEmbedderModel = {
+    val toks = trainingTokens(corpus, textCol, idCol, maxTrainRows)
     val model = new Word2Vec()
       .setInputCol("__tokens").setOutputCol("__w2v")
       .setVectorSize(dim).setSeed(seed).setMinCount(minCount)

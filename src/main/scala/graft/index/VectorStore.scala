@@ -198,9 +198,20 @@ class VectorStore(spark: SparkSession, warehouse: String) {
     // appended. The new rows are materialized before the swap so a lazy
     // read can never observe the collection mid-rewrite.
     val newRows = normalized(records).localCheckpoint(true)
-    val incoming = newRows.select(col("id")).distinct()
-    rewrite(name)(
-      _.join(incoming, Seq("id"), "left_anti").unionByName(newRows))
+    try {
+      // The reference client REJECTS duplicate ids within one upsert
+      // request (a duplicated id would otherwise leave two live rows
+      // for one key, and which survives would be row-order luck).
+      val total = newRows.count()
+      val incoming = newRows.select(col("id")).distinct().localCheckpoint(true)
+      try {
+        require(incoming.count() == total,
+          s"upsert batch for '$name' contains duplicate ids; " +
+            "deduplicate the batch before upserting")
+        rewrite(name)(
+          _.join(incoming, Seq("id"), "left_anti").unionByName(newRows))
+      } finally graft.textual.Bpe.unpersistCheckpoint(incoming)
+    } finally graft.textual.Bpe.unpersistCheckpoint(newRows)
   }
 
   /** list_collections(): filesystem metadata, no Spark job. Rewrite

@@ -37,8 +37,11 @@ object Coreset {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     val distFp = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       round(graft.functions.VectorExpressions.l2Sq(a, b) * 1e6).cast("long")
-    val first = emb.orderBy(col(idCol).asc).limit(1)
-      .select(col(idCol), col(embCol)).head()
+    if (k <= 0) return Seq.empty
+    val seed = emb.orderBy(col(idCol).asc).limit(1)
+      .select(col(idCol), col(embCol)).collect()
+    if (seed.isEmpty) return Seq.empty // empty input: nothing to cover
+    val first = seed.head
     val picks = scala.collection.mutable.ArrayBuffer(
       Pick(0L, first.getLong(0), 0L))
     var lastVec = first.getSeq[Float](1).toArray

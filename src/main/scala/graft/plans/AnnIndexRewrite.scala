@@ -48,12 +48,42 @@ import graft.functions.FloatVecL2Sq
   *   TakeOrderedAndProject exact path. Fallback is the EXACT plan,
   *   never a broken probe.
   *
-  * The match is deliberately strict — the Project must sit DIRECTLY on
-  * the scan (any Filter in between changes filtered-kNN semantics,
-  * where candidate pruning before the filter loses recall; those
-  * queries keep the exact plan) — and the strictness doubles as the
-  * idempotence guard: after the rewrite the Project's child is a Join,
-  * so the pattern can never re-fire on its own output.
+  * FILTERED variant (metadata-filtered vector search — the most common
+  * real-world query shape; the reference's collection metadata,
+  * create_collections.py:150-154, exists precisely to filter
+  * searches): the same pattern with a deterministic Filter between the
+  * Project and the scan,
+  *
+  * {{{ Limit k → Sort(dist ASC) → Project → Filter(meta) → Scan }}}
+  *
+  * is rewritten ADAPTIVELY. Pre-filter candidate pruning loses recall
+  * (the classic filtered-ANN pitfall: the index returns the global
+  * top-k, the filter then strips survivors below k), so the rule
+  * probes with an ENLARGED candidate set (k · overfetch ·
+  * filteredOverfetch), counts at plan time how many candidates survive
+  * the filter, and only when survivors ≥ k splices the candidate-id
+  * predicate into the Filter:
+  *
+  * {{{ Limit k → Sort(dist ASC) → Project → Filter(meta AND id IN cands) → Scan }}}
+  *
+  * At exhaustive registration knobs the probe's candidates are the
+  * true global top-K′, so ≥ k surviving candidates GUARANTEES the
+  * filtered top-k is among them — the rewrite is then exact, not a
+  * recall trade. Fewer survivors → the exact plan, the recall-safety
+  * contract made productive instead of a hard block. The id-IN
+  * predicate is a pushable scan filter (parquet row-group pruning at
+  * scale), and the survivor count the rule pays at plan time is the
+  * same bounded probe the accelerated plan reuses conceptually — both
+  * are O(candidates), replacing an O(n) scan.
+  *
+  * The unfiltered match is deliberately strict — the Project must sit
+  * DIRECTLY on the scan — and the strictness doubles as the idempotence
+  * guard: after the rewrite the Project's child is a Join, so the
+  * pattern can never re-fire on its own output. The filtered match
+  * guards idempotence structurally instead: a candidate-id IN/INSET
+  * conjunct on the id column marks an already-rewritten Filter (a
+  * user's own literal id-IN predicate also matches the marker — such
+  * queries keep the exact plan, never a double probe).
   *
   * Known limitation, by design: a `cache()`d source table is
   * substituted with an InMemoryRelation before optimization, which
@@ -77,7 +107,13 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
       nprobe: Int = 2,
       efSearch: Int = 128,
       overfetch: Int = 2,
-      indexPath: Option[String] = None)
+      indexPath: Option[String] = None,
+      // extra candidate-set multiplier for the FILTERED pattern — sized
+      // to the expected filter selectivity (candidates = k · overfetch ·
+      // filteredOverfetch must contain ≥ k filter survivors for the
+      // rewrite to fire; 16 covers selectivity down to ~1/16th with the
+      // default overfetch headroom)
+      filteredOverfetch: Int = 16)
 
   /** Fitted indexes keyed by normalized source path (the scan's root
     * path URI path component). Registration is session-lived, like a
@@ -101,8 +137,36 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     */
   val fired = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Count of FILTERED-pattern rewrites applied (disjoint from
+    * [[fired]] — each pattern instance increments exactly one counter).
+    */
+  val firedFiltered = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Count of filtered-pattern matches that probed but KEPT the exact
+    * plan because fewer than k candidates survived the filter — the
+    * recall-safety fallback, observable so a too-small filteredOverfetch
+    * shows up as a counter, not as silent slowness.
+    */
+  val filteredFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Count of BATCH (multi-query window top-k) rewrites applied. */
+  val firedBatch = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.ann.rewrite", "true").toBoolean
+
+  /** Cost gate for the BATCH rewrite: only scans at least this large
+    * get the index plan. The batch probe runs real Spark jobs at plan
+    * time (route + walk + collect candidate ids), a cost that only pays
+    * off when it replaces a big scan — on a small table the exact
+    * window top-k is already cheap and the probe would be pure
+    * overhead. This is the planner behaving like a cost-based
+    * optimizer: same query shape, different plan by data size. Default
+    * 64 MiB; fixtures opt in per query by lowering it.
+    */
+  private def batchMinScanBytes: BigInt =
+    BigInt(SQLConf.get.getConfString(
+      "spark.graft.ann.batchRewrite.minScanBytes", "67108864"))
 
   /** The scan's registered spec, if any. V1 parquet path only — that is
     * what `spark.read.parquet` yields under the default
@@ -120,6 +184,14 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
             // query falls back to the exact plan (the rule's contract).
             if (spec.index.sparkSession.sparkContext.isStopped) {
               registry.remove(key); None
+            } else if (!org.apache.spark.sql.SparkSession.getActiveSession
+                .exists(_ eq spec.index.sparkSession)) {
+              // registration is SESSION-lived (like a temp view), but the
+              // registry is JVM-global keyed by path: a DIFFERENT live
+              // session scanning the same path must not get this
+              // session's analyzed index subtree spliced into its plan —
+              // it keeps the exact path (correct, just unaccelerated).
+              None
             } else Some(spec)
           }
         }
@@ -167,8 +239,81 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
         None
     }
 
+  /** True when `cond` already carries a literal id-IN/INSET conjunct on
+    * the scan's id column — the filtered rewrite's structural
+    * idempotence marker (and the conservative skip for user-written
+    * literal id lists).
+    */
+  private def hasCandidateIn(cond: Expression, id: Attribute): Boolean =
+    cond.exists {
+      case In(a: AttributeReference, vs)
+          if a.exprId == id.exprId && vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) => true
+      case InSet(a: AttributeReference, _) if a.exprId == id.exprId => true
+      case _ => false
+    }
+
+  /** The FILTERED pattern's adaptive rewrite: probe with the enlarged
+    * candidate set, count the filter's survivors at plan time, splice
+    * the candidate-id predicate only when survivors ≥ k (else the exact
+    * plan — the recall-safety fallback, counter-observable).
+    */
+  private def rewriteFiltered(
+      srt: Sort, p: Project, flt: Filter, projList: Seq[NamedExpression],
+      key: Expression, spec: IndexSpec, k: Int): Option[Sort] = {
+    // attrs are resolved against the Filter's child (which may be a
+    // column-pruning Project over the scan — plain attrs pass through
+    // it with unchanged exprIds, so the spliced In stays bound)
+    val below = flt.child
+    (queryVectorOf(key, projList), below.output.find(_.name == spec.idCol)) match {
+      case (Some((qv, embAttr)), Some(leftId))
+          if below.outputSet.contains(embAttr) && embAttr.name == spec.embCol &&
+            flt.condition.deterministic && !hasCandidateIn(flt.condition, leftId) =>
+        val spark = spec.index.sparkSession
+        import spark.implicits._
+        val kp = math.max(k, 1) * math.max(spec.overfetch, 1) *
+          math.max(spec.filteredOverfetch, 1)
+        val idx = spec.indexPath.map(spark.read.parquet(_)).getOrElse(spec.index)
+        val candIds = graft.search.Hnsw.searchRoutedIndex(
+          spark, Seq((0L, qv)).toDF("qid", "qemb"), idx, spec.centroids,
+          k = kp, nprobe = spec.nprobe, efSearch = spec.efSearch,
+          idCol = spec.idCol, embCol = spec.embCol)
+          .select(spec.idCol).collect().map(_.get(0))
+        val candIn = In(leftId,
+          candIds.map(v => Literal.create(v, leftId.dataType)).toIndexedSeq)
+        val survivors = org.apache.spark.sql.graft.PlanOps
+          .ofRows(spark, Filter(And(flt.condition, candIn), below)).count()
+        if (survivors < k) {
+          filteredFallbacks.incrementAndGet()
+          logInfo(s"graft ANN filtered rewrite: only $survivors of " +
+            s"${candIds.length} probe candidates survive the filter (< k=$k); " +
+            "keeping the exact plan")
+          None
+        } else {
+          firedFiltered.incrementAndGet()
+          logInfo(s"graft ANN filtered rewrite: Sort+Limit($k) over filtered " +
+            s"${spec.idCol}-indexed scan → candidate-id predicate " +
+            s"(${candIds.length} candidates, $survivors filter survivors)")
+          Some(srt.copy(child =
+            p.copy(child = flt.copy(condition = And(flt.condition, candIn)))))
+        }
+      case _ => None
+    }
+  }
+
   private def rewriteSortUnsafe(srt: Sort, k: Int,
       guard: IndexSpec => Boolean): Option[Sort] = srt match {
+    case Sort(SortOrder(key, Ascending, _, _) +: _, true,
+        p @ Project(projList, flt @ Filter(_, fc)), _) =>
+      // look through a column-pruning Project (attribute-only) that the
+      // optimizer may have inserted between the Filter and the scan
+      val scanLeaf = fc match {
+        case Project(cols, inner) if cols.forall(_.isInstanceOf[AttributeReference]) =>
+          inner
+        case other => other
+      }
+      specOf(scanLeaf).flatMap { spec =>
+        rewriteFiltered(srt, p, flt, projList, key, spec, k)
+      }
     case Sort(SortOrder(key, Ascending, _, _) +: _, true,
         p @ Project(projList, leaf), _) =>
       specOf(leaf).filter(guard).flatMap { spec =>
@@ -202,6 +347,160 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
         }
       }
     case _ => None
+  }
+
+  private def stripCasts(e: Expression): Expression = e match {
+    case c: Cast => stripCasts(c.child)
+    case other => other
+  }
+
+  /** The (x, y) attribute pair of an L2 sort key — the raw squared
+    * distance or any monotonic wrapper of it (sqrt, casts), since a
+    * monotonic transform preserves the ranking the probe answers.
+    */
+  private def l2Pair(e: Expression): Option[(AttributeReference, AttributeReference)] =
+    stripCasts(e) match {
+      case FloatVecL2Sq(x: AttributeReference, y: AttributeReference) => Some((x, y))
+      case Sqrt(inner) => stripCasts(inner) match {
+        case FloatVecL2Sq(x: AttributeReference, y: AttributeReference) => Some((x, y))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Strip attribute-only (column-pruning) Projects off a join side —
+    * plain attrs keep their exprIds through them, so anything resolved
+    * against the side's output stays bound below.
+    */
+  private def leafThroughProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(cols, inner) if cols.forall(_.isInstanceOf[AttributeReference]) =>
+      leafThroughProjects(inner)
+    case other => other
+  }
+
+  /** Most query rows the batch rewrite will route at plan time — the
+    * reference workload is a handful of query vectors per run; a
+    * larger-than-this query side means the "small broadcast side"
+    * assumption is wrong and the exact plan is kept.
+    */
+  private val MaxBatchQueries = 1024
+
+  /** BATCH (multi-query) ANN: the canonical batched exact-kNN plan is a
+    * per-query ranking window over a broadcast cross join —
+    *
+    * {{{ Filter(rk ≤ k) → [Project] → Window(row_number over (PARTITION qid ORDER dist)) →
+    *     [WindowGroupLimit] → Project(dist = l2(qemb, emb)) → Join(queries × scan) }}}
+    *
+    * (`KnnExact.topK`'s shape, and the reference's actual workload: 5
+    * query vectors per run, chromadb_speed_experiment.py:651-657).
+    * When the scanned side carries a registered index AND clears the
+    * [[batchMinScanBytes]] cost gate, the rule executes the query side
+    * (bounded by [[MaxBatchQueries]]), probes the stored index ONCE for
+    * all queries, and reduces the scan side to the union of per-query
+    * candidates:
+    *
+    * {{{ … → Join(queries × Filter(id IN cands, scan)) }}}
+    *
+    * Each query's own top-K′ candidates are in the union, so the
+    * per-qid window re-ranks exactly (at exhaustive registration knobs
+    * this is equality, not a recall trade). The window machinery —
+    * partial top-k pre-shuffle included — is untouched; only its input
+    * shrinks from |Q|·n to |Q|·|cands|. Idempotence: the spliced
+    * Filter sits between the Join and the scan, so `leafThroughProjects`
+    * no longer reaches a registered relation on re-entry.
+    */
+  private def rewriteWindowTopK(f: Filter): Option[Filter] =
+    try rewriteWindowTopKUnsafe(f)
+    catch {
+      case e: Exception =>
+        logWarning(s"graft batch ANN rewrite failed; keeping the exact plan: ${e.getMessage}")
+        None
+    }
+
+  private def rewriteWindowTopKUnsafe(f: Filter): Option[Filter] = {
+    val rkK = f.condition match {
+      case LessThanOrEqual(a: AttributeReference, IntegerLiteral(kv)) if kv > 0 =>
+        Some((a, kv))
+      case _ => None
+    }
+    rkK.flatMap { case (rkAttr, k) =>
+      val winOpt = f.child match {
+        case w: Window => Some(w)
+        case Project(ps, w: Window) if ps.forall(_.deterministic) => Some(w)
+        case _ => None
+      }
+      winOpt.flatMap { w =>
+        val headKey = w match {
+          case Window(Seq(al @ Alias(WindowExpression(RowNumber(),
+              WindowSpecDefinition(Seq(qid: AttributeReference), orderSpec, _)), _)),
+              _, _, _, _) if al.exprId == rkAttr.exprId && orderSpec.nonEmpty =>
+            orderSpec.head match {
+              case SortOrder(key, Ascending, _, _) => Some((qid, key))
+              case _ => None
+            }
+          case _ => None
+        }
+        headKey.flatMap { case (qid, key) =>
+          val belowWin = w.child match {
+            case wgl: WindowGroupLimit => wgl.child
+            case other => other
+          }
+          belowWin match {
+            case Project(projList2, join @ Join(l, r, jt, None, _))
+                if jt == org.apache.spark.sql.catalyst.plans.Cross ||
+                  jt == org.apache.spark.sql.catalyst.plans.Inner =>
+              val resolvedKey = key match {
+                case a: AttributeReference =>
+                  projList2.collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
+                case e => Some(e)
+              }
+              resolvedKey.flatMap(l2Pair).flatMap { case (x, y) =>
+                val cands = for {
+                  (scanSide, querySide) <- Seq((l, r), (r, l))
+                  leaf = leafThroughProjects(scanSide)
+                  spec <- specOf(leaf).toSeq
+                  if leaf.stats.sizeInBytes >= batchMinScanBytes
+                  embAttr <- Seq(x, y).find(a =>
+                    scanSide.outputSet.contains(a) && a.name == spec.embCol).toSeq
+                  qembAttr = if (embAttr eq x) y else x
+                  if querySide.outputSet.contains(qembAttr) &&
+                    querySide.outputSet.contains(qid)
+                  idAttr <- scanSide.output.find(_.name == spec.idCol).toSeq
+                } yield (scanSide, querySide, spec, qembAttr, idAttr)
+                cands.headOption.flatMap { case (scanSide, querySide, spec, qembAttr, idAttr) =>
+                  val spark = spec.index.sparkSession
+                  val qdf = org.apache.spark.sql.graft.PlanOps
+                    .ofRows(spark, Project(Seq(qid, qembAttr), querySide))
+                    .toDF("qid", "qemb")
+                  if (qdf.limit(MaxBatchQueries + 1).count() > MaxBatchQueries) None
+                  else {
+                    val kp = math.max(k, 1) * math.max(spec.overfetch, 1)
+                    val idx = spec.indexPath.map(spark.read.parquet(_)).getOrElse(spec.index)
+                    val candIds = graft.search.Hnsw.searchRoutedIndex(
+                      spark, qdf, idx, spec.centroids,
+                      k = kp, nprobe = spec.nprobe, efSearch = spec.efSearch,
+                      idCol = spec.idCol, embCol = spec.embCol)
+                      .select(spec.idCol).distinct().collect().map(_.get(0))
+                    if (candIds.isEmpty) None
+                    else {
+                      val candIn = In(idAttr,
+                        candIds.map(v => Literal.create(v, idAttr.dataType)).toIndexedSeq)
+                      firedBatch.incrementAndGet()
+                      logInfo(s"graft batch ANN rewrite: window top-$k over " +
+                        s"${spec.idCol}-indexed scan → one multi-query probe " +
+                        s"(${candIds.length} candidate ids)")
+                      Some(f.transformUp {
+                        case p if p eq scanSide => Filter(candIn, scanSide)
+                      }.asInstanceOf[Filter])
+                    }
+                  }
+                }
+              }
+            case _ => None
+          }
+        }
+      }
+    }
   }
 
   /** A DataFrame-backed spec's index attrs, for the spliced-once guard
@@ -241,6 +540,11 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
         rewriteSort(srt, k, guardDf)
           .map(ns => gl.copy(child = ll.copy(child = mid.copy(child = ns))))
           .getOrElse(gl)
+      // the BATCH shape: rank-filtered row_number window over a
+      // broadcast cross join (KnnExact.topK) — one probe for all
+      // queries, cost-gated by scan size
+      case f @ Filter(LessThanOrEqual(_: AttributeReference, IntegerLiteral(_)), _) =>
+        rewriteWindowTopK(f).getOrElse(f)
     }
   }
 }

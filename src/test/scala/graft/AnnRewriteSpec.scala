@@ -111,22 +111,127 @@ class AnnRewriteSpec extends GraftSpec {
     } finally AnnIndexRewrite.clear()
   }
 
-  test("a Filter between the pattern and the scan blocks the rewrite") {
-    // Filtered kNN must keep the exact plan: pruning candidates BEFORE
-    // the filter would silently lose recall (the classic filtered-ANN
-    // pitfall ann_filtered_top10's Scaladoc describes).
+  private def filteredPattern(qv: Array[Float]): DataFrame =
+    emb.filter($"label" === 3)
+      .select($"vec_id",
+        VectorExpressions.l2Sq(typedLit(qv), $"embedding").as("dist2"))
+      .orderBy($"dist2", $"vec_id")
+      .limit(10)
+
+  /** The spliced candidate-id predicate: an In (or InSet, after
+    * OptimizeIn) over literal ids on vec_id inside a Filter.
+    */
+  private def candidatePredicates(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.exists {
+            case org.apache.spark.sql.catalyst.expressions.In(
+                a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+                if a.name == "vec_id" => true
+            case org.apache.spark.sql.catalyst.expressions.InSet(
+                a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+                if a.name == "vec_id" => true
+            case _ => false
+          } => f
+    }
+
+  test("filtered pattern: adaptive rewrite fires, result stays exact") {
+    // Metadata-filtered kNN — the r15 productive form of what used to
+    // be a hard block: probe with the enlarged candidate set, count
+    // filter survivors at plan time, splice the candidate-id predicate
+    // only when survivors >= k. At exhaustive knobs the candidates are
+    // the true global top-K', so the rewritten rows must be EXACTLY the
+    // filtered top-10.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val expected = filteredPattern(qv0).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(expected.length === 10, "fixture sanity: the filter keeps >= 10 rows")
+    registerExhaustive()
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val before = AnnIndexRewrite.firedFiltered.get()
+      val df = filteredPattern(qv0)
+      assert(candidatePredicates(df.queryExecution.optimizedPlan).nonEmpty,
+        "the optimizer spliced the candidate-id predicate into the Filter")
+      assert(AnnIndexRewrite.firedFiltered.get() > before, "firedFiltered counted")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq === expected.toSeq,
+        "filtered acceleration must not change the exact filtered top-k")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  test("filtered pattern: survivors < k keeps the exact plan (adaptive fallback)") {
+    // Candidate set deliberately too small (overfetch 1 x
+    // filteredOverfetch 1 = 10 candidates; ~1 in 10 carries label 3):
+    // the plan-time survivor count comes up short, the rule declines,
+    // and the query still returns the exact filtered rows through the
+    // untouched plan — recall safety, observable via filteredFallbacks.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val expected = filteredPattern(qv0).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val cent = IvfIndex.seedCentroids(emb, 4)
+    val idx = Hnsw.buildRoutedIndex(spark, emb, cent).localCheckpoint(true)
+    AnnIndexRewrite.register(srcPath,
+      AnnIndexRewrite.IndexSpec(idx, cent, nprobe = 4, efSearch = 4096,
+        overfetch = 1, filteredOverfetch = 1))
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val fallbacksBefore = AnnIndexRewrite.filteredFallbacks.get()
+      val firedBefore = AnnIndexRewrite.firedFiltered.get()
+      val df = filteredPattern(qv0)
+      val plan = df.queryExecution.optimizedPlan
+      assert(candidatePredicates(plan).isEmpty,
+        "no candidate predicate: the rule must decline when survivors < k")
+      assert(AnnIndexRewrite.filteredFallbacks.get() > fallbacksBefore,
+        "the decline is counter-observable")
+      assert(AnnIndexRewrite.firedFiltered.get() === firedBefore)
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq === expected.toSeq, "fallback keeps the exact rows")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  test("filtered pattern: conf-off keeps the exact plan") {
     VectorExpressions.ensureRegistered(spark)
     registerExhaustive()
+    spark.conf.set("spark.graft.ann.rewrite", "false")
     try {
-      val df = emb.filter($"label" === 3)
+      val after = AnnIndexRewrite(filteredPattern(qv0).queryExecution.optimizedPlan)
+      assert(candidatePredicates(after).isEmpty)
+      assert(after.collect { case j: Join => j }.isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.ann.rewrite")
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  test("filtered pattern: an existing literal id-IN predicate is left alone") {
+    // The structural idempotence marker doubles as a conservative skip:
+    // a user's own literal id-list conjunct means the rule cannot tell
+    // its own splice from user intent — it must keep the exact plan
+    // (and, transitively, can never double-probe its own output).
+    VectorExpressions.ensureRegistered(spark)
+    registerExhaustive()
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val before = AnnIndexRewrite.firedFiltered.get()
+      val df = emb.filter($"label" === 3 && $"vec_id".isin(0L to 400L: _*))
         .select($"vec_id",
           VectorExpressions.l2Sq(typedLit(qv0), $"embedding").as("dist2"))
         .orderBy($"dist2", $"vec_id")
         .limit(10)
-      val after = AnnIndexRewrite(df.queryExecution.optimizedPlan)
-      assert(after.collect { case j: Join => j }.isEmpty,
-        "a filtered scan must NOT be candidate-pruned")
-    } finally AnnIndexRewrite.clear()
+      df.queryExecution.optimizedPlan
+      assert(AnnIndexRewrite.firedFiltered.get() === before,
+        "a pre-existing literal id-IN must not be treated as a rewrite target")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
   }
 
   test("rewrite disabled by conf even when an index is registered") {

@@ -43,4 +43,12 @@ class CoresetSpec extends GraftSpec {
     assert(picks.map(_.vecId).distinct.length === 3)
   }
 
+  test("degenerate inputs: k <= 0 and an empty frame both return no picks") {
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(Coreset.kcenter(spark, emb, 0) === Seq.empty)
+    assert(Coreset.kcenter(spark, emb, -3) === Seq.empty)
+    val empty = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 0)
+    assert(Coreset.kcenter(spark, empty, 5) === Seq.empty)
+  }
+
 }

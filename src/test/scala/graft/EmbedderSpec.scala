@@ -56,6 +56,35 @@ class EmbedderSpec extends GraftSpec {
     assert(p.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("w2v: maxTrainRows bounds the serial fit input IN CODE, determinism unchanged") {
+    import graft.embed.W2vEmbedder
+    val docs = Tables.documents(spark, sfDir) // 60 docs at sf0.001
+    val n = docs.count()
+    // cap BELOW the corpus: the training frame the serial stage sees
+    // must hold at most `cap` rows — the r14 verdict's scale-killer
+    // (coalesce(1) over a full 100 TB corpus) is now structurally
+    // impossible, not a docs-only promise
+    val cap = (n / 2).max(1L)
+    val bounded = W2vEmbedder.trainingTokens(docs, "text", "doc_id", cap)
+    assert(bounded.count() <= cap, s"fit input must be <= $cap rows")
+    assert(bounded.rdd.getNumPartitions === 1,
+      "the determinism contract (one sorted partition) survives the cap")
+    // the capped selection is itself deterministic: same rows every call
+    val ids1 = bounded.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val ids2 = W2vEmbedder.trainingTokens(docs, "text", "doc_id", cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids1 === ids2, "hash-sampled cap must pick the SAME rows every run")
+    assert(ids1 === ids1.sorted, "single partition stays id-sorted under the cap")
+    // a capped fit still trains end-to-end and is bit-identical re-run
+    val m1 = W2vEmbedder.fit(docs, maxTrainRows = cap)
+    val m2 = W2vEmbedder.fit(docs, maxTrainRows = cap)
+    assert(m1.vectors.collect().map(r => (r.getString(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      === m2.vectors.collect().map(r => (r.getString(0), r.getSeq[Double](1))).sortBy(_._1).toSeq)
+    // above-corpus cap (the default regime at fixture scale): the frame
+    // is the FULL corpus — embed_w2v's frozen oracle stays untouched
+    assert(W2vEmbedder.trainingTokens(docs, "text", "doc_id", n + 1).count() === n)
+  }
+
   test("multimodal: metadata digests match and the decode stub is deterministic") {
     val docs = Tables.documents(spark, sfDir).limit(20)
     val media = Multimodal.withPayload(docs, "doc_id", "text")

@@ -105,6 +105,22 @@ class VectorStoreSpec extends GraftSpec {
     store.deleteCollection("c")
   }
 
+  test("upsert rejects a batch with duplicate ids (reference-client contract)") {
+    // Two rows for one id in a single upsert would leave which-wins to
+    // row order; the reference client errors on duplicate ids in one
+    // request, so the facade does too — and the collection is untouched.
+    val wh = java.nio.file.Files.createTempDirectory("graft_store_dup").toString
+    val store = new VectorStore(spark, wh)
+    store.add("c", records(0 until 5))
+    val dup = records(3 to 3).withColumn("document", lit("first"))
+      .union(records(3 to 3).withColumn("document", lit("second")))
+    val e = intercept[IllegalArgumentException](store.upsert("c", dup))
+    assert(e.getMessage.contains("duplicate ids"))
+    assert(store.count("c") === 5, "a rejected upsert must not mutate the collection")
+    assert(store.get("c", Seq("p3")).select($"document").head().getString(0) === "doc 3")
+    store.deleteCollection("c")
+  }
+
   test("rewrite crash between renames: backup restores the full collection") {
     val wh = java.nio.file.Files.createTempDirectory("graft_store_crash").toString
     val store = new VectorStore(spark, wh)
