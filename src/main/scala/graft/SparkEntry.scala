@@ -4137,6 +4137,41 @@ object SparkEntry {
         .withColumn("rewrite_fired", lit(firedNow))
     }),
 
+    // BATCH planner ANN: the reference's ACTUAL workload shape — five
+    // query vectors per run (chromadb_speed_experiment.py:651-657) —
+    // whose Spark form is the W1 ranking window (row_number ≤ k per
+    // qid over a broadcast cross join), not Sort+Limit. The rule
+    // executes the small query side, probes the stored index ONCE for
+    // all five queries, and reduces the scan side to the candidate
+    // union; the untouched window re-ranks exactly. The plan-time probe
+    // is cost-gated on scan size (a real planner choice: at fixture
+    // scale the exact window plan is cheaper, so this query opts in by
+    // lowering spark.graft.ann.batchRewrite.minScanBytes around its own
+    // materialization only — every other KnnExact query in the session
+    // keeps its pinned plan). localCheckpoint executes UNDER the opt-in
+    // so rewrite_fired pins the accelerated plan in the hash honestly.
+    "ann_planner_rewrite_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerIndex(s, dir) // build+register once per (session, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val before = graft.plans.AnnIndexRewrite.firedBatch.get()
+      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
+      val prev = s.conf.getOption(gate)
+      s.conf.set(gate, "0")
+      val res = try {
+        KnnExact.topK(q, emb, 10)
+          .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+            round(col("dist"), 4).as("dist"))
+          .localCheckpoint(true)
+      } finally prev match {
+        case Some(v) => s.conf.set(gate, v)
+        case None => s.conf.unset(gate)
+      }
+      val firedNow = graft.plans.AnnIndexRewrite.firedBatch.get() > before
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+    }),
+
     // SEGMENT COMPACTION (Hnsw.compactIndex — the Lucene-merge-shaped
     // maintenance op): an 8-segment stored index rebuilt into 2
     // segments from its own STORED vectors, then searched. At
@@ -5182,6 +5217,17 @@ object SparkEntry {
          |t AS (SELECT vec_id, dist FROM d ORDER BY d.dist, vec_id LIMIT 10)
          |SELECT vec_id, round(dist, 4) AS dist, TRUE AS rewrite_fired
          |FROM t ORDER BY round(dist, 4), vec_id""".stripMargin,
+
+    // Batch-planner replay: the same closed-form exact kNN as the knn_*
+    // rows — the one multi-query probe must change the plan, never the
+    // rows; rewrite_fired = TRUE pins the accelerated plan in the hash.
+    "ann_planner_rewrite_multi" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q),
+         |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist,
+         |  TRUE AS rewrite_fired
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     // Compaction replay: exhaustive-ef search over any segment layout
     // equals exact kNN; n_segments is the compaction target.

@@ -210,6 +210,65 @@ class AnnRewriteSpec extends GraftSpec {
     }
   }
 
+  private def batchPattern: DataFrame = {
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    graft.search.KnnExact.topK(q, emb, 10)
+  }
+
+  private def collectBatch(df: DataFrame): Seq[(Long, Long, Int, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+      BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("batch pattern (multi-query window top-k): one probe, exact rows") {
+    // The reference's real workload shape — several query vectors per
+    // run through one ranking window. The rule collects the small query
+    // side, probes the stored index ONCE for all queries, and reduces
+    // the scan side to the candidate union; the untouched window
+    // re-ranks exactly.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val expected = collectBatch(batchPattern)
+    assert(expected.size === 50, "fixture sanity: 5 queries x top-10")
+    registerExhaustive()
+    spark.conf.set("spark.graft.ann.batchRewrite.minScanBytes", "0")
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val before = AnnIndexRewrite.firedBatch.get()
+      val df = batchPattern
+      val plan = df.queryExecution.optimizedPlan
+      assert(AnnIndexRewrite.firedBatch.get() > before, "the batch rewrite fired")
+      assert(candidatePredicates(plan).nonEmpty,
+        "the scan side carries the candidate-id predicate")
+      assert(collectBatch(df) === expected,
+        "batch acceleration must not change any query's exact top-k")
+    } finally {
+      spark.conf.unset("spark.graft.ann.batchRewrite.minScanBytes")
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  test("batch pattern: the scan-size cost gate keeps small scans exact") {
+    // Probing at plan time costs real jobs; on a fixture-sized table
+    // the exact window plan is cheaper, and the default 64 MiB gate
+    // must decline — cost-based planner behavior, spec-pinned so the
+    // bench's incidental KnnExact queries keep their plans.
+    VectorExpressions.ensureRegistered(spark)
+    registerExhaustive()
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val before = AnnIndexRewrite.firedBatch.get()
+      batchPattern.queryExecution.optimizedPlan
+      assert(AnnIndexRewrite.firedBatch.get() === before,
+        "default cost gate: fixture-sized scan stays on the exact plan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
   test("filtered pattern: an existing literal id-IN predicate is left alone") {
     // The structural idempotence marker doubles as a conservative skip:
     // a user's own literal id-list conjunct means the rule cannot tell
