@@ -4388,14 +4388,24 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val v = sharedUnigram(s, dir)
       val seg = graft.textual.UnigramLm.segmentation(s, docs, "text", v)
-        .select(col("word"), col("n_pieces"))
-      docs.select(col("doc_id"),
-          explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-        .join(seg, Seq("word")) // word-table side: AQE sizes the join
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
-        .withColumn("pieces_per_word",
-          round(col("n_pieces").cast("double") / col("n_words"), 4))
+      graft.textual.UnigramLm.tokenizeStats(docs, "text", "doc_id", seg)
+        .orderBy("doc_id")
+    }),
+
+    // Streaming unigram tokenization against the FROZEN trained vocab —
+    // the tokenizer-family symmetry row (BPE has bpe_stream_tokenize;
+    // the unigram LM now has its apply-on-stream twin through the SAME
+    // TokenizeMaintenance machinery): documents shattered into 2 source
+    // files, each micro-batch stream-static joins the frozen
+    // word→pieces table and appends per-doc stats to its own batch_id
+    // dir. Viterbi segmentation under a frozen vocab is per-doc pure,
+    // so the streamed union HASH-MATCHES the batch tok_unigram_segment
+    // oracle — batching-invariance as a full value match.
+    "unigram_stream_tokenize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v = sharedUnigram(s, dir)
+      val seg = graft.textual.UnigramLm.segmentation(s, docs, "text", v)
+      graft.streaming.TokenizeMaintenance.maintainUnigramFromBatch(s, docs, seg)
         .orderBy("doc_id")
     }),
 
@@ -7673,6 +7683,19 @@ object SparkEntry {
 
     // Frozen per-word segmentation + fully SQL-replayed corpus math.
     "tok_unigram_segment" ->
+      s"""WITH seg(word, n_pieces) AS (VALUES
+         |  ${graft.UnigramOracle.segmentationSql}),
+         |toks AS (SELECT doc_id, unnest(${toksSql("text")}) AS word FROM documents),
+         |j AS (SELECT t.doc_id, s.n_pieces FROM toks t JOIN seg s USING (word))
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 4) AS pieces_per_word
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // streamed unigram tokenization ≡ batch: per-doc purity under the
+    // frozen vocab makes the union of per-batch outputs equal the batch
+    // result, so the SAME oracle SQL applies (the bpe_stream_tokenize
+    // contract, completing the tokenizer-family symmetry).
+    "unigram_stream_tokenize" ->
       s"""WITH seg(word, n_pieces) AS (VALUES
          |  ${graft.UnigramOracle.segmentationSql}),
          |toks AS (SELECT doc_id, unnest(${toksSql("text")}) AS word FROM documents),

@@ -29,12 +29,18 @@ import graft.textual.Bpe
   */
 object TokenizeMaintenance {
 
-  def streamTokenizeStats(
+  /** Generic frozen-tokenizer stream: each micro-batch of documents
+    * runs `perBatch` (a pure per-doc stats transform against a frozen
+    * vocabulary table) and appends to its own `batch_id=N/` directory —
+    * the shared machinery both tokenizer families (BPE merges, unigram
+    * LM) ride, so the streaming twins cannot drift from each other.
+    */
+  def streamStats(
       spark: SparkSession,
       srcDir: String,
       outDir: String,
       checkpointDir: String,
-      vocab: DataFrame,
+      perBatch: DataFrame => DataFrame,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
     spark.readStream
       .schema(Schemas.documents)
@@ -43,7 +49,7 @@ object TokenizeMaintenance {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        Bpe.tokenizeStats(batch.toDF(), "text", "doc_id", vocab)
+        perBatch(batch.toDF())
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
@@ -52,19 +58,28 @@ object TokenizeMaintenance {
       .start()
   }
 
-  /** Run the whole cycle on a batch table: shatter `docs` into
-    * `nFiles` source files, stream them through the frozen vocab, and
-    * return the unioned per-doc stats. Temp dirs are deleted before
-    * returning.
+  def streamTokenizeStats(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      checkpointDir: String,
+      vocab: DataFrame,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    streamStats(spark, srcDir, outDir, checkpointDir,
+      batch => Bpe.tokenizeStats(batch, "text", "doc_id", vocab),
+      maxFilesPerTrigger)
+
+  /** Shared shatter→stream→union cycle: write `docs` as `nFiles`
+    * source files, drain the AvailableNow stream through `perBatch`,
+    * return the unioned per-batch outputs projected to `outCols`.
+    * Temp dirs are deleted before returning.
     */
-  def maintainFromBatch(
+  private def maintainWith(
       spark: SparkSession,
       docs: DataFrame,
-      vocab: DataFrame,
-      // 2 micro-batches: tokenization is per-doc pure, so batching
-      // invariance holds by construction (spec-proven at 3 too) — two
-      // batches exercise the append path at half the commit cost
-      nFiles: Int = 2): DataFrame = {
+      perBatch: DataFrame => DataFrame,
+      outCols: Seq[String],
+      nFiles: Int): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_tok_maint")
     val srcDir = base.resolve("src").toString
     val outDir = base.resolve("out").toString
@@ -73,14 +88,48 @@ object TokenizeMaintenance {
       docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
         .repartition(nFiles).write.parquet(srcDir)
-      val q = streamTokenizeStats(spark, srcDir, outDir, ckptDir, vocab)
+      val q = streamStats(spark, srcDir, outDir, ckptDir, perBatch)
       try q.processAllAvailable() finally q.stop()
       spark.read.parquet(outDir)
-        .select(col("doc_id"), col("n_tokens"), col("n_subtokens"))
+        .select(outCols.map(col): _*)
         .localCheckpoint(eager = true)
     } finally {
       val p = new Path(base.toString)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  /** Run the whole BPE cycle on a batch table: shatter `docs` into
+    * `nFiles` source files, stream them through the frozen vocab, and
+    * return the unioned per-doc stats.
+    */
+  def maintainFromBatch(
+      spark: SparkSession,
+      docs: DataFrame,
+      vocab: DataFrame,
+      // 2 micro-batches: tokenization is per-doc pure, so batching
+      // invariance holds by construction (spec-proven at 3 too) — two
+      // batches exercise the append path at half the commit cost
+      nFiles: Int = 2): DataFrame =
+    maintainWith(spark, docs,
+      batch => Bpe.tokenizeStats(batch, "text", "doc_id", vocab),
+      Seq("doc_id", "n_tokens", "n_subtokens"), nFiles)
+
+  /** The UNIGRAM twin: stream documents against the frozen word→pieces
+    * segmentation table (Viterbi under the trained unigram LM —
+    * [[graft.textual.UnigramLm.segmentation]]), appending per-doc
+    * word/piece stats per micro-batch. Segmentation is per-doc pure
+    * under a frozen vocab, so the streamed union equals the batch
+    * result regardless of the batch split — the same hash-match
+    * contract as the BPE twin, completing the tokenizer-family
+    * streaming symmetry.
+    */
+  def maintainUnigramFromBatch(
+      spark: SparkSession,
+      docs: DataFrame,
+      seg: DataFrame,
+      nFiles: Int = 2): DataFrame =
+    maintainWith(spark, docs,
+      batch => graft.textual.UnigramLm.tokenizeStats(batch, "text", "doc_id", seg),
+      Seq("doc_id", "n_words", "n_pieces", "pieces_per_word"), nFiles)
 }

@@ -194,4 +194,20 @@ object UnigramLm {
       }
       .toDF("word", "pieces", "n_pieces")
   }
+
+  /** Per-doc word/piece stats from a (frozen) word→n_pieces
+    * segmentation table — applying the tokenizer to a corpus is one
+    * broadcast-sized join (the [[Bpe.tokenizeStats]] memoization
+    * shape). Shared by the batch `tok_unigram_segment` row and the
+    * streaming twin, so the two can never drift.
+    */
+  def tokenizeStats(docs: DataFrame, textCol: String, idCol: String,
+      seg: DataFrame): DataFrame =
+    docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .join(seg.select(col("word"), col("n_pieces")), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("pieces_per_word",
+        round(col("n_pieces").cast("double") / col("n_words"), 4))
 }

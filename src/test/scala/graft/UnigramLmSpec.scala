@@ -59,4 +59,23 @@ class UnigramLmSpec extends GraftSpec {
         s"every emitted piece of '$word' must be in-vocab")
     }
   }
+
+  test("streamed unigram tokenization equals the batch result at any batching") {
+    // Viterbi under a FROZEN vocab is per-doc pure ⇒ the union of
+    // per-batch stream-static joins equals the batch join however the
+    // docs were shattered — the BPE twin's contract, now symmetric
+    // across both tokenizer families.
+    val docs = Tables.documents(spark, sfDir).limit(120)
+      .localCheckpoint(eager = true)
+    val v = UnigramLm.train(spark, docs, "text", vocabSize = 64)
+    val seg = UnigramLm.segmentation(spark, docs, "text", v)
+      .localCheckpoint(eager = true)
+    val batch = UnigramLm.tokenizeStats(docs, "text", "doc_id", seg)
+    Seq(2, 3).foreach { nFiles =>
+      val streamed = graft.streaming.TokenizeMaintenance
+        .maintainUnigramFromBatch(spark, docs, seg, nFiles = nFiles)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        s"unigram stream != batch at nFiles=$nFiles")
+    }
+  }
 }
