@@ -4662,6 +4662,28 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // GreeDi TWO-ROUND composable k-center (Mirzasoleiman et al.
+    // NeurIPS'13): the incremental kcenter above is k driver rounds —
+    // right for selection-k ≤ ~10², wrong for coreset-as-preprocessing
+    // (k ~ 10⁴⁺). Here the driver runs exactly TWO Spark stages
+    // regardless of k: (1) LOCAL — rows split into deterministic
+    // `vec_id % blocks` blocks, each block greedy-picks kLocal centers
+    // in one flatMapGroups pass; (2) MERGE — the blocks·kLocal union
+    // (small by construction) is greedily reduced to the final k under
+    // the SAME determinism contract (seed = smallest id, argmax
+    // (md DESC, id ASC), BIGINT micro-unit distances). The output
+    // carries BOTH trajectories — per-block (block ≥ 0) and merged
+    // (block = -1) — and the oracle regenerates every round as CTEs.
+    "corpus_coreset_greedi" -> ((s, dir) => {
+      import s.implicits._
+      val (local, merged) = graft.operators.Coreset.greedi(
+        s, Tables.embeddings(s, dir), blocks = 2, kLocal = 6, k = 8)
+      (local.map(p => (p.block, p.step, p.vecId, p.radiusFp)) ++
+        merged.map(p => (-1, p.step, p.vecId, p.radiusFp)))
+        .toDF("block", "step", "vec_id", "radius_fp")
+        .orderBy("block", "step")
+    }),
+
     // LATE-INTERACTION retrieval (ColBERT-style MaxSim, Khattab &
     // Zaharia SIGIR'20) over the learned vectors: score(q, d) =
     // Σ_{query token} max_{doc token} ⟨q_tok, d_tok⟩ — the multi-vector
@@ -7538,6 +7560,68 @@ object SparkEntry {
          |$rounds
          |$out
          |ORDER BY step""".stripMargin
+    },
+
+    // GreeDi replay: per-block greedy rounds over the `vec_id % blocks`
+    // slices, then the SAME generated rounds over the union of block
+    // picks — the ENTIRE two-stage construction closed-form in DuckDB.
+    "corpus_coreset_greedi" -> {
+      def fp(a: String, b: String): String =
+        s"CAST(round(list_sum(list_transform(range(1, len($a)+1), " +
+          s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))) * 1000000) AS BIGINT)"
+      val blocks = 2
+      val kLocal = 6
+      val k = 8
+      // generated greedy rounds over `base`, CTE names prefixed `pfx`;
+      // returns (CTE text, pick-rows-with-embedding union for reuse).
+      // Every CTE is MATERIALIZED: each round references the previous
+      // one twice, so DuckDB's default inlining would re-open the
+      // parquet 2^rounds times (observed: "Too many open files").
+      def rounds(base: String, pfx: String, kk: Int): (String, String) = {
+        val body = (1 until kk).map { i =>
+          val seen = (0 until i).map { j =>
+            if (j == 0) s"SELECT vec_id FROM ${pfx}s0"
+            else s"SELECT vec_id FROM ${pfx}p$j"
+          }.mkString(" UNION ALL ")
+          s"""${pfx}p$i AS MATERIALIZED (SELECT m.vec_id, m.embedding, m.md FROM ${pfx}m${i - 1} m
+             |  WHERE m.vec_id NOT IN ($seen)
+             |  ORDER BY m.md DESC, m.vec_id LIMIT 1),
+             |${pfx}m$i AS MATERIALIZED (SELECT m.vec_id, m.embedding, least(m.md, ${fp("m.embedding", "p.embedding")}) AS md
+             |  FROM ${pfx}m${i - 1} m, ${pfx}p$i p)""".stripMargin
+        }.mkString(",\n")
+        val ctes =
+          s"""${pfx}s0 AS MATERIALIZED (SELECT vec_id, embedding FROM $base ORDER BY vec_id LIMIT 1),
+             |${pfx}m0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, ${fp("e.embedding", "s.embedding")} AS md
+             |       FROM $base e, ${pfx}s0 s),
+             |$body""".stripMargin
+        val pickSet = ((s"SELECT vec_id, embedding FROM ${pfx}s0") +:
+          (1 until kk).map(i => s"SELECT vec_id, embedding FROM ${pfx}p$i"))
+          .mkString(" UNION ALL ")
+        (ctes, pickSet)
+      }
+      def outRows(pfx: String, kk: Int, blockLit: String): String =
+        (0 until kk).map { i =>
+          if (i == 0)
+            s"SELECT CAST($blockLit AS INT) AS block, CAST(0 AS BIGINT) AS step, vec_id, CAST(0 AS BIGINT) AS radius_fp FROM ${pfx}s0"
+          else
+            s"SELECT CAST($blockLit AS INT), CAST($i AS BIGINT), vec_id, md FROM ${pfx}p$i"
+        }.mkString("\nUNION ALL ")
+      val blockParts = (0 until blocks).map { b =>
+        val (ctes, picks) = rounds(s"blk$b", s"b${b}_", kLocal)
+        (s"""blk$b AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % $blocks = $b),
+            |$ctes""".stripMargin,
+          picks, outRows(s"b${b}_", kLocal, b.toString))
+      }
+      val unionCte =
+        s"u AS MATERIALIZED (${blockParts.map(_._2).mkString(" UNION ALL ")})"
+      val (mergeCtes, _) = rounds("u", "g_", k)
+      s"""WITH ${blockParts.map(_._1).mkString(",\n")},
+         |$unionCte,
+         |$mergeCtes
+         |${blockParts.map(_._3).mkString("\nUNION ALL ")}
+         |UNION ALL ${outRows("g_", k, "-1")}
+         |ORDER BY block, step""".stripMargin
     },
 
     // MaxSim replay: token vectors from the frozen w2v literals, per-
