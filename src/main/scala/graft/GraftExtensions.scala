@@ -30,7 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.VectorDistanceRules)
-    e.injectOptimizerRule(_ => graft.plans.AnnIndexRewrite)
+    // session-bound: the ANN registry ownership check compares against
+    // THIS session, not the thread-local active one (absent on planner
+    // thread pools / streaming foreachBatch)
+    e.injectOptimizerRule(s => new graft.plans.AnnIndexRewriteRule(s))
     e.injectFunction((FunctionIdentifier("graft_l2sq"),
       info("graft_l2sq", "squared L2 distance between two float arrays"),
       (exprs: Seq[Expression]) => FloatVecL2Sq(exprs(0), exprs(1))))

@@ -175,6 +175,8 @@ object SparkEntry {
     unigramCache.clear()
     plannerIndexCache.values().forEach(p => graft.plans.AnnIndexRewrite.unregister(p))
     plannerIndexCache.clear()
+    plannerCosineIndexCache.values().forEach(p => graft.plans.AnnIndexRewrite.unregister(p))
+    plannerCosineIndexCache.clear()
     val it4 = bpeCache.entrySet().iterator()
     while (it4.hasNext) {
       val e = it4.next()
@@ -233,7 +235,40 @@ object SparkEntry {
       graft.plans.AnnIndexRewrite.register(s"$dir/embeddings.parquet",
         graft.plans.AnnIndexRewrite.IndexSpec(s.read.parquet(tmp), cent,
           nprobe = 8, efSearch = 4096, overfetch = 2,
-          indexPath = Some(tmp))) // fresh exprIds per splice
+          indexPath = Some(tmp), // fresh exprIds per splice
+          // nprobe = all 8 cells, efSearch >> any cell: the probe's
+          // candidates are the true global top-K', which the FILTERED
+          // rewrites' exactness argument requires (declared, not
+          // inferred — see AnnIndexRewrite's class doc)
+          exhaustiveProbe = true))
+      s"$dir/embeddings.parquet"
+    })
+
+  /** The COSINE twin of [[sharedPlannerIndex]]: a routed-HNSW index over
+    * the L2-NORMALIZED vectors (for unit vectors ‖q̂−d̂‖² = 2−2·cos, so
+    * the normalized-L2 ranking IS the cosine ranking), registered with
+    * metric = "cosine" on the same source path — the registry keys by
+    * (path, metric), so both coexist and the sort key picks the index.
+    */
+  private val plannerCosineIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+  private def sharedPlannerCosineIndex(s: SparkSession, dir: String): Unit =
+    plannerCosineIndexCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val nrm = sqrt(graft.functions.VectorExpressions.dot(
+        col("embedding"), col("embedding")))
+      val normed = emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") / nrm).cast("float")).as("embedding"))
+      val cent = IvfIndex.seedCentroids(normed, 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_annidx_cos").toString
+      graft.search.Hnsw.buildRoutedIndex(s, normed, cent)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      graft.plans.AnnIndexRewrite.register(s"$dir/embeddings.parquet",
+        graft.plans.AnnIndexRewrite.IndexSpec(s.read.parquet(tmp), cent,
+          nprobe = 8, efSearch = 4096, overfetch = 2,
+          indexPath = Some(tmp), metric = "cosine", exhaustiveProbe = true))
       s"$dir/embeddings.parquet"
     })
 

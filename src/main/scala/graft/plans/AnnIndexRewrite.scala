@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.LeftSemi
@@ -13,7 +13,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
-import graft.functions.FloatVecL2Sq
+import graft.functions.{FloatVecDot, FloatVecL2Sq}
 
 /** Planner-chosen ANN (SURVEY §4's "not built-in as a planner choice"
   * gap): a session registry of fitted vector indexes plus an optimizer
@@ -48,6 +48,16 @@ import graft.functions.FloatVecL2Sq
   *   TakeOrderedAndProject exact path. Fallback is the EXACT plan,
   *   never a broken probe.
   *
+  * METRICS: the sort key may be the raw squared L2, any monotone
+  * wrapper of it (sqrt, casts), or a COSINE distance (`c − dot(q,e) /
+  * (‖q‖·‖e‖)` or `−sim`) — ascending cosine distance is descending
+  * similarity. A cosine key probes the index registered with
+  * `metric = "cosine"`, which must be built over L2-NORMALIZED copies
+  * of the vectors: for unit vectors ‖q̂−d̂‖² = 2−2·cos(q,d), so the
+  * normalized-L2 ranking IS the cosine ranking and the probe answers
+  * it exactly; the original Sort then re-ranks candidates by the true
+  * cosine expression. One source path may carry one index per metric.
+  *
   * FILTERED variant (metadata-filtered vector search — the most common
   * real-world query shape; the reference's collection metadata,
   * create_collections.py:150-154, exists precisely to filter
@@ -66,15 +76,32 @@ import graft.functions.FloatVecL2Sq
   *
   * {{{ Limit k → Sort(dist ASC) → Project → Filter(meta AND id IN cands) → Scan }}}
   *
-  * At exhaustive registration knobs the probe's candidates are the
-  * true global top-K′, so ≥ k surviving candidates GUARANTEES the
-  * filtered top-k is among them — the rewrite is then exact, not a
-  * recall trade. Fewer survivors → the exact plan, the recall-safety
-  * contract made productive instead of a hard block. The id-IN
-  * predicate is a pushable scan filter (parquet row-group pruning at
-  * scale), and the survivor count the rule pays at plan time is the
-  * same bounded probe the accelerated plan reuses conceptually — both
-  * are O(candidates), replacing an O(n) scan.
+  * The survivors ≥ k check makes the rewrite EXACT only when the probe
+  * candidates are the true global top-K′ — i.e. when the index was
+  * registered with exhaustive knobs. At approximate knobs the count
+  * can pass while the candidate set misses true filtered neighbors,
+  * silently degrading a query that would otherwise run the exact plan;
+  * the filtered (and batch-filtered) rewrites therefore require the
+  * registration to declare `exhaustiveProbe = true`, an explicit
+  * statement that nprobe covers all cells and efSearch exceeds every
+  * cell. Approximate registrations keep the exact plan for filtered
+  * shapes (counter-observable via [[filteredSkippedApprox]]); the
+  * unfiltered shapes keep the standard documented recall trade.
+  *
+  * Fewer survivors than k → the exact plan, the recall-safety contract
+  * made productive instead of a hard block. The id-IN predicate is a
+  * pushable scan filter (parquet row-group pruning at scale), and the
+  * survivor count the rule pays at plan time is the same bounded probe
+  * the accelerated plan reuses conceptually — both are O(candidates),
+  * replacing an O(n) scan.
+  *
+  * PLAN-TIME PURITY: the filtered and batch rewrites run real (bounded)
+  * Spark jobs inside the optimizer. Every `Dataset` re-plans, and
+  * `.explain()` re-plans again — so probe results AND declined
+  * decisions are memoized per (index, query vector / query-side plan,
+  * canonicalized filter, k). A repeat plan of the same shape splices
+  * the cached candidate ids (or declines from cache) without touching
+  * the cluster; the caches clear whenever the registry changes.
   *
   * The unfiltered match is deliberately strict — the Project must sit
   * DIRECTLY on the scan — and the strictness doubles as the idempotence
@@ -88,8 +115,7 @@ import graft.functions.FloatVecL2Sq
   * Known limitation, by design: a `cache()`d source table is
   * substituted with an InMemoryRelation before optimization, which
   * hides the scan's path — such plans keep the exact path (correct,
-  * just unaccelerated). Registration is per source path, so per
-  * (table, index) pair.
+  * just unaccelerated). Registration is per (source path, metric).
   */
 object AnnIndexRewrite extends Rule[LogicalPlan] {
 
@@ -98,6 +124,11 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     * its centroids, and the search knobs frozen at registration.
     * `overfetch` widens the candidate set the exact re-rank sees
     * (ties at the k-th boundary, future filtered variants).
+    * `metric` is the distance family the index answers: "l2" over the
+    * raw vectors, or "cosine" over L2-normalized copies (see the
+    * class doc). `exhaustiveProbe` declares that nprobe covers every
+    * cell and efSearch exceeds every cell size — the precondition for
+    * the filtered rewrites' exactness argument.
     */
   final case class IndexSpec(
       index: DataFrame,
@@ -113,23 +144,36 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
       // filteredOverfetch must contain ≥ k filter survivors for the
       // rewrite to fire; 16 covers selectivity down to ~1/16th with the
       // default overfetch headroom)
-      filteredOverfetch: Int = 16)
+      filteredOverfetch: Int = 16,
+      metric: String = "l2",
+      exhaustiveProbe: Boolean = false)
 
-  /** Fitted indexes keyed by normalized source path (the scan's root
-    * path URI path component). Registration is session-lived, like a
-    * temp view.
+  /** Fitted indexes keyed by (normalized source path, metric). One
+    * table may carry both an L2 and a cosine index. Registration is
+    * session-lived, like a temp view.
     */
   private val registry = TrieMap.empty[String, IndexSpec]
 
   def normalize(path: String): String =
     new org.apache.hadoop.fs.Path(path).toUri.getPath
 
-  def register(sourcePath: String, spec: IndexSpec): Unit =
-    registry.put(normalize(sourcePath), spec)
+  private val Metrics = Seq("l2", "cosine")
 
-  def unregister(sourcePath: String): Unit = registry.remove(normalize(sourcePath))
+  private def regKey(path: String, metric: String): String =
+    normalize(path) + "#" + metric
 
-  def clear(): Unit = registry.clear()
+  def register(sourcePath: String, spec: IndexSpec): Unit = {
+    require(Metrics.contains(spec.metric), s"unknown metric '${spec.metric}'")
+    registry.put(regKey(sourcePath, spec.metric), spec)
+    invalidateProbeCaches()
+  }
+
+  def unregister(sourcePath: String): Unit = {
+    Metrics.foreach(m => registry.remove(regKey(sourcePath, m)))
+    invalidateProbeCaches()
+  }
+
+  def clear(): Unit = { registry.clear(); invalidateProbeCaches() }
 
   /** Count of rewrites applied in this JVM — observability for specs
     * and operators (a registered index that never fires is a config
@@ -149,8 +193,38 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     */
   val filteredFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Count of filtered-pattern matches declined WITHOUT probing because
+    * the registration did not declare `exhaustiveProbe` — the filtered
+    * exactness argument needs true global top-K′ candidates, so an
+    * approximate index keeps the exact plan for filtered shapes.
+    */
+  val filteredSkippedApprox = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Count of BATCH (multi-query window top-k) rewrites applied. */
   val firedBatch = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Count of batch-FILTERED rewrites applied (the multi-query window
+    * top-k with a metadata Filter under the join — the realest
+    * production shape; disjoint from [[firedBatch]]).
+    */
+  val firedBatchFiltered = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Count of batch-filtered matches that probed but declined because
+    * some query had fewer than k filter survivors among its candidates.
+    */
+  val batchFilteredFallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // ---- plan-time probe memoization -----------------------------------
+  // Optimizer rules re-run on every new Dataset of the same shape and on
+  // every explain(); the probe jobs are bounded but real, so both FIRE
+  // results (candidate ids) and DECLINE decisions are cached. Cleared on
+  // any registry mutation (the only way index content legitimately
+  // changes under the rule's contract).
+  private val probeDecisions = TrieMap.empty[String, Option[IndexedSeq[Any]]]
+  private def invalidateProbeCaches(): Unit = probeDecisions.clear()
+
+  private def specCacheKey(spec: IndexSpec): String =
+    spec.indexPath.getOrElse("df@" + System.identityHashCode(spec.index))
 
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.ann.rewrite", "true").toBoolean
@@ -168,15 +242,28 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     BigInt(SQLConf.get.getConfString(
       "spark.graft.ann.batchRewrite.minScanBytes", "67108864"))
 
-  /** The scan's registered spec, if any. V1 parquet path only — that is
-    * what `spark.read.parquet` yields under the default
-    * `spark.sql.sources.useV1SourceList`.
+  /** Log-once flag for the no-current-session decline (ADVICE r15: an
+    * invisible perf cliff should at least log its first occurrence).
     */
-  private def specOf(leaf: LogicalPlan): Option[IndexSpec] = leaf match {
+  private val warnedNoSession = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** The scan's registered spec for `metric`, if any, owned by the
+    * current session. V1 parquet path only — that is what
+    * `spark.read.parquet` yields under the default
+    * `spark.sql.sources.useV1SourceList`.
+    *
+    * `cur` is the session the plan is being optimized FOR: the
+    * session-bound [[AnnIndexRewriteRule]] passes its injected session
+    * (correct even when planning happens off-thread — thread pools,
+    * streaming foreachBatch); the bare object falls back to the
+    * thread-local active session.
+    */
+  private def specOf(leaf: LogicalPlan, metric: String,
+      cur: Option[SparkSession]): Option[IndexSpec] = leaf match {
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation =>
         h.location.rootPaths.headOption.flatMap { p =>
-          val key = p.toUri.getPath
+          val key = p.toUri.getPath + "#" + metric
           registry.get(key).flatMap { spec =>
             // a registration outlives its owning session only as a bug:
             // handing a stopped session's DataFrame to a live query
@@ -184,8 +271,15 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
             // query falls back to the exact plan (the rule's contract).
             if (spec.index.sparkSession.sparkContext.isStopped) {
               registry.remove(key); None
-            } else if (!org.apache.spark.sql.SparkSession.getActiveSession
-                .exists(_ eq spec.index.sparkSession)) {
+            } else if (cur.isEmpty) {
+              if (warnedNoSession.compareAndSet(false, true)) {
+                logWarning("graft ANN rewrite: no current session to check " +
+                  "registration ownership against; keeping the exact plan " +
+                  "(register via a session built withExtensions(GraftExtensions) " +
+                  "to bind the rule to its session)")
+              }
+              None
+            } else if (!cur.exists(_ eq spec.index.sparkSession)) {
               // registration is SESSION-lived (like a temp view), but the
               // registry is JVM-global keyed by path: a DIFFERENT live
               // session scanning the same path must not get this
@@ -200,24 +294,101 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private def stripCasts(e: Expression): Expression = e match {
+    case c: Cast => stripCasts(c.child)
+    case other => other
+  }
+
+  private def litVec(e: Expression): Option[Array[Float]] = e match {
+    case Literal(arr: ArrayData, ArrayType(FloatType, _)) => Some(arr.toFloatArray())
+    case _ => None
+  }
+
+  /** literal-vs-column squared L2, under any monotone wrapper (casts,
+    * sqrt) — a monotone transform preserves the ascending ranking the
+    * probe answers.
+    */
+  private def matchL2(e0: Expression): Option[(Array[Float], AttributeReference)] = {
+    val e = stripCasts(e0) match {
+      case Sqrt(inner) => stripCasts(inner)
+      case other => other
+    }
+    e match {
+      case FloatVecL2Sq(l, a: AttributeReference) => litVec(l).map((_, a))
+      case FloatVecL2Sq(a: AttributeReference, l) => litVec(l).map((_, a))
+      case _ => None
+    }
+  }
+
+  /** literal-vs-column COSINE distance: `c − sim` (any foldable c — a
+    * constant shift keeps the ordering) or `−sim`, where
+    * `sim = dot(q, e) / (qn · sqrt(dot(e, e)))` and qn is any positive
+    * foldable factor (the query-side norm `sqrt(dot(q, q))` is foldable
+    * and may or may not already be constant-folded when the rule runs —
+    * both shapes must match, since this rule shares a fixed-point batch
+    * with ConstantFolding).
+    */
+  private def matchCosine(e0: Expression): Option[(Array[Float], AttributeReference)] = {
+    def docNormAttr(e: Expression): Option[AttributeReference] = stripCasts(e) match {
+      case Sqrt(inner) => stripCasts(inner) match {
+        case FloatVecDot(x: AttributeReference, y: AttributeReference)
+            if x.exprId == y.exprId => Some(x)
+        case _ => None
+      }
+      case _ => None
+    }
+    def constPos(e: Expression): Boolean = e.foldable && {
+      e.eval(null) match {
+        case n: java.lang.Number => n.doubleValue() > 0.0
+        case _ => false
+      }
+    }
+    def sim(e: Expression): Option[(Array[Float], AttributeReference)] =
+      stripCasts(e) match {
+        case Divide(num, den, _) =>
+          val numPair = stripCasts(num) match {
+            case FloatVecDot(l, a: AttributeReference) => litVec(l).map((_, a))
+            case FloatVecDot(a: AttributeReference, l) => litVec(l).map((_, a))
+            case _ => None
+          }
+          numPair.filter { case (_, attr) =>
+            stripCasts(den) match {
+              case Multiply(x, y, _) =>
+                (docNormAttr(x).exists(_.exprId == attr.exprId) && constPos(y)) ||
+                  (docNormAttr(y).exists(_.exprId == attr.exprId) && constPos(x))
+              case _ => false
+            }
+          }
+        case _ => None
+      }
+    stripCasts(e0) match {
+      case Subtract(c, s, _) if c.foldable => sim(s)
+      case UnaryMinus(s, _) => sim(s)
+      case _ => None
+    }
+  }
+
   /** Resolve the first sort key to the expression it names (through the
-    * Project's aliases), then destructure the literal-vs-column L2
-    * pattern.
+    * Project's aliases), then destructure the literal-vs-column
+    * distance pattern. Returns the PROBE vector (L2-normalized for the
+    * cosine metric — the cosine index stores normalized vectors, see
+    * the class doc), the embedding attribute, and the metric.
     */
   private def queryVectorOf(
       key: Expression,
-      projList: Seq[NamedExpression]): Option[(Array[Float], AttributeReference)] = {
+      projList: Seq[NamedExpression]): Option[(Array[Float], AttributeReference, String)] = {
     val resolved = key match {
       case a: AttributeReference =>
         projList.collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
       case e => Some(e)
     }
-    resolved.flatMap {
-      case FloatVecL2Sq(Literal(arr: ArrayData, ArrayType(FloatType, _)), a: AttributeReference) =>
-        Some((arr.toFloatArray(), a))
-      case FloatVecL2Sq(a: AttributeReference, Literal(arr: ArrayData, ArrayType(FloatType, _))) =>
-        Some((arr.toFloatArray(), a))
-      case _ => None
+    resolved.flatMap { e =>
+      matchL2(e).map { case (qv, a) => (qv, a, "l2") }
+        .orElse(matchCosine(e).flatMap { case (qv, a) =>
+          val n = math.sqrt(qv.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+          if (n == 0.0) None // zero query vector: cosine undefined, keep exact
+          else Some((qv.map(x => (x / n).toFloat), a, "cosine"))
+        })
     }
   }
 
@@ -226,9 +397,9 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     * `Sort(dist ASC) → Project → (Scan ⋉ probe)`, or None if the shape
     * / registration / sort key doesn't qualify.
     */
-  private def rewriteSort(srt: Sort, k: Int,
-      guard: IndexSpec => Boolean): Option[Sort] =
-    try rewriteSortUnsafe(srt, k, guard)
+  private def rewriteSort(srt: Sort, k: Int, guard: IndexSpec => Boolean,
+      cur: Option[SparkSession]): Option[Sort] =
+    try rewriteSortUnsafe(srt, k, guard, cur)
     catch {
       // The planner contract: a failed ACCELERATION attempt (corrupt
       // index files, a mid-flight dropped registration, an unexpected
@@ -255,103 +426,118 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
   /** The FILTERED pattern's adaptive rewrite: probe with the enlarged
     * candidate set, count the filter's survivors at plan time, splice
     * the candidate-id predicate only when survivors ≥ k (else the exact
-    * plan — the recall-safety fallback, counter-observable).
+    * plan — the recall-safety fallback, counter-observable). Requires
+    * `exhaustiveProbe` on the registration (see the class doc); both
+    * the probe and the decline are memoized per plan shape.
     */
   private def rewriteFiltered(
       srt: Sort, p: Project, flt: Filter, projList: Seq[NamedExpression],
-      key: Expression, spec: IndexSpec, k: Int): Option[Sort] = {
+      key: Expression, k: Int, cur: Option[SparkSession]): Option[Sort] = {
     // attrs are resolved against the Filter's child (which may be a
     // column-pruning Project over the scan — plain attrs pass through
     // it with unchanged exprIds, so the spliced In stays bound)
     val below = flt.child
-    (queryVectorOf(key, projList), below.output.find(_.name == spec.idCol)) match {
-      case (Some((qv, embAttr)), Some(leftId))
-          if below.outputSet.contains(embAttr) && embAttr.name == spec.embCol &&
-            flt.condition.deterministic && !hasCandidateIn(flt.condition, leftId) =>
-        val spark = spec.index.sparkSession
-        import spark.implicits._
-        val kp = math.max(k, 1) * math.max(spec.overfetch, 1) *
-          math.max(spec.filteredOverfetch, 1)
-        val idx = spec.indexPath.map(spark.read.parquet(_)).getOrElse(spec.index)
-        val candIds = graft.search.Hnsw.searchRoutedIndex(
-          spark, Seq((0L, qv)).toDF("qid", "qemb"), idx, spec.centroids,
-          k = kp, nprobe = spec.nprobe, efSearch = spec.efSearch,
-          idCol = spec.idCol, embCol = spec.embCol)
-          .select(spec.idCol).collect().map(_.get(0))
-        val candIn = In(leftId,
-          candIds.map(v => Literal.create(v, leftId.dataType)).toIndexedSeq)
-        val survivors = org.apache.spark.sql.graft.PlanOps
-          .ofRows(spark, Filter(And(flt.condition, candIn), below)).count()
-        if (survivors < k) {
-          filteredFallbacks.incrementAndGet()
-          logInfo(s"graft ANN filtered rewrite: only $survivors of " +
-            s"${candIds.length} probe candidates survive the filter (< k=$k); " +
-            "keeping the exact plan")
-          None
-        } else {
-          firedFiltered.incrementAndGet()
-          logInfo(s"graft ANN filtered rewrite: Sort+Limit($k) over filtered " +
-            s"${spec.idCol}-indexed scan → candidate-id predicate " +
-            s"(${candIds.length} candidates, $survivors filter survivors)")
-          Some(srt.copy(child =
-            p.copy(child = flt.copy(condition = And(flt.condition, candIn)))))
-        }
-      case _ => None
+    val scanLeaf = leafThroughProjects(below)
+    queryVectorOf(key, projList).flatMap { case (qv, embAttr, metric) =>
+      specOf(scanLeaf, metric, cur).flatMap { spec =>
+          below.output.find(_.name == spec.idCol) match {
+            case Some(leftId)
+                if below.outputSet.contains(embAttr) && embAttr.name == spec.embCol &&
+                  flt.condition.deterministic && !hasCandidateIn(flt.condition, leftId) =>
+              if (!spec.exhaustiveProbe) {
+                filteredSkippedApprox.incrementAndGet()
+                logInfo("graft ANN filtered rewrite: registration is not " +
+                  "exhaustiveProbe — survivors >= k would not imply exactness; " +
+                  "keeping the exact plan")
+                None
+              } else {
+                val spark = spec.index.sparkSession
+                val kp = math.max(k, 1) * math.max(spec.overfetch, 1) *
+                  math.max(spec.filteredOverfetch, 1)
+                val cacheKey = s"${specCacheKey(spec)}|flt|$metric|k=$k|" +
+                  s"qv=${qv.mkString(",")}|cond=${flt.condition.canonicalized}"
+                val decision = probeDecisions.getOrElseUpdate(cacheKey, {
+                  import spark.implicits._
+                  val idx = spec.indexPath.map(spark.read.parquet(_)).getOrElse(spec.index)
+                  val candIds = graft.search.Hnsw.searchRoutedIndex(
+                    spark, Seq((0L, qv)).toDF("qid", "qemb"), idx, spec.centroids,
+                    k = kp, nprobe = spec.nprobe, efSearch = spec.efSearch,
+                    idCol = spec.idCol, embCol = spec.embCol)
+                    .select(spec.idCol).collect().map(_.get(0)).toIndexedSeq
+                  val candIn = In(leftId,
+                    candIds.map(v => Literal.create(v, leftId.dataType)))
+                  val survivors = org.apache.spark.sql.graft.PlanOps
+                    .ofRows(spark, Filter(And(flt.condition, candIn), below)).count()
+                  if (survivors < k) {
+                    logInfo(s"graft ANN filtered rewrite: only $survivors of " +
+                      s"${candIds.length} probe candidates survive the filter (< k=$k); " +
+                      "keeping the exact plan")
+                    None
+                  } else {
+                    logInfo(s"graft ANN filtered rewrite: Sort+Limit($k) over filtered " +
+                      s"${spec.idCol}-indexed scan → candidate-id predicate " +
+                      s"(${candIds.length} candidates, $survivors filter survivors)")
+                    Some(candIds)
+                  }
+                })
+                decision match {
+                  case None =>
+                    filteredFallbacks.incrementAndGet()
+                    None
+                  case Some(candIds) =>
+                    firedFiltered.incrementAndGet()
+                    val candIn = In(leftId,
+                      candIds.map(v => Literal.create(v, leftId.dataType)))
+                    Some(srt.copy(child =
+                      p.copy(child = flt.copy(condition = And(flt.condition, candIn)))))
+                }
+              }
+            case _ => None
+          }
+      }
     }
   }
 
-  private def rewriteSortUnsafe(srt: Sort, k: Int,
-      guard: IndexSpec => Boolean): Option[Sort] = srt match {
+  private def rewriteSortUnsafe(srt: Sort, k: Int, guard: IndexSpec => Boolean,
+      cur: Option[SparkSession]): Option[Sort] = srt match {
     case Sort(SortOrder(key, Ascending, _, _) +: _, true,
-        p @ Project(projList, flt @ Filter(_, fc)), _) =>
-      // look through a column-pruning Project (attribute-only) that the
-      // optimizer may have inserted between the Filter and the scan
-      val scanLeaf = fc match {
-        case Project(cols, inner) if cols.forall(_.isInstanceOf[AttributeReference]) =>
-          inner
-        case other => other
-      }
-      specOf(scanLeaf).flatMap { spec =>
-        rewriteFiltered(srt, p, flt, projList, key, spec, k)
-      }
+        p @ Project(projList, flt @ Filter(_, _)), _) =>
+      rewriteFiltered(srt, p, flt, projList, key, k, cur)
     case Sort(SortOrder(key, Ascending, _, _) +: _, true,
         p @ Project(projList, leaf), _) =>
-      specOf(leaf).filter(guard).flatMap { spec =>
-        (queryVectorOf(key, projList), leaf.output.find(_.name == spec.idCol)) match {
-          case (Some((qv, embAttr)), Some(leftId))
-              if leaf.outputSet.contains(embAttr) && embAttr.name == spec.embCol =>
-            val spark = spec.index.sparkSession
-            import spark.implicits._
-            // exprId hygiene for MULTIPLE patterns in one query: a
-            // path-backed spec splices a FRESH read per rewrite (fresh
-            // relation attrs every time); a DataFrame-backed spec can
-            // only be spliced once per plan — if its attrs are already
-            // in the tree, this match keeps the exact plan (never
-            // wrong, only unaccelerated).
-            val idx = spec.indexPath.map(spark.read.parquet(_)).getOrElse(spec.index)
-            val probe = graft.search.Hnsw.searchRoutedIndex(
-              spark, Seq((0L, qv)).toDF("qid", "qemb"),
-              idx, spec.centroids,
-              k = math.max(k, 1) * math.max(spec.overfetch, 1),
-              nprobe = spec.nprobe, efSearch = spec.efSearch,
-              idCol = spec.idCol, embCol = spec.embCol)
-              .select(spec.idCol)
-            val right = EliminateSubqueryAliases(probe.queryExecution.analyzed)
-            val join = Join(leaf, right, LeftSemi,
-              Some(EqualTo(leftId, right.output.head)), JoinHint.NONE)
-            fired.incrementAndGet()
-            logInfo(s"graft ANN rewrite: Sort+Limit($k) over " +
-              s"${spec.idCol}-indexed scan → semi-join with stored-index probe")
-            Some(srt.copy(child = p.copy(child = join)))
-          case _ => None
+      queryVectorOf(key, projList).flatMap { case (qv, embAttr, metric) =>
+        specOf(leaf, metric, cur).filter(guard).flatMap { spec =>
+          leaf.output.find(_.name == spec.idCol) match {
+            case Some(leftId)
+                if leaf.outputSet.contains(embAttr) && embAttr.name == spec.embCol =>
+              val spark = spec.index.sparkSession
+              import spark.implicits._
+              // exprId hygiene for MULTIPLE patterns in one query: a
+              // path-backed spec splices a FRESH read per rewrite (fresh
+              // relation attrs every time); a DataFrame-backed spec can
+              // only be spliced once per plan — if its attrs are already
+              // in the tree, this match keeps the exact plan (never
+              // wrong, only unaccelerated).
+              val idx = spec.indexPath.map(spark.read.parquet(_)).getOrElse(spec.index)
+              val probe = graft.search.Hnsw.searchRoutedIndex(
+                spark, Seq((0L, qv)).toDF("qid", "qemb"),
+                idx, spec.centroids,
+                k = math.max(k, 1) * math.max(spec.overfetch, 1),
+                nprobe = spec.nprobe, efSearch = spec.efSearch,
+                idCol = spec.idCol, embCol = spec.embCol)
+                .select(spec.idCol)
+              val right = EliminateSubqueryAliases(probe.queryExecution.analyzed)
+              val join = Join(leaf, right, LeftSemi,
+                Some(EqualTo(leftId, right.output.head)), JoinHint.NONE)
+              fired.incrementAndGet()
+              logInfo(s"graft ANN rewrite ($metric): Sort+Limit($k) over " +
+                s"${spec.idCol}-indexed scan → semi-join with stored-index probe")
+              Some(srt.copy(child = p.copy(child = join)))
+            case _ => None
+          }
         }
       }
     case _ => None
-  }
-
-  private def stripCasts(e: Expression): Expression = e match {
-    case c: Cast => stripCasts(c.child)
-    case other => other
   }
 
   /** The (x, y) attribute pair of an L2 sort key — the raw squared
@@ -377,6 +563,16 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
       leafThroughProjects(inner)
     case other => other
   }
+
+  /** Split a join side into (optional metadata Filter, scan leaf),
+    * looking through column-pruning Projects on both sides of the
+    * Filter — the batch-FILTERED shape.
+    */
+  private def splitFilter(p: LogicalPlan): (Option[Filter], LogicalPlan) =
+    leafThroughProjects(p) match {
+      case f @ Filter(_, c) => (Some(f), leafThroughProjects(c))
+      case other => (None, other)
+    }
 
   /** Most query rows the batch rewrite will route at plan time — the
     * reference workload is a handful of query vectors per run; a
@@ -405,19 +601,33 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     * per-qid window re-ranks exactly (at exhaustive registration knobs
     * this is equality, not a recall trade). The window machinery —
     * partial top-k pre-shuffle included — is untouched; only its input
-    * shrinks from |Q|·n to |Q|·|cands|. Idempotence: the spliced
-    * Filter sits between the Join and the scan, so `leafThroughProjects`
-    * no longer reaches a registered relation on re-entry.
+    * shrinks from |Q|·n to |Q|·|cands|.
+    *
+    * BATCH × FILTERED composition: when a deterministic metadata Filter
+    * sits between the join and the scan (5 queries × `where label = …`
+    * — the realest production shape), the rule probes with the
+    * filtered-enlarged candidate set (k · overfetch · filteredOverfetch
+    * per query), counts EACH query's filter survivors at plan time, and
+    * fires only when EVERY query keeps ≥ k survivors (one short query
+    * would silently lose neighbors — all-or-nothing is the recall-safe
+    * choice for a single shared plan). Requires `exhaustiveProbe`, like
+    * the single-query filtered rewrite, and for the same reason.
+    *
+    * Idempotence: the spliced Filter(id IN cands) sits between the Join
+    * and the previous top of the scan side; on re-entry `splitFilter`
+    * finds it, and `hasCandidateIn` marks it (also after CombineFilters
+    * merges it with the metadata predicate).
     */
-  private def rewriteWindowTopK(f: Filter): Option[Filter] =
-    try rewriteWindowTopKUnsafe(f)
+  private def rewriteWindowTopK(f: Filter, cur: Option[SparkSession]): Option[Filter] =
+    try rewriteWindowTopKUnsafe(f, cur)
     catch {
       case e: Exception =>
         logWarning(s"graft batch ANN rewrite failed; keeping the exact plan: ${e.getMessage}")
         None
     }
 
-  private def rewriteWindowTopKUnsafe(f: Filter): Option[Filter] = {
+  private def rewriteWindowTopKUnsafe(f: Filter,
+      cur: Option[SparkSession]): Option[Filter] = {
     val rkK = f.condition match {
       case LessThanOrEqual(a: AttributeReference, IntegerLiteral(kv)) if kv > 0 =>
         Some((a, kv))
@@ -457,8 +667,8 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
               resolvedKey.flatMap(l2Pair).flatMap { case (x, y) =>
                 val cands = for {
                   (scanSide, querySide) <- Seq((l, r), (r, l))
-                  leaf = leafThroughProjects(scanSide)
-                  spec <- specOf(leaf).toSeq
+                  (fltOpt, leaf) = splitFilter(scanSide)
+                  spec <- specOf(leaf, "l2", cur).toSeq
                   if leaf.stats.sizeInBytes >= batchMinScanBytes
                   embAttr <- Seq(x, y).find(a =>
                     scanSide.outputSet.contains(a) && a.name == spec.embCol).toSeq
@@ -466,34 +676,87 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                   if querySide.outputSet.contains(qembAttr) &&
                     querySide.outputSet.contains(qid)
                   idAttr <- scanSide.output.find(_.name == spec.idCol).toSeq
-                } yield (scanSide, querySide, spec, qembAttr, idAttr)
-                cands.headOption.flatMap { case (scanSide, querySide, spec, qembAttr, idAttr) =>
-                  val spark = spec.index.sparkSession
-                  val qdf = org.apache.spark.sql.graft.PlanOps
-                    .ofRows(spark, Project(Seq(qid, qembAttr), querySide))
-                    .toDF("qid", "qemb")
-                  if (qdf.limit(MaxBatchQueries + 1).count() > MaxBatchQueries) None
-                  else {
-                    val kp = math.max(k, 1) * math.max(spec.overfetch, 1)
-                    val idx = spec.indexPath.map(spark.read.parquet(_)).getOrElse(spec.index)
-                    val candIds = graft.search.Hnsw.searchRoutedIndex(
-                      spark, qdf, idx, spec.centroids,
-                      k = kp, nprobe = spec.nprobe, efSearch = spec.efSearch,
-                      idCol = spec.idCol, embCol = spec.embCol)
-                      .select(spec.idCol).distinct().collect().map(_.get(0))
-                    if (candIds.isEmpty) None
-                    else {
-                      val candIn = In(idAttr,
-                        candIds.map(v => Literal.create(v, idAttr.dataType)).toIndexedSeq)
-                      firedBatch.incrementAndGet()
-                      logInfo(s"graft batch ANN rewrite: window top-$k over " +
-                        s"${spec.idCol}-indexed scan → one multi-query probe " +
-                        s"(${candIds.length} candidate ids)")
-                      Some(f.transformUp {
-                        case p if p eq scanSide => Filter(candIn, scanSide)
-                      }.asInstanceOf[Filter])
+                  if fltOpt.forall(fl => fl.condition.deterministic &&
+                    !hasCandidateIn(fl.condition, idAttr))
+                  // batch-filtered exactness needs exhaustive candidates,
+                  // exactly like the single-query filtered rewrite
+                  if fltOpt.isEmpty || spec.exhaustiveProbe
+                } yield (scanSide, querySide, spec, qembAttr, idAttr, fltOpt)
+                cands.headOption.flatMap {
+                  case (scanSide, querySide, spec, qembAttr, idAttr, fltOpt) =>
+                    val spark = spec.index.sparkSession
+                    val filtered = fltOpt.isDefined
+                    val cacheKey = s"${specCacheKey(spec)}|batch|k=$k|" +
+                      s"q=${querySide.canonicalized}|" +
+                      s"cond=${fltOpt.map(_.condition.canonicalized.toString).getOrElse("")}"
+                    val decision = probeDecisions.getOrElseUpdate(cacheKey, {
+                      val qdf = org.apache.spark.sql.graft.PlanOps
+                        .ofRows(spark, Project(Seq(qid, qembAttr), querySide))
+                        .toDF("qid", "qemb")
+                      if (qdf.limit(MaxBatchQueries + 1).count() > MaxBatchQueries) None
+                      else {
+                        val kp = math.max(k, 1) * math.max(spec.overfetch, 1) *
+                          (if (filtered) math.max(spec.filteredOverfetch, 1) else 1)
+                        val idx = spec.indexPath.map(spark.read.parquet(_))
+                          .getOrElse(spec.index)
+                        val probe = graft.search.Hnsw.searchRoutedIndex(
+                          spark, qdf, idx, spec.centroids,
+                          k = kp, nprobe = spec.nprobe, efSearch = spec.efSearch,
+                          idCol = spec.idCol, embCol = spec.embCol)
+                        fltOpt match {
+                          case None =>
+                            val ids = probe.select(spec.idCol).distinct()
+                              .collect().map(_.get(0)).toIndexedSeq
+                            if (ids.isEmpty) None else Some(ids)
+                          case Some(flt) =>
+                            // per-query survivor check: collect the bounded
+                            // (qid, id) pairs, evaluate the metadata filter
+                            // once over the distinct candidates, and require
+                            // EVERY query to keep >= k survivors
+                            val pairs = probe
+                              .select(org.apache.spark.sql.functions.col("qid"),
+                                org.apache.spark.sql.functions.col(spec.idCol))
+                              .collect().map(row => (row.get(0), row.get(1)))
+                            val distinctIds = pairs.map(_._2).distinct.toIndexedSeq
+                            if (distinctIds.isEmpty) None
+                            else flt.child.output.find(_.name == spec.idCol)
+                              .flatMap { belowId =>
+                                val candInBelow = In(belowId, distinctIds
+                                  .map(v => Literal.create(v, belowId.dataType)))
+                                val survived = org.apache.spark.sql.graft.PlanOps
+                                  .ofRows(spark,
+                                    Project(Seq(belowId),
+                                      Filter(And(flt.condition, candInBelow), flt.child)))
+                                  .collect().map(_.get(0)).toSet
+                                val minSurvivors = pairs.groupBy(_._1).values
+                                  .map(_.count(pr => survived.contains(pr._2))).min
+                                if (minSurvivors < k) {
+                                  logInfo(s"graft batch ANN filtered rewrite: a query " +
+                                    s"keeps only $minSurvivors filter survivors (< k=$k); " +
+                                    "keeping the exact plan")
+                                  None
+                                } else Some(distinctIds)
+                              }
+                        }
+                      }
+                    })
+                    decision match {
+                      case None =>
+                        if (filtered) batchFilteredFallbacks.incrementAndGet()
+                        None
+                      case Some(candIds) =>
+                        val candIn = In(idAttr,
+                          candIds.map(v => Literal.create(v, idAttr.dataType)))
+                        if (filtered) firedBatchFiltered.incrementAndGet()
+                        else firedBatch.incrementAndGet()
+                        logInfo(s"graft batch ANN rewrite" +
+                          s"${if (filtered) " (filtered)" else ""}: window top-$k over " +
+                          s"${spec.idCol}-indexed scan → one multi-query probe " +
+                          s"(${candIds.length} candidate ids)")
+                        Some(f.transformUp {
+                          case p if p eq scanSide => Filter(candIn, scanSide)
+                        }.asInstanceOf[Filter])
                     }
-                  }
                 }
               }
             case _ => None
@@ -513,7 +776,17 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  /** The bare object remains a usable Rule (specs apply it directly;
+    * `spark.experimental.extraOptimizations` users too) — it falls back
+    * to the THREAD-LOCAL active session for the ownership check. The
+    * session-bound [[AnnIndexRewriteRule]] injected by GraftExtensions
+    * passes the owning session explicitly, which stays correct on
+    * sessionless planner threads (ADVICE r15).
+    */
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    applyWith(plan, SparkSession.getActiveSession)
+
+  def applyWith(plan: LogicalPlan, cur: Option[SparkSession]): LogicalPlan = {
     if (!enabled || registry.isEmpty) return plan
     // exprId hygiene: a DataFrame-backed spec holds ONE analyzed index
     // subtree, so splicing it twice into one plan would duplicate its
@@ -527,7 +800,7 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     plan.transformDown {
       // the analyzed shape: Limit directly over the Sort
       case gl @ GlobalLimit(IntegerLiteral(k), ll @ LocalLimit(_, srt: Sort)) =>
-        rewriteSort(srt, k, guardDf)
+        rewriteSort(srt, k, guardDf, cur)
           .map(ns => gl.copy(child = ll.copy(child = ns)))
           .getOrElse(gl)
       // after projection pushdown the optimizer moves row-preserving
@@ -537,14 +810,25 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
       case gl @ GlobalLimit(IntegerLiteral(k),
           ll @ LocalLimit(_, mid @ Project(midList, srt: Sort)))
           if midList.forall(_.deterministic) =>
-        rewriteSort(srt, k, guardDf)
+        rewriteSort(srt, k, guardDf, cur)
           .map(ns => gl.copy(child = ll.copy(child = mid.copy(child = ns))))
           .getOrElse(gl)
       // the BATCH shape: rank-filtered row_number window over a
       // broadcast cross join (KnnExact.topK) — one probe for all
       // queries, cost-gated by scan size
       case f @ Filter(LessThanOrEqual(_: AttributeReference, IntegerLiteral(_)), _) =>
-        rewriteWindowTopK(f).getOrElse(f)
+        rewriteWindowTopK(f, cur).getOrElse(f)
     }
   }
+}
+
+/** The session-bound form GraftExtensions injects: carries the session
+  * the rule was built FOR, so the registration-ownership check does not
+  * depend on the thread-local active session (which is absent on
+  * planner thread pools and inside streaming foreachBatch — ADVICE
+  * r15's invisible perf cliff).
+  */
+final class AnnIndexRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    AnnIndexRewrite.applyWith(plan, Option(session))
 }
