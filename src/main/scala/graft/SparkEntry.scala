@@ -169,6 +169,11 @@ object SparkEntry {
       catch { case _: Throwable => () }
       it3.remove()
     }
+    transientCheckpoints.forEach { f =>
+      try f.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    transientCheckpoints.clear()
     pqCodebookCache.clear() // driver-side Seqs, nothing persisted
     kmeansCache.clear()
     w2vCache.clear() // driver-side models, nothing persisted
@@ -634,11 +639,26 @@ object SparkEntry {
             expr(s"(15 * cast($base as bigint) + " +
               "85 * coalesce(sh, cast(0 as bigint))) div 100").as("r"))
       }
-      ranks.select(col("id").as("vec_id"), col("r").cast("long").as("rank_fp"))
+      val out = ranks
+        .select(col("id").as("vec_id"), col("r").cast("long").as("rank_fp"))
         .orderBy("vec_id")
         .localCheckpoint(true) // result materialized so edgeDeg can drop
+      // The returned frame OWNS cached blocks (it is handed to the
+      // caller as the query result, so it cannot be unpersisted here);
+      // ownership transfers to the transient registry and
+      // clearCaches() releases it — the edgeDeg try/finally discipline
+      // extended to the function's own return value (ADVICE r15).
+      transientCheckpoints.add(out)
+      out
     } finally graft.textual.Bpe.unpersistCheckpoint(edgeDeg)
   }
+
+  /** Eager localCheckpoints returned AS query results: the caller needs
+    * the materialized frame, so the producing function cannot release
+    * it — ownership lands here and [[clearCaches]] drops the blocks.
+    */
+  private val transientCheckpoints =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
 
   /** DuckDB CTE chain mirroring [[winnowFrame]] (ends in `w(doc_id, gh,
     * sel)`).
@@ -4172,6 +4192,41 @@ object SparkEntry {
         .withColumn("rewrite_fired", lit(firedNow))
     }),
 
+    // PLANNER-CHOSEN **COSINE** ANN: the same declarative
+    // distance-orderBy-limit pattern with a COSINE sort key
+    // (1 − dot(q,e)/(‖e‖·‖q‖) — ascending distance = descending
+    // similarity, ChromaDB's most-used alternate space). The registry
+    // keys by (path, metric), so the cosine key probes the index
+    // registered with metric = "cosine", built over L2-NORMALIZED
+    // copies of the vectors: for unit vectors ‖q̂−d̂‖² = 2−2·cos, so
+    // the normalized-L2 probe ranking IS the cosine ranking and the
+    // original Sort re-ranks candidates by the true cosine expression.
+    // Exhaustive registration knobs → the rewritten plan HASH-MATCHES
+    // the closed-form exact cosine top-k; rewrite_fired pins in the
+    // hash that the accelerated plan (not a silent exact fallback)
+    // produced these rows.
+    "ann_planner_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val qn = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val cdist = lit(1.0) -
+        (graft.functions.VectorExpressions.dot(typedLit(qv), col("embedding")) /
+          (sqrt(graft.functions.VectorExpressions.dot(
+            col("embedding"), col("embedding"))) * lit(qn)))
+      val before = graft.plans.AnnIndexRewrite.fired.get()
+      val topk = emb
+        .select(col("vec_id"), cdist.as("cdist"))
+        .orderBy(col("cdist"), col("vec_id"))
+        .limit(10)
+      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
+      val firedNow = graft.plans.AnnIndexRewrite.fired.get() > before
+      topk.select(col("vec_id"), round(col("cdist"), 4).as("cdist"))
+        .orderBy(col("cdist"), col("vec_id"))
+        .withColumn("rewrite_fired", lit(firedNow))
+    }),
+
     // BATCH planner ANN: the reference's ACTUAL workload shape — five
     // query vectors per run (chromadb_speed_experiment.py:651-657) —
     // whose Spark form is the W1 ranking window (row_number ≤ k per
@@ -4204,6 +4259,40 @@ object SparkEntry {
         case None => s.conf.unset(gate)
       }
       val firedNow = graft.plans.AnnIndexRewrite.firedBatch.get() > before
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+    }),
+
+    // BATCH × FILTERED planner ANN — the realest production shape: five
+    // query vectors × a metadata predicate (`where label = …`,
+    // create_collections.py:150-154 + chromadb_speed_experiment.py:
+    // 651-657) through the same W1 ranking window. The rule probes the
+    // stored index ONCE for all five queries with the filtered-enlarged
+    // candidate set (k·overfetch·filteredOverfetch per query), counts
+    // EACH query's filter survivors at plan time, and fires only when
+    // EVERY query keeps ≥ k survivors — all-or-nothing, because one
+    // short query in a shared plan would silently lose neighbors.
+    // Requires the exhaustive registration (sharedPlannerIndex declares
+    // it), so the rewritten plan HASH-MATCHES the closed-form exact
+    // filtered kNN; rewrite_fired pins the accelerated plan.
+    "ann_planner_filtered_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerIndex(s, dir) // build+register once per (session, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val before = graft.plans.AnnIndexRewrite.firedBatchFiltered.get()
+      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
+      val prev = s.conf.getOption(gate)
+      s.conf.set(gate, "0")
+      val res = try {
+        KnnExact.topK(q, emb.filter(col("label") === 3), 10)
+          .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+            round(col("dist"), 4).as("dist"))
+          .localCheckpoint(true)
+      } finally prev match {
+        case Some(v) => s.conf.set(gate, v)
+        case None => s.conf.unset(gate)
+      }
+      val firedNow = graft.plans.AnnIndexRewrite.firedBatchFiltered.get() > before
       res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
@@ -5291,6 +5380,33 @@ object SparkEntry {
     "ann_planner_rewrite_multi" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
          |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q),
+         |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist,
+         |  TRUE AS rewrite_fired
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // Cosine-planner replay: exact cosine-distance top-10 (the probe
+    // runs over the normalized index; the Sort re-ranks by the true
+    // cosine expression, so the rewritten plan must equal the exact
+    // scan). Top-10 SET chosen by the unrounded distance, matching the
+    // Spark side's limit-before-round; rewrite_fired = TRUE pins the
+    // accelerated plan.
+    "ann_planner_cosine" ->
+      s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, (1.0 - ${cosSql("q.qemb", "c.embedding")}) AS cdist
+         |      FROM embeddings c, q),
+         |t AS (SELECT vec_id, cdist FROM d ORDER BY d.cdist, vec_id LIMIT 10)
+         |SELECT vec_id, round(cdist, 4) AS cdist, TRUE AS rewrite_fired
+         |FROM t ORDER BY round(cdist, 4), vec_id""".stripMargin,
+
+    // Batch×filtered-planner replay: exact filtered kNN per query (the
+    // metadata predicate restricts the collection BEFORE any distance
+    // work); the one multi-query probe with per-query survivor checks
+    // must change the plan, never the rows.
+    "ann_planner_filtered_multi" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist
+         |      FROM embeddings c, q WHERE c.label = 3),
          |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist,
          |  TRUE AS rewrite_fired

@@ -75,14 +75,22 @@ object W2vEmbedder {
       textCol: String,
       idCol: String,
       maxTrainRows: Long): DataFrame = {
+    // The count is the cap decision itself (cheap next to the fit); at
+    // fixture scale n <= maxTrainRows and the corpus passes untouched.
     val n = corpus.count()
     val capped =
       if (n <= maxTrainRows) corpus
       else graft.operators.ApproxOps.hashSample(
         corpus, idCol,
-        // one 1/256 bucket of headroom so the hash sample lands AT or
-        // above the cap (the limit below trims the overshoot exactly)
-        math.min(1.0, maxTrainRows.toDouble / n + 1.0 / 256))
+        // hashSample quantizes to round(fraction·256) buckets, so the
+        // headroom is computed in BUCKET units: ceil of the exact
+        // requirement plus two spare buckets (round() can otherwise
+        // shave the headroom to ~half a bucket, and bucket occupancy
+        // varies). The limit below trims any overshoot exactly; the cap
+        // is an UPPER bound — occupancy variance can still land the
+        // sample slightly below it on small corpora.
+        math.min(1.0,
+          (math.ceil(maxTrainRows.toDouble / n * 256) + 2.0) / 256.0))
     val toks = capped
       .select(col(idCol), split(lower(col(textCol)), "\\s+").as("__tokens"))
       .withColumn("__tokens", filter(col("__tokens"), w => length(w) > 0))

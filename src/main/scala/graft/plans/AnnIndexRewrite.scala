@@ -220,8 +220,21 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
   // results (candidate ids) and DECLINE decisions are cached. Cleared on
   // any registry mutation (the only way index content legitimately
   // changes under the rule's contract).
+  // NOTE on counter semantics: fired/firedFiltered/filteredFallbacks &c.
+  // count PLAN EVENTS (every re-plan of the same shape — each new Dataset,
+  // each .explain()), not probe jobs; cache hits re-count without paying a
+  // probe. The cache is size-bounded so a long-lived session issuing many
+  // distinct filtered kNN shapes cannot leak plan-time entries without
+  // bound: past the cap the whole cache resets (the entries are pure
+  // memoization — dropping them costs a re-probe, never correctness).
+  private val MaxProbeCacheEntries = 512
   private val probeDecisions = TrieMap.empty[String, Option[IndexedSeq[Any]]]
   private def invalidateProbeCaches(): Unit = probeDecisions.clear()
+  private def memoProbe(key: String)(
+      compute: => Option[IndexedSeq[Any]]): Option[IndexedSeq[Any]] = {
+    if (probeDecisions.size > MaxProbeCacheEntries) probeDecisions.clear()
+    probeDecisions.getOrElseUpdate(key, compute)
+  }
 
   private def specCacheKey(spec: IndexSpec): String =
     spec.indexPath.getOrElse("df@" + System.identityHashCode(spec.index))
@@ -456,7 +469,7 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                   math.max(spec.filteredOverfetch, 1)
                 val cacheKey = s"${specCacheKey(spec)}|flt|$metric|k=$k|" +
                   s"qv=${qv.mkString(",")}|cond=${flt.condition.canonicalized}"
-                val decision = probeDecisions.getOrElseUpdate(cacheKey, {
+                val decision = memoProbe(cacheKey)({
                   import spark.implicits._
                   val idx = spec.indexPath.map(spark.read.parquet(_)).getOrElse(spec.index)
                   val candIds = graft.search.Hnsw.searchRoutedIndex(
@@ -689,7 +702,7 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                     val cacheKey = s"${specCacheKey(spec)}|batch|k=$k|" +
                       s"q=${querySide.canonicalized}|" +
                       s"cond=${fltOpt.map(_.condition.canonicalized.toString).getOrElse("")}"
-                    val decision = probeDecisions.getOrElseUpdate(cacheKey, {
+                    val decision = memoProbe(cacheKey)({
                       val qdf = org.apache.spark.sql.graft.PlanOps
                         .ofRows(spark, Project(Seq(qid, qembAttr), querySide))
                         .toDF("qid", "qemb")
@@ -712,14 +725,26 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                             // per-query survivor check: collect the bounded
                             // (qid, id) pairs, evaluate the metadata filter
                             // once over the distinct candidates, and require
-                            // EVERY query to keep >= k survivors
+                            // EVERY query to keep >= k survivors. The
+                            // all-or-nothing grouping must run over the FULL
+                            // query-side qid set, not just qids present in
+                            // the probe output — a query whose probe returned
+                            // nothing would otherwise be uncounted and
+                            // silently lose all its neighbors.
+                            val allQids = qdf.select("qid")
+                              .collect().map(_.get(0)).toSet
                             val pairs = probe
                               .select(org.apache.spark.sql.functions.col("qid"),
                                 org.apache.spark.sql.functions.col(spec.idCol))
                               .collect().map(row => (row.get(0), row.get(1)))
+                            val byQid = pairs.groupBy(_._1)
                             val distinctIds = pairs.map(_._2).distinct.toIndexedSeq
                             if (distinctIds.isEmpty) None
-                            else flt.child.output.find(_.name == spec.idCol)
+                            else if (!allQids.forall(byQid.contains)) {
+                              logInfo("graft batch ANN filtered rewrite: a query " +
+                                "produced zero probe candidates; keeping the exact plan")
+                              None
+                            } else flt.child.output.find(_.name == spec.idCol)
                               .flatMap { belowId =>
                                 val candInBelow = In(belowId, distinctIds
                                   .map(v => Literal.create(v, belowId.dataType)))
@@ -728,7 +753,7 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                                     Project(Seq(belowId),
                                       Filter(And(flt.condition, candInBelow), flt.child)))
                                   .collect().map(_.get(0)).toSet
-                                val minSurvivors = pairs.groupBy(_._1).values
+                                val minSurvivors = byQid.values
                                   .map(_.count(pr => survived.contains(pr._2))).min
                                 if (minSurvivors < k) {
                                   logInfo(s"graft batch ANN filtered rewrite: a query " +

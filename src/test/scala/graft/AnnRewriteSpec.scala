@@ -43,8 +43,13 @@ class AnnRewriteSpec extends GraftSpec {
   private def registerExhaustive(): Unit = {
     val cent = IvfIndex.seedCentroids(emb, 4)
     val idx = Hnsw.buildRoutedIndex(spark, emb, cent).localCheckpoint(true)
+    // nprobe covers all 4 cells and efSearch exceeds every cell size, so
+    // the registration may truthfully declare exhaustiveProbe — the
+    // precondition the FILTERED rewrites require for their exactness
+    // argument (an approximate registration keeps the exact plan there).
     AnnIndexRewrite.register(srcPath,
-      AnnIndexRewrite.IndexSpec(idx, cent, nprobe = 4, efSearch = 4096))
+      AnnIndexRewrite.IndexSpec(idx, cent, nprobe = 4, efSearch = 4096,
+        exhaustiveProbe = true))
   }
 
   private def semiJoins(df: DataFrame): Seq[Join] =
@@ -176,7 +181,7 @@ class AnnRewriteSpec extends GraftSpec {
     val idx = Hnsw.buildRoutedIndex(spark, emb, cent).localCheckpoint(true)
     AnnIndexRewrite.register(srcPath,
       AnnIndexRewrite.IndexSpec(idx, cent, nprobe = 4, efSearch = 4096,
-        overfetch = 1, filteredOverfetch = 1))
+        overfetch = 1, filteredOverfetch = 1, exhaustiveProbe = true))
     spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
     try {
       val fallbacksBefore = AnnIndexRewrite.filteredFallbacks.get()
@@ -190,6 +195,41 @@ class AnnRewriteSpec extends GraftSpec {
       assert(AnnIndexRewrite.firedFiltered.get() === firedBefore)
       val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
       assert(got.toSeq === expected.toSeq, "fallback keeps the exact rows")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  test("filtered pattern: a non-exhaustive registration declines WITHOUT probing") {
+    // Survivors >= k only implies exactness when the probe candidates
+    // are the true global top-K' — i.e. at exhaustive knobs. An
+    // approximate registration (the default exhaustiveProbe = false)
+    // must keep the exact plan for filtered shapes, observable via
+    // filteredSkippedApprox rather than filteredFallbacks (no probe job
+    // is ever paid).
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val expected = filteredPattern(qv0).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val cent = IvfIndex.seedCentroids(emb, 4)
+    val idx = Hnsw.buildRoutedIndex(spark, emb, cent).localCheckpoint(true)
+    AnnIndexRewrite.register(srcPath,
+      AnnIndexRewrite.IndexSpec(idx, cent, nprobe = 4, efSearch = 4096))
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val skippedBefore = AnnIndexRewrite.filteredSkippedApprox.get()
+      val fallbacksBefore = AnnIndexRewrite.filteredFallbacks.get()
+      val firedBefore = AnnIndexRewrite.firedFiltered.get()
+      val df = filteredPattern(qv0)
+      assert(candidatePredicates(df.queryExecution.optimizedPlan).isEmpty,
+        "no candidate predicate: an approx registration must not rewrite filtered shapes")
+      assert(AnnIndexRewrite.filteredSkippedApprox.get() > skippedBefore,
+        "the decline is counted as skipped-approx")
+      assert(AnnIndexRewrite.filteredFallbacks.get() === fallbacksBefore,
+        "no probe happened, so no fallback is counted")
+      assert(AnnIndexRewrite.firedFiltered.get() === firedBefore)
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq === expected.toSeq, "the exact plan keeps the exact rows")
     } finally {
       spark.experimental.extraOptimizations = Nil
       AnnIndexRewrite.clear()
@@ -288,6 +328,153 @@ class AnnRewriteSpec extends GraftSpec {
       assert(AnnIndexRewrite.firedFiltered.get() === before,
         "a pre-existing literal id-IN must not be treated as a rewrite target")
     } finally {
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  // ---- cosine metric ---------------------------------------------------
+
+  private def cosinePattern(qv: Array[Float]): DataFrame = {
+    val qn = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    val cdist = lit(1.0) -
+      (VectorExpressions.dot(typedLit(qv), $"embedding") /
+        (sqrt(VectorExpressions.dot($"embedding", $"embedding")) * lit(qn)))
+    emb.select($"vec_id", cdist.as("cdist"))
+      .orderBy($"cdist", $"vec_id")
+      .limit(10)
+  }
+
+  /** A cosine-metric registration: routed-HNSW over the L2-NORMALIZED
+    * vectors (for unit vectors ‖q̂−d̂‖² = 2−2·cos, so the normalized-L2
+    * probe ranking IS the cosine ranking), keyed (path, "cosine").
+    */
+  private def registerCosine(): Unit = {
+    val nrm = sqrt(VectorExpressions.dot($"embedding", $"embedding"))
+    val normed = emb.select($"vec_id",
+      transform($"embedding", x => (x.cast("double") / nrm).cast("float"))
+        .as("embedding"))
+    val cent = IvfIndex.seedCentroids(normed, 4)
+    val idx = Hnsw.buildRoutedIndex(spark, normed, cent).localCheckpoint(true)
+    AnnIndexRewrite.register(srcPath,
+      AnnIndexRewrite.IndexSpec(idx, cent, nprobe = 4, efSearch = 4096,
+        metric = "cosine", exhaustiveProbe = true))
+  }
+
+  test("cosine sort key: the rule probes the cosine index, result stays exact") {
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val expected = cosinePattern(qv0).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    registerCosine()
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val before = AnnIndexRewrite.fired.get()
+      val df = cosinePattern(qv0)
+      assert(semiJoins(df).size === 1,
+        "the cosine key spliced the normalized-index probe semi-join")
+      assert(AnnIndexRewrite.fired.get() > before)
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq === expected.toSeq,
+        "cosine index acceleration must not change the exact cosine top-k")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  test("cosine: a zero query vector keeps the exact plan (cosine undefined)") {
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    registerCosine()
+    try {
+      val qvZero = Array.fill(qv0.length)(0.0f)
+      val after = AnnIndexRewrite(cosinePattern(qvZero).queryExecution.optimizedPlan)
+      assert(after.collect { case j: Join => j }.isEmpty,
+        "a zero query vector has no cosine ranking — the plan must stay exact")
+    } finally AnnIndexRewrite.clear()
+  }
+
+  test("an L2 sort key never probes a cosine-only registration") {
+    // The registry keys by (path, metric): a cosine index answers the
+    // normalized-L2 ranking, which is NOT the raw-L2 ranking — an L2
+    // sort key over a table carrying only a cosine registration must
+    // keep the exact plan.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    registerCosine() // ONLY metric = "cosine"
+    try {
+      val after = AnnIndexRewrite(pattern(qv0).queryExecution.optimizedPlan)
+      assert(after.collect { case j: Join => j }.isEmpty,
+        "metric mismatch: the L2 pattern must not use the cosine index")
+    } finally AnnIndexRewrite.clear()
+  }
+
+  // ---- batch × filtered ------------------------------------------------
+
+  private def batchFilteredPattern: DataFrame = {
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    graft.search.KnnExact.topK(q, emb.filter($"label" === 3), 10)
+  }
+
+  test("batch x filtered pattern: one probe, per-query survivors, exact rows") {
+    // Five query vectors x a metadata predicate through the ranking
+    // window — the realest production shape. The rule probes once with
+    // the filtered-enlarged candidate set, checks EVERY query keeps
+    // >= k filter survivors, and reduces the scan side to the candidate
+    // union; the untouched window re-ranks exactly.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val expected = collectBatch(batchFilteredPattern)
+    assert(expected.size === 50, "fixture sanity: 5 queries x top-10 survive the filter")
+    registerExhaustive()
+    spark.conf.set("spark.graft.ann.batchRewrite.minScanBytes", "0")
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val before = AnnIndexRewrite.firedBatchFiltered.get()
+      val df = batchFilteredPattern
+      val plan = df.queryExecution.optimizedPlan
+      assert(AnnIndexRewrite.firedBatchFiltered.get() > before,
+        "the batch-filtered rewrite fired")
+      assert(candidatePredicates(plan).nonEmpty,
+        "the filtered scan side carries the candidate-id predicate")
+      assert(collectBatch(df) === expected,
+        "batch-filtered acceleration must not change any query's exact filtered top-k")
+    } finally {
+      spark.conf.unset("spark.graft.ann.batchRewrite.minScanBytes")
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  test("batch x filtered: a query short of k survivors declines for ALL (all-or-nothing)") {
+    // Candidate set deliberately tiny (overfetch 1 x filteredOverfetch 1
+    // = 10 candidates per query; ~1 in 10 carries label 3): some query's
+    // survivor count comes up short, so the shared plan must stay exact
+    // for EVERY query — one short query would silently lose neighbors.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val expected = collectBatch(batchFilteredPattern)
+    val cent = IvfIndex.seedCentroids(emb, 4)
+    val idx = Hnsw.buildRoutedIndex(spark, emb, cent).localCheckpoint(true)
+    AnnIndexRewrite.register(srcPath,
+      AnnIndexRewrite.IndexSpec(idx, cent, nprobe = 4, efSearch = 4096,
+        overfetch = 1, filteredOverfetch = 1, exhaustiveProbe = true))
+    spark.conf.set("spark.graft.ann.batchRewrite.minScanBytes", "0")
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val fallbacksBefore = AnnIndexRewrite.batchFilteredFallbacks.get()
+      val firedBefore = AnnIndexRewrite.firedBatchFiltered.get()
+      val df = batchFilteredPattern
+      val plan = df.queryExecution.optimizedPlan
+      assert(candidatePredicates(plan).isEmpty,
+        "no candidate predicate: the rule must decline when any query is short")
+      assert(AnnIndexRewrite.batchFilteredFallbacks.get() > fallbacksBefore,
+        "the decline is counter-observable")
+      assert(AnnIndexRewrite.firedBatchFiltered.get() === firedBefore)
+      assert(collectBatch(df) === expected, "fallback keeps the exact rows")
+    } finally {
+      spark.conf.unset("spark.graft.ann.batchRewrite.minScanBytes")
       spark.experimental.extraOptimizations = Nil
       AnnIndexRewrite.clear()
     }

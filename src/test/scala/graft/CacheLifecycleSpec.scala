@@ -8,6 +8,10 @@ package graft
 class CacheLifecycleSpec extends GraftSpec {
 
   test("clearCaches unpersists the shared n-gram pair computation") {
+    // Another suite in the same JVM (PlanSpec explains dedup queries)
+    // may have populated the cache already — start from a clean slate
+    // so the persisted-while-in-use assertion is order-independent.
+    SparkEntry.clearCaches()
     val before = spark.sparkContext.getPersistentRDDs.keySet
     // dedup_ngram_jaccard routes through sharedNgramPairs and persists it.
     SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir).count()
