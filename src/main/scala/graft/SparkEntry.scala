@@ -4227,6 +4227,38 @@ object SparkEntry {
         .withColumn("rewrite_fired", lit(firedNow))
     }),
 
+    // COSINE-FILTERED planner ANN: metadata predicate + cosine
+    // distance top-k — the filtered rewrite path (plan-time survivor
+    // count, candidate-id splice) composed with the cosine metric
+    // registry. The probe runs over the normalized index; survivors
+    // ≥ k at exhaustive knobs ⇒ the true filtered cosine top-10 is
+    // inside the candidate set (same containment argument as L2:
+    // anything better than a member of the global top-K′ is itself a
+    // member), and the untouched Sort re-ranks by the true cosine
+    // expression — hash-equal to the closed-form filtered oracle.
+    "ann_planner_cosine_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val qn = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val cdist = lit(1.0) -
+        (graft.functions.VectorExpressions.dot(typedLit(qv), col("embedding")) /
+          (sqrt(graft.functions.VectorExpressions.dot(
+            col("embedding"), col("embedding"))) * lit(qn)))
+      val before = graft.plans.AnnIndexRewrite.firedFiltered.get()
+      val topk = emb
+        .filter(col("label") === 3)
+        .select(col("vec_id"), cdist.as("cdist"))
+        .orderBy(col("cdist"), col("vec_id"))
+        .limit(10)
+      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
+      val firedNow = graft.plans.AnnIndexRewrite.firedFiltered.get() > before
+      topk.select(col("vec_id"), round(col("cdist"), 4).as("cdist"))
+        .orderBy(col("cdist"), col("vec_id"))
+        .withColumn("rewrite_fired", lit(firedNow))
+    }),
+
     // BATCH planner ANN: the reference's ACTUAL workload shape — five
     // query vectors per run (chromadb_speed_experiment.py:651-657) —
     // whose Spark form is the W1 ranking window (row_number ≤ k per
@@ -4287,6 +4319,64 @@ object SparkEntry {
         KnnExact.topK(q, emb.filter(col("label") === 3), 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
             round(col("dist"), 4).as("dist"))
+          .localCheckpoint(true)
+      } finally prev match {
+        case Some(v) => s.conf.set(gate, v)
+        case None => s.conf.unset(gate)
+      }
+      val firedNow = graft.plans.AnnIndexRewrite.firedBatchFiltered.get() > before
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+    }),
+
+    // BATCH COSINE planner ANN: five query vectors through the ranking
+    // window in the reference's alternate space (knn_cosine_top10's
+    // shape). The window's sort key is topKCosine's attr-vs-attr
+    // negsim; the rule normalizes the executed query side at plan time
+    // (identical float rounding to the index build) and probes the
+    // metric="cosine" index ONCE for all queries — for unit vectors the
+    // normalized-L2 probe ranking IS the cosine ranking, so at
+    // exhaustive knobs the candidate union contains every query's true
+    // top-K′ and the untouched window re-ranks exactly.
+    "ann_planner_cosine_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val before = graft.plans.AnnIndexRewrite.firedBatch.get()
+      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
+      val prev = s.conf.getOption(gate)
+      s.conf.set(gate, "0")
+      val res = try {
+        KnnExact.topKCosine(q, emb, 10)
+          .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+            round(col("sim"), 4).as("sim"))
+          .localCheckpoint(true)
+      } finally prev match {
+        case Some(v) => s.conf.set(gate, v)
+        case None => s.conf.unset(gate)
+      }
+      val firedNow = graft.plans.AnnIndexRewrite.firedBatch.get() > before
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+    }),
+
+    // BATCH × FILTERED × COSINE planner ANN — the last cell of the
+    // metric×shape matrix (single/filtered/batch/batch-filtered ×
+    // L2/cosine, all eight now planner-accelerated and oracle-pinned):
+    // five query vectors × a metadata predicate in the cosine space,
+    // one normalized probe, per-query all-or-nothing survivor checks.
+    "ann_planner_cosine_filtered_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val before = graft.plans.AnnIndexRewrite.firedBatchFiltered.get()
+      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
+      val prev = s.conf.getOption(gate)
+      s.conf.set(gate, "0")
+      val res = try {
+        KnnExact.topKCosine(q, emb.filter(col("label") === 3), 10)
+          .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+            round(col("sim"), 4).as("sim"))
           .localCheckpoint(true)
       } finally prev match {
         case Some(v) => s.conf.set(gate, v)
@@ -5409,6 +5499,39 @@ object SparkEntry {
          |      FROM embeddings c, q WHERE c.label = 3),
          |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist,
+         |  TRUE AS rewrite_fired
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // Cosine-filtered-planner replay: exact filtered cosine top-10
+    // (predicate BEFORE any distance work); top-10 SET chosen by the
+    // unrounded distance; rewrite_fired pins the accelerated plan.
+    "ann_planner_cosine_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, (1.0 - ${cosSql("q.qemb", "c.embedding")}) AS cdist
+         |      FROM embeddings c, q WHERE c.label = 3),
+         |t AS (SELECT vec_id, cdist FROM d ORDER BY d.cdist, vec_id LIMIT 10)
+         |SELECT vec_id, round(cdist, 4) AS cdist, TRUE AS rewrite_fired
+         |FROM t ORDER BY round(cdist, 4), vec_id""".stripMargin,
+
+    // Batch-cosine-planner replay: the same closed-form exact cosine
+    // kNN as knn_cosine_top10 — one normalized multi-query probe must
+    // change the plan, never the rows.
+    "ann_planner_cosine_multi" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim FROM embeddings c, q),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim,
+         |  TRUE AS rewrite_fired
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // Batch×filtered×cosine replay: exact filtered cosine kNN per
+    // query; the metric×shape matrix's last cell.
+    "ann_planner_cosine_filtered_multi" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim
+         |      FROM embeddings c, q WHERE c.label = 3),
+         |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim,
          |  TRUE AS rewrite_fired
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 

@@ -468,7 +468,15 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                 val kp = math.max(k, 1) * math.max(spec.overfetch, 1) *
                   math.max(spec.filteredOverfetch, 1)
                 val cacheKey = s"${specCacheKey(spec)}|flt|$metric|k=$k|" +
-                  s"qv=${qv.mkString(",")}|cond=${flt.condition.canonicalized}"
+                  // keyed on the condition's SQL text, not its
+                  // canonicalized tree: Expression.canonicalized retains
+                  // attr exprIds, so a FRESH Dataset of the same shape
+                  // would always miss; the filtered pattern only matches
+                  // conditions over the scan's own columns, for which the
+                  // text is a faithful semantic key (the spec identity is
+                  // already in the key, so same text on another table
+                  // cannot collide)
+                  s"qv=${qv.mkString(",")}|cond=${flt.condition.sql}"
                 val decision = memoProbe(cacheKey)({
                   import spark.implicits._
                   val idx = spec.indexPath.map(spark.read.parquet(_)).getOrElse(spec.index)
@@ -567,6 +575,51 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The (x, y) attribute pair of an attr-vs-attr COSINE sort key —
+    * the BATCH twin of [[matchCosine]], where the query vector is a
+    * column of the (executed-at-plan-time) query side rather than a
+    * literal: `−sim` or `c − sim` (foldable c) with
+    * `sim = dot(x, y) / (sqrt(dot(x, x)) · sqrt(dot(y, y)))` — exactly
+    * `KnnExact.topKCosine`'s negsim. Ascending negsim ≡ descending
+    * similarity ≡ the normalized-L2 ranking the cosine index answers.
+    */
+  private def cosinePair(e: Expression): Option[(AttributeReference, AttributeReference)] = {
+    def normAttr(e: Expression): Option[AttributeReference] = stripCasts(e) match {
+      case Sqrt(inner) => stripCasts(inner) match {
+        case FloatVecDot(a: AttributeReference, b: AttributeReference)
+            if a.exprId == b.exprId => Some(a)
+        case _ => None
+      }
+      case _ => None
+    }
+    def sim(e: Expression): Option[(AttributeReference, AttributeReference)] =
+      stripCasts(e) match {
+        case Divide(num, den, _) =>
+          val pair = stripCasts(num) match {
+            case FloatVecDot(x: AttributeReference, y: AttributeReference)
+                if x.exprId != y.exprId => Some((x, y))
+            case _ => None
+          }
+          pair.filter { case (x, y) =>
+            stripCasts(den) match {
+              case Multiply(a, b, _) =>
+                val na = normAttr(a); val nb = normAttr(b)
+                na.isDefined && nb.isDefined && {
+                  val ids = Set(na.get.exprId, nb.get.exprId)
+                  ids == Set(x.exprId, y.exprId)
+                }
+              case _ => false
+            }
+          }
+        case _ => None
+      }
+    stripCasts(e) match {
+      case UnaryMinus(s, _) => sim(s)
+      case Subtract(c, s, _) if c.foldable => sim(s)
+      case _ => None
+    }
+  }
+
   /** Strip attribute-only (column-pruning) Projects off a join side —
     * plain attrs keep their exprIds through them, so anything resolved
     * against the side's output stays bound below.
@@ -630,6 +683,16 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     * and the previous top of the scan side; on re-entry `splitFilter`
     * finds it, and `hasCandidateIn` marks it (also after CombineFilters
     * merges it with the metadata predicate).
+    *
+    * METRICS: the window's sort key may be the L2 distance
+    * (`KnnExact.topK`) or the negated attr-vs-attr cosine similarity
+    * (`KnnExact.topKCosine`'s negsim — ascending negsim ≡ descending
+    * similarity). A cosine key probes the metric="cosine" index with
+    * the query side L2-NORMALIZED at plan time (same float rounding as
+    * the index build); any zero-norm query vector declines the whole
+    * rewrite (no cosine ranking exists for it — the exact plan keeps
+    * its own NaN semantics). Both metrics compose with the FILTERED
+    * variant below.
     */
   private def rewriteWindowTopK(f: Filter, cur: Option[SparkSession]): Option[Filter] =
     try rewriteWindowTopKUnsafe(f, cur)
@@ -677,11 +740,14 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                   projList2.collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
                 case e => Some(e)
               }
-              resolvedKey.flatMap(l2Pair).flatMap { case (x, y) =>
+              val keyPair = resolvedKey.flatMap(k0 =>
+                l2Pair(k0).map((_, "l2"))
+                  .orElse(cosinePair(k0).map((_, "cosine"))))
+              keyPair.flatMap { case ((x, y), metric) =>
                 val cands = for {
                   (scanSide, querySide) <- Seq((l, r), (r, l))
                   (fltOpt, leaf) = splitFilter(scanSide)
-                  spec <- specOf(leaf, "l2", cur).toSeq
+                  spec <- specOf(leaf, metric, cur).toSeq
                   if leaf.stats.sizeInBytes >= batchMinScanBytes
                   embAttr <- Seq(x, y).find(a =>
                     scanSide.outputSet.contains(a) && a.name == spec.embCol).toSeq
@@ -699,21 +765,45 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                   case (scanSide, querySide, spec, qembAttr, idAttr, fltOpt) =>
                     val spark = spec.index.sparkSession
                     val filtered = fltOpt.isDefined
-                    val cacheKey = s"${specCacheKey(spec)}|batch|k=$k|" +
+                    val cacheKey = s"${specCacheKey(spec)}|batch|$metric|k=$k|" +
                       s"q=${querySide.canonicalized}|" +
-                      s"cond=${fltOpt.map(_.condition.canonicalized.toString).getOrElse("")}"
+                      s"cond=${fltOpt.map(_.condition.sql).getOrElse("")}"
                     val decision = memoProbe(cacheKey)({
                       val qdf = org.apache.spark.sql.graft.PlanOps
                         .ofRows(spark, Project(Seq(qid, qembAttr), querySide))
                         .toDF("qid", "qemb")
+                      // For the cosine metric the index stores L2-NORMALIZED
+                      // vectors, so the probe side must be normalized the
+                      // same way (identical float rounding to the index
+                      // build); a zero-norm query vector has no cosine
+                      // ranking at all — decline, keeping the exact plan's
+                      // own NaN semantics for that query.
+                      val F = org.apache.spark.sql.functions
+                      lazy val qdfProbe: org.apache.spark.sql.DataFrame =
+                        if (metric != "cosine") qdf
+                        else {
+                          graft.functions.VectorExpressions.ensureRegistered(spark)
+                          val withN = qdf.withColumn("__qn", F.sqrt(
+                            graft.functions.VectorExpressions.dot(
+                              F.col("qemb"), F.col("qemb"))))
+                          if (withN.where(F.col("__qn") === 0.0).limit(1).count() > 0) null
+                          else withN.select(F.col("qid"),
+                            F.transform(F.col("qemb"),
+                              x => (x.cast("double") / F.col("__qn")).cast("float"))
+                              .as("qemb"))
+                        }
                       if (qdf.limit(MaxBatchQueries + 1).count() > MaxBatchQueries) None
-                      else {
+                      else if (qdfProbe == null) {
+                        logInfo("graft batch ANN rewrite: a zero-norm query vector " +
+                          "has no cosine ranking; keeping the exact plan")
+                        None
+                      } else {
                         val kp = math.max(k, 1) * math.max(spec.overfetch, 1) *
                           (if (filtered) math.max(spec.filteredOverfetch, 1) else 1)
                         val idx = spec.indexPath.map(spark.read.parquet(_))
                           .getOrElse(spec.index)
                         val probe = graft.search.Hnsw.searchRoutedIndex(
-                          spark, qdf, idx, spec.centroids,
+                          spark, qdfProbe, idx, spec.centroids,
                           k = kp, nprobe = spec.nprobe, efSearch = spec.efSearch,
                           idCol = spec.idCol, embCol = spec.embCol)
                         fltOpt match {

@@ -480,6 +480,118 @@ class AnnRewriteSpec extends GraftSpec {
     }
   }
 
+  // ---- batch × cosine --------------------------------------------------
+
+  private def batchCosinePattern: DataFrame = {
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    graft.search.KnnExact.topKCosine(q, emb, 10)
+  }
+
+  test("batch cosine pattern: one normalized probe, exact rows") {
+    // topKCosine's attr-vs-attr negsim key routes to the metric="cosine"
+    // index; the rule L2-normalizes the executed query side at plan time
+    // and the untouched window re-ranks by the true similarity.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val expected = collectBatch(batchCosinePattern)
+    assert(expected.size === 50, "fixture sanity: 5 queries x top-10")
+    registerCosine()
+    spark.conf.set("spark.graft.ann.batchRewrite.minScanBytes", "0")
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val before = AnnIndexRewrite.firedBatch.get()
+      val df = batchCosinePattern
+      val plan = df.queryExecution.optimizedPlan
+      assert(AnnIndexRewrite.firedBatch.get() > before, "the batch cosine rewrite fired")
+      assert(candidatePredicates(plan).nonEmpty,
+        "the scan side carries the candidate-id predicate")
+      assert(collectBatch(df) === expected,
+        "batch cosine acceleration must not change any query's exact top-k")
+    } finally {
+      spark.conf.unset("spark.graft.ann.batchRewrite.minScanBytes")
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  test("batch cosine: an L2-only registration keeps the exact plan (metric mismatch)") {
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    registerExhaustive() // ONLY metric = "l2"
+    spark.conf.set("spark.graft.ann.batchRewrite.minScanBytes", "0")
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val before = AnnIndexRewrite.firedBatch.get()
+      batchCosinePattern.queryExecution.optimizedPlan
+      assert(AnnIndexRewrite.firedBatch.get() === before,
+        "a cosine key must not probe an L2 index")
+    } finally {
+      spark.conf.unset("spark.graft.ann.batchRewrite.minScanBytes")
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  test("batch cosine: a zero-norm query vector declines the whole rewrite") {
+    // A zero query vector has no cosine ranking (the exact plan scores
+    // it NaN); splicing candidates for the other queries would change
+    // that query's rows, so the rule must keep the exact plan for ALL.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    registerCosine()
+    spark.conf.set("spark.graft.ann.batchRewrite.minScanBytes", "0")
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val zeroed = emb.select($"vec_id",
+        when($"vec_id" === 2L, array_repeat(lit(0.0f), 64).cast("array<float>"))
+          .otherwise($"embedding").as("embedding"))
+      val q = zeroed.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+      val before = AnnIndexRewrite.firedBatch.get()
+      val df = graft.search.KnnExact.topKCosine(q, emb, 10)
+      val plan = df.queryExecution.optimizedPlan
+      assert(AnnIndexRewrite.firedBatch.get() === before,
+        "zero-norm query vector: the batch cosine rewrite must decline")
+      assert(candidatePredicates(plan).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.ann.batchRewrite.minScanBytes")
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  test("batch x filtered x cosine: the full composition fires and stays exact") {
+    // The metric x shape matrix's last cell: cosine key + metadata
+    // Filter + multi-query window. Normalized probe, filtered-enlarged
+    // candidates, per-query survivor checks — same machinery as the L2
+    // batch-filtered path with the metric threaded through.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    def pat: DataFrame = graft.search.KnnExact.topKCosine(q, emb.filter($"label" === 3), 10)
+    val expected = collectBatch(pat)
+    assert(expected.size === 50, "fixture sanity: 5 queries x top-10 survive the filter")
+    registerCosine()
+    spark.conf.set("spark.graft.ann.batchRewrite.minScanBytes", "0")
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val before = AnnIndexRewrite.firedBatchFiltered.get()
+      val df = pat
+      val plan = df.queryExecution.optimizedPlan
+      assert(AnnIndexRewrite.firedBatchFiltered.get() > before,
+        "the batch-filtered cosine rewrite fired")
+      assert(candidatePredicates(plan).nonEmpty)
+      assert(collectBatch(df) === expected,
+        "the full composition must not change any query's exact filtered top-k")
+    } finally {
+      spark.conf.unset("spark.graft.ann.batchRewrite.minScanBytes")
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
   test("rewrite disabled by conf even when an index is registered") {
     VectorExpressions.ensureRegistered(spark)
     registerExhaustive()
