@@ -164,16 +164,116 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
 
   def register(sourcePath: String, spec: IndexSpec): Unit = {
     require(Metrics.contains(spec.metric), s"unknown metric '${spec.metric}'")
-    registry.put(regKey(sourcePath, spec.metric), spec)
+    val key = regKey(sourcePath, spec.metric)
+    registry.put(key, spec)
+    // Freeze the source's file listing AT registration: the index is a
+    // snapshot of the table's content, and the exactness contract
+    // (candidates ⊇ true top-k at exhaustive knobs) only holds while
+    // the table IS that snapshot. See [[sourceIsStale]]. An
+    // unfingerprintable source (exotic scheme, listing error) keeps the
+    // guard OFF for that registration rather than blocking it.
+    try sourceSigs.put(key, sourceSignature(sourcePath, spec))
+    catch { case _: Exception => sourceSigs.remove(key) }
+    staleChecks.remove(key)
     invalidateProbeCaches()
   }
 
   def unregister(sourcePath: String): Unit = {
-    Metrics.foreach(m => registry.remove(regKey(sourcePath, m)))
+    Metrics.foreach { m =>
+      val key = regKey(sourcePath, m)
+      registry.remove(key)
+      sourceSigs.remove(key)
+      staleChecks.remove(key)
+    }
     invalidateProbeCaches()
   }
 
-  def clear(): Unit = { registry.clear(); invalidateProbeCaches() }
+  def clear(): Unit = {
+    registry.clear(); sourceSigs.clear(); staleChecks.clear()
+    invalidateProbeCaches()
+  }
+
+  // ---- source staleness guard ----------------------------------------
+  // A registration is a SNAPSHOT claim: splicing an index probe into a
+  // scan whose files changed since registration would silently drop new
+  // rows (or resurrect deleted ones) from a query whose exact plan would
+  // see them — the one way the "acceleration never changes results"
+  // contract can break without any code being wrong. The guard
+  // fingerprints the source's file listing (path, length, modTime per
+  // file) at registration and revalidates lazily at plan time, at most
+  // once per `spark.graft.ann.staleness.intervalMs` (default 10 s) per
+  // registration — at 100 TB a table may hold 10⁵ files and listing on
+  // EVERY plan event would be the new bottleneck. A stale registration
+  // self-heals: it is dropped (warn logged) and the query runs the
+  // exact plan, mirroring the stopped-session cleanup above.
+  private val sourceSigs = TrieMap.empty[String, Long]
+  // key → (lastCheckedNanos, wasFresh)
+  private val staleChecks = TrieMap.empty[String, (Long, Boolean)]
+
+  /** Observability: registrations dropped because their source files
+    * changed after registration (the staleness self-heal).
+    */
+  val droppedStale = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def stalenessIntervalMs: Long =
+    SQLConf.get.getConfString("spark.graft.ann.staleness.intervalMs", "10000").toLong
+
+  /** Order-independent fingerprint of the source directory's file
+    * listing. Hidden/metadata files (`_SUCCESS`, `.crc`) are excluded —
+    * committers rewrite them without touching data.
+    */
+  private def sourceSignature(sourcePath: String, spec: IndexSpec): Long = {
+    val conf = spec.index.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(sourcePath)
+    val fs = p.getFileSystem(conf)
+    var acc = 0L
+    def walk(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else {
+            // commutative mix (sum of per-file hashes): listing order
+            // must not matter
+            var h = 1125899906842597L
+            (st.getPath.toUri.getPath + "|" + st.getLen + "|" + st.getModificationTime)
+              .foreach(c => h = h * 31 + c)
+            acc += h
+          }
+        }
+      }
+    walk(p)
+    acc
+  }
+
+  /** True (and self-heals the registry) when the source's current file
+    * listing no longer matches the registration-time snapshot. Failures
+    * to list (races with concurrent writers, transient FS errors) are
+    * treated as STALE — the exact plan is the safe side.
+    */
+  private def sourceIsStale(key: String, sourcePath: String, spec: IndexSpec): Boolean = {
+    val now = System.nanoTime()
+    val intervalNs = stalenessIntervalMs * 1000000L
+    staleChecks.get(key) match {
+      case Some((t, fresh)) if now - t < intervalNs => !fresh
+      case _ =>
+        val fresh = sourceSigs.get(key).forall { sig =>
+          try sourceSignature(sourcePath, spec) == sig
+          catch { case _: Exception => false }
+        }
+        staleChecks.put(key, (now, fresh))
+        if (!fresh) {
+          registry.remove(key)
+          sourceSigs.remove(key)
+          invalidateProbeCaches()
+          droppedStale.incrementAndGet()
+          logWarning(s"graft ANN rewrite: source files under $sourcePath changed " +
+            "after index registration — dropping the registration and keeping " +
+            "the exact plan (re-register after rebuilding the index)")
+        }
+        !fresh
+    }
+  }
 
   /** Count of rewrites applied in this JVM — observability for specs
     * and operators (a registered index that never fires is a config
@@ -298,6 +398,11 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
               // session scanning the same path must not get this
               // session's analyzed index subtree spliced into its plan —
               // it keeps the exact path (correct, just unaccelerated).
+              None
+            } else if (sourceIsStale(key, p.toUri.getPath, spec)) {
+              // source files changed since registration: the index is a
+              // stale snapshot and splicing it would drop/resurrect rows
+              // the exact plan sees — self-healed inside sourceIsStale
               None
             } else Some(spec)
           }

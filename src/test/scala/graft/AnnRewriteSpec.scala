@@ -592,6 +592,54 @@ class AnnRewriteSpec extends GraftSpec {
     }
   }
 
+  test("source files mutated after registration: the registration self-heals stale") {
+    // The index is a SNAPSHOT claim: if the table gains files after
+    // registration, splicing the stale probe would silently hide the
+    // new rows from a query whose exact plan sees them — the one way
+    // "acceleration never changes results" can break without a code
+    // bug. The staleness guard fingerprints the file listing at
+    // registration and drops the registration (exact plan, warn) when
+    // it changes.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stale_src").toString
+    emb.write.mode("overwrite").parquet(tmp)
+    val snap = spark.read.parquet(tmp)
+    val cent = IvfIndex.seedCentroids(snap, 4)
+    val idx = Hnsw.buildRoutedIndex(spark, snap, cent).localCheckpoint(true)
+    AnnIndexRewrite.register(tmp,
+      AnnIndexRewrite.IndexSpec(idx, cent, nprobe = 4, efSearch = 4096,
+        exhaustiveProbe = true))
+    spark.conf.set("spark.graft.ann.staleness.intervalMs", "0")
+    try {
+      def pat: DataFrame = spark.read.parquet(tmp)
+        .select($"vec_id",
+          VectorExpressions.l2Sq(typedLit(qv0), $"embedding").as("dist2"))
+        .orderBy($"dist2", $"vec_id")
+        .limit(10)
+      val before = AnnIndexRewrite(pat.queryExecution.optimizedPlan)
+      assert(before.collect { case j: Join if j.joinType == LeftSemi => j }.size === 1,
+        "fresh registration: the rewrite fires")
+      // mutate the source: append one more file to the directory
+      val top = emb.agg(max($"vec_id")).head().getLong(0)
+      Seq((top + 1L, Array.fill(64)(0.25f), 3))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("append").parquet(tmp)
+      val dropped = AnnIndexRewrite.droppedStale.get()
+      val after = AnnIndexRewrite(pat.queryExecution.optimizedPlan)
+      assert(after.collect { case j: Join => j }.isEmpty,
+        "stale snapshot: the rule must keep the exact plan")
+      assert(AnnIndexRewrite.droppedStale.get() > dropped,
+        "the self-heal is counter-observable")
+      // and the registration is gone — the next plan doesn't even probe
+      val again = AnnIndexRewrite(pat.queryExecution.optimizedPlan)
+      assert(again.collect { case j: Join => j }.isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.ann.staleness.intervalMs")
+      AnnIndexRewrite.clear()
+    }
+  }
+
   test("rewrite disabled by conf even when an index is registered") {
     VectorExpressions.ensureRegistered(spark)
     registerExhaustive()
