@@ -639,26 +639,58 @@ object SparkEntry {
             expr(s"(15 * cast($base as bigint) + " +
               "85 * coalesce(sh, cast(0 as bigint))) div 100").as("r"))
       }
-      val out = ranks
+      // Materialize DRIVER-side before edgeDeg drops: the rank frame is
+      // one row per NODE, and this function's contract is a
+      // parameter-bounded node set (both callers filter vec_id < 200 —
+      // the similarity-graph queries choose their graph size). A
+      // driver list holds no executor blocks, so nothing can leak past
+      // the function and nothing pins the block manager — the clean
+      // resolution of the r15 'returned checkpoint is never
+      // unpersisted' note (a corpus-scale PageRank would keep the
+      // frame distributed and own its caching explicitly).
+      val rows = ranks
         .select(col("id").as("vec_id"), col("r").cast("long").as("rank_fp"))
         .orderBy("vec_id")
-        .localCheckpoint(true) // result materialized so edgeDeg can drop
-      // The returned frame OWNS cached blocks (it is handed to the
-      // caller as the query result, so it cannot be unpersisted here);
-      // ownership transfers to the transient registry and
-      // clearCaches() releases it — the edgeDeg try/finally discipline
-      // extended to the function's own return value (ADVICE r15).
-      transientCheckpoints.add(out)
-      out
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      rows.toDF("vec_id", "rank_fp")
     } finally graft.textual.Bpe.unpersistCheckpoint(edgeDeg)
   }
 
-  /** Eager localCheckpoints returned AS query results: the caller needs
-    * the materialized frame, so the producing function cannot release
-    * it — ownership lands here and [[clearCaches]] drops the blocks.
+  /** Eager localCheckpoints returned AS query results (the batch
+    * planner-ANN rows materialize under a conf opt-in, so the frame IS
+    * the result): the producing query cannot release the blocks — the
+    * caller still reads them — so ownership lands here and
+    * [[clearCaches]] (Bench/Verify teardown) drops them. Frames are
+    * small (top-k rows per query), so the registry stays tiny; holders
+    * of a frame must not use it after clearCaches (localCheckpoint
+    * truncates lineage — the blocks cannot be recomputed).
     */
   private val transientCheckpoints =
     java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+
+  /** The literal-query cosine-distance column the cosine planner rows
+    * share: `1 − dot(qv, embedding) / (‖embedding‖ · ‖qv‖)` with the
+    * query vector pinned to vec_id 0 and its norm precomputed
+    * driver-side (a foldable positive factor — exactly the shape
+    * `AnnIndexRewrite.matchCosine` destructures).
+    */
+  private def plannerCosineDist(emb: DataFrame): org.apache.spark.sql.Column = {
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val qn = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    lit(1.0) -
+      (graft.functions.VectorExpressions.dot(typedLit(qv), col("embedding")) /
+        (sqrt(graft.functions.VectorExpressions.dot(
+          col("embedding"), col("embedding"))) * lit(qn)))
+  }
+
+  /** Register a result-owning localCheckpoint for clearCaches release. */
+  private def trackCheckpoint(df: DataFrame): DataFrame = {
+    transientCheckpoints.add(df)
+    df
+  }
 
   /** DuckDB CTE chain mirroring [[winnowFrame]] (ends in `w(doc_id, gh,
     * sel)`).
@@ -4208,13 +4240,7 @@ object SparkEntry {
     "ann_planner_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0).toArray
-      val qn = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-      val cdist = lit(1.0) -
-        (graft.functions.VectorExpressions.dot(typedLit(qv), col("embedding")) /
-          (sqrt(graft.functions.VectorExpressions.dot(
-            col("embedding"), col("embedding"))) * lit(qn)))
+      val cdist = plannerCosineDist(emb)
       val before = graft.plans.AnnIndexRewrite.fired.get()
       val topk = emb
         .select(col("vec_id"), cdist.as("cdist"))
@@ -4239,13 +4265,7 @@ object SparkEntry {
     "ann_planner_cosine_filtered" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
-      val qv = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0).toArray
-      val qn = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-      val cdist = lit(1.0) -
-        (graft.functions.VectorExpressions.dot(typedLit(qv), col("embedding")) /
-          (sqrt(graft.functions.VectorExpressions.dot(
-            col("embedding"), col("embedding"))) * lit(qn)))
+      val cdist = plannerCosineDist(emb)
       val before = graft.plans.AnnIndexRewrite.firedFiltered.get()
       val topk = emb
         .filter(col("label") === 3)
@@ -4291,7 +4311,7 @@ object SparkEntry {
         case None => s.conf.unset(gate)
       }
       val firedNow = graft.plans.AnnIndexRewrite.firedBatch.get() > before
-      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
     // BATCH × FILTERED planner ANN — the realest production shape: five
@@ -4325,7 +4345,7 @@ object SparkEntry {
         case None => s.conf.unset(gate)
       }
       val firedNow = graft.plans.AnnIndexRewrite.firedBatchFiltered.get() > before
-      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
     // BATCH COSINE planner ANN: five query vectors through the ranking
@@ -4356,7 +4376,7 @@ object SparkEntry {
         case None => s.conf.unset(gate)
       }
       val firedNow = graft.plans.AnnIndexRewrite.firedBatch.get() > before
-      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
     // BATCH × FILTERED × COSINE planner ANN — the last cell of the
@@ -4383,7 +4403,7 @@ object SparkEntry {
         case None => s.conf.unset(gate)
       }
       val firedNow = graft.plans.AnnIndexRewrite.firedBatchFiltered.get() > before
-      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
     // SEGMENT COMPACTION (Hnsw.compactIndex — the Lucene-merge-shaped

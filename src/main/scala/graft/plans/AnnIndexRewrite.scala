@@ -246,10 +246,18 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     acc
   }
 
-  /** True (and self-heals the registry) when the source's current file
-    * listing no longer matches the registration-time snapshot. Failures
-    * to list (races with concurrent writers, transient FS errors) are
-    * treated as STALE — the exact plan is the safe side.
+  /** True (and, on a VERIFIED change, self-heals the registry) when the
+    * source's current file listing no longer matches the
+    * registration-time snapshot. `sourcePath` must be the scan's FULL
+    * path (scheme + authority intact — the registry key is
+    * scheme-stripped, but listing a scheme-stripped path against the
+    * default FileSystem would misresolve s3a/hdfs sources).
+    *
+    * Transient listing failures (a 503, a race with a concurrent
+    * committer) decline THIS plan — the exact plan is the safe side —
+    * but KEEP the registration and retry after the check interval;
+    * only a successful listing that disagrees with the snapshot drops
+    * the registration permanently.
     */
   private def sourceIsStale(key: String, sourcePath: String, spec: IndexSpec): Boolean = {
     val now = System.nanoTime()
@@ -257,19 +265,28 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     staleChecks.get(key) match {
       case Some((t, fresh)) if now - t < intervalNs => !fresh
       case _ =>
-        val fresh = sourceSigs.get(key).forall { sig =>
-          try sourceSignature(sourcePath, spec) == sig
-          catch { case _: Exception => false }
+        val verdict: Option[Boolean] = sourceSigs.get(key) match {
+          case None => Some(true) // unfingerprintable at registration: guard off
+          case Some(sig) =>
+            try Some(sourceSignature(sourcePath, spec) == sig)
+            catch { case _: Exception => None } // transient: unknown
         }
+        val fresh = verdict.getOrElse(false)
         staleChecks.put(key, (now, fresh))
-        if (!fresh) {
-          registry.remove(key)
-          sourceSigs.remove(key)
-          invalidateProbeCaches()
-          droppedStale.incrementAndGet()
-          logWarning(s"graft ANN rewrite: source files under $sourcePath changed " +
-            "after index registration — dropping the registration and keeping " +
-            "the exact plan (re-register after rebuilding the index)")
+        verdict match {
+          case Some(false) =>
+            registry.remove(key)
+            sourceSigs.remove(key)
+            invalidateProbeCaches()
+            droppedStale.incrementAndGet()
+            logWarning(s"graft ANN rewrite: source files under $sourcePath changed " +
+              "after index registration — dropping the registration and keeping " +
+              "the exact plan (re-register after rebuilding the index)")
+          case None =>
+            logWarning(s"graft ANN rewrite: could not re-list $sourcePath to " +
+              "verify index freshness — keeping the exact plan for this check " +
+              "interval and retrying (registration kept)")
+          case Some(true) => ()
         }
         !fresh
     }
@@ -399,7 +416,7 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
               // session's analyzed index subtree spliced into its plan —
               // it keeps the exact path (correct, just unaccelerated).
               None
-            } else if (sourceIsStale(key, p.toUri.getPath, spec)) {
+            } else if (sourceIsStale(key, p.toString, spec)) {
               // source files changed since registration: the index is a
               // stale snapshot and splicing it would drop/resurrect rows
               // the exact plan sees — self-healed inside sourceIsStale
@@ -446,15 +463,21 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     * both shapes must match, since this rule shares a fixed-point batch
     * with ConstantFolding).
     */
-  private def matchCosine(e0: Expression): Option[(Array[Float], AttributeReference)] = {
-    def docNormAttr(e: Expression): Option[AttributeReference] = stripCasts(e) match {
+  /** The attribute whose self-norm `sqrt(dot(a, a))` the expression is
+    * (under any cast wrapper) — the one destructuring matchCosine and
+    * cosinePair both need to recognize a cosine denominator factor.
+    */
+  private def selfNormAttr(e: Expression): Option[AttributeReference] =
+    stripCasts(e) match {
       case Sqrt(inner) => stripCasts(inner) match {
-        case FloatVecDot(x: AttributeReference, y: AttributeReference)
-            if x.exprId == y.exprId => Some(x)
+        case FloatVecDot(a: AttributeReference, b: AttributeReference)
+            if a.exprId == b.exprId => Some(a)
         case _ => None
       }
       case _ => None
     }
+
+  private def matchCosine(e0: Expression): Option[(Array[Float], AttributeReference)] = {
     def constPos(e: Expression): Boolean = e.foldable && {
       e.eval(null) match {
         case n: java.lang.Number => n.doubleValue() > 0.0
@@ -472,8 +495,8 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
           numPair.filter { case (_, attr) =>
             stripCasts(den) match {
               case Multiply(x, y, _) =>
-                (docNormAttr(x).exists(_.exprId == attr.exprId) && constPos(y)) ||
-                  (docNormAttr(y).exists(_.exprId == attr.exprId) && constPos(x))
+                (selfNormAttr(x).exists(_.exprId == attr.exprId) && constPos(y)) ||
+                  (selfNormAttr(y).exists(_.exprId == attr.exprId) && constPos(x))
               case _ => false
             }
           }
@@ -504,7 +527,7 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
       matchL2(e).map { case (qv, a) => (qv, a, "l2") }
         .orElse(matchCosine(e).flatMap { case (qv, a) =>
           val n = math.sqrt(qv.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
-          if (n == 0.0) None // zero query vector: cosine undefined, keep exact
+          if (n == 0.0 || n.isNaN) None // zero/NaN query vector: cosine undefined, keep exact
           else Some((qv.map(x => (x / n).toFloat), a, "cosine"))
         })
     }
@@ -689,14 +712,6 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     * similarity ≡ the normalized-L2 ranking the cosine index answers.
     */
   private def cosinePair(e: Expression): Option[(AttributeReference, AttributeReference)] = {
-    def normAttr(e: Expression): Option[AttributeReference] = stripCasts(e) match {
-      case Sqrt(inner) => stripCasts(inner) match {
-        case FloatVecDot(a: AttributeReference, b: AttributeReference)
-            if a.exprId == b.exprId => Some(a)
-        case _ => None
-      }
-      case _ => None
-    }
     def sim(e: Expression): Option[(AttributeReference, AttributeReference)] =
       stripCasts(e) match {
         case Divide(num, den, _) =>
@@ -708,7 +723,7 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
           pair.filter { case (x, y) =>
             stripCasts(den) match {
               case Multiply(a, b, _) =>
-                val na = normAttr(a); val nb = normAttr(b)
+                val na = selfNormAttr(a); val nb = selfNormAttr(b)
                 na.isDefined && nb.isDefined && {
                   val ids = Set(na.get.exprId, nb.get.exprId)
                   ids == Set(x.exprId, y.exprId)
@@ -859,6 +874,12 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                   qembAttr = if (embAttr eq x) y else x
                   if querySide.outputSet.contains(qembAttr) &&
                     querySide.outputSet.contains(qid)
+                  // the rule EXECUTES the query side several times at plan
+                  // time (bounds check, probe, qid set) and the runtime
+                  // executes it again — a nondeterministic side (limit over
+                  // multi-partition input, a sample) could differ between
+                  // those runs and break the candidate/runtime agreement
+                  if querySide.deterministic
                   idAttr <- scanSide.output.find(_.name == spec.idCol).toSeq
                   if fltOpt.forall(fl => fl.condition.deterministic &&
                     !hasCandidateIn(fl.condition, idAttr))
@@ -891,7 +912,11 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                           val withN = qdf.withColumn("__qn", F.sqrt(
                             graft.functions.VectorExpressions.dot(
                               F.col("qemb"), F.col("qemb"))))
-                          if (withN.where(F.col("__qn") === 0.0).limit(1).count() > 0) null
+                          // === 0.0 misses NaN (NaN === 0.0 is false), and a
+                          // NaN-component vector has no cosine ranking either
+                          if (withN.where(F.col("__qn") === 0.0 ||
+                              F.isnan(F.col("__qn")) ||
+                              F.col("__qn").isNull).limit(1).count() > 0) null
                           else withN.select(F.col("qid"),
                             F.transform(F.col("qemb"),
                               x => (x.cast("double") / F.col("__qn")).cast("float"))
@@ -911,29 +936,34 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                           spark, qdfProbe, idx, spec.centroids,
                           k = kp, nprobe = spec.nprobe, efSearch = spec.efSearch,
                           idCol = spec.idCol, embCol = spec.embCol)
+                        // Collected once for BOTH branches: the per-query
+                        // guards below must run over the FULL query-side qid
+                        // set, not just qids present in the probe output — a
+                        // query whose probe returned nothing (null/NaN
+                        // embedding, degenerate routing) would otherwise be
+                        // uncounted, the rewrite would fire on the other
+                        // queries' candidates, and THAT query's top-k would
+                        // silently re-rank over neighbors that aren't its own.
+                        val allQids = qdf.select("qid")
+                          .collect().map(_.get(0)).toSet
+                        val pairs = probe
+                          .select(org.apache.spark.sql.functions.col("qid"),
+                            org.apache.spark.sql.functions.col(spec.idCol))
+                          .collect().map(row => (row.get(0), row.get(1)))
+                        val byQid = pairs.groupBy(_._1)
+                        val distinctIds = pairs.map(_._2).distinct.toIndexedSeq
                         fltOpt match {
                           case None =>
-                            val ids = probe.select(spec.idCol).distinct()
-                              .collect().map(_.get(0)).toIndexedSeq
-                            if (ids.isEmpty) None else Some(ids)
+                            if (distinctIds.isEmpty) None
+                            else if (!allQids.forall(byQid.contains)) {
+                              logInfo("graft batch ANN rewrite: a query produced " +
+                                "zero probe candidates; keeping the exact plan")
+                              None
+                            } else Some(distinctIds)
                           case Some(flt) =>
-                            // per-query survivor check: collect the bounded
-                            // (qid, id) pairs, evaluate the metadata filter
-                            // once over the distinct candidates, and require
-                            // EVERY query to keep >= k survivors. The
-                            // all-or-nothing grouping must run over the FULL
-                            // query-side qid set, not just qids present in
-                            // the probe output — a query whose probe returned
-                            // nothing would otherwise be uncounted and
-                            // silently lose all its neighbors.
-                            val allQids = qdf.select("qid")
-                              .collect().map(_.get(0)).toSet
-                            val pairs = probe
-                              .select(org.apache.spark.sql.functions.col("qid"),
-                                org.apache.spark.sql.functions.col(spec.idCol))
-                              .collect().map(row => (row.get(0), row.get(1)))
-                            val byQid = pairs.groupBy(_._1)
-                            val distinctIds = pairs.map(_._2).distinct.toIndexedSeq
+                            // per-query survivor check: evaluate the metadata
+                            // filter once over the distinct candidates and
+                            // require EVERY query to keep >= k survivors
                             if (distinctIds.isEmpty) None
                             else if (!allQids.forall(byQid.contains)) {
                               logInfo("graft batch ANN filtered rewrite: a query " +
