@@ -175,6 +175,7 @@ object SparkEntry {
     }
     transientCheckpoints.clear()
     pqCodebookCache.clear() // driver-side Seqs, nothing persisted
+    pcaCache.clear() // driver-side arrays, nothing persisted
     kmeansCache.clear()
     w2vCache.clear() // driver-side models, nothing persisted
     unigramCache.clear()
@@ -407,6 +408,64 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** One normalized power-iteration step for the PCA oracle:
+    * `out.v = (mat.m · prev.v) / ‖mat.m · prev.v‖`, every fold in the
+    * index order operators/Pca.scala uses. MATERIALIZED so the chain
+    * is evaluated once per step instead of inlined exponentially.
+    */
+  private def pcaIterSql(mat: String, prev: String, out: String): String =
+    s"$out AS MATERIALIZED (SELECT list_transform(w, x -> x / " +
+      "sqrt(list_sum(list_transform(w, y -> y * y)))) AS v " +
+      "FROM (SELECT list_transform(range(1, 65), r -> " +
+      "list_sum(list_transform(range(1, 65), c -> m[r][c] * v[c]))) AS w " +
+      s"FROM $mat, $prev) tw_$out)"
+
+  /** DuckDB replay of the FULL PCA trajectory (operators/Pca): exact
+    * integer Gram statistics (quantize → Σq, Σq·q → division-free
+    * centered scatter n·Σxy − Σx·Σy → one deterministic double cast),
+    * then 8 power-iteration steps for PC1, the Rayleigh quotient, one
+    * Hotelling deflation, and 8 steps for PC2 — ending in CTEs
+    * `p8(v)` (PC1 unit vector), `q8(v)` (PC2), `lam1(l)`, `lam2(l)`,
+    * `trc(t)`. Every double op mirrors the Scala index order, so the
+    * trajectory is bit-identical across engines.
+    */
+  private def pcaCtesSql: String = {
+    val p = (1 to 8).map(k => pcaIterSql("cm", s"p${k - 1}", s"p$k")).mkString(",\n")
+    val q = (1 to 8).map(k => pcaIterSql("dm", s"q${k - 1}", s"q$k")).mkString(",\n")
+    s"""qd AS MATERIALIZED (SELECT vec_id, i AS d,
+       |      CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+       |    FROM embeddings, range(1, 65) ix(i)),
+       |ps AS MATERIALIZED (SELECT d, SUM(q) AS s FROM qd GROUP BY d),
+       |pp AS MATERIALIZED (SELECT a.d AS r, b.d AS c, SUM(a.q * b.q) AS p
+       |    FROM qd a JOIN qd b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |cv AS (SELECT pp.r, pp.c, CAST(nn.n * pp.p - sa.s * sb.s AS DOUBLE) AS v
+       |    FROM pp, nn, ps sa, ps sb WHERE sa.d = pp.r AND sb.d = pp.c),
+       |cm AS MATERIALIZED (SELECT array_agg(rl ORDER BY r) AS m
+       |    FROM (SELECT r, array_agg(v ORDER BY c) AS rl FROM cv GROUP BY r) byr),
+       |p0 AS (SELECT list_transform(range(1, 65), x -> CAST(0.125 AS DOUBLE)) AS v),
+       |$p,
+       |gv1 AS (SELECT list_transform(range(1, 65), r ->
+       |      list_sum(list_transform(range(1, 65), c -> m[r][c] * v[c]))) AS gv, v
+       |    FROM cm, p8),
+       |lam1 AS MATERIALIZED (SELECT list_sum(list_transform(range(1, 65), r -> v[r] * gv[r])) AS l FROM gv1),
+       |dm AS MATERIALIZED (SELECT list_transform(range(1, 65), r ->
+       |      list_transform(range(1, 65), c -> m[r][c] - l * v[r] * v[c])) AS m
+       |    FROM cm, p8, lam1),
+       |q0 AS (SELECT list_transform(range(1, 65), x -> CAST(0.125 AS DOUBLE)) AS v),
+       |$q,
+       |pr2 AS MATERIALIZED (SELECT list_sum(list_transform(range(1, 65), r -> p8.v[r] * q8.v[r])) AS pj
+       |    FROM p8, q8),
+       |o2 AS MATERIALIZED (SELECT list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v
+       |    FROM (SELECT list_transform(range(1, 65), r -> q8.v[r] - pj * p8.v[r]) AS w
+       |          FROM p8, q8, pr2) to2),
+       |gv2 AS (SELECT list_transform(range(1, 65), r ->
+       |      list_sum(list_transform(range(1, 65), c -> m[r][c] * v[c]))) AS gv, v
+       |    FROM cm, o2),
+       |lam2 AS MATERIALIZED (SELECT list_sum(list_transform(range(1, 65), r -> v[r] * gv[r])) AS l FROM gv2),
+       |trc AS (SELECT list_sum(list_transform(range(1, 65), r -> m[r][r])) AS t FROM cm)""".stripMargin
+  }
 
   /** Squared L2 between a quantized BIGINT sublist and a DOUBLE centroid
     * sublist — the DuckDB twin of graft_l2sq_d over [[graft.search.Pq]]
@@ -685,6 +744,23 @@ object SparkEntry {
         (sqrt(graft.functions.VectorExpressions.dot(
           col("embedding"), col("embedding"))) * lit(qn)))
   }
+
+  /** PCA trajectory shared by the loadings and projection queries —
+    * one Gram pass + one driver eigen-solve per (session, dir):
+    * (n, v1, λ1, v2, λ2, trace). Pure driver values (no persisted
+    * frames), so clearCaches only drops the map entries.
+    */
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Array[Double], Double, Array[Double], Double, Double)]()
+  private def sharedPca(s: SparkSession, dir: String)
+      : (Long, Array[Double], Double, Array[Double], Double, Double) =
+    pcaCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ => {
+      val emb = Tables.embeddings(s, dir)
+      val (n, sums, prods) = graft.operators.Pca.gramStats(emb, "embedding", 64, 10000L)
+      val m = graft.operators.Pca.centeredCov(n, sums, prods, 64)
+      val (v1, l1, v2, l2) = graft.operators.Pca.topTwo(m, 8)
+      (n, v1, l1, v2, l2, graft.operators.Pca.trace(m))
+    })
 
   /** Register a result-owning localCheckpoint for clearCaches release. */
   private def trackCheckpoint(df: DataFrame): DataFrame = {
@@ -5156,6 +5232,44 @@ object SparkEntry {
             lit(0.5)).cast("double") / lit(1.0e8)).as("mse_r8"))
         .orderBy("vec_id")),
 
+    // Deterministic distributed PCA (operators/Pca): the whitening /
+    // projection step before coarse quantization. ONE mapPartitions
+    // pass accumulates the exact-integer Gram statistics (quantized
+    // vectors, BIGINT sums — reduce order can never perturb them);
+    // the 64×64 eigen-solve is driver math (parameter-bounded), a
+    // fixed-count power iteration with one Hotelling deflation whose
+    // every double op is replayed IN THE SAME INDEX ORDER by the
+    // oracle's CTE chain — the frozen-trajectory discipline
+    // (kcenter/greedi/pqTrain) applied to an eigen-solver. Output:
+    // per-dim PC1/PC2 loadings + explained-variance shares.
+    "embedding_pca_loadings" -> ((s, dir) => {
+      val (_, v1, l1, v2, l2, tr) = sharedPca(s, dir)
+      val rows = (0 until 64).map(d => (d + 1L, v1(d), v2(d), l1 / tr, l2 / tr))
+      s.createDataFrame(rows).toDF("dim", "pc1", "pc2", "ev1_share", "ev2_share")
+        .select(col("dim"),
+          round(col("pc1"), 4).as("pc1"), round(col("pc2"), 4).as("pc2"),
+          round(col("ev1_share"), 4).as("ev1_share"),
+          round(col("ev2_share"), 4).as("ev2_share"))
+        .orderBy("dim")
+    }),
+
+    // The projection half: every vector's PC1 coordinate via the
+    // codegen'd DoubleVecDot against the broadcast loading literals —
+    // a one-pass scan-parallel map (the 100 TB shape: project, THEN
+    // index the 1-d coordinate), top-10 by coordinate with the suite's
+    // (score, id) tie-break.
+    "embedding_pca_project" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val (_, v1, _, _, _, _) = sharedPca(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val c1 = graft.functions.VectorExpressions.dotD(
+        col("embedding").cast("array<double>"), typedLit(v1))
+      val topk = emb.select(col("vec_id"), c1.as("c1"))
+        .orderBy(col("c1").desc, col("vec_id")).limit(10)
+      topk.select(col("vec_id"), round(col("c1"), 4).as("pc1"))
+        .orderBy(col("pc1").desc, col("vec_id"))
+    }),
+
     // Radius (range) similarity search: all neighbors within L2 1.2 —
     // threshold retrieval, no top-k window, pure broadcast + filter.
     "knn_range_search" -> ((s, dir) => {
@@ -8280,6 +8394,28 @@ object SparkEntry {
         |  mn AS v_min, mx AS v_max,
         |  floor((sse / CAST(n AS DOUBLE)) * CAST(100000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100000000 AS DOUBLE) AS mse_r8
         |FROM er ORDER BY vec_id""".stripMargin,
+
+    // PCA trajectory replay: the loadings come out of the same
+    // quantize → integer Gram → 8+8 power-iteration steps the Spark
+    // side ran (bit-identical doubles — see pcaCtesSql).
+    "embedding_pca_loadings" ->
+      s"""WITH $pcaCtesSql
+         |SELECT ix.r AS dim,
+         |  round(p8.v[ix.r], 4) AS pc1, round(o2.v[ix.r], 4) AS pc2,
+         |  round(lam1.l / trc.t, 4) AS ev1_share, round(lam2.l / trc.t, 4) AS ev2_share
+         |FROM range(1, 65) ix(r), p8, o2, lam1, lam2, trc ORDER BY dim""".stripMargin,
+
+    // Projection replay: PC1 coordinate per vector from the replayed
+    // unit vector, top-10 with the (coordinate, id) tie-break chosen
+    // by the UNROUNDED value.
+    "embedding_pca_project" ->
+      s"""WITH $pcaCtesSql,
+         |pj AS (SELECT e.vec_id, list_sum(list_transform(range(1, 65), i ->
+         |      CAST(e.embedding[i] AS DOUBLE) * p8.v[i])) AS c1
+         |    FROM embeddings e, p8),
+         |t10 AS (SELECT vec_id, c1 FROM pj ORDER BY c1 DESC, vec_id LIMIT 10)
+         |SELECT vec_id, round(c1, 4) AS pc1 FROM t10
+         |ORDER BY round(c1, 4) DESC, vec_id""".stripMargin,
 
     "knn_range_search" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
