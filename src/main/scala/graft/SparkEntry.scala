@@ -1254,6 +1254,84 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // Max-inner-product top-k — the two-tower/dual-encoder retrieval
+    // score (q·x, descending). Same broadcast + WindowGroupLimit shape
+    // as knn_exact_top10; the score is the codegen'd graft_dot.
+    "knn_dot_top10" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = queryVectors(s, dir, 5)
+      KnnExact.topKDot(q, emb, 10)
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(col("ip"), 4).as("ip"))
+        .orderBy("qid", "rk")
+    }),
+
+    // MIPS→L2 reduction (Shrivastava & Li, NeurIPS'14): augment every
+    // data vector with sqrt(M² − ‖x‖²) as an extra dimension (M = max
+    // corpus norm) and every query with 0 — then augmented L2 distance
+    // is monotone in −q·x, so ANY exact-L2 index answers inner-product
+    // queries exactly. This is the 100 TB story for dot-product
+    // retrieval: build one L2 HNSW/IVF over the augmented vectors, run
+    // MIPS as plain L2 probes (ann_mips_hnsw measures that path's
+    // recall). Here the reduction itself is hash-matched: rank by
+    // ACTUAL 65-dim augmented L2 (what an off-the-shelf index
+    // computes), report the recovered inner product; MipsSpec pins
+    // rank-equality with the direct topKDot ordering. M² is a max of
+    // per-row doubles (order-invariant), and the augmented element of
+    // the max-norm row is sqrt(0) = 0 exactly — both engines build the
+    // same doubles, so the chain replays bit-for-bit.
+    "ann_mips_top10" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val m2 = emb.agg(max(graft.functions.VectorExpressions.dot(
+        col("embedding"), col("embedding")))).first().getDouble(0)
+      val aug = emb.select(col("vec_id"), col("embedding"),
+        concat(col("embedding").cast("array<double>"),
+          array(sqrt(lit(m2) - graft.functions.VectorExpressions.dot(
+            col("embedding"), col("embedding"))))).as("aemb"))
+      val q = queryVectors(s, dir, 5)
+        .select(col("qid"), col("qemb"),
+          concat(col("qemb").cast("array<double>"), array(lit(0.0))).as("qaug"))
+      KnnExact.topKBy(q, aug, 10, "qid", "vec_id",
+          (a, b) => sqrt(graft.functions.VectorExpressions.l2SqD(a, b)),
+          qEmbCol = "qaug", embCol = "aemb", scoreName = "adist")
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(queryVectors(s, dir, 5), Seq("qid"))
+        .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+          round(col("adist"), 4).as("adist"),
+          round(graft.functions.VectorExpressions.dot(col("qemb"), col("embedding")), 4).as("ip"))
+        .orderBy("qid", "rk")
+    }),
+
+    // The MIPS→L2 reduction's INDEXED path: one segment-partitioned
+    // L2 HNSW built over the 65-dim augmented vectors answers
+    // inner-product queries — recall measured against the exact
+    // topKDot ground truth (floor contract like ann_hnsw_recall; the
+    // graph walk is not SQL-replayable, the measured value is pinned
+    // ≥ 0.9 in MipsSpec). This is the production MIPS shape at 100 TB:
+    // augment once at ingest (+4 bytes/vector), reuse the entire L2
+    // index stack unchanged.
+    "ann_mips_hnsw" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val m2 = emb.agg(max(graft.functions.VectorExpressions.dot(
+        col("embedding"), col("embedding")))).first().getDouble(0)
+      val aug = emb.select(col("vec_id"),
+        concat(col("embedding").cast("array<double>"),
+          array(sqrt(lit(m2) - graft.functions.VectorExpressions.dot(
+            col("embedding"), col("embedding"))))).cast("array<float>").as("embedding"))
+      val q = queryVectors(s, dir, 5)
+      val qaug = q.select(col("qid"),
+        concat(col("qemb").cast("array<double>"), array(lit(0.0)))
+          .cast("array<float>").as("qemb"))
+      val gt = KnnExact.topKDot(q, emb, 10)
+      val approx = graft.search.Hnsw.topK(s, qaug, aug, 10)
+      RecallAtK.evaluate(gt, approx, Seq(10))
+        .select(col("qid"), lit(10L).as("k"),
+          (col("recall_10") >= 0.9).as("above_floor"))
+        .orderBy("qid")
+    }),
+
     // Matryoshka-style truncated-dimension search (Kusupati et al.,
     // NeurIPS'22): rank by cosine over the first 16 of 64 dims and
     // report Recall@{5,10} vs the full-dim cosine ground truth — the
@@ -5719,6 +5797,35 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim FROM embeddings c, q),
          |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    "knn_dot_top10" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${dotSql("q.qemb", "c.embedding")} AS ip FROM embeddings c, q),
+         |r AS (SELECT qid, vec_id, ip, row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) AS ip FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // MIPS→L2 replay: the same max-norm, augmentation, and 65-dim L2
+    // chain as the Spark side — every double in the same index order.
+    "ann_mips_top10" ->
+      s"""WITH m AS (SELECT max(${dotSql("embedding", "embedding")}) AS m2 FROM embeddings),
+         |a AS (SELECT vec_id, embedding,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |          || [sqrt(m.m2 - ${dotSql("embedding", "embedding")})] AS aemb
+         |      FROM embeddings, m),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) || [0.0] AS qaug
+         |      FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, a.vec_id, ${l2Sql("q.qaug", "a.aemb")} AS adist,
+         |        ${dotSql("q.qemb", "a.embedding")} AS ip FROM a, q),
+         |r AS (SELECT qid, vec_id, adist, ip,
+         |        row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(adist, 4) AS adist,
+         |  round(ip, 4) AS ip FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // MIPS-over-HNSW floor: same contract as ann_hnsw_recall.
+    "ann_mips_hnsw" ->
+      """SELECT vec_id AS qid, CAST(10 AS BIGINT) AS k, TRUE AS above_floor
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
 
     // HNSW recall floor: the graph walk is not SQL-replayable, so the
     // Spark side computes recall vs the exact scan in-query and the

@@ -77,6 +77,24 @@ object KnnExact {
       .withColumn("sim", -col("negsim"))
       .drop("negsim")
 
+  /** Max-inner-product top-k (dot product DESCENDING) — the retrieval
+    * mode of two-tower / dual-encoder models, where score = q·x is not a
+    * metric (no triangle inequality, not symmetric in scale), so metric
+    * indexes cannot serve it directly; `ann_mips_top10` demonstrates the
+    * Shrivastava & Li (NeurIPS 2014) augmented-L2 reduction that makes
+    * any L2 index (IVF/HNSW/PQ) answer MIPS queries exactly.
+    */
+  def topKDot(
+      queries: DataFrame,
+      collection: DataFrame,
+      k: Int,
+      qidCol: String = "qid",
+      idCol: String = "vec_id"): DataFrame =
+    topKBy(queries, collection, k, qidCol, idCol,
+      (q, c) => -graft.functions.VectorExpressions.dot(q, c), scoreName = "negip")
+      .withColumn("ip", -col("negip"))
+      .drop("negip")
+
   /** Cosine top-k restricted by a per-pair predicate over (query cols ×
     * collection cols) — e.g. hard-negative mining, where the candidate
     * must NOT share the query's class. The predicate runs between the
