@@ -175,6 +175,8 @@ object SparkEntry {
     }
     transientCheckpoints.clear()
     pqCodebookCache.clear() // driver-side Seqs, nothing persisted
+    opqAllocCache.clear()
+    opqCodebookCache.clear()
     pcaCache.clear() // driver-side arrays, nothing persisted
     kmeansCache.clear()
     w2vCache.clear() // driver-side models, nothing persisted
@@ -321,6 +323,27 @@ object SparkEntry {
         m = PqM, w = PqW, k = PqK, iters = PqTrainIters))
   private def trainedPqCodebook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
     trainedPqTrajectory(spark, dir)._1(PqIters)
+
+  /** OPQ variance allocation + codebook trained on the PERMUTED frame,
+    * per (session, dir). The allocation is one exact-integer Gram pass
+    * (Opq.varianceAllocation); training reuses the fixed-point Lloyd
+    * trainer unchanged — OPQ is a pure pre-permutation of PQ.
+    */
+  private val opqAllocCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Long], Array[Int])]()
+  private def opqAllocation(spark: SparkSession, dir: String): (Array[Long], Array[Int]) =
+    opqAllocCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ =>
+      graft.search.Opq.varianceAllocation(
+        Tables.embeddings(spark, dir), "embedding", 64, PqM))
+  private def opqPermutedEmb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      graft.search.Opq.permuted("embedding", opqAllocation(spark, dir)._2).as("embedding"))
+  private val opqCodebookCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, Long, Seq[Double])]]()
+  private def trainedOpqCodebook(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+    opqCodebookCache.computeIfAbsent(sessionKey(spark) + "|" + dir, _ =>
+      graft.search.Pq.train(spark, opqPermutedEmb(spark, dir),
+        m = PqM, w = PqW, k = PqK, iters = PqIters)._1)
 
   /** One materialized inverted index per (session, dir), serving the
     * whole retrieval family (BM25 / VSM / RRF / unigram-LM) — a search
@@ -508,10 +531,12 @@ object SparkEntry {
     * doubles — the whole point of fixed-point Lloyd. Yields CTEs:
     * qe, blocks, sub, cb0, a1, m1, cb1, …, cb$iters.
     */
-  private def pqTrainCtesSql(m: Int, w: Int, k: Int, iters: Int): String = {
+  private def pqTrainCtesSql(m: Int, w: Int, k: Int, iters: Int,
+      qeSql: Option[String] = None): String = {
     val ctes = Seq.newBuilder[String]
-    ctes += s"""qe AS (SELECT vec_id, list_transform(embedding,
-      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS emb_q FROM embeddings)""".stripMargin
+    ctes += qeSql.getOrElse(
+      s"""qe AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS emb_q FROM embeddings)""".stripMargin)
     ctes += s"blocks AS (SELECT unnest(range(0, $m)) AS block)"
     ctes += s"""sub AS (SELECT vec_id, b.block,
       |  emb_q[(b.block*$w+1):(b.block*$w+$w)] AS sub FROM qe CROSS JOIN blocks b)""".stripMargin
@@ -536,6 +561,33 @@ object SparkEntry {
     }
     ctes.result().mkString(",\n")
   }
+
+  /** OPQ variance-ranking CTEs (shared by the embedding_opq_assign and
+    * ann_opq_top10 oracles): per-dim exact-integer variance fingerprints
+    * at Opq.VarScale, rank → (block, slot) by round-robin dealing.
+    * DuckDB's sum(BIGINT) widens to HUGEINT, so n·Σq² − (Σq)² is exact
+    * there unconditionally; the Spark side's int64 bound (n ≲ 3·10⁵ at
+    * scale 10⁴) is enforced by multiplyExact in Opq.varianceAllocation.
+    */
+  private def opqRankCtesSql(m: Int, w: Int): String =
+    s"""odim AS (SELECT unnest(range(1, ${m * w + 1})) AS i),
+       |oq AS (SELECT d.i AS dim,
+       |         CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS q
+       |       FROM embeddings e CROSS JOIN odim d),
+       |ostat AS (SELECT dim, count(*) AS n, sum(q) AS s, sum(q*q) AS sq FROM oq GROUP BY dim),
+       |orank AS (SELECT dim, n*sq - s*s AS varfp,
+       |            row_number() OVER (ORDER BY n*sq - s*s DESC, dim) - 1 AS rn FROM ostat)""".stripMargin
+
+  /** Permuted quantized-embedding CTE for [[pqTrainCtesSql]]: emb_q in
+    * OPQ dimension order (operm[pos] = source dim of permuted position
+    * pos — the same card-dealing map as Opq.varianceAllocation).
+    */
+  private def opqQeSql(m: Int, w: Int): String =
+    s"""${opqRankCtesSql(m, w)},
+       |operm AS (SELECT list(dim ORDER BY (rn % $m) * $w + rn // $m) AS p FROM orank),
+       |qe AS (SELECT vec_id, list_transform(p.p,
+       |    j -> CAST(floor(CAST(embedding[j] AS DOUBLE) * 1048576.0) AS BIGINT)) AS emb_q
+       |  FROM embeddings CROSS JOIN operm p)""".stripMargin
 
   /** (t, sign-vector) VALUES rows replaying RpLsh's SplitMix64 ±1 signs
     * (shared by the ann_rplsh_top10 and recall_curve oracles).
@@ -2742,6 +2794,54 @@ object SparkEntry {
           graft.functions.VectorExpressions.l2SqD(col("sub"), col("csub")).as("qd2"))
       // ADC: 16 LUT hits per vector, folded in block order (both engines
       // add the identical doubles in the identical order).
+      val adc = codes.join(broadcast(qd), Seq("block", "code"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("block"), col("qd2")))).as("a"))
+        .select(col("vec_id"),
+          aggregate(transform(col("a"), x => x.getField("qd2")),
+            lit(0.0), (acc, v) => acc + v).as("d2"))
+      val cand = adc.orderBy(col("d2"), col("vec_id")).limit(50)
+        .select(col("vec_id"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+      cand.join(emb, Seq("vec_id")).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          sqrt(graft.functions.VectorExpressions.l2Sq(col("embedding"), col("qemb"))).as("dist"))
+        .orderBy(round(col("dist"), 6), col("vec_id")).limit(10)
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
+
+    // Parametric OPQ allocation (Ge et al., CVPR'13 §4): per-dim
+    // variance as exact BIGINT fingerprints (the PCA Gram pass), dims
+    // ranked by variance and dealt round-robin to the PqM blocks —
+    // every block receives one dim per variance tier, so no block
+    // quantizes only noise. The output IS the allocation table a 100 TB
+    // index build would persist next to its codebook.
+    "embedding_opq_assign" -> ((s, dir) => {
+      import s.implicits._
+      val (varfp, _) = opqAllocation(s, dir)
+      val ranked = (0 until 64).sortBy(d => (-varfp(d), d))
+      ranked.zipWithIndex.map { case (d, rn) =>
+        (d + 1L, varfp(d), (rn % PqM).toLong, (rn / PqM).toLong)
+      }.toDF("dim", "varfp", "block", "slot").orderBy("dim")
+    }),
+
+    // OPQ = the variance-balanced permutation + the UNCHANGED
+    // fixed-point PQ pipeline (permute is a pure projection; training,
+    // ADC, and re-rank reuse Pq verbatim). Same ADC top-50 → exact
+    // re-rank shape as ann_pq_top10; the full trainer replays in the
+    // oracle through the permuted qe CTE.
+    "ann_opq_top10" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val pemb = opqPermutedEmb(s, dir)
+      val cbDf = graft.search.Pq.codebookDf(s, trainedOpqCodebook(s, dir))
+      val sub = graft.search.Pq.subFrame(graft.search.Pq.quantize(pemb), PqM, PqW)
+      val codes = graft.search.Pq.assignments(sub, cbDf)
+        .select(col("vec_id"), col("block"), col("code"))
+      val qd = sub.filter(col("vec_id") === 0)
+        .join(broadcast(cbDf), Seq("block"))
+        .select(col("block"), col("code"),
+          graft.functions.VectorExpressions.l2SqD(col("sub"), col("csub")).as("qd2"))
       val adc = codes.join(broadcast(qd), Seq("block", "code"))
         .groupBy(col("vec_id"))
         .agg(array_sort(collect_list(struct(col("block"), col("qd2")))).as("a"))
@@ -7021,6 +7121,33 @@ object SparkEntry {
 
     "ann_pq_top10" ->
       s"""WITH ${pqTrainCtesSql(PqM, PqW, PqK, PqIters)},
+         |final AS (SELECT vec_id, block, code FROM (
+         |    SELECT s.vec_id, s.block, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.block
+         |                         ORDER BY ${pqD2Sql("s.sub", "c.csub", PqW)} ASC, c.code ASC) AS rn
+         |    FROM sub s JOIN cb$PqIters c ON s.block = c.block) WHERE rn = 1),
+         |qd AS (SELECT c.block, c.code, ${pqD2Sql("q.sub", "c.csub", PqW)} AS qd2
+         |       FROM cb$PqIters c
+         |       JOIN (SELECT block, sub FROM sub WHERE vec_id = 0) q ON q.block = c.block),
+         |adc AS (SELECT f.vec_id, list_sum(list(q.qd2 ORDER BY f.block)) AS d2
+         |        FROM final f JOIN qd q ON q.block = f.block AND q.code = f.code
+         |        GROUP BY f.vec_id),
+         |cand AS (SELECT vec_id FROM adc ORDER BY d2, vec_id LIMIT 50),
+         |qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${l2Sql("e.embedding", "qemb")}, 4) AS dist
+         |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
+         |ORDER BY round(${l2Sql("e.embedding", "qemb")}, 6), e.vec_id LIMIT 10""".stripMargin,
+
+    "embedding_opq_assign" ->
+      s"""WITH ${opqRankCtesSql(PqM, PqW)}
+         |SELECT CAST(dim AS BIGINT) AS dim, CAST(varfp AS BIGINT) AS varfp,
+         |  CAST(rn % $PqM AS BIGINT) AS block, CAST(rn // $PqM AS BIGINT) AS slot
+         |FROM orank ORDER BY dim""".stripMargin,
+
+    // OPQ replay: the permuted qe CTE feeds the UNCHANGED fixed-point
+    // Lloyd chain — same ADC + exact-re-rank tail as ann_pq_top10.
+    "ann_opq_top10" ->
+      s"""WITH ${pqTrainCtesSql(PqM, PqW, PqK, PqIters, qeSql = Some(opqQeSql(PqM, PqW)))},
          |final AS (SELECT vec_id, block, code FROM (
          |    SELECT s.vec_id, s.block, c.code,
          |      row_number() OVER (PARTITION BY s.vec_id, s.block
