@@ -185,6 +185,8 @@ object SparkEntry {
     plannerIndexCache.clear()
     plannerCosineIndexCache.values().forEach(p => graft.plans.AnnIndexRewrite.unregister(p))
     plannerCosineIndexCache.clear()
+    plannerIpIndexCache.values().forEach(p => graft.plans.AnnIndexRewrite.unregister(p))
+    plannerIpIndexCache.clear()
     val it4 = bpeCache.entrySet().iterator()
     while (it4.hasNext) {
       val e = it4.next()
@@ -277,6 +279,37 @@ object SparkEntry {
         graft.plans.AnnIndexRewrite.IndexSpec(s.read.parquet(tmp), cent,
           nprobe = 8, efSearch = 4096, overfetch = 2,
           indexPath = Some(tmp), metric = "cosine", exhaustiveProbe = true))
+      s"$dir/embeddings.parquet"
+    })
+
+  /** The INNER-PRODUCT twin of [[sharedPlannerIndex]]: a routed-HNSW
+    * index over the AUGMENTED vectors [x, sqrt(M²−‖x‖²)] (M = max
+    * corpus norm — the Shrivastava & Li MIPS→L2 reduction, the same
+    * construction ann_mips_hnsw demonstrates), registered with
+    * metric = "ip" on the same source path. A `−dot(q,e)` sort key
+    * probes it with [q, 0]: augmented L2 is monotone in −q·x, so at
+    * exhaustive knobs the candidates are the true inner-product top-K′.
+    */
+  private val plannerIpIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+  private def sharedPlannerIpIndex(s: SparkSession, dir: String): Unit =
+    plannerIpIndexCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val selfDot = graft.functions.VectorExpressions.dot(
+        col("embedding"), col("embedding"))
+      val m2 = emb.agg(max(selfDot)).head().getDouble(0)
+      val aug = emb.select(col("vec_id"),
+        concat(col("embedding").cast("array<double>"),
+          array(sqrt(lit(m2) - selfDot))).cast("array<float>").as("embedding"))
+      val cent = IvfIndex.seedCentroids(aug, 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_annidx_ip").toString
+      graft.search.Hnsw.buildRoutedIndex(s, aug, cent)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      graft.plans.AnnIndexRewrite.register(s"$dir/embeddings.parquet",
+        graft.plans.AnnIndexRewrite.IndexSpec(s.read.parquet(tmp), cent,
+          nprobe = 8, efSearch = 4096, overfetch = 2,
+          indexPath = Some(tmp), metric = "ip", exhaustiveProbe = true))
       s"$dir/embeddings.parquet"
     })
 
@@ -4660,6 +4693,110 @@ object SparkEntry {
       trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
+    // PLANNER-CHOSEN **INNER-PRODUCT** ANN: the declarative MIPS shape
+    // — `−dot(q,e)` ascending (descending inner product) + limit — and
+    // the THIRD metric of the planner matrix. The sort key probes the
+    // metric="ip" index built over AUGMENTED vectors [x, sqrt(M²−‖x‖²)]
+    // with the zero-augmented query [q, 0] (Shrivastava & Li '14:
+    // augmented L2 is monotone in −q·x), then the untouched Sort
+    // re-ranks candidates by the true dot expression. Exhaustive knobs
+    // ⇒ HASH-MATCHES the closed-form exact MIPS top-k; rewrite_fired
+    // pins the accelerated plan in the hash.
+    "ann_planner_ip" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerIpIndex(s, dir) // build+register once per (session, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val nip = -graft.functions.VectorExpressions.dot(typedLit(qv), col("embedding"))
+      val before = graft.plans.AnnIndexRewrite.fired.get()
+      val topk = emb
+        .select(col("vec_id"), nip.as("nip"))
+        .orderBy(col("nip"), col("vec_id"))
+        .limit(10)
+      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
+      val firedNow = graft.plans.AnnIndexRewrite.fired.get() > before
+      topk.select(col("vec_id"), round(-col("nip"), 4).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id"))
+        .withColumn("rewrite_fired", lit(firedNow))
+    }),
+
+    // IP-FILTERED planner ANN: metadata predicate + inner-product
+    // top-k through the adaptive filtered rewrite (plan-time survivor
+    // count over the enlarged augmented-index probe, candidate-id
+    // splice only when survivors ≥ k).
+    "ann_planner_ip_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerIpIndex(s, dir) // build+register once per (session, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val nip = -graft.functions.VectorExpressions.dot(typedLit(qv), col("embedding"))
+      val before = graft.plans.AnnIndexRewrite.firedFiltered.get()
+      val topk = emb
+        .filter(col("label") === 3)
+        .select(col("vec_id"), nip.as("nip"))
+        .orderBy(col("nip"), col("vec_id"))
+        .limit(10)
+      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
+      val firedNow = graft.plans.AnnIndexRewrite.firedFiltered.get() > before
+      topk.select(col("vec_id"), round(-col("nip"), 4).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id"))
+        .withColumn("rewrite_fired", lit(firedNow))
+    }),
+
+    // BATCH IP planner ANN: five query vectors through topKDot's
+    // ranking window (negip attr-vs-attr sort key); the rule
+    // zero-augments the executed query side at plan time and probes
+    // the metric="ip" augmented index ONCE for all queries.
+    "ann_planner_ip_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerIpIndex(s, dir) // build+register once per (session, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val before = graft.plans.AnnIndexRewrite.firedBatch.get()
+      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
+      val prev = s.conf.getOption(gate)
+      s.conf.set(gate, "0")
+      val res = try {
+        KnnExact.topKDot(q, emb, 10)
+          .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+            round(col("ip"), 4).as("ip"))
+          .localCheckpoint(true)
+      } finally prev match {
+        case Some(v) => s.conf.set(gate, v)
+        case None => s.conf.unset(gate)
+      }
+      val firedNow = graft.plans.AnnIndexRewrite.firedBatch.get() > before
+      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+    }),
+
+    // BATCH × FILTERED × IP planner ANN — completing the full
+    // 3-metric × 4-shape planner matrix ({single, filtered, batch,
+    // batch×filtered} × {L2, cosine, ip}, all twelve cells
+    // planner-accelerated and oracle-pinned): five query vectors × a
+    // metadata predicate in the inner-product space, one augmented
+    // probe, per-query all-or-nothing survivor checks.
+    "ann_planner_ip_filtered_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerIpIndex(s, dir) // build+register once per (session, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      val before = graft.plans.AnnIndexRewrite.firedBatchFiltered.get()
+      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
+      val prev = s.conf.getOption(gate)
+      s.conf.set(gate, "0")
+      val res = try {
+        KnnExact.topKDot(q, emb.filter(col("label") === 3), 10)
+          .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
+            round(col("ip"), 4).as("ip"))
+          .localCheckpoint(true)
+      } finally prev match {
+        case Some(v) => s.conf.set(gate, v)
+        case None => s.conf.unset(gate)
+      }
+      val firedNow = graft.plans.AnnIndexRewrite.firedBatchFiltered.get() > before
+      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+    }),
+
     // SEGMENT COMPACTION (Hnsw.compactIndex — the Lucene-merge-shaped
     // maintenance op): an 8-segment stored index rebuilt into 2
     // segments from its own STORED vectors, then searched. At
@@ -5844,6 +5981,52 @@ object SparkEntry {
          |      FROM embeddings c, q WHERE c.label = 3),
          |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim,
+         |  TRUE AS rewrite_fired
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // IP-planner replay: exact inner-product top-10 (the probe runs
+    // over the augmented index — monotone in −q·x — and the Sort
+    // re-ranks by the true dot, so the rewritten plan must equal the
+    // exact scan). Top-10 SET chosen by the unrounded dot, matching the
+    // Spark side's limit-before-round; rewrite_fired = TRUE pins the
+    // accelerated plan.
+    "ann_planner_ip" ->
+      s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, ${dotSql("q.qemb", "c.embedding")} AS ip
+         |      FROM embeddings c, q),
+         |t AS (SELECT vec_id, ip FROM d ORDER BY -d.ip, vec_id LIMIT 10)
+         |SELECT vec_id, round(ip, 4) AS ip, TRUE AS rewrite_fired
+         |FROM t ORDER BY round(ip, 4) DESC, vec_id""".stripMargin,
+
+    // IP-filtered-planner replay: exact filtered inner-product top-10
+    // (predicate BEFORE any distance work).
+    "ann_planner_ip_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, ${dotSql("q.qemb", "c.embedding")} AS ip
+         |      FROM embeddings c, q WHERE c.label = 3),
+         |t AS (SELECT vec_id, ip FROM d ORDER BY -d.ip, vec_id LIMIT 10)
+         |SELECT vec_id, round(ip, 4) AS ip, TRUE AS rewrite_fired
+         |FROM t ORDER BY round(ip, 4) DESC, vec_id""".stripMargin,
+
+    // Batch-ip-planner replay: the same closed-form exact MIPS as
+    // knn_dot_top10 — one zero-augmented multi-query probe must change
+    // the plan, never the rows.
+    "ann_planner_ip_multi" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${dotSql("q.qemb", "c.embedding")} AS ip FROM embeddings c, q),
+         |r AS (SELECT qid, vec_id, ip, row_number() OVER (PARTITION BY qid ORDER BY -ip, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) AS ip,
+         |  TRUE AS rewrite_fired
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // Batch×filtered×ip replay: exact filtered MIPS per query — the
+    // twelfth and final cell of the 3-metric × 4-shape planner matrix.
+    "ann_planner_ip_filtered_multi" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT q.qid, c.vec_id, ${dotSql("q.qemb", "c.embedding")} AS ip
+         |      FROM embeddings c, q WHERE c.label = 3),
+         |r AS (SELECT qid, vec_id, ip, row_number() OVER (PARTITION BY qid ORDER BY -ip, vec_id) AS rk FROM d)
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) AS ip,
          |  TRUE AS rewrite_fired
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 

@@ -56,7 +56,13 @@ import graft.functions.{FloatVecDot, FloatVecL2Sq}
   * of the vectors: for unit vectors ‖q̂−d̂‖² = 2−2·cos(q,d), so the
   * normalized-L2 ranking IS the cosine ranking and the probe answers
   * it exactly; the original Sort then re-ranks candidates by the true
-  * cosine expression. One source path may carry one index per metric.
+  * cosine expression. An INNER-PRODUCT key (`−dot(q,e)` or `c − dot` —
+  * ascending negated dot is descending inner product, the MIPS shape)
+  * probes the index registered with `metric = "ip"`, built over
+  * AUGMENTED vectors [x, sqrt(M²−‖x‖²)] and probed with [q, 0]
+  * (Shrivastava & Li '14: augmented L2 is monotone in −q·x for any q),
+  * then re-ranks by the true dot expression. One source path may carry
+  * one index per metric.
   *
   * FILTERED variant (metadata-filtered vector search — the most common
   * real-world query shape; the reference's collection metadata,
@@ -157,7 +163,7 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
   def normalize(path: String): String =
     new org.apache.hadoop.fs.Path(path).toUri.getPath
 
-  private val Metrics = Seq("l2", "cosine")
+  private val Metrics = Seq("l2", "cosine", "ip")
 
   private def regKey(path: String, metric: String): String =
     normalize(path) + "#" + metric
@@ -509,11 +515,37 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** literal-vs-column INNER-PRODUCT sort key: `−dot(q, e)` or
+    * `c − dot(q, e)` (foldable c) — ascending negated dot is descending
+    * inner product, the MIPS shape. The metric = "ip" index must be
+    * built over AUGMENTED vectors [x, sqrt(M² − ‖x‖²)] (M = max corpus
+    * norm; Shrivastava & Li, NeurIPS'14): probing it with [q, 0] makes
+    * augmented L2 distance ‖q‖² + M² − 2·q·x — monotone in −q·x for ANY
+    * q — so the exhaustive probe's candidates are the true top-K′ by
+    * inner product and the original Sort re-ranks them by the true dot
+    * expression.
+    */
+  private def matchIp(e0: Expression): Option[(Array[Float], AttributeReference)] = {
+    def ip(e: Expression): Option[(Array[Float], AttributeReference)] =
+      stripCasts(e) match {
+        case FloatVecDot(l, a: AttributeReference) => litVec(l).map((_, a))
+        case FloatVecDot(a: AttributeReference, l) => litVec(l).map((_, a))
+        case _ => None
+      }
+    stripCasts(e0) match {
+      case Subtract(c, s, _) if c.foldable => ip(s)
+      case UnaryMinus(s, _) => ip(s)
+      case _ => None
+    }
+  }
+
   /** Resolve the first sort key to the expression it names (through the
     * Project's aliases), then destructure the literal-vs-column
     * distance pattern. Returns the PROBE vector (L2-normalized for the
-    * cosine metric — the cosine index stores normalized vectors, see
-    * the class doc), the embedding attribute, and the metric.
+    * cosine metric — the cosine index stores normalized vectors;
+    * zero-augmented for the ip metric — the ip index stores augmented
+    * vectors, see [[matchIp]]), the embedding attribute, and the
+    * metric.
     */
   private def queryVectorOf(
       key: Expression,
@@ -529,6 +561,10 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
           val n = math.sqrt(qv.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
           if (n == 0.0 || n.isNaN) None // zero/NaN query vector: cosine undefined, keep exact
           else Some((qv.map(x => (x / n).toFloat), a, "cosine"))
+        })
+        .orElse(matchIp(e).flatMap { case (qv, a) =>
+          if (qv.exists(_.isNaN)) None // NaN dot has no defined ranking, keep exact
+          else Some((qv :+ 0.0f, a, "ip")) // probe vector is [q, 0] over the augmented index
         })
     }
   }
@@ -740,6 +776,26 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** The (x, y) attribute pair of an attr-vs-attr INNER-PRODUCT sort
+    * key — the BATCH twin of [[matchIp]]: `−dot(x, y)` or `c − dot`
+    * (foldable c), exactly `KnnExact.topKDot`'s negip. Ascending negip
+    * ≡ descending inner product ≡ the augmented-L2 ranking the ip index
+    * answers (with the query side zero-augmented at plan time).
+    */
+  private def ipPair(e: Expression): Option[(AttributeReference, AttributeReference)] = {
+    def ip(e: Expression): Option[(AttributeReference, AttributeReference)] =
+      stripCasts(e) match {
+        case FloatVecDot(x: AttributeReference, y: AttributeReference)
+            if x.exprId != y.exprId => Some((x, y))
+        case _ => None
+      }
+    stripCasts(e) match {
+      case UnaryMinus(s, _) => ip(s)
+      case Subtract(c, s, _) if c.foldable => ip(s)
+      case _ => None
+    }
+  }
+
   /** Strip attribute-only (column-pruning) Projects off a join side —
     * plain attrs keep their exprIds through them, so anything resolved
     * against the side's output stays bound below.
@@ -805,14 +861,17 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     * merges it with the metadata predicate).
     *
     * METRICS: the window's sort key may be the L2 distance
-    * (`KnnExact.topK`) or the negated attr-vs-attr cosine similarity
+    * (`KnnExact.topK`), the negated attr-vs-attr cosine similarity
     * (`KnnExact.topKCosine`'s negsim — ascending negsim ≡ descending
-    * similarity). A cosine key probes the metric="cosine" index with
-    * the query side L2-NORMALIZED at plan time (same float rounding as
-    * the index build); any zero-norm query vector declines the whole
-    * rewrite (no cosine ranking exists for it — the exact plan keeps
-    * its own NaN semantics). Both metrics compose with the FILTERED
-    * variant below.
+    * similarity), or the negated attr-vs-attr inner product
+    * (`KnnExact.topKDot`'s negip). A cosine key probes the
+    * metric="cosine" index with the query side L2-NORMALIZED at plan
+    * time (same float rounding as the index build); any zero-norm query
+    * vector declines the whole rewrite (no cosine ranking exists for it
+    * — the exact plan keeps its own NaN semantics). An ip key probes
+    * the metric="ip" augmented index with the query side
+    * zero-augmented; any NaN query component declines. All three
+    * metrics compose with the FILTERED variant below.
     */
   private def rewriteWindowTopK(f: Filter, cur: Option[SparkSession]): Option[Filter] =
     try rewriteWindowTopKUnsafe(f, cur)
@@ -862,7 +921,8 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
               }
               val keyPair = resolvedKey.flatMap(k0 =>
                 l2Pair(k0).map((_, "l2"))
-                  .orElse(cosinePair(k0).map((_, "cosine"))))
+                  .orElse(cosinePair(k0).map((_, "cosine")))
+                  .orElse(ipPair(k0).map((_, "ip"))))
               keyPair.flatMap { case ((x, y), metric) =>
                 val cands = for {
                   (scanSide, querySide) <- Seq((l, r), (r, l))
@@ -906,7 +966,18 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                       // own NaN semantics for that query.
                       val F = org.apache.spark.sql.functions
                       lazy val qdfProbe: org.apache.spark.sql.DataFrame =
-                        if (metric != "cosine") qdf
+                        if (metric == "ip") {
+                          // the ip index stores AUGMENTED vectors; the probe
+                          // side gains the constant 0 as its extra dimension
+                          // (see matchIp). A NaN query component has no dot
+                          // ranking — decline, keeping the exact plan's own
+                          // NaN semantics for that query.
+                          if (qdf.where(F.exists(F.col("qemb"),
+                              x => F.isnan(x.cast("double")))).limit(1).count() > 0) null
+                          else qdf.select(F.col("qid"),
+                            F.concat(F.col("qemb").cast("array<double>"),
+                              F.array(F.lit(0.0))).cast("array<float>").as("qemb"))
+                        } else if (metric != "cosine") qdf
                         else {
                           graft.functions.VectorExpressions.ensureRegistered(spark)
                           val withN = qdf.withColumn("__qn", F.sqrt(
@@ -924,8 +995,9 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
                         }
                       if (qdf.limit(MaxBatchQueries + 1).count() > MaxBatchQueries) None
                       else if (qdfProbe == null) {
-                        logInfo("graft batch ANN rewrite: a zero-norm query vector " +
-                          "has no cosine ranking; keeping the exact plan")
+                        logInfo("graft batch ANN rewrite: a degenerate query vector " +
+                          s"(zero-norm cosine / NaN $metric) has no ranking; " +
+                          "keeping the exact plan")
                         None
                       } else {
                         val kp = math.max(k, 1) * math.max(spec.overfetch, 1) *

@@ -692,4 +692,107 @@ class AnnRewriteSpec extends GraftSpec {
     }
   }
 
+  // ---- inner product (MIPS) ---------------------------------------------
+
+  /** `−dot(q, e)` ascending + limit — KnnExact.topKDot's single-query
+    * shape, the declarative MIPS pattern the ip metric matches.
+    */
+  private def ipPattern(qv: Array[Float]): DataFrame =
+    emb.select($"vec_id",
+        (-VectorExpressions.dot(typedLit(qv), $"embedding")).as("nip"))
+      .orderBy($"nip", $"vec_id")
+      .limit(10)
+
+  /** metric="ip" registration: routed HNSW over the AUGMENTED vectors
+    * [x, sqrt(M²−‖x‖²)] (the MIPS→L2 reduction — probing with [q, 0]
+    * ranks by descending inner product).
+    */
+  private def registerIp(): Unit = {
+    val selfDot = VectorExpressions.dot($"embedding", $"embedding")
+    val m2 = emb.agg(max(selfDot)).head().getDouble(0)
+    val aug = emb.select($"vec_id",
+      concat($"embedding".cast("array<double>"),
+        array(sqrt(lit(m2) - selfDot))).cast("array<float>").as("embedding"))
+    val cent = IvfIndex.seedCentroids(aug, 4)
+    val idx = Hnsw.buildRoutedIndex(spark, aug, cent).localCheckpoint(true)
+    AnnIndexRewrite.register(srcPath,
+      AnnIndexRewrite.IndexSpec(idx, cent, nprobe = 4, efSearch = 4096,
+        metric = "ip", exhaustiveProbe = true))
+  }
+
+  test("ip sort key: the rule probes the augmented index, result stays exact") {
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val expected = ipPattern(qv0).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    registerIp()
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val before = AnnIndexRewrite.fired.get()
+      val df = ipPattern(qv0)
+      assert(semiJoins(df).size === 1,
+        "the ip key spliced the augmented-index probe semi-join")
+      assert(AnnIndexRewrite.fired.get() > before)
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq === expected.toSeq,
+        "ip index acceleration must not change the exact MIPS top-k")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
+  test("ip: a NaN query component keeps the exact plan (no dot ranking)") {
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    registerIp()
+    try {
+      val qvNaN = qv0.clone(); qvNaN(0) = Float.NaN
+      val after = AnnIndexRewrite(ipPattern(qvNaN).queryExecution.optimizedPlan)
+      assert(after.collect { case j: Join => j }.isEmpty,
+        "a NaN query component has no dot ranking — the plan must stay exact")
+    } finally AnnIndexRewrite.clear()
+  }
+
+  test("an ip sort key never probes an L2-only registration") {
+    // The augmented ip index answers descending-dot; the raw-L2 index
+    // does not — an ip key over a table carrying only an L2
+    // registration must keep the exact plan (and vice versa the L2 key
+    // must not probe the 65-dim augmented index).
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    registerExhaustive() // ONLY metric = "l2"
+    try {
+      val after = AnnIndexRewrite(ipPattern(qv0).queryExecution.optimizedPlan)
+      assert(after.collect { case j: Join => j }.isEmpty,
+        "metric mismatch: the ip pattern must not use the L2 index")
+    } finally AnnIndexRewrite.clear()
+  }
+
+  test("batch ip pattern: one zero-augmented probe, exact rows") {
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qemb"))
+    def batchIp = graft.search.KnnExact.topKDot(q, emb, 10)
+    val expected = collectBatch(batchIp)
+    assert(expected.size === 50, "fixture sanity: 5 queries x top-10")
+    registerIp()
+    spark.conf.set("spark.graft.ann.batchRewrite.minScanBytes", "0")
+    spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+    try {
+      val before = AnnIndexRewrite.firedBatch.get()
+      val df = batchIp
+      val plan = df.queryExecution.optimizedPlan
+      assert(AnnIndexRewrite.firedBatch.get() > before, "the batch ip rewrite fired")
+      assert(candidatePredicates(plan).nonEmpty,
+        "the scan side carries the candidate-id predicate")
+      assert(collectBatch(df) === expected,
+        "batch ip acceleration must not change any query's exact top-k")
+    } finally {
+      spark.conf.unset("spark.graft.ann.batchRewrite.minScanBytes")
+      spark.experimental.extraOptimizations = Nil
+      AnnIndexRewrite.clear()
+    }
+  }
+
 }
