@@ -177,6 +177,7 @@ object SparkEntry {
     pqCodebookCache.clear() // driver-side Seqs, nothing persisted
     opqAllocCache.clear()
     opqCodebookCache.clear()
+    binThrCache.clear()
     pcaCache.clear() // driver-side arrays, nothing persisted
     kmeansCache.clear()
     w2vCache.clear() // driver-side models, nothing persisted
@@ -312,6 +313,15 @@ object SparkEntry {
           indexPath = Some(tmp), metric = "ip", exhaustiveProbe = true))
       s"$dir/embeddings.parquet"
     })
+
+  /** Per-dim binary-hash thresholds per (session, dir) — dim longs,
+    * driver-side (the frozen-thresholds posture BinaryHash documents).
+    */
+  private val binThrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def binaryThresholds(s: SparkSession, dir: String): Array[Long] =
+    binThrCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ =>
+      graft.search.BinaryHash.thresholds(Tables.embeddings(s, dir), "embedding", 64))
 
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[graft.textual.Bpe.Merge], DataFrame)]()
@@ -621,6 +631,31 @@ object SparkEntry {
        |qe AS (SELECT vec_id, list_transform(p.p,
        |    j -> CAST(floor(CAST(embedding[j] AS DOUBLE) * 1048576.0) AS BIGINT)) AS emb_q
        |  FROM embeddings CROSS JOIN operm p)""".stripMargin
+
+  /** Binary sign-hash CTEs (shared by embedding_binary_codes and
+    * ann_binary_hamming_top10): quantize, per-dim lower-median
+    * thresholds, two 32-bit packed sign words — every selection and
+    * shift the same as graft.search.BinaryHash (32-bit words keep all
+    * values positive; DuckDB raises on `1::BIGINT << 63`).
+    */
+  private val binaryCtesSql: String =
+    """bh AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
+      |bn AS (SELECT (count(*)+1)//2 AS mid FROM embeddings),
+      |bq AS (SELECT d.i AS dim, q[d.i] AS qv
+      |       FROM bh CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
+      |bmed AS (SELECT dim, qv FROM (
+      |    SELECT dim, qv, row_number() OVER (PARTITION BY dim ORDER BY qv) AS rn FROM bq) r
+      |  CROSS JOIN bn WHERE r.rn = bn.mid),
+      |bt AS (SELECT list(qv ORDER BY dim) AS thr FROM bmed),
+      |bc AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      d -> CASE WHEN bh.q[d] > bt.thr[d] THEN CAST(1 AS BIGINT) << (d-1)
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code_lo,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      d -> CASE WHEN bh.q[d] > bt.thr[d] THEN CAST(1 AS BIGINT) << (d-33)
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code_hi
+      |  FROM bh CROSS JOIN bt)""".stripMargin
 
   /** (t, sign-vector) VALUES rows replaying RpLsh's SplitMix64 ±1 signs
     * (shared by the ann_rplsh_top10 and recall_curve oracles).
@@ -2889,6 +2924,46 @@ object SparkEntry {
           sqrt(graft.functions.VectorExpressions.l2Sq(col("embedding"), col("qemb"))).as("dist"))
         .orderBy(round(col("dist"), 6), col("vec_id")).limit(10)
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
+
+    // Binary sign codes: one BIGINT per vector (64 dims × 1 bit — the
+    // 64× memory-bandwidth coarse pass; BinaryHash.scala has the family
+    // citations and the determinism argument). Thresholds are per-dim
+    // lower medians of the exact-integer quantized values.
+    "embedding_binary_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val thr = binaryThresholds(s, dir)
+      emb.select(col("vec_id"),
+        graft.search.BinaryHash.codeWord("embedding", thr, 0).as("code_lo"),
+        graft.search.BinaryHash.codeWord("embedding", thr, 32).as("code_hi"))
+        .orderBy("vec_id")
+    }),
+
+    // Hamming-coarse search: rank all vectors by POPCNT(code XOR
+    // qcode) — one XOR+popcount per candidate instead of 64 float ops —
+    // take the top-50, exact-re-rank by true L2 (the ann_pq_top10
+    // shape at 4× less storage than even PQ codes).
+    "ann_binary_hamming_top10" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val thr = binaryThresholds(s, dir)
+      val codes = emb.select(col("vec_id"),
+        graft.search.BinaryHash.codeWord("embedding", thr, 0).as("code_lo"),
+        graft.search.BinaryHash.codeWord("embedding", thr, 32).as("code_hi"))
+      val qrow = codes.filter(col("vec_id") === 0).head()
+      val (qlo, qhi) = (qrow.getLong(1), qrow.getLong(2))
+      val cand = codes
+        .select(col("vec_id"),
+          (graft.search.BinaryHash.hamming(col("code_lo"), lit(qlo)) +
+            graft.search.BinaryHash.hamming(col("code_hi"), lit(qhi)))
+            .cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id")).limit(50)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+      cand.join(emb, Seq("vec_id")).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("hamming"),
+          sqrt(graft.functions.VectorExpressions.l2Sq(col("embedding"), col("qemb"))).as("dist"))
+        .orderBy(round(col("dist"), 6), col("vec_id")).limit(10)
+        .select(col("vec_id"), col("hamming"), round(col("dist"), 4).as("dist"))
     }),
 
     // REAL image decode under oracle check: render one solid-color PNG
@@ -7346,6 +7421,24 @@ object SparkEntry {
          |qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${l2Sql("e.embedding", "qemb")}, 4) AS dist
          |FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv
+         |ORDER BY round(${l2Sql("e.embedding", "qemb")}, 6), e.vec_id LIMIT 10""".stripMargin,
+
+    "embedding_binary_codes" ->
+      s"""WITH $binaryCtesSql
+         |SELECT vec_id, code_lo, code_hi FROM bc ORDER BY vec_id""".stripMargin,
+
+    // Hamming replay: same codes, XOR+popcount ranking, exact re-rank.
+    "ann_binary_hamming_top10" ->
+      s"""WITH $binaryCtesSql,
+         |qb AS (SELECT code_lo AS qlo, code_hi AS qhi FROM bc WHERE vec_id = 0),
+         |hd AS (SELECT bc.vec_id,
+         |         CAST(bit_count(xor(bc.code_lo, qb.qlo))
+         |            + bit_count(xor(bc.code_hi, qb.qhi)) AS BIGINT) AS hamming
+         |       FROM bc CROSS JOIN qb),
+         |cand AS (SELECT vec_id, hamming FROM hd ORDER BY hamming, vec_id LIMIT 50),
+         |qe2 AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, c.hamming, round(${l2Sql("e.embedding", "qemb")}, 4) AS dist
+         |FROM embeddings e JOIN cand c USING (vec_id) CROSS JOIN qe2
          |ORDER BY round(${l2Sql("e.embedding", "qemb")}, 6), e.vec_id LIMIT 10""".stripMargin,
 
     // the decoder must recover exactly the closed-form render params

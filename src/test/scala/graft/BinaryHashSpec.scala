@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.search.BinaryHash
+
+/** Binary sign hashing: threshold determinism, packing correctness,
+  * and the Hamming-coarse → exact-re-rank search contract.
+  */
+class BinaryHashSpec extends GraftSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val thr = BinaryHash.thresholds(emb, "embedding", 64)
+
+  test("thresholds: lower medians, partition-invariant, one per dim") {
+    assert(thr.length === 64)
+    val again = BinaryHash.thresholds(emb.repartition(7), "embedding", 64)
+    assert(thr.toSeq === again.toSeq, "the k-th smallest value is partition-proof")
+    // lower median property: for every dim, the count of values <= thr
+    // is >= ceil(n/2) and the count of values < thr is < ceil(n/2)
+    val n = emb.count()
+    val mid = (n + 1) / 2
+    val q = emb.select(posexplode(BinaryHash.quantized("embedding")).as(Seq("d", "q")))
+    val le = q.filter(col("q") <= element_at(
+        typedLit(thr.toSeq), col("d") + 1))
+      .groupBy("d").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((0 until 64).forall(d => le(d) >= mid),
+      "at least ceil(n/2) values sit at or below the lower median")
+  }
+
+  test("packing: words are 32-bit non-negative, bits match the sign rule") {
+    val row = emb.orderBy("vec_id")
+      .select(col("embedding"),
+        BinaryHash.codeWord("embedding", thr, 0).as("lo"),
+        BinaryHash.codeWord("embedding", thr, 32).as("hi"))
+      .head()
+    val e = row.getSeq[Float](0)
+    val (lo, hi) = (row.getLong(1), row.getLong(2))
+    assert(lo >= 0L && lo < (1L << 32) && hi >= 0L && hi < (1L << 32))
+    for (d <- 0 until 64) {
+      val qd = math.floor(e(d).toDouble * BinaryHash.QScale + 0.5).toLong
+      val bit = if (d < 32) (lo >> d) & 1L else (hi >> (d - 32)) & 1L
+      assert(bit === (if (qd > thr(d)) 1L else 0L),
+        s"bit $d must encode q > thr")
+    }
+    // the split is balanced: roughly half the corpus bits are set
+    val rate = emb.select(
+      (BinaryHash.hamming(BinaryHash.codeWord("embedding", thr, 0), lit(0L)) +
+        BinaryHash.hamming(BinaryHash.codeWord("embedding", thr, 32), lit(0L)))
+        .cast("double").as("bits"))
+      .agg(avg(col("bits"))).head().getDouble(0) / 64.0
+    assert(rate > 0.3 && rate < 0.7, s"median thresholds balance the bits (rate=$rate)")
+  }
+
+  test("hamming search: self-match at distance 0, re-rank orders by true L2") {
+    val rows = SparkEntry.queries("ann_binary_hamming_top10")(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val self = rows.find(_.getLong(0) == 0L)
+    assert(self.isDefined, "the query vector's own code survives the coarse pass")
+    assert(self.get.getLong(1) === 0L && self.get.getDouble(2) === 0.0)
+    val dists = rows.map(_.getDouble(2)).toSeq
+    assert(dists === dists.sorted, "output is ordered by the exact re-rank distance")
+  }
+}
