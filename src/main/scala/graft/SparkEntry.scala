@@ -2966,6 +2966,19 @@ object SparkEntry {
         .select(col("vec_id"), col("hamming"), round(col("dist"), 4).as("dist"))
     }),
 
+    // Streaming twin of embedding_binary_codes: frozen thresholds,
+    // per-micro-batch coding, idempotent batch-directory commits —
+    // stream == batch because coding is a per-row pure function of the
+    // frozen thresholds (the oracle is the SAME batch replay, so the
+    // equivalence is pinned in the hash, not just a spec).
+    "binary_stream_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val thr = binaryThresholds(s, dir)
+      trackCheckpoint(
+        graft.streaming.BinaryCodeMaintenance.maintainFromBatch(s, emb, thr))
+        .orderBy("vec_id")
+    }),
+
     // REAL image decode under oracle check: render one solid-color PNG
     // per document with closed-form dims/color from doc_id (JDK ImageIO,
     // in the same per-partition batch the decoder uses), decode it back
@@ -7424,6 +7437,11 @@ object SparkEntry {
          |ORDER BY round(${l2Sql("e.embedding", "qemb")}, 6), e.vec_id LIMIT 10""".stripMargin,
 
     "embedding_binary_codes" ->
+      s"""WITH $binaryCtesSql
+         |SELECT vec_id, code_lo, code_hi FROM bc ORDER BY vec_id""".stripMargin,
+
+    // Stream == batch: the streamed codes must equal the bulk replay.
+    "binary_stream_codes" ->
       s"""WITH $binaryCtesSql
          |SELECT vec_id, code_lo, code_hi FROM bc ORDER BY vec_id""".stripMargin,
 

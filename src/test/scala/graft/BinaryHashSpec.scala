@@ -53,6 +53,34 @@ class BinaryHashSpec extends GraftSpec {
     assert(rate > 0.3 && rate < 0.7, s"median thresholds balance the bits (rate=$rate)")
   }
 
+  test("streaming twin: per-batch codes equal the bulk coding, retries idempotent") {
+    val batch = emb.select(col("vec_id"),
+      BinaryHash.codeWord("embedding", thr, 0).as("code_lo"),
+      BinaryHash.codeWord("embedding", thr, 32).as("code_hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val streamed = graft.streaming.BinaryCodeMaintenance
+      .maintainFromBatch(spark, emb, thr, nFiles = 3)
+    try {
+      val got = streamed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(got.toSeq === batch.toSeq,
+        "micro-batch split must not change any code (per-row pure function)")
+    } finally streamed.unpersist(true)
+    // retry idempotency: committing the same batch twice leaves one copy
+    val base = java.nio.file.Files.createTempDirectory("graft_bin_retry")
+    try {
+      val dir = base.resolve("codes").toString
+      val one = emb.limit(10)
+      graft.streaming.BinaryCodeMaintenance.appendBatch(one, thr, dir, 0L)
+      graft.streaming.BinaryCodeMaintenance.appendBatch(one, thr, dir, 0L)
+      assert(spark.read.parquet(dir).count() === 10,
+        "a foreachBatch retry overwrites its own batch directory, never duplicates")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("hamming search: self-match at distance 0, re-rank orders by true L2") {
     val rows = SparkEntry.queries("ann_binary_hamming_top10")(spark, sfDir).collect()
     assert(rows.length === 10)
