@@ -188,6 +188,8 @@ object SparkEntry {
     plannerCosineIndexCache.clear()
     plannerIpIndexCache.values().forEach(p => graft.plans.AnnIndexRewrite.unregister(p))
     plannerIpIndexCache.clear()
+    aggMvCache.values().forEach(p => graft.plans.AggRewrite.unregister(p))
+    aggMvCache.clear()
     val it4 = bpeCache.entrySet().iterator()
     while (it4.hasNext) {
       val e = it4.next()
@@ -322,6 +324,36 @@ object SparkEntry {
   private def binaryThresholds(s: SparkSession, dir: String): Array[Long] =
     binThrCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ =>
       graft.search.BinaryHash.thresholds(Tables.embeddings(s, dir), "embedding", 64))
+
+  /** One materialized rollup build + AggRewrite registration per
+    * (session, dir): lineitem pre-grouped FINER than the queries it
+    * serves — (l_returnflag, l_linestatus, l_linenumber) with the
+    * re-aggregable measure set (count / integral sum / min / max). The
+    * agg_planner_* queries group by a SUBSET of those keys, so the rule
+    * answers them by re-aggregating ~50 MV rows instead of scanning the
+    * fact table.
+    */
+  private val aggMvCache = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+  private def sharedAggMv(s: SparkSession, dir: String): Unit =
+    aggMvCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ => {
+      val li = Tables.lineitem(s, dir)
+      val mv = li.groupBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_aggmv").toString
+      mv.write.mode("overwrite").parquet(tmp)
+      graft.plans.AggRewrite.register(s"$dir/lineitem.parquet",
+        graft.plans.AggRewrite.MvSpec(s.read.parquet(tmp),
+          groupCols = Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+          measures = Map(
+            "n" -> (("count", "")),
+            "sum_ok" -> (("sum", "l_orderkey")),
+            "min_qty" -> (("min", "l_quantity")),
+            "max_qty" -> (("max", "l_quantity"))),
+          mvPath = Some(tmp)))
+      s"$dir/lineitem.parquet"
+    })
 
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[graft.textual.Bpe.Merge], DataFrame)]()
@@ -4885,6 +4917,43 @@ object SparkEntry {
       trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
+    // PLANNER-CHOSEN **MATERIALIZED AGGREGATE** (plans/AggRewrite —
+    // the second planner family): the user writes the plain fact-table
+    // groupBy and the optimizer answers it from the registered summary
+    // table, re-aggregating ~50 MV rows instead of scanning lineitem.
+    // Measures are the re-aggregable algebra only (COUNT→SUM(n),
+    // integral SUM→SUM, MIN/MIN, MAX/MAX), so the rewrite is EXACT —
+    // the oracle is the closed-form direct groupBy, and rewrite_fired
+    // pins in the hash that the accelerated plan produced the rows.
+    "agg_planner_rewrite" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val before = graft.plans.AggRewrite.fired.get()
+      val res = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      res.queryExecution.optimizedPlan // plan now: the rewrite fires here
+      val firedNow = graft.plans.AggRewrite.fired.get() > before
+      res.withColumn("rewrite_fired", lit(firedNow))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Coarser rollup through the SAME MV — one summary table serves
+    // every grouping that is a subset of its keys (the classic rollup
+    // lattice property).
+    "agg_planner_rollup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val before = graft.plans.AggRewrite.fired.get()
+      val res = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      res.queryExecution.optimizedPlan // plan now: the rewrite fires here
+      val firedNow = graft.plans.AggRewrite.fired.get() > before
+      res.withColumn("rewrite_fired", lit(firedNow))
+        .orderBy("l_returnflag")
+    }),
+
     // SEGMENT COMPACTION (Hnsw.compactIndex — the Lucene-merge-shaped
     // maintenance op): an 8-segment stored index rebuilt into 2
     // segments from its own STORED vectors, then searched. At
@@ -6117,6 +6186,25 @@ object SparkEntry {
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) AS ip,
          |  TRUE AS rewrite_fired
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // MV-planner replay: the direct fact-table groupBy — the rewrite
+    // must change the plan (fact scan → 50-row MV re-aggregation),
+    // never the rows. Every measure is order-invariant (BIGINT count/
+    // sum, double min/max), so the match is value-exact.
+    "agg_planner_rewrite" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  TRUE AS rewrite_fired
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_planner_rollup" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  TRUE AS rewrite_fired
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Compaction replay: exhaustive-ef search over any segment layout
     // equals exact kNN; n_segments is the compaction target.

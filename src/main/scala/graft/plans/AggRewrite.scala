@@ -1,0 +1,293 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.internal.SQLConf
+
+/** Materialized-aggregate rewrite — the planner family every warehouse
+  * keeps next to its index rules: a session registry of SUMMARY TABLES
+  * (an MV pre-grouped FINER than the queries it serves) plus an
+  * optimizer rule that answers
+  *
+  * {{{ Aggregate(keys ⊆ MV keys, re-aggregable measures) → Scan(source) }}}
+  *
+  * from the MV instead of the fact scan:
+  *
+  * {{{ Aggregate(keys, mapped measures) → Scan(MV) }}}
+  *
+  * At 100 TB this is THE difference between a dashboard query reading a
+  * 56-row rollup and re-scanning the fact table: the rewrite turns an
+  * O(n) scan + shuffle into an O(|MV|) re-aggregation, and because the
+  * measures are restricted to the RE-AGGREGABLE algebra the results are
+  * identical, not approximate.
+  *
+  * EXACTNESS RULES (each decline keeps the exact plan — the same
+  * never-wrong-only-unaccelerated contract as [[AnnIndexRewrite]]):
+  * - query grouping keys must be plain scan columns, a subset of the
+  *   MV's grouping keys (the MV is grouped finer; grouping by fewer
+  *   keys re-aggregates MV rows — algebraically exact);
+  * - COUNT(*) maps to SUM(mv count) — exact BIGINT;
+  * - SUM(x) maps to SUM(mv sum_x), accepted only when the re-aggregated
+  *   type EQUALS the original output type: integral sums re-aggregate
+  *   exactly (BIGINT addition is associative); DECIMAL sums widen
+  *   (p → p+10) on every Sum and therefore never type-match — declined
+  *   by the type check, not special-cased; FLOAT/DOUBLE sums type-match
+  *   but re-associate the IEEE additions, so they are declined
+  *   explicitly (a float SUM is not deterministic even without this
+  *   rule, but the rewrite must not ADD a source of divergence);
+  * - MIN/MAX map to MIN/MAX of the MV column — order-invariant for any
+  *   type, accepted as-is;
+  * - DISTINCT aggregates and FILTER clauses never match (not
+  *   re-aggregable from a plain rollup);
+  * - a SOURCE-STALENESS fingerprint (same discipline as
+  *   AnnIndexRewrite): the MV is a snapshot claim over the source's
+  *   file listing at registration; a changed listing drops the
+  *   registration (droppedStale) and the query scans the facts.
+  *
+  * Registration is session-lived, like a temp view; a different live
+  * session scanning the same path keeps its exact plan.
+  */
+object AggRewrite extends Rule[LogicalPlan] {
+
+  /** A registered summary table for one source path.
+    *
+    * @param mv        the materialized rollup frame (or read from mvPath)
+    * @param groupCols the MV's grouping key column names — shared with
+    *                  the source scan's column names
+    * @param measures  MV measure column name → (func, source column):
+    *                  func ∈ count | sum | min | max ("count" ignores
+    *                  the source column)
+    * @param mvPath    parquet path for fresh-exprId reads per splice
+    */
+  final case class MvSpec(
+      mv: DataFrame,
+      groupCols: Seq[String],
+      measures: Map[String, (String, String)],
+      mvPath: Option[String] = None)
+
+  private val registry = TrieMap.empty[String, MvSpec]
+  private val sourceSigs = TrieMap.empty[String, Long]
+  private val staleChecks = TrieMap.empty[String, (Long, Boolean)]
+
+  val fired = new java.util.concurrent.atomic.AtomicLong(0)
+  val fallbacks = new java.util.concurrent.atomic.AtomicLong(0)
+  val droppedStale = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def normalize(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.getPath
+
+  def register(sourcePath: String, spec: MvSpec): Unit = {
+    require(spec.measures.values.forall(m =>
+      Seq("count", "sum", "min", "max").contains(m._1)),
+      "measure funcs must be count|sum|min|max")
+    val key = normalize(sourcePath)
+    registry.put(key, spec)
+    try sourceSigs.put(key, sourceSignature(sourcePath, spec))
+    catch { case _: Exception => sourceSigs.remove(key) }
+    staleChecks.remove(key)
+  }
+
+  def unregister(sourcePath: String): Unit = {
+    val key = normalize(sourcePath)
+    registry.remove(key); sourceSigs.remove(key); staleChecks.remove(key)
+  }
+
+  def clear(): Unit = { registry.clear(); sourceSigs.clear(); staleChecks.clear() }
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.agg.rewrite", "true").toBoolean
+
+  private def stalenessIntervalMs: Long =
+    SQLConf.get.getConfString("spark.graft.agg.staleness.intervalMs", "10000").toLong
+
+  /** Order-independent fingerprint of the source file listing — the
+    * same commutative per-file mix as AnnIndexRewrite's guard.
+    */
+  private def sourceSignature(sourcePath: String, spec: MvSpec): Long = {
+    val conf = spec.mv.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(sourcePath)
+    val fs = p.getFileSystem(conf)
+    var acc = 0L
+    def walk(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else {
+            var h = 1125899906842597L
+            (st.getPath.toUri.getPath + "|" + st.getLen + "|" + st.getModificationTime)
+              .foreach(c => h = h * 31 + c)
+            acc += h
+          }
+        }
+      }
+    walk(p)
+    acc
+  }
+
+  private def sourceIsStale(key: String, path: String, spec: MvSpec): Boolean =
+    sourceSigs.get(key) match {
+      case None => false // unfingerprintable at registration: guard off
+      case Some(sig) =>
+        val now = System.nanoTime()
+        staleChecks.get(key) match {
+          case Some((t, fresh)) if (now - t) / 1000000L < stalenessIntervalMs => !fresh
+          case _ =>
+            val fresh =
+              try sourceSignature(path, spec) == sig
+              catch { case _: Exception => true } // transient listing error: keep, retry
+            staleChecks.put(key, (now, fresh))
+            if (!fresh) {
+              droppedStale.incrementAndGet()
+              logWarning(s"graft agg rewrite: source $path changed since MV " +
+                "registration — dropping the stale registration (exact plan)")
+              registry.remove(key); sourceSigs.remove(key); staleChecks.remove(key)
+            }
+            !fresh
+        }
+    }
+
+  private def leafThroughProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(cols, inner) if cols.forall(_.isInstanceOf[AttributeReference]) =>
+      leafThroughProjects(inner)
+    case other => other
+  }
+
+  private def specOf(leaf: LogicalPlan, cur: Option[SparkSession])
+      : Option[(String, MvSpec)] = leaf match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.headOption.flatMap { p =>
+          val key = p.toUri.getPath
+          registry.get(key).flatMap { spec =>
+            if (spec.mv.sparkSession.sparkContext.isStopped) {
+              registry.remove(key); None
+            } else if (!cur.exists(_ eq spec.mv.sparkSession)) {
+              None // session-lived registration, like AnnIndexRewrite's
+            } else if (sourceIsStale(key, p.toString, spec)) {
+              None
+            } else Some((key, spec))
+          }
+        }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** True when every IEEE-reassociation hazard is absent: integral
+    * types re-sum exactly; float/double re-sums reorder additions.
+    */
+  private def integralSum(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+
+  private def rewriteAggregate(agg: Aggregate, cur: Option[SparkSession])
+      : Option[Aggregate] = {
+    val leaf = leafThroughProjects(agg.child)
+    specOf(leaf, cur).flatMap { case (_, spec) =>
+      // grouping keys: plain scan columns, a subset of the MV keys
+      val groupAttrs = agg.groupingExpressions.map {
+        case a: AttributeReference if spec.groupCols.contains(a.name) => Some(a)
+        case _ => None
+      }
+      if (groupAttrs.exists(_.isEmpty)) return None
+      // the MV plan — path-backed reads splice fresh exprIds each time;
+      // a DataFrame-backed spec can be spliced while its attrs are not
+      // already in the tree (single-splice guard, as in AnnIndexRewrite)
+      val spark = spec.mv.sparkSession
+      val mvDf = spec.mvPath.map(spark.read.parquet(_)).getOrElse(spec.mv)
+      val mvPlan = EliminateSubqueryAliases(mvDf.queryExecution.analyzed)
+      if (spec.mvPath.isEmpty &&
+        agg.collectLeaves().exists(_.outputSet.intersect(mvPlan.outputSet).nonEmpty))
+        return None
+      def mvAttr(name: String): Option[Attribute] =
+        mvPlan.output.find(_.name == name)
+      // map every output expression or decline
+      val newGrouping = groupAttrs.flatten.map(a => mvAttr(a.name))
+      if (newGrouping.exists(_.isEmpty)) return None
+      val groupByName = groupAttrs.flatten.map(a => a.name -> a).toMap
+      val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+        // a grouping column surfaced directly (or under an alias)
+        case a: AttributeReference if groupByName.contains(a.name) =>
+          mvAttr(a.name).map(m => Alias(m, a.name)(exprId = a.exprId))
+        case al @ Alias(a: AttributeReference, name) if groupByName.contains(a.name) =>
+          mvAttr(a.name).map(m => Alias(m, name)(exprId = al.exprId))
+        case al @ Alias(ae: AggregateExpression, name)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          val remapped: Option[Expression] = ae.aggregateFunction match {
+            case Count(Seq(l: Literal)) if l.value != null =>
+              spec.measures.collectFirst { case (mvCol, ("count", _)) => mvCol }
+                .flatMap(mvAttr)
+                .filter(_.dataType == org.apache.spark.sql.types.LongType)
+                .map(m => Sum(m).toAggregateExpression())
+            case s: Sum => s.child match {
+              case a: AttributeReference if integralSum(a.dataType) =>
+                spec.measures.collectFirst {
+                  case (mvCol, ("sum", src)) if src == a.name => mvCol
+                }.flatMap(mvAttr)
+                  .map(m => Sum(m).toAggregateExpression())
+                  .filter(_.dataType == al.dataType) // integral widening must agree
+              case _ => None // float/double/decimal sums: re-association hazard
+            }
+            case Min(a: AttributeReference) =>
+              spec.measures.collectFirst {
+                case (mvCol, ("min", src)) if src == a.name => mvCol
+              }.flatMap(mvAttr)
+                .filter(_.dataType == al.dataType)
+                .map(m => Min(m).toAggregateExpression())
+            case Max(a: AttributeReference) =>
+              spec.measures.collectFirst {
+                case (mvCol, ("max", src)) if src == a.name => mvCol
+              }.flatMap(mvAttr)
+                .filter(_.dataType == al.dataType)
+                .map(m => Max(m).toAggregateExpression())
+            case _ => None
+          }
+          remapped.map(e => Alias(e, name)(exprId = al.exprId))
+        case _ => None
+      }
+      if (mapped.exists(_.isEmpty)) {
+        fallbacks.incrementAndGet()
+        None
+      } else {
+        fired.incrementAndGet()
+        logInfo(s"graft agg rewrite: Aggregate over ${spec.groupCols.size}-key MV " +
+          s"answers a ${groupAttrs.flatten.size}-key rollup — fact scan replaced")
+        Some(Aggregate(newGrouping.flatten, mapped.flatten, mvPlan))
+      }
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    applyWith(plan, SparkSession.getActiveSession)
+
+  def applyWith(plan: LogicalPlan, cur: Option[SparkSession]): LogicalPlan = {
+    if (!enabled || registry.isEmpty) return plan
+    plan.transformDown {
+      case agg: Aggregate =>
+        try rewriteAggregate(agg, cur).getOrElse(agg)
+        catch {
+          case e: Exception =>
+            logWarning(s"graft agg rewrite failed; keeping the exact plan: ${e.getMessage}")
+            agg
+        }
+    }
+  }
+}
+
+/** Session-bound form for GraftExtensions injection — same rationale as
+  * [[AnnIndexRewriteRule]].
+  */
+final class AggRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    AggRewrite.applyWith(plan, Option(session))
+}

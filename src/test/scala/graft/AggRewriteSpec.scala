@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.plans.AggRewrite
+
+/** Materialized-aggregate rewrite: the groupBy-over-fact pattern is
+  * answered from the registered summary table when (and only when)
+  * every key and measure is re-aggregable — and the rewrite never
+  * changes results.
+  */
+class AggRewriteSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val srcPath = s"$sfDir/lineitem.parquet"
+  private def li = {
+    val df = Tables.lineitem(spark, sfDir)
+    df.unpersist(true)
+    df
+  }
+
+  private def pattern: DataFrame =
+    li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_orderkey").as("sum_ok"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+
+  private def registerMv(): String = {
+    val mv = li.groupBy($"l_returnflag", $"l_linestatus", $"l_linenumber")
+      .agg(count(lit(1)).as("n"), sum($"l_orderkey").as("sum_ok"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_aggmv_spec").toString
+    mv.write.mode("overwrite").parquet(tmp)
+    AggRewrite.register(srcPath, AggRewrite.MvSpec(spark.read.parquet(tmp),
+      groupCols = Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+      measures = Map("n" -> (("count", "")), "sum_ok" -> (("sum", "l_orderkey")),
+        "min_qty" -> (("min", "l_quantity")), "max_qty" -> (("max", "l_quantity"))),
+      mvPath = Some(tmp)))
+    tmp
+  }
+
+  /** Root paths of all file scans in the optimized plan —
+    * LogicalRelation.toString does NOT include the path, so the
+    * assertion must read HadoopFsRelation.location directly.
+    */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+
+  private def scansPath(df: DataFrame, path: String): Boolean = {
+    val norm = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    scanPaths(df).contains(norm)
+  }
+
+  private def scansLineitem(df: DataFrame): Boolean = scansPath(df, srcPath)
+
+  private def collectRows(df: DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("no registration: the groupBy keeps the exact fact scan") {
+    AggRewrite.clear()
+    assert(scansLineitem(pattern), "without an MV the fact table is scanned")
+  }
+
+  test("registered MV: the rule fires, the fact scan disappears, rows exact") {
+    AggRewrite.clear()
+    val expected = collectRows(pattern)
+    registerMv()
+    spark.experimental.extraOptimizations = Seq(AggRewrite)
+    try {
+      val before = AggRewrite.fired.get()
+      val df = pattern
+      assert(!scansLineitem(df), "the Aggregate must read the MV, not the facts")
+      assert(AggRewrite.fired.get() > before)
+      assert(collectRows(df) === expected,
+        "MV re-aggregation must not change any value")
+      // coarser rollup through the same MV
+      val roll = li.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), max($"l_quantity").as("max_qty"))
+      assert(!scansLineitem(roll), "any key subset re-aggregates from the MV")
+      val got = roll.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      AggRewrite.clear()
+      val exact = roll.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(got.toSeq === exact.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+    }
+  }
+
+  test("non-re-aggregable measures decline: double SUM and AVG keep the facts") {
+    AggRewrite.clear()
+    registerMv()
+    spark.experimental.extraOptimizations = Seq(AggRewrite)
+    try {
+      val before = AggRewrite.fallbacks.get()
+      // sum over a DOUBLE column type-matches but re-associates IEEE adds
+      val dblSum = li.groupBy($"l_returnflag")
+        .agg(sum($"l_quantity").as("sq"))
+      assert(scansLineitem(dblSum), "a double SUM must keep the exact fact scan")
+      // avg is not in the registered algebra at all
+      val avgQ = li.groupBy($"l_returnflag").agg(avg($"l_quantity").as("aq"))
+      assert(scansLineitem(avgQ), "AVG must keep the exact fact scan")
+      assert(AggRewrite.fallbacks.get() > before, "declines are counter-observable")
+      // a grouping key outside the MV keys also declines
+      val badKey = li.groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+      assert(scansLineitem(badKey), "a non-MV key must keep the exact fact scan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+    }
+  }
+
+  test("source files mutated after registration: the MV self-heals stale") {
+    AggRewrite.clear()
+    // private source copy so the mutation cannot disturb other suites
+    val base = java.nio.file.Files.createTempDirectory("graft_aggmv_stale")
+    val srcCopy = base.resolve("lineitem.parquet").toString
+    try {
+      li.limit(200).write.parquet(srcCopy)
+      val src = spark.read.parquet(srcCopy)
+      val mv = src.groupBy($"l_returnflag", $"l_linestatus", $"l_linenumber")
+        .agg(count(lit(1)).as("n"))
+      val mvDir = base.resolve("mv").toString
+      mv.write.mode("overwrite").parquet(mvDir)
+      AggRewrite.register(srcCopy, AggRewrite.MvSpec(spark.read.parquet(mvDir),
+        groupCols = Seq("l_returnflag", "l_linestatus", "l_linenumber"),
+        measures = Map("n" -> (("count", ""))), mvPath = Some(mvDir)))
+      spark.conf.set("spark.graft.agg.staleness.intervalMs", "0")
+      spark.experimental.extraOptimizations = Seq(AggRewrite)
+      def q = spark.read.parquet(srcCopy).groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      assert(!scansPath(q, srcCopy), "fresh registration fires")
+      // mutate the source: append more rows (new files in the listing)
+      li.limit(50).write.mode("append").parquet(srcCopy)
+      val beforeDrop = AggRewrite.droppedStale.get()
+      val after = q
+      assert(scansPath(after, srcCopy),
+        "a stale MV must be dropped — the query scans the (new) facts")
+      assert(AggRewrite.droppedStale.get() > beforeDrop)
+      // and the exact plan sees the appended rows
+      assert(after.agg(sum($"n")).head().getLong(0) === 250L)
+    } finally {
+      spark.conf.unset("spark.graft.agg.staleness.intervalMs")
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+}
