@@ -73,6 +73,24 @@ object GenScale {
     println(s"[genscale] wrote $outDir: embeddings ${nEmb * factor}, documents ${nDoc * factor}")
   }
 
+  /** Scale lineitem for the agg_planner_* fact-table rows: copies
+    * offset l_orderkey (key uniqueness preserved; every other column
+    * verbatim keeps group cardinalities and min/max profiles intact —
+    * what the MV build and re-aggregation costs depend on).
+    */
+  def generateLineitem(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val nOk = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val scaled = (0 until factor).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * nOk))
+    }.reduce(_ unionByName _)
+    scaled.repartition(8).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/lineitem.parquet")
+    println(s"[genscale] wrote $outDir/lineitem.parquet (${factor}x)")
+  }
+
   private def time(spark: SparkSession, name: String, dir: String, runs: Int = 2): Double = {
     def once(): Double = {
       // Shared caches (e.g. the n-gram pair list) are cleared BEFORE
@@ -104,6 +122,9 @@ object GenScale {
 
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/documents.parquet")))
       generate(spark, srcDir, outDir, factor)
+    if (queries.exists(_.startsWith("agg_planner")) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/lineitem.parquet")))
+      generateLineitem(spark, srcDir, outDir, factor)
 
     println(s"| query | t(sf0.1) s | t(sf1) s | exponent |")
     println(s"|---|---|---|---|")
