@@ -4954,6 +4954,40 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // AVG through the MV: integral AVG decomposes exactly to
+    // SUM(mv_sum)/SUM(mv_n) — integer partial sums are exact in double
+    // below 2^53, so the rewritten division sees the identical
+    // operands Spark's own Average computes.
+    "agg_planner_avg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val before = graft.plans.AggRewrite.fired.get()
+      val res = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), avg(col("l_orderkey")).as("avg_ok"))
+      res.queryExecution.optimizedPlan // plan now: the rewrite fires here
+      val firedNow = graft.plans.AggRewrite.fired.get() > before
+      res.select(col("l_returnflag"), col("n"), round(col("avg_ok"), 4).as("avg_ok"))
+        .withColumn("rewrite_fired", lit(firedNow))
+        .orderBy("l_returnflag")
+    }),
+
+    // Key-only predicate through the MV: WHERE on a grouping key
+    // selects whole MV groups, so the filter remaps onto the MV scan
+    // and the fact table is still never read.
+    "agg_planner_filtered" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val before = graft.plans.AggRewrite.fired.get()
+      val res = li.filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      res.queryExecution.optimizedPlan // plan now: the rewrite fires here
+      val firedNow = graft.plans.AggRewrite.fired.get() > before
+      res.withColumn("rewrite_fired", lit(firedNow))
+        .orderBy("l_returnflag")
+    }),
+
     // SEGMENT COMPACTION (Hnsw.compactIndex — the Lucene-merge-shaped
     // maintenance op): an 8-segment stored index rebuilt into 2
     // segments from its own STORED vectors, then searched. At
@@ -6204,6 +6238,22 @@ object SparkEntry {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  TRUE AS rewrite_fired
         |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Integral AVG replay: the explicit exact-long division — the same
+    // two operands Spark's Average and the rewritten SUM/SUM compute.
+    "agg_planner_avg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(l_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_ok,
+        |  TRUE AS rewrite_fired
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_planner_filtered" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  TRUE AS rewrite_fired
+        |FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
     // Compaction replay: exhaustive-ef search over any segment layout

@@ -44,8 +44,18 @@ import org.apache.spark.sql.internal.SQLConf
   *   rule, but the rewrite must not ADD a source of divergence);
   * - MIN/MAX map to MIN/MAX of the MV column — order-invariant for any
   *   type, accepted as-is;
-  * - DISTINCT aggregates and FILTER clauses never match (not
-  *   re-aggregable from a plain rollup);
+  * - AVG over an INTEGRAL column decomposes to SUM(mv sum)/SUM(mv n):
+  *   integer partial sums are exactly representable in double below
+  *   2⁵³, so Spark's own Average (double accumulator) computes the
+  *   identical division of the identical exact operands — float/double
+  *   AVG declines like float SUM;
+  * - a deterministic Filter between the Aggregate and the scan is
+  *   re-aggregable iff it references ONLY MV grouping keys (the
+  *   predicate then selects whole MV groups — it is remapped onto the
+  *   MV's attributes); a predicate touching any measure column
+  *   declines;
+  * - DISTINCT aggregates and per-aggregate FILTER clauses never match
+  *   (not re-aggregable from a plain rollup);
   * - a SOURCE-STALENESS fingerprint (same discipline as
   *   AnnIndexRewrite): the MV is a snapshot claim over the source's
   *   file listing at registration; a changed listing drops the
@@ -192,7 +202,14 @@ object AggRewrite extends Rule[LogicalPlan] {
 
   private def rewriteAggregate(agg: Aggregate, cur: Option[SparkSession])
       : Option[Aggregate] = {
-    val leaf = leafThroughProjects(agg.child)
+    // optional deterministic Filter BETWEEN the Aggregate and the scan:
+    // re-aggregable iff it references ONLY MV grouping keys (then the
+    // same predicate applied to the MV keeps exactly the fact rows'
+    // groups — the second classic MV-rewrite condition)
+    val (fltOpt, leaf) = leafThroughProjects(agg.child) match {
+      case f @ Filter(_, c) => (Some(f), leafThroughProjects(c))
+      case other => (None, other)
+    }
     specOf(leaf, cur).flatMap { case (_, spec) =>
       // grouping keys: plain scan columns, a subset of the MV keys
       val groupAttrs = agg.groupingExpressions.map {
@@ -200,6 +217,14 @@ object AggRewrite extends Rule[LogicalPlan] {
         case _ => None
       }
       if (groupAttrs.exists(_.isEmpty)) return None
+      fltOpt.foreach { f =>
+        if (!f.condition.deterministic) return None
+        val refs = f.condition.references.toSeq
+        if (!refs.forall(a => spec.groupCols.contains(a.name))) {
+          fallbacks.incrementAndGet()
+          return None // predicate touches a measure column: not derivable
+        }
+      }
       // the MV plan — path-backed reads splice fresh exprIds each time;
       // a DataFrame-backed spec can be spliced while its attrs are not
       // already in the tree (single-splice guard, as in AnnIndexRewrite)
@@ -250,19 +275,58 @@ object AggRewrite extends Rule[LogicalPlan] {
               }.flatMap(mvAttr)
                 .filter(_.dataType == al.dataType)
                 .map(m => Max(m).toAggregateExpression())
+            // AVG over an INTEGRAL column decomposes exactly:
+            // SUM(mv_sum)/SUM(mv_n) — integer partial sums are exactly
+            // representable in double below 2^53, so Spark's own
+            // Average (double accumulator) computes the identical
+            // division of the identical exact operands
+            case av: Average => av.child match {
+              case a: AttributeReference if integralSum(a.dataType) &&
+                  al.dataType == org.apache.spark.sql.types.DoubleType =>
+                for {
+                  sumCol <- spec.measures.collectFirst {
+                    case (mvCol, ("sum", src)) if src == a.name => mvCol
+                  }.flatMap(mvAttr)
+                  if sumCol.dataType == org.apache.spark.sql.types.LongType
+                  cntCol <- spec.measures.collectFirst {
+                    case (mvCol, ("count", _)) => mvCol
+                  }.flatMap(mvAttr)
+                  if cntCol.dataType == org.apache.spark.sql.types.LongType
+                } yield Divide(
+                  Cast(Sum(sumCol).toAggregateExpression(),
+                    org.apache.spark.sql.types.DoubleType),
+                  Cast(Sum(cntCol).toAggregateExpression(),
+                    org.apache.spark.sql.types.DoubleType))
+              case _ => None
+            }
             case _ => None
           }
           remapped.map(e => Alias(e, name)(exprId = al.exprId))
         case _ => None
       }
-      if (mapped.exists(_.isEmpty)) {
+      // remap the key-only filter predicate onto the MV's attributes
+      var condOk = true
+      val newChild: LogicalPlan = fltOpt match {
+        case None => mvPlan
+        case Some(f) =>
+          val cond2 = f.condition.transform {
+            case a: AttributeReference =>
+              mvAttr(a.name) match {
+                case Some(m) => m
+                case None => condOk = false; a
+              }
+          }
+          if (condOk) Filter(cond2, mvPlan) else mvPlan
+      }
+      if (mapped.exists(_.isEmpty) || !condOk) {
         fallbacks.incrementAndGet()
         None
       } else {
         fired.incrementAndGet()
         logInfo(s"graft agg rewrite: Aggregate over ${spec.groupCols.size}-key MV " +
-          s"answers a ${groupAttrs.flatten.size}-key rollup — fact scan replaced")
-        Some(Aggregate(newGrouping.flatten, mapped.flatten, mvPlan))
+          s"answers a ${groupAttrs.flatten.size}-key rollup — fact scan replaced" +
+          fltOpt.map(_ => " (key-only predicate remapped)").getOrElse(""))
+        Some(Aggregate(newGrouping.flatten, mapped.flatten, newChild))
       }
     }
   }

@@ -121,6 +121,39 @@ class AggRewriteSpec extends GraftSpec {
     }
   }
 
+  test("integral AVG decomposes exactly; key-only filters remap; measure filters decline") {
+    AggRewrite.clear()
+    // defs, not vals: a QueryExecution caches its optimized plan, so a
+    // frame built before registration would assert against a stale plan
+    def avgQ = li.groupBy($"l_returnflag").agg(avg($"l_orderkey").as("a"))
+    def fltQ = li.filter($"l_linestatus" === "F")
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+    val expectedAvg = avgQ.collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    val expectedFlt = fltQ.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    registerMv()
+    spark.experimental.extraOptimizations = Seq(AggRewrite)
+    try {
+      assert(!scansLineitem(avgQ), "integral AVG re-aggregates from the MV")
+      val gotAvg = avgQ.collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+      assert(gotAvg.toSeq === expectedAvg.toSeq,
+        "SUM(mv_sum)/SUM(mv_n) must equal Average bit-for-bit (exact integer operands)")
+      assert(!scansLineitem(fltQ), "a key-only WHERE remaps onto the MV")
+      val gotFlt = fltQ.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      assert(gotFlt.toSeq === expectedFlt.toSeq)
+      // a predicate on a MEASURE column cannot select whole MV groups
+      val measureFlt = li.filter($"l_quantity" > 25.0)
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      assert(scansLineitem(measureFlt),
+        "a measure-column predicate must keep the exact fact scan")
+      // AVG over a double column declines (IEEE re-association hazard)
+      val dblAvg = li.groupBy($"l_returnflag").agg(avg($"l_quantity").as("a"))
+      assert(scansLineitem(dblAvg), "double AVG must keep the exact fact scan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+    }
+  }
+
   test("source files mutated after registration: the MV self-heals stale") {
     AggRewrite.clear()
     // private source copy so the mutation cannot disturb other suites
