@@ -4988,6 +4988,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Streaming twin of the MV family: facts arrive in micro-batches,
+    // each reduces to its own partial rollup (idempotent batch-dir
+    // commit), and the view re-aggregates the partials — an
+    // associative merge over the re-aggregable algebra, so stream ==
+    // batch regardless of the split. The oracle is the direct batch
+    // groupBy, pinning the equivalence in the hash.
+    "agg_stream_maintain" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      trackCheckpoint(graft.streaming.AggMaintenance.maintainFromBatch(
+        s, li, Seq("l_returnflag", "l_linestatus")))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("n"), col("sum_ok"), col("min_qty"), col("max_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // SEGMENT COMPACTION (Hnsw.compactIndex — the Lucene-merge-shaped
     // maintenance op): an 8-segment stored index rebuilt into 2
     // segments from its own STORED vectors, then searched. At
@@ -6255,6 +6270,15 @@ object SparkEntry {
         |  TRUE AS rewrite_fired
         |FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Stream == batch: the merged partial rollups must equal the
+    // direct groupBy (associative re-aggregable algebra).
+    "agg_stream_maintain" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // Compaction replay: exhaustive-ef search over any segment layout
     // equals exact kNN; n_segments is the compaction target.

@@ -154,6 +154,43 @@ class AggRewriteSpec extends GraftSpec {
     }
   }
 
+  test("streaming maintenance: merged partials equal the batch rollup; compaction equivalent") {
+    import graft.streaming.AggMaintenance
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val direct = li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_orderkey").as("sum_ok"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
+    val view = AggMaintenance.maintainFromBatch(spark, li, keys, nFiles = 4)
+    try {
+      val got = view.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
+      assert(got === direct, "the associative merge must equal the bulk groupBy")
+    } finally view.unpersist(true)
+    // compaction + retry idempotency on a private rollup dir
+    val base = java.nio.file.Files.createTempDirectory("graft_agg_compact")
+    try {
+      val rollup = base.resolve("rollup").toString
+      val one = li.limit(100)
+      AggMaintenance.appendBatch(one, keys, rollup, 0L)
+      AggMaintenance.appendBatch(one, keys, rollup, 0L) // retry: same batch id
+      AggMaintenance.appendBatch(li.limit(300), keys, rollup, 1L)
+      val before = AggMaintenance.readView(spark, rollup, keys)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(before.map(_(2).asInstanceOf[Long]).sum === 400L,
+        "a retried batch commits once (overwrite of its own dir)")
+      val compacted = base.resolve("compacted").toString
+      AggMaintenance.compactRollup(spark, rollup, compacted, keys)
+      val after = AggMaintenance.readView(spark, compacted, keys)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(after === before, "the compacted rollup reads identically")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("source files mutated after registration: the MV self-heals stale") {
     AggRewrite.clear()
     // private source copy so the mutation cannot disturb other suites
