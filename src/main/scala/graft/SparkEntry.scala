@@ -190,6 +190,9 @@ object SparkEntry {
     plannerIpIndexCache.clear()
     aggMvCache.values().forEach(p => graft.plans.AggRewrite.unregister(p))
     aggMvCache.clear()
+    aggJoinMvCache.values().forEach(p =>
+      graft.plans.AggRewrite.unregisterJoin(p._1, p._2))
+    aggJoinMvCache.clear()
     val it4 = bpeCache.entrySet().iterator()
     while (it4.hasNext) {
       val e = it4.next()
@@ -353,6 +356,35 @@ object SparkEntry {
             "max_qty" -> (("max", "l_quantity"))),
           mvPath = Some(tmp)))
       s"$dir/lineitem.parquet"
+    })
+
+  /** One aggregate JOIN VIEW build + AggRewrite.registerJoin per
+    * (session, dir): the lineitem ⋈ orders rollup pre-grouped finer
+    * than the star-schema queries it serves.
+    */
+  private val aggJoinMvCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String)]()
+  private def sharedAggJoinMv(s: SparkSession, dir: String): Unit =
+    aggJoinMvCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ => {
+      val joined = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      val mv = joined.groupBy(col("o_orderpriority"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("sum_ln"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_aggjoinmv").toString
+      mv.write.mode("overwrite").parquet(tmp)
+      graft.plans.AggRewrite.registerJoin(
+        s"$dir/lineitem.parquet", s"$dir/orders.parquet",
+        graft.plans.AggRewrite.JoinMvSpec(s.read.parquet(tmp),
+          leftKey = "l_orderkey", rightKey = "o_orderkey",
+          groupCols = Seq("o_orderpriority", "l_linestatus"),
+          measures = Map(
+            "n" -> (("count", "")),
+            "sum_ln" -> (("sum", "l_linenumber")),
+            "min_qty" -> (("min", "l_quantity")),
+            "max_qty" -> (("max", "l_quantity"))),
+          mvPath = Some(tmp)))
+      (s"$dir/lineitem.parquet", s"$dir/orders.parquet")
     })
 
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
@@ -5003,6 +5035,29 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // STAR-SCHEMA view through the planner: the user writes the plain
+    // fact ⋈ dim groupBy and the optimizer answers it from the
+    // registered AGGREGATE JOIN VIEW — no fact scan, no dim scan, no
+    // join at runtime; integral AVG decomposes through the same shared
+    // algebra. At 100 TB this is the dashboard query's difference
+    // between touching two tables + a shuffle join and reading a
+    // ~10-row rollup.
+    "agg_planner_join" -> ((s, dir) => {
+      sharedAggJoinMv(s, dir) // build+register once per (session, dir)
+      val before = graft.plans.AggRewrite.fired.get()
+      val res = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), avg(col("l_linenumber")).as("avg_ln"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      res.queryExecution.optimizedPlan // plan now: the rewrite fires here
+      val firedNow = graft.plans.AggRewrite.fired.get() > before
+      res.select(col("o_orderpriority"), col("n"), round(col("avg_ln"), 4).as("avg_ln"),
+          col("min_qty"), col("max_qty"))
+        .withColumn("rewrite_fired", lit(firedNow))
+        .orderBy("o_orderpriority")
+    }),
+
     // SEGMENT COMPACTION (Hnsw.compactIndex — the Lucene-merge-shaped
     // maintenance op): an 8-segment stored index rebuilt into 2
     // segments from its own STORED vectors, then searched. At
@@ -6270,6 +6325,16 @@ object SparkEntry {
         |  TRUE AS rewrite_fired
         |FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Join-view replay: the direct fact ⋈ dim groupBy — the rewrite
+    // must eliminate both scans AND the join, never change the rows.
+    "agg_planner_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(l_linenumber) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_ln,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  TRUE AS rewrite_fired
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // Stream == batch: the merged partial rollups must equal the
     // direct groupBy (associative re-aggregable algebra).

@@ -109,7 +109,10 @@ object AggRewrite extends Rule[LogicalPlan] {
     registry.remove(key); sourceSigs.remove(key); staleChecks.remove(key)
   }
 
-  def clear(): Unit = { registry.clear(); sourceSigs.clear(); staleChecks.clear() }
+  def clear(): Unit = {
+    registry.clear(); sourceSigs.clear(); staleChecks.clear()
+    joinRegistry.clear(); joinSigs.clear(); joinStaleChecks.clear()
+  }
 
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.agg.rewrite", "true").toBoolean
@@ -164,6 +167,101 @@ object AggRewrite extends Rule[LogicalPlan] {
         }
     }
 
+  // ---- star-schema (join) views ----------------------------------------
+
+  /** A registered AGGREGATE JOIN VIEW: the rollup of
+    * `scan(pathA) ⋈_{leftKey = rightKey} scan(pathB)`. Grouping keys and
+    * measure source columns may name columns of either table — names
+    * must be unambiguous across the pair (TPC-H-style prefixes).
+    */
+  final case class JoinMvSpec(
+      mv: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      groupCols: Seq[String],
+      measures: Map[String, (String, String)],
+      mvPath: Option[String] = None)
+
+  private val joinRegistry = TrieMap.empty[String, JoinMvSpec]
+  private val joinSigs = TrieMap.empty[String, Long]
+  private val joinStaleChecks = TrieMap.empty[String, (Long, Boolean)]
+
+  private def joinRegKey(a: String, b: String): String = {
+    val s = Seq(normalize(a), normalize(b)).sorted
+    s.head + "|" + s(1)
+  }
+
+  private def signatureOf(path: String, session: SparkSession): Long =
+    sourceSignature(path, MvSpec(session.emptyDataFrame, Nil, Map.empty))
+
+  def registerJoin(pathA: String, pathB: String, spec: JoinMvSpec): Unit = {
+    require(spec.measures.values.forall(m =>
+      Seq("count", "sum", "min", "max").contains(m._1)),
+      "measure funcs must be count|sum|min|max")
+    val key = joinRegKey(pathA, pathB)
+    joinRegistry.put(key, spec)
+    try joinSigs.put(key, signatureOf(pathA, spec.mv.sparkSession) +
+      signatureOf(pathB, spec.mv.sparkSession))
+    catch { case _: Exception => joinSigs.remove(key) }
+    joinStaleChecks.remove(key)
+  }
+
+  def unregisterJoin(pathA: String, pathB: String): Unit = {
+    val key = joinRegKey(pathA, pathB)
+    joinRegistry.remove(key); joinSigs.remove(key); joinStaleChecks.remove(key)
+  }
+
+  /** Scan root path of a parquet V1 leaf. */
+  private def pathOf(leaf: LogicalPlan): Option[org.apache.hadoop.fs.Path] = leaf match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths.headOption
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The registered join view for this leaf PAIR (either order), owned
+    * by the current session and not stale — same checks as [[specOf]],
+    * with BOTH sources fingerprinted (either table changing drops it).
+    */
+  private def joinSpecOf(leafA: LogicalPlan, leafB: LogicalPlan,
+      cur: Option[SparkSession]): Option[(JoinMvSpec, String, String)] =
+    for {
+      pa <- pathOf(leafA)
+      pb <- pathOf(leafB)
+      key = joinRegKey(pa.toUri.getPath, pb.toUri.getPath)
+      spec <- joinRegistry.get(key)
+      if !spec.mv.sparkSession.sparkContext.isStopped || {
+        joinRegistry.remove(key); false
+      }
+      if cur.exists(_ eq spec.mv.sparkSession)
+      if !joinSourcesStale(key, pa.toString, pb.toString, spec)
+    } yield (spec, pa.toString, pb.toString)
+
+  private def joinSourcesStale(key: String, pathA: String, pathB: String,
+      spec: JoinMvSpec): Boolean =
+    joinSigs.get(key) match {
+      case None => false
+      case Some(sig) =>
+        val now = System.nanoTime()
+        joinStaleChecks.get(key) match {
+          case Some((t, fresh)) if (now - t) / 1000000L < stalenessIntervalMs => !fresh
+          case _ =>
+            val fresh =
+              try signatureOf(pathA, spec.mv.sparkSession) +
+                signatureOf(pathB, spec.mv.sparkSession) == sig
+              catch { case _: Exception => true }
+            joinStaleChecks.put(key, (now, fresh))
+            if (!fresh) {
+              droppedStale.incrementAndGet()
+              logWarning(s"graft agg rewrite: a join-view source ($pathA / $pathB) " +
+                "changed since registration — dropping the stale view (exact plan)")
+              joinRegistry.remove(key); joinSigs.remove(key); joinStaleChecks.remove(key)
+            }
+            !fresh
+        }
+    }
+
   private def leafThroughProjects(p: LogicalPlan): LogicalPlan = p match {
     case Project(cols, inner) if cols.forall(_.isInstanceOf[AttributeReference]) =>
       leafThroughProjects(inner)
@@ -206,21 +304,79 @@ object AggRewrite extends Rule[LogicalPlan] {
     // re-aggregable iff it references ONLY MV grouping keys (then the
     // same predicate applied to the MV keeps exactly the fact rows'
     // groups — the second classic MV-rewrite condition)
-    val (fltOpt, leaf) = leafThroughProjects(agg.child) match {
+    val (fltOpt, below) = leafThroughProjects(agg.child) match {
       case f @ Filter(_, c) => (Some(f), leafThroughProjects(c))
       case other => (None, other)
     }
-    specOf(leaf, cur).flatMap { case (_, spec) =>
+    below match {
+      case leaf: LogicalRelation =>
+        specOf(leaf, cur).flatMap { case (_, spec) =>
+          rewriteWith(agg, spec.groupCols, spec.measures, spec.mv, spec.mvPath,
+            fltOpt, "single-table")
+        }
+      // STAR-SCHEMA shape: Aggregate over an inner equi-join of two
+      // registered scans — answered from the pre-joined rollup (the
+      // "aggregate join view"). The join condition must be exactly the
+      // declared key pair; grouping keys / measures may name columns
+      // from either side (TPC-H-style prefixes keep names unambiguous,
+      // required at registration).
+      case j @ Join(lc, rc, org.apache.spark.sql.catalyst.plans.Inner,
+          Some(cond), _) =>
+        // InferFiltersFromConstraints inserts isnotnull(<join key>)
+        // above each side — implied by the inner join itself (null keys
+        // never join, so the MV built from the join has no such rows):
+        // safe to look through IFF every stripped predicate is an
+        // IsNotNull over a DECLARED join key; any other filter keeps
+        // the exact plan.
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case And(a, b) => conjuncts(a) ++ conjuncts(b)
+          case other => Seq(other)
+        }
+        def splitNotNull(p: LogicalPlan): (LogicalPlan, Seq[String]) =
+          leafThroughProjects(p) match {
+            case Filter(c, child) =>
+              val preds = conjuncts(c)
+              val names = preds.collect { case IsNotNull(a: AttributeReference) => a.name }
+              if (names.length == preds.length) (leafThroughProjects(child), names)
+              else (leafThroughProjects(p), Nil)
+            case other => (other, Nil)
+          }
+        val (leafL, strippedL) = splitNotNull(lc)
+        val (leafR, strippedR) = splitNotNull(rc)
+        joinSpecOf(leafL, leafR, cur).flatMap { case (spec, pathL, pathR) =>
+          val keys = Set(spec.leftKey, spec.rightKey)
+          val keyOk = cond match {
+            case EqualTo(x: AttributeReference, y: AttributeReference) =>
+              Set(x.name, y.name) == keys
+            case _ => false
+          }
+          if (!keyOk || !(strippedL ++ strippedR).forall(keys.contains)) None
+          else rewriteWith(agg, spec.groupCols, spec.measures, spec.mv, spec.mvPath,
+            fltOpt, s"join(${spec.leftKey}=${spec.rightKey})")
+        }
+      case _ => None
+    }
+  }
+
+  /** The shared output-mapping core: remap an Aggregate's grouping
+    * keys, measures, and optional key-only Filter onto the view, or
+    * decline.
+    */
+  private def rewriteWith(agg: Aggregate, groupCols: Seq[String],
+      measures: Map[String, (String, String)], mv: DataFrame,
+      mvPath: Option[String], fltOpt: Option[Filter], logTag: String)
+      : Option[Aggregate] = {
+    {
       // grouping keys: plain scan columns, a subset of the MV keys
       val groupAttrs = agg.groupingExpressions.map {
-        case a: AttributeReference if spec.groupCols.contains(a.name) => Some(a)
+        case a: AttributeReference if groupCols.contains(a.name) => Some(a)
         case _ => None
       }
       if (groupAttrs.exists(_.isEmpty)) return None
       fltOpt.foreach { f =>
         if (!f.condition.deterministic) return None
         val refs = f.condition.references.toSeq
-        if (!refs.forall(a => spec.groupCols.contains(a.name))) {
+        if (!refs.forall(a => groupCols.contains(a.name))) {
           fallbacks.incrementAndGet()
           return None // predicate touches a measure column: not derivable
         }
@@ -228,10 +384,10 @@ object AggRewrite extends Rule[LogicalPlan] {
       // the MV plan — path-backed reads splice fresh exprIds each time;
       // a DataFrame-backed spec can be spliced while its attrs are not
       // already in the tree (single-splice guard, as in AnnIndexRewrite)
-      val spark = spec.mv.sparkSession
-      val mvDf = spec.mvPath.map(spark.read.parquet(_)).getOrElse(spec.mv)
+      val spark = mv.sparkSession
+      val mvDf = mvPath.map(spark.read.parquet(_)).getOrElse(mv)
       val mvPlan = EliminateSubqueryAliases(mvDf.queryExecution.analyzed)
-      if (spec.mvPath.isEmpty &&
+      if (mvPath.isEmpty &&
         agg.collectLeaves().exists(_.outputSet.intersect(mvPlan.outputSet).nonEmpty))
         return None
       def mvAttr(name: String): Option[Attribute] =
@@ -250,13 +406,13 @@ object AggRewrite extends Rule[LogicalPlan] {
             if !ae.isDistinct && ae.filter.isEmpty =>
           val remapped: Option[Expression] = ae.aggregateFunction match {
             case Count(Seq(l: Literal)) if l.value != null =>
-              spec.measures.collectFirst { case (mvCol, ("count", _)) => mvCol }
+              measures.collectFirst { case (mvCol, ("count", _)) => mvCol }
                 .flatMap(mvAttr)
                 .filter(_.dataType == org.apache.spark.sql.types.LongType)
                 .map(m => Sum(m).toAggregateExpression())
             case s: Sum => s.child match {
               case a: AttributeReference if integralSum(a.dataType) =>
-                spec.measures.collectFirst {
+                measures.collectFirst {
                   case (mvCol, ("sum", src)) if src == a.name => mvCol
                 }.flatMap(mvAttr)
                   .map(m => Sum(m).toAggregateExpression())
@@ -264,13 +420,13 @@ object AggRewrite extends Rule[LogicalPlan] {
               case _ => None // float/double/decimal sums: re-association hazard
             }
             case Min(a: AttributeReference) =>
-              spec.measures.collectFirst {
+              measures.collectFirst {
                 case (mvCol, ("min", src)) if src == a.name => mvCol
               }.flatMap(mvAttr)
                 .filter(_.dataType == al.dataType)
                 .map(m => Min(m).toAggregateExpression())
             case Max(a: AttributeReference) =>
-              spec.measures.collectFirst {
+              measures.collectFirst {
                 case (mvCol, ("max", src)) if src == a.name => mvCol
               }.flatMap(mvAttr)
                 .filter(_.dataType == al.dataType)
@@ -284,11 +440,11 @@ object AggRewrite extends Rule[LogicalPlan] {
               case a: AttributeReference if integralSum(a.dataType) &&
                   al.dataType == org.apache.spark.sql.types.DoubleType =>
                 for {
-                  sumCol <- spec.measures.collectFirst {
+                  sumCol <- measures.collectFirst {
                     case (mvCol, ("sum", src)) if src == a.name => mvCol
                   }.flatMap(mvAttr)
                   if sumCol.dataType == org.apache.spark.sql.types.LongType
-                  cntCol <- spec.measures.collectFirst {
+                  cntCol <- measures.collectFirst {
                     case (mvCol, ("count", _)) => mvCol
                   }.flatMap(mvAttr)
                   if cntCol.dataType == org.apache.spark.sql.types.LongType
@@ -323,7 +479,7 @@ object AggRewrite extends Rule[LogicalPlan] {
         None
       } else {
         fired.incrementAndGet()
-        logInfo(s"graft agg rewrite: Aggregate over ${spec.groupCols.size}-key MV " +
+        logInfo(s"graft agg rewrite: Aggregate over ${groupCols.size}-key MV " +
           s"answers a ${groupAttrs.flatten.size}-key rollup — fact scan replaced" +
           fltOpt.map(_ => " (key-only predicate remapped)").getOrElse(""))
         Some(Aggregate(newGrouping.flatten, mapped.flatten, newChild))
@@ -335,7 +491,7 @@ object AggRewrite extends Rule[LogicalPlan] {
     applyWith(plan, SparkSession.getActiveSession)
 
   def applyWith(plan: LogicalPlan, cur: Option[SparkSession]): LogicalPlan = {
-    if (!enabled || registry.isEmpty) return plan
+    if (!enabled || (registry.isEmpty && joinRegistry.isEmpty)) return plan
     plan.transformDown {
       case agg: Aggregate =>
         try rewriteAggregate(agg, cur).getOrElse(agg)

@@ -191,6 +191,55 @@ class AggRewriteSpec extends GraftSpec {
     }
   }
 
+  test("aggregate join view: both scans and the join disappear, rows exact") {
+    AggRewrite.clear()
+    val ord = Tables.orders(spark, sfDir)
+    ord.unpersist(true)
+    def joinQ = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), avg($"l_linenumber").as("a"),
+        max($"l_quantity").as("mx"))
+    val expected = joinQ.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // register the pre-joined rollup (finer: + l_linestatus)
+    val mv = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_linenumber").as("sum_ln"),
+        max($"l_quantity").as("max_qty"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_joinmv_spec").toString
+    mv.write.mode("overwrite").parquet(tmp)
+    AggRewrite.registerJoin(srcPath, s"$sfDir/orders.parquet",
+      AggRewrite.JoinMvSpec(spark.read.parquet(tmp),
+        leftKey = "l_orderkey", rightKey = "o_orderkey",
+        groupCols = Seq("o_orderpriority", "l_linestatus"),
+        measures = Map("n" -> (("count", "")), "sum_ln" -> (("sum", "l_linenumber")),
+          "max_qty" -> (("max", "l_quantity"))),
+        mvPath = Some(tmp)))
+    spark.experimental.extraOptimizations = Seq(AggRewrite)
+    try {
+      val df = joinQ
+      val plan = df.queryExecution.optimizedPlan
+      assert(!scansPath(df, srcPath) && !scansPath(df, s"$sfDir/orders.parquet"),
+        "neither source table is scanned")
+      assert(plan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty, "the join itself is eliminated")
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+      assert(got === expected, "the join view must not change any value")
+      // a join on DIFFERENT keys is a different view: keep the exact plan
+      val wrongKeys = li.join(ord, $"l_partkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(scansPath(wrongKeys, srcPath),
+        "a non-declared equi-join must keep the exact plan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+    }
+  }
+
   test("source files mutated after registration: the MV self-heals stale") {
     AggRewrite.clear()
     // private source copy so the mutation cannot disturb other suites
