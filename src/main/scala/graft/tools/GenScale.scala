@@ -89,6 +89,17 @@ object GenScale {
     scaled.repartition(8).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/lineitem.parquet")
     println(s"[genscale] wrote $outDir/lineitem.parquet (${factor}x)")
+    // orders scales with the SAME orderkey offset base (max l_orderkey
+    // == max o_orderkey on TPC-H — every order has lineitems), so the
+    // scaled join stays aligned copy-for-copy
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val ordScaled = (0 until factor).map { i =>
+      if (i == 0) ord
+      else ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * nOk))
+    }.reduce(_ unionByName _)
+    ordScaled.repartition(8).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/orders.parquet")
+    println(s"[genscale] wrote $outDir/orders.parquet (${factor}x)")
   }
 
   private def time(spark: SparkSession, name: String, dir: String, runs: Int = 2): Double = {
