@@ -4949,6 +4949,60 @@ object SparkEntry {
       trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
+    // PII scan (textual/PiiScan): regex candidates + Luhn validation —
+    // the scrubbing pass before corpus data ships. The fixture plants
+    // one email, one phone, one Luhn-VALID and one Luhn-INVALID card
+    // per doc (closed-form from doc_id, generated identically in the
+    // oracle), so n_card_all = valid + invalid while n_card_valid
+    // counts only the real one — the validator's rejection is pinned
+    // in the hash, not just the regex.
+    "docs_pii_scan" -> ((s, dir) => {
+      import graft.textual.PiiScan
+      val docs = Tables.documents(s, dir)
+      val base15 = concat(lit("4"),
+        lpad((col("doc_id") % lit(100000000000000L)).cast("string"), 14, "0"))
+      val check = (lit(10L) - (PiiScan.luhnSum15(base15) % 10)) % 10
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com tel 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" card "), base15, check.cast("string"),
+        lit(" "), base15, ((check + 1) % 10).cast("string"))
+      docs.select(col("doc_id"),
+        PiiScan.emailCount(aug).as("n_email"),
+        PiiScan.phoneCount(aug).as("n_phone"),
+        size(regexp_extract_all(aug, lit(PiiScan.CardRe), lit(0)))
+          .cast("long").as("n_card_all"),
+        PiiScan.cardValidCount(aug).as("n_card_valid"))
+        .orderBy("doc_id")
+    }),
+
+    // The SQL-ONLY user path, end-to-end: the query is a SQL STRING
+    // over a temp view — graft_l2sq comes from GraftExtensions'
+    // injectFunction, ConstantFolding collapses the array literal, and
+    // the SAME AnnIndexRewrite rule accelerates the Sort+Limit (the
+    // fixed-point batch interleaves folding and our rule, so the
+    // folded literal is matched within the run). rewrite_fired pins
+    // that the SQL text got the index plan, not a silent exact scan.
+    "sql_planner_knn" -> ((s, dir) => {
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      sharedPlannerIndex(s, dir) // build+register once per (session, dir)
+      emb.createOrReplaceTempView("graft_sql_embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val qvSql = "array(" + qv.map(f => s"CAST($f AS FLOAT)").mkString(", ") + ")"
+      val before = graft.plans.AnnIndexRewrite.fired.get()
+      val topk = s.sql(
+        s"""SELECT vec_id, graft_l2sq($qvSql, embedding) AS dist2
+           |FROM graft_sql_embeddings ORDER BY dist2, vec_id LIMIT 10""".stripMargin)
+      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
+      val firedNow = graft.plans.AnnIndexRewrite.fired.get() > before
+      topk.select(col("vec_id"), round(sqrt(col("dist2")), 4).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .withColumn("rewrite_fired", lit(firedNow))
+    }),
+
     // PLANNER-CHOSEN **MATERIALIZED AGGREGATE** (plans/AggRewrite —
     // the second planner family): the user writes the plain fact-table
     // groupBy and the optimizer answers it from the registered summary
@@ -6290,6 +6344,50 @@ object SparkEntry {
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) AS ip,
          |  TRUE AS rewrite_fired
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // PII replay: the same generation + the same two-stage detection
+    // (regex ∩ RE2 common-subset patterns; identical Luhn fold).
+    "docs_pii_scan" ->
+      s"""WITH g AS (SELECT doc_id, text,
+         |    '4' || lpad(CAST(doc_id % 100000000000000 AS VARCHAR), 14, '0') AS b15
+         |  FROM documents),
+         |s AS (SELECT doc_id, text, b15,
+         |    list_sum(list_transform(range(1, 16), i ->
+         |      CASE WHEN i % 2 = 1 THEN
+         |        CASE WHEN (ascii(b15[i]) - 48) * 2 > 9
+         |             THEN (ascii(b15[i]) - 48) * 2 - 9
+         |             ELSE (ascii(b15[i]) - 48) * 2 END
+         |      ELSE ascii(b15[i]) - 48 END)) AS sum15 FROM g),
+         |a AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' card ' || b15 || CAST((10 - sum15 % 10) % 10 AS VARCHAR)
+         |      || ' ' || b15 || CAST(((10 - sum15 % 10) % 10 + 1) % 10 AS VARCHAR) AS t
+         |  FROM s),
+         |c AS (SELECT doc_id, t,
+         |    regexp_extract_all(t, '\\b[0-9]{16}\\b') AS cards FROM a)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '\\b555-[0-9]{4}\\b')) AS BIGINT) AS n_phone,
+         |  CAST(len(cards) AS BIGINT) AS n_card_all,
+         |  CAST(len(list_filter(cards, x -> list_sum(list_transform(range(1, 17), i ->
+         |    CASE WHEN i % 2 = 1 THEN
+         |      CASE WHEN (ascii(x[i]) - 48) * 2 > 9
+         |           THEN (ascii(x[i]) - 48) * 2 - 9
+         |           ELSE (ascii(x[i]) - 48) * 2 END
+         |    ELSE ascii(x[i]) - 48 END)) % 10 = 0)) AS BIGINT) AS n_card_valid
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // SQL-path replay: the same closed-form exact kNN as
+    // ann_planner_rewrite — the SQL text must get the identical rows
+    // AND the accelerated plan (rewrite_fired pinned).
+    "sql_planner_knn" ->
+      s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist
+         |      FROM embeddings c, q),
+         |t AS (SELECT vec_id, dist FROM d ORDER BY d.dist, vec_id LIMIT 10)
+         |SELECT vec_id, round(dist, 4) AS dist, TRUE AS rewrite_fired
+         |FROM t ORDER BY round(dist, 4), vec_id""".stripMargin,
 
     // MV-planner replay: the direct fact-table groupBy — the rewrite
     // must change the plan (fact scan → 50-row MV re-aggregation),
