@@ -702,10 +702,10 @@ object SparkEntry {
     * shift the same as graft.search.BinaryHash (32-bit words keep all
     * values positive; DuckDB raises on `1::BIGINT << 63`).
     */
-  private val binaryCtesSql: String =
-    """bh AS (SELECT vec_id, list_transform(embedding,
-      |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS q FROM embeddings),
-      |bn AS (SELECT (count(*)+1)//2 AS mid FROM embeddings),
+  private def binaryCtesSqlFrom(src: String): String =
+    s"""bh AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS q FROM $src),
+      |bn AS (SELECT (count(*)+1)//2 AS mid FROM $src),
       |bq AS (SELECT d.i AS dim, q[d.i] AS qv
       |       FROM bh CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
       |bmed AS (SELECT dim, qv FROM (
@@ -4949,6 +4949,43 @@ object SparkEntry {
       trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
+    // Embedding near-dup via BINARY SIGN CODES — the scale path for
+    // embedding-level dedup: one BIGINT pair per vector, banded
+    // Hamming LSH (8 bands × 8 bits — a near-dup with few flipped
+    // sign bits shares ≥ 1 clean band), XOR+POPCNT verification at
+    // hamming ≤ 12. On the planted fixture the separation is wide:
+    // planted pairs measure ≤ 9 bits apart, random pairs ≈ 32 (0.1th
+    // pct 20) — same banded-candidates-then-verify shape as
+    // dedup_embedding_cosine at ~1/100th the verify arithmetic.
+    "dedup_binary_hamming" -> ((s, dir) => {
+      import graft.search.BinaryHash
+      val aug = plantedEmbeddings(s, dir)
+      val thr = BinaryHash.thresholds(aug, "embedding", 64)
+      val codes = trackCheckpoint(aug.select(col("vec_id"),
+        BinaryHash.codeWord("embedding", thr, 0).as("lo"),
+        BinaryHash.codeWord("embedding", thr, 32).as("hi"))
+        .localCheckpoint(true)) // banding + both verify sides read it
+      val bands = codes.select(col("vec_id"), posexplode(array((0 until 8).map { k =>
+        val w = if (k < 4) col("lo") else col("hi")
+        shiftright(w, (k % 4) * 8).bitwiseAND(lit(255L))
+      }: _*)).as(Seq("band", "key")))
+      val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(codes.select(col("vec_id").as("id_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a")), Seq("id_a"))
+        .join(codes.select(col("vec_id").as("id_b"),
+          col("lo").as("lo_b"), col("hi").as("hi_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (BinaryHash.hamming(col("lo_a"), col("lo_b")) +
+            BinaryHash.hamming(col("hi_a"), col("hi_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 12)
+        .orderBy("id_a", "id_b")
+    }),
+
     // PII scan (textual/PiiScan): regex candidates + Luhn validation —
     // the scrubbing pass before corpus data ships. The fixture plants
     // one email, one phone, one Luhn-VALID and one Luhn-INVALID card
@@ -4974,6 +5011,42 @@ object SparkEntry {
         size(regexp_extract_all(aug, lit(PiiScan.CardRe), lit(0)))
           .cast("long").as("n_card_all"),
         PiiScan.cardValidCount(aug).as("n_card_valid"))
+        .orderBy("doc_id")
+    }),
+
+    // The REDACTION half of the PII lifecycle: emails and phones
+    // replaced by placeholders via regex, cards replaced ONLY when
+    // Luhn-valid (the two-stage scanner feeding a per-match exact
+    // replace — blanket 16-digit redaction would over-redact order
+    // numbers and the like; the invalid candidate is deliberately left
+    // in place and its survival is pinned in the hash). Output is the
+    // residual detector counts over the redacted text — the contract a
+    // compliance gate checks.
+    "docs_pii_redact" -> ((s, dir) => {
+      import graft.textual.PiiScan
+      val docs = Tables.documents(s, dir)
+      val base15 = concat(lit("4"),
+        lpad((col("doc_id") % lit(100000000000000L)).cast("string"), 14, "0"))
+      val check = (lit(10L) - (PiiScan.luhnSum15(base15) % 10)) % 10
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com tel 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" card "), base15, check.cast("string"),
+        lit(" "), base15, ((check + 1) % 10).cast("string"))
+      val noEmailPhone = regexp_replace(
+        regexp_replace(aug, PiiScan.EmailRe, "<EMAIL>"), PiiScan.PhoneRe, "<PHONE>")
+      val validCards = filter(
+        regexp_extract_all(noEmailPhone, lit(PiiScan.CardRe), lit(0)),
+        c => PiiScan.luhnValid16(c))
+      val redacted = aggregate(validCards, noEmailPhone,
+        (acc, c) => replace(acc, c, lit("<CARD>")))
+      docs.select(col("doc_id"),
+        PiiScan.emailCount(redacted).as("n_email_left"),
+        PiiScan.phoneCount(redacted).as("n_phone_left"),
+        PiiScan.cardValidCount(redacted).as("n_valid_card_left"),
+        size(regexp_extract_all(redacted, lit(PiiScan.CardRe), lit(0)))
+          .cast("long").as("n_candidates_left"))
         .orderBy("doc_id")
     }),
 
@@ -6345,6 +6418,29 @@ object SparkEntry {
          |  TRUE AS rewrite_fired
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
+    // Binary near-dup replay: the same planted set, thresholds, codes,
+    // 8×8-bit banding, and XOR+POPCNT verification.
+    "dedup_binary_hamming" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(range(1, 65), i -> CAST(CAST(embedding[i] AS DOUBLE) + ($pertSql)[i] AS FLOAT))
+         |  FROM embeddings),
+         |${binaryCtesSqlFrom("aug")},
+         |bb AS (SELECT vec_id, k.k AS band,
+         |        CASE WHEN k.k < 4 THEN (code_lo >> (k.k * 8)) & 255
+         |             ELSE (code_hi >> ((k.k - 4) * 8)) & 255 END AS key
+         |      FROM bc CROSS JOIN (SELECT unnest(range(0, 8)) AS k) k),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM bb x JOIN bb y ON x.band = y.band AND x.key = y.key
+         |           AND x.vec_id < y.vec_id),
+         |h AS (SELECT id_a, id_b,
+         |        CAST(bit_count(xor(a.code_lo, b.code_lo))
+         |           + bit_count(xor(a.code_hi, b.code_hi)) AS BIGINT) AS hamming
+         |      FROM cand JOIN bc a ON id_a = a.vec_id JOIN bc b ON id_b = b.vec_id)
+         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 12 ORDER BY id_a, id_b""".stripMargin,
+
     // PII replay: the same generation + the same two-stage detection
     // (regex ∩ RE2 common-subset patterns; identical Luhn fold).
     "docs_pii_scan" ->
@@ -6377,6 +6473,54 @@ object SparkEntry {
          |           ELSE (ascii(x[i]) - 48) * 2 END
          |    ELSE ascii(x[i]) - 48 END)) % 10 = 0)) AS BIGINT) AS n_card_valid
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Redaction replay: same generation, regex replaces, and the
+    // Luhn-gated per-match card fold (list_reduce with the text as the
+    // fold seed).
+    "docs_pii_redact" ->
+      s"""WITH g AS (SELECT doc_id, text,
+         |    '4' || lpad(CAST(doc_id % 100000000000000 AS VARCHAR), 14, '0') AS b15
+         |  FROM documents),
+         |s AS (SELECT doc_id, text, b15,
+         |    list_sum(list_transform(range(1, 16), i ->
+         |      CASE WHEN i % 2 = 1 THEN
+         |        CASE WHEN (ascii(b15[i]) - 48) * 2 > 9
+         |             THEN (ascii(b15[i]) - 48) * 2 - 9
+         |             ELSE (ascii(b15[i]) - 48) * 2 END
+         |      ELSE ascii(b15[i]) - 48 END)) AS sum15 FROM g),
+         |a AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' card ' || b15 || CAST((10 - sum15 % 10) % 10 AS VARCHAR)
+         |      || ' ' || b15 || CAST(((10 - sum15 % 10) % 10 + 1) % 10 AS VARCHAR) AS t
+         |  FROM s),
+         |ep AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(t,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b555-[0-9]{4}\\b', '<PHONE>', 'g') AS t FROM a),
+         |vc AS (SELECT doc_id, t,
+         |    list_filter(regexp_extract_all(t, '\\b[0-9]{16}\\b'),
+         |      x -> list_sum(list_transform(range(1, 17), i ->
+         |        CASE WHEN i % 2 = 1 THEN
+         |          CASE WHEN (ascii(x[i]) - 48) * 2 > 9
+         |               THEN (ascii(x[i]) - 48) * 2 - 9
+         |               ELSE (ascii(x[i]) - 48) * 2 END
+         |        ELSE ascii(x[i]) - 48 END)) % 10 = 0) AS valid FROM ep),
+         |r AS (SELECT doc_id,
+         |    list_reduce([t] || list_transform(valid, v -> CAST(v AS VARCHAR)),
+         |      (acc, x) -> replace(acc, x, '<CARD>')) AS t FROM vc)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email_left,
+         |  CAST(len(regexp_extract_all(t, '\\b555-[0-9]{4}\\b')) AS BIGINT) AS n_phone_left,
+         |  CAST(len(list_filter(regexp_extract_all(t, '\\b[0-9]{16}\\b'),
+         |    x -> list_sum(list_transform(range(1, 17), i ->
+         |      CASE WHEN i % 2 = 1 THEN
+         |        CASE WHEN (ascii(x[i]) - 48) * 2 > 9
+         |             THEN (ascii(x[i]) - 48) * 2 - 9
+         |             ELSE (ascii(x[i]) - 48) * 2 END
+         |      ELSE ascii(x[i]) - 48 END)) % 10 = 0)) AS BIGINT) AS n_valid_card_left,
+         |  CAST(len(regexp_extract_all(t, '\\b[0-9]{16}\\b')) AS BIGINT) AS n_candidates_left
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // SQL-path replay: the same closed-form exact kNN as
     // ann_planner_rewrite — the SQL text must get the identical rows
@@ -7762,17 +7906,17 @@ object SparkEntry {
          |ORDER BY round(${l2Sql("e.embedding", "qemb")}, 6), e.vec_id LIMIT 10""".stripMargin,
 
     "embedding_binary_codes" ->
-      s"""WITH $binaryCtesSql
+      s"""WITH ${binaryCtesSqlFrom("embeddings")}
          |SELECT vec_id, code_lo, code_hi FROM bc ORDER BY vec_id""".stripMargin,
 
     // Stream == batch: the streamed codes must equal the bulk replay.
     "binary_stream_codes" ->
-      s"""WITH $binaryCtesSql
+      s"""WITH ${binaryCtesSqlFrom("embeddings")}
          |SELECT vec_id, code_lo, code_hi FROM bc ORDER BY vec_id""".stripMargin,
 
     // Hamming replay: same codes, XOR+popcount ranking, exact re-rank.
     "ann_binary_hamming_top10" ->
-      s"""WITH $binaryCtesSql,
+      s"""WITH ${binaryCtesSqlFrom("embeddings")},
          |qb AS (SELECT code_lo AS qlo, code_hi AS qhi FROM bc WHERE vec_id = 0),
          |hd AS (SELECT bc.vec_id,
          |         CAST(bit_count(xor(bc.code_lo, qb.qlo))

@@ -81,6 +81,16 @@ class BinaryHashSpec extends GraftSpec {
     }
   }
 
+  test("banded near-dup: every planted pair found, no random pair passes") {
+    val rows = SparkEntry.queries("dedup_binary_hamming")(spark, sfDir).collect()
+    val n = emb.count()
+    assert(rows.length === n,
+      "exactly one surviving pair per planted near-dup")
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) + 1000000L),
+      "every pair is (v, v+1e6) — no random pair within hamming 12")
+    assert(rows.forall(_.getLong(2) <= 12L))
+  }
+
   test("hamming search: self-match at distance 0, re-rank orders by true L2") {
     val rows = SparkEntry.queries("ann_binary_hamming_top10")(spark, sfDir).collect()
     assert(rows.length === 10)

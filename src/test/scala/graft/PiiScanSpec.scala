@@ -37,6 +37,14 @@ class PiiScanSpec extends GraftSpec {
     assert(one(size(regexp_extract_all(t, lit(PiiScan.CardRe), lit(0)))).getInt(0) === 2)
   }
 
+  test("redaction: all valid PII gone, unvalidated candidates untouched") {
+    val rows = SparkEntry.queries("docs_pii_redact")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.getLong(3) == 0L && r.getLong(4) == 1L),
+      "emails/phones/valid cards redacted; the Luhn-invalid candidate survives by design")
+  }
+
   test("query surface: every doc yields 1 email, 1 phone, 2 candidates, 1 valid") {
     val rows = SparkEntry.queries("docs_pii_scan")(spark, sfDir).collect()
     assert(rows.nonEmpty)
