@@ -4949,6 +4949,50 @@ object SparkEntry {
       trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
+    // Binary-coarse recall: the measured accuracy cost of the 64×
+    // cheaper scan — hamming-top-50 → exact re-rank vs the exact L2
+    // ground truth, recall@10 per query (the ann_sq8_recall pattern:
+    // the whole chain including the measured recall is closed-form,
+    // so the VALUE is pinned in the hash, not asserted as a floor).
+    // On this isotropic fixture recall measures 0.4–0.9 — CORRECT and
+    // expected, same story as ann_mrl_recall: random vectors spread
+    // information across magnitudes that 1-bit signs discard; real
+    // embeddings (anisotropic, after the PCA/OPQ rotation families
+    // above) concentrate it, which is why production binary codes are
+    // used as a coarse pass over rotated vectors, never raw.
+    "ann_binary_recall" -> ((s, dir) => {
+      import graft.search.BinaryHash
+      graft.functions.VectorExpressions.ensureRegistered(s)
+      val emb = Tables.embeddings(s, dir)
+      val thr = binaryThresholds(s, dir)
+      val codes = trackCheckpoint(emb.select(col("vec_id"),
+        BinaryHash.codeWord("embedding", thr, 0).as("lo"),
+        BinaryHash.codeWord("embedding", thr, 32).as("hi"))
+        .localCheckpoint(true))
+      val qcodes = codes.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val cand = codes.crossJoin(broadcast(qcodes))
+        .select(col("qid"), col("vec_id"),
+          (BinaryHash.hamming(col("lo"), col("qlo")) +
+            BinaryHash.hamming(col("hi"), col("qhi"))).cast("long").as("hamming"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("hamming").asc, col("vec_id").asc)
+      val top50 = cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= 50)
+        .select(col("qid"), col("vec_id"))
+      val q = queryVectors(s, dir, 5)
+      // per-query candidate re-rank: each query sees ONLY its own 50
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id").asc)
+      val rt = top50.join(emb, Seq("vec_id")).join(broadcast(q), Seq("qid"))
+        .withColumn("dist",
+          graft.functions.VectorFunctions.l2Fast(col("qemb"), col("embedding")))
+        .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 10)
+        .select(col("qid"), col("vec_id"), col("rk"), col("dist"))
+      // per-query exact ground truth over the FULL table
+      val gt = KnnExact.topK(q, emb, 10)
+      RecallAtK.evaluate(gt, rt, Seq(10)).orderBy("qid")
+    }),
+
     // Embedding near-dup via BINARY SIGN CODES — the scale path for
     // embedding-level dedup: one BIGINT pair per vector, banded
     // Hamming LSH (8 bands × 8 bits — a near-dup with few flipped
@@ -6417,6 +6461,33 @@ object SparkEntry {
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) AS ip,
          |  TRUE AS rewrite_fired
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // Binary-recall replay: hamming-top-50 per query → exact re-rank,
+    // intersected with the exact top-10 — a 10-denominator ratio.
+    "ann_binary_recall" ->
+      s"""WITH ${binaryCtesSqlFrom("embeddings")},
+         |qc AS (SELECT vec_id AS qid, code_lo AS qlo, code_hi AS qhi FROM bc WHERE vec_id < 5),
+         |hd AS (SELECT qc.qid, bc.vec_id,
+         |        CAST(bit_count(xor(bc.code_lo, qc.qlo))
+         |           + bit_count(xor(bc.code_hi, qc.qhi)) AS BIGINT) AS hamming
+         |       FROM bc CROSS JOIN qc),
+         |c50 AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rk
+         |    FROM hd) WHERE rk <= 50),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |rr AS (SELECT c50.qid, c50.vec_id, ${l2Sql("q.qemb", "e.embedding")} AS dist
+         |       FROM c50 JOIN embeddings e ON c50.vec_id = e.vec_id JOIN q ON c50.qid = q.qid),
+         |rt AS (SELECT qid, list(vec_id ORDER BY rk) AS ids FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk
+         |    FROM rr) WHERE rk <= 10 GROUP BY qid),
+         |ex AS (SELECT q.qid, e.vec_id, ${l2Sql("q.qemb", "e.embedding")} AS dist FROM embeddings e, q),
+         |gt AS (SELECT qid, list(vec_id ORDER BY rk) AS ids FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk
+         |    FROM ex) WHERE rk <= 10 GROUP BY qid)
+         |SELECT gt.qid,
+         |  round(CAST(len(list_intersect(gt.ids, rt.ids)) AS DOUBLE)
+         |        / CAST(len(gt.ids) AS DOUBLE), 4) AS recall_10
+         |FROM gt JOIN rt ON gt.qid = rt.qid ORDER BY gt.qid""".stripMargin,
 
     // Binary near-dup replay: the same planted set, thresholds, codes,
     // 8×8-bit banding, and XOR+POPCNT verification.

@@ -369,4 +369,58 @@ class PropertySpec extends GraftSpec {
     assert(a.nonEmpty)
     assert(a === b, "LM scores must not depend on partition count")
   }
+
+  test("property: the MIPS->L2 reduction preserves the full dot-product ranking") {
+    // For random float vectors (negative components included): rank by
+    // dot(q, x) descending == rank by ||[q,0] - [x, sqrt(M^2-|x|^2)]||
+    // ascending — the Shrivastava & Li theorem, checked through the
+    // same arithmetic shape the engine uses.
+    val vecs: Gen[Array[Float]] =
+      Gen.listOfN(8, Gen.chooseNum(-1000, 1000).map(_ / 997.0f)).map(_.toArray)
+    val corpus = cases(vecs, 24).toIndexedSeq
+    val q = cases(vecs, 30).drop(24).head
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val m2 = corpus.map(x => dot(x, x)).max
+    def augDist2(x: Array[Float]): Double = {
+      val extra = math.sqrt(m2 - dot(x, x))
+      x.indices.foldLeft(0.0) { (s, i) =>
+        val d = q(i).toDouble - x(i).toDouble; s + d * d
+      } + extra * extra
+    }
+    val byDot = corpus.indices.sortBy(i => (-dot(q, corpus(i)), i))
+    val byAug = corpus.indices.sortBy(i => (augDist2(corpus(i)), i))
+    assert(byDot === byAug,
+      "augmented-L2 order must equal dot-descending order for any corpus/query")
+
+  }
+
+  test("property: Luhn detects every single-digit corruption of a generated card") {
+    import graft.textual.PiiScan
+    val bases: Gen[String] = Gen.listOfN(14, Gen.chooseNum(0, 9))
+      .map(ds => "4" + ds.mkString)
+    val all = cases(bases, 12).flatMap { b15 =>
+      // generated check digit validates; every single-digit corruption
+      // of any position must fail (the property Luhn guarantees)
+      Seq((b15, -1, 0)) ++ (0 until 15).map(p => (b15, p, 1 + (p % 9)))
+    }
+    val df = all.zipWithIndex.map { case ((b15, pos, delta), i) =>
+      (i.toLong, b15, pos, delta)
+    }.toDF("i", "b15", "pos", "delta")
+    import graft.textual.PiiScan._
+    val check = (lit(10L) - (luhnSum15(col("b15")) % 10)) % 10
+    val card = concat(col("b15"), check.cast("string"))
+    val corrupted = when(col("pos") < 0, card).otherwise(
+      concat(
+        expr("substring(concat(b15, ''), 1, pos)"),
+        ((ascii(substring(col("b15"), 1, 15).substr(col("pos") + 1, lit(1))) - 48
+          + col("delta")) % 10).cast("string"),
+        col("b15").substr(col("pos") + lit(2), lit(14) - col("pos")),
+        check.cast("string")))
+    val rows = df.select(col("pos"), luhnValid16(corrupted).as("ok")).collect()
+    rows.foreach { r =>
+      if (r.getInt(0) < 0) assert(r.getBoolean(1), "generated card must validate")
+      else assert(!r.getBoolean(1), s"corruption at pos ${r.getInt(0)} must be detected")
+    }
+  }
 }
