@@ -5030,6 +5030,39 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // TRAINED linear quality model (operators/LinearFit): OLS of doc
+    // length on token count + distinct-token count via exact-integer
+    // normal equations, Cramer-solved — the whole training is one scan
+    // of 9 BIGINT sums plus O(1) driver math, and the trained
+    // coefficients hash-match bit-for-bit (the only float ops are
+    // correctly-rounded integer→double conversions and one division
+    // per coefficient, identical in both engines).
+    "quality_linear_fit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val f = docs.select(
+        least(size(toks), lit(2047)).cast("long").as("x1"),
+        least(size(array_distinct(toks)), lit(2047)).cast("long").as("x2"),
+        least(length(col("text")), lit(16383)).cast("long").as("y"))
+      val r = f.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+        .head()
+      val v = (0 until 9).map(i => BigInt(r.getLong(i)))
+      val (n, s1, s2, sy, s11, s12, s22, s1y, s2y) =
+        (v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8))
+      val a = Array(Array(n, s1, s2), Array(s1, s11, s12), Array(s2, s12, s22))
+      val (b0, b1, b2) = graft.operators.LinearFit.solve3(a, Array(sy, s1y, s2y))
+        .getOrElse(sys.error("singular normal equations on the fixture"))
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r.getLong(0), r6(b0), r6(b1), r6(b2)))
+        .toDF("n", "b0", "b1", "b2")
+    }),
+
     // PII scan (textual/PiiScan): regex candidates + Luhn validation —
     // the scrubbing pass before corpus data ships. The fixture plants
     // one email, one phone, one Luhn-VALID and one Luhn-INVALID card
@@ -6461,6 +6494,32 @@ object SparkEntry {
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) AS ip,
          |  TRUE AS rewrite_fired
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    // OLS replay: identical clipped-integer features, HUGEINT normal
+    // equations (exact in any expansion order), the same Cramer
+    // determinants, one correctly-rounded cast + division per
+    // coefficient.
+    "quality_linear_fit" ->
+      s"""WITH f AS (SELECT
+         |    least(len(${toksSql("text")}), 2047) AS x1,
+         |    least(len(list_distinct(${toksSql("text")})), 2047) AS x2,
+         |    least(length(text), 16383) AS y
+         |  FROM documents),
+         |s AS (SELECT count(*) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         |    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         |    sum(x1*y) AS s1y, sum(x2*y) AS s2y FROM f),
+         |d AS (SELECT n, s1, s2, sy, s11, s12, s22, s1y, s2y,
+         |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+         |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+         |    n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+         |    n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+         |  FROM s)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b0,
+         |  round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b1,
+         |  round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b2
+         |FROM d""".stripMargin,
 
     // Binary-recall replay: hamming-top-50 per query → exact re-rank,
     // intersected with the exact top-10 — a 10-denominator ratio.
