@@ -5063,6 +5063,50 @@ object SparkEntry {
         .toDF("n", "b0", "b1", "b2")
     }),
 
+    // The WIDE-BAND twin of dedup_binary_hamming — the 100 TB knob
+    // CURVES.md documents, exercised: 4 × 16-bit bands cut random
+    // band collisions 256× (n²/2¹⁶ vs n²/2⁸ per band), and FLIP-1
+    // MULTI-PROBE (each probe side emits its key plus all 16
+    // single-bit flips) recovers the recall that exact-match wide
+    // bands lose — on the fixture, exact-only finds 455/500 planted
+    // pairs, flip-1 finds all 500, identical output to the narrow
+    // variant at a fraction of the candidate volume.
+    "dedup_binary_hamming_wide" -> ((s, dir) => {
+      import graft.search.BinaryHash
+      val aug = plantedEmbeddings(s, dir)
+      val thr = BinaryHash.thresholds(aug, "embedding", 64)
+      val codes = trackCheckpoint(aug.select(col("vec_id"),
+        BinaryHash.codeWord("embedding", thr, 0).as("lo"),
+        BinaryHash.codeWord("embedding", thr, 32).as("hi"))
+        .localCheckpoint(true))
+      def bandKey(k: Int) = {
+        val w = if (k < 2) col("lo") else col("hi")
+        shiftright(w, (k % 2) * 16).bitwiseAND(lit(65535L))
+      }
+      val plain = codes.select(col("vec_id"), posexplode(array(
+        (0 until 4).map(bandKey): _*)).as(Seq("band", "key")))
+      val probes = codes.select(col("vec_id"), posexplode(array(
+        (0 until 4).map(bandKey): _*)).as(Seq("band", "key")))
+        .select(col("vec_id"), col("band"), explode(array(
+          (col("key") +: (0 until 16).map(t =>
+            col("key").bitwiseXOR(lit(1L << t)))): _*)).as("pkey"))
+      val cand = plain.as("x").join(probes.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.pkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      cand
+        .join(codes.select(col("vec_id").as("id_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a")), Seq("id_a"))
+        .join(codes.select(col("vec_id").as("id_b"),
+          col("lo").as("lo_b"), col("hi").as("hi_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (BinaryHash.hamming(col("lo_a"), col("lo_b")) +
+            BinaryHash.hamming(col("hi_a"), col("hi_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 12)
+        .orderBy("id_a", "id_b")
+    }),
+
     // PII scan (textual/PiiScan): regex candidates + Luhn validation —
     // the scrubbing pass before corpus data ships. The fixture plants
     // one email, one phone, one Luhn-VALID and one Luhn-INVALID card
@@ -6547,6 +6591,33 @@ object SparkEntry {
          |  round(CAST(len(list_intersect(gt.ids, rt.ids)) AS DOUBLE)
          |        / CAST(len(gt.ids) AS DOUBLE), 4) AS recall_10
          |FROM gt JOIN rt ON gt.qid = rt.qid ORDER BY gt.qid""".stripMargin,
+
+    // Wide-band flip-1 replay: same planted set/codes, 4×16-bit bands,
+    // 17 probe keys per (vector, band), identical verification.
+    "dedup_binary_hamming_wide" ->
+      s"""WITH aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(range(1, 65), i -> CAST(CAST(embedding[i] AS DOUBLE) + ($pertSql)[i] AS FLOAT))
+         |  FROM embeddings),
+         |${binaryCtesSqlFrom("aug")},
+         |wb AS (SELECT vec_id, k.k AS band,
+         |        CASE WHEN k.k = 0 THEN code_lo & 65535
+         |             WHEN k.k = 1 THEN (code_lo >> 16) & 65535
+         |             WHEN k.k = 2 THEN code_hi & 65535
+         |             ELSE (code_hi >> 16) & 65535 END AS key
+         |      FROM bc CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k),
+         |pr AS (SELECT vec_id, band, unnest([key] || list_transform(range(0, 16),
+         |        t -> xor(key, CAST(1 AS BIGINT) << t))) AS pkey FROM wb),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM wb x JOIN pr y ON x.band = y.band AND x.key = y.pkey
+         |           AND x.vec_id < y.vec_id),
+         |h AS (SELECT id_a, id_b,
+         |        CAST(bit_count(xor(a.code_lo, b.code_lo))
+         |           + bit_count(xor(a.code_hi, b.code_hi)) AS BIGINT) AS hamming
+         |      FROM cand JOIN bc a ON id_a = a.vec_id JOIN bc b ON id_b = b.vec_id)
+         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 12 ORDER BY id_a, id_b""".stripMargin,
 
     // Binary near-dup replay: the same planted set, thresholds, codes,
     // 8×8-bit banding, and XOR+POPCNT verification.

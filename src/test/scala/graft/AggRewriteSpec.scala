@@ -234,6 +234,17 @@ class AggRewriteSpec extends GraftSpec {
         .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
       assert(scansPath(wrongKeys, srcPath),
         "a non-declared equi-join must keep the exact plan")
+      // a WHERE over the join is pushed below it by the optimizer and
+      // lands above a scan as a non-IsNotNull filter — the view must
+      // decline (exact plan, correct rows)
+      val filteredJoin = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .filter($"l_linestatus" === "F")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(scansPath(filteredJoin, srcPath),
+        "a pushed-down metadata predicate must keep the exact join plan")
+      assert(filteredJoin.agg(sum($"n")).head().getLong(0) ===
+        li.filter($"l_linestatus" === "F").count(),
+        "the declined plan still returns the correct totals")
     } finally {
       spark.experimental.extraOptimizations = Nil
       AggRewrite.clear()

@@ -91,6 +91,15 @@ class BinaryHashSpec extends GraftSpec {
     assert(rows.forall(_.getLong(2) <= 12L))
   }
 
+  test("wide bands + flip-1 multi-probe find the identical pair set") {
+    val narrow = SparkEntry.queries("dedup_binary_hamming")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val wide = SparkEntry.queries("dedup_binary_hamming_wide")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(wide === narrow,
+      "the band-width/multi-probe knob changes candidate volume, never the result")
+  }
+
   test("hamming search: self-match at distance 0, re-rank orders by true L2") {
     val rows = SparkEntry.queries("ann_binary_hamming_top10")(spark, sfDir).collect()
     assert(rows.length === 10)
