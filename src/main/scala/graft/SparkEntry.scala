@@ -341,8 +341,13 @@ object SparkEntry {
   private def sharedAggMv(s: SparkSession, dir: String): Unit =
     aggMvCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ => {
       val li = Tables.lineitem(s, dir)
+      // n_ok is the PER-COLUMN non-null count — AVG(l_orderkey) divides
+      // by it, not by COUNT(*) (ADVICE r17: a parquet column is always
+      // nullable to the analyzer, so the rule requires the exact
+      // NULL-ignoring denominator before it will decompose an AVG)
       val mv = li.groupBy(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
         .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"),
+          count(col("l_orderkey")).as("n_ok"),
           min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_aggmv").toString
       mv.write.mode("overwrite").parquet(tmp)
@@ -352,6 +357,7 @@ object SparkEntry {
           measures = Map(
             "n" -> (("count", "")),
             "sum_ok" -> (("sum", "l_orderkey")),
+            "n_ok" -> (("count", "l_orderkey")),
             "min_qty" -> (("min", "l_quantity")),
             "max_qty" -> (("max", "l_quantity"))),
           mvPath = Some(tmp)))
@@ -370,6 +376,7 @@ object SparkEntry {
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       val mv = joined.groupBy(col("o_orderpriority"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("sum_ln"),
+          count(col("l_linenumber")).as("n_ln"),
           min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
       val tmp = java.nio.file.Files.createTempDirectory("graft_aggjoinmv").toString
       mv.write.mode("overwrite").parquet(tmp)
@@ -381,6 +388,7 @@ object SparkEntry {
           measures = Map(
             "n" -> (("count", "")),
             "sum_ln" -> (("sum", "l_linenumber")),
+            "n_ln" -> (("count", "l_linenumber")),
             "min_qty" -> (("min", "l_quantity")),
             "max_qty" -> (("max", "l_quantity"))),
           mvPath = Some(tmp)))
@@ -950,6 +958,35 @@ object SparkEntry {
   private def trackCheckpoint(df: DataFrame): DataFrame = {
     transientCheckpoints.add(df)
     df
+  }
+
+  /** The rewrite_fired pin for the planner rows, r18 protocol
+    * ([[graft.plans.PlannerPin]]): build → inspect the optimized plan
+    * for the splice → retry ONCE on a miss after clearing the planner's
+    * plan-time memoization (a transient source-listing failure
+    * otherwise declines every plan for a whole staleness interval — the
+    * r17 driver flake) → eagerly EXECUTE the inspected plan
+    * (localCheckpoint runs the same QueryExecution), so the boolean is
+    * a property of the exact plan that produced the rows, not a global
+    * counter sampled around a re-planning call.
+    */
+  private def pinnedAnn(build: () => DataFrame): (DataFrame, Boolean) = {
+    val (df, fired) = graft.plans.PlannerPin.pinned(build,
+      graft.plans.PlannerPin.annSpliced("vec_id"),
+      () => graft.plans.AnnIndexRewrite.resetPlanCaches())
+    (trackCheckpoint(df.localCheckpoint(true)), fired)
+  }
+
+  /** The agg-MV twin of [[pinnedAnn]]: fired == every fact path is gone
+    * from the plan's scan leaves (the rewrite replaces the scan rather
+    * than splicing next to it).
+    */
+  private def pinnedAgg(factPaths: Seq[String], build: () => DataFrame)
+      : (DataFrame, Boolean) = {
+    val (df, fired) = graft.plans.PlannerPin.pinned(build,
+      graft.plans.PlannerPin.aggSpliced(factPaths),
+      () => graft.plans.AggRewrite.resetPlanCaches())
+    (trackCheckpoint(df.localCheckpoint(true)), fired)
   }
 
   /** DuckDB CTE chain mirroring [[winnowFrame]] (ends in `w(doc_id, gh,
@@ -4618,14 +4655,15 @@ object SparkEntry {
       sharedPlannerIndex(s, dir) // build+register once per (session, dir)
       val qv = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
-      val topk = emb
+      val (topk, firedNow) = pinnedAnn(() => emb
         .select(col("vec_id"),
           graft.functions.VectorExpressions.l2Sq(typedLit(qv), col("embedding"))
             .as("dist2"))
         .orderBy(col("dist2"), col("vec_id"))
-        .limit(10)
+        .limit(10))
       topk.select(col("vec_id"), round(sqrt(col("dist2")), 4).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
+        .withColumn("rewrite_fired", lit(firedNow))
     }),
 
     // PLANNER-CHOSEN **FILTERED** ANN (the r14 verdict's top ask — the
@@ -4648,16 +4686,13 @@ object SparkEntry {
       sharedPlannerIndex(s, dir) // build+register once per (session, dir)
       val qv = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
-      val before = graft.plans.AnnIndexRewrite.firedFiltered.get()
-      val topk = emb
+      val (topk, firedNow) = pinnedAnn(() => emb
         .filter(col("label") === 3)
         .select(col("vec_id"),
           graft.functions.VectorExpressions.l2Sq(typedLit(qv), col("embedding"))
             .as("dist2"))
         .orderBy(col("dist2"), col("vec_id"))
-        .limit(10)
-      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
-      val firedNow = graft.plans.AnnIndexRewrite.firedFiltered.get() > before
+        .limit(10))
       topk.select(col("vec_id"), round(sqrt(col("dist2")), 4).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .withColumn("rewrite_fired", lit(firedNow))
@@ -4680,13 +4715,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
       val cdist = plannerCosineDist(emb)
-      val before = graft.plans.AnnIndexRewrite.fired.get()
-      val topk = emb
+      val (topk, firedNow) = pinnedAnn(() => emb
         .select(col("vec_id"), cdist.as("cdist"))
         .orderBy(col("cdist"), col("vec_id"))
-        .limit(10)
-      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
-      val firedNow = graft.plans.AnnIndexRewrite.fired.get() > before
+        .limit(10))
       topk.select(col("vec_id"), round(col("cdist"), 4).as("cdist"))
         .orderBy(col("cdist"), col("vec_id"))
         .withColumn("rewrite_fired", lit(firedNow))
@@ -4705,14 +4737,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
       val cdist = plannerCosineDist(emb)
-      val before = graft.plans.AnnIndexRewrite.firedFiltered.get()
-      val topk = emb
+      val (topk, firedNow) = pinnedAnn(() => emb
         .filter(col("label") === 3)
         .select(col("vec_id"), cdist.as("cdist"))
         .orderBy(col("cdist"), col("vec_id"))
-        .limit(10)
-      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
-      val firedNow = graft.plans.AnnIndexRewrite.firedFiltered.get() > before
+        .limit(10))
       topk.select(col("vec_id"), round(col("cdist"), 4).as("cdist"))
         .orderBy(col("cdist"), col("vec_id"))
         .withColumn("rewrite_fired", lit(firedNow))
@@ -4736,21 +4765,18 @@ object SparkEntry {
       sharedPlannerIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val before = graft.plans.AnnIndexRewrite.firedBatch.get()
       val gate = "spark.graft.ann.batchRewrite.minScanBytes"
       val prev = s.conf.getOption(gate)
       s.conf.set(gate, "0")
-      val res = try {
-        KnnExact.topK(q, emb, 10)
+      val (res, firedNow) = try {
+        pinnedAnn(() => KnnExact.topK(q, emb, 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
-            round(col("dist"), 4).as("dist"))
-          .localCheckpoint(true)
+            round(col("dist"), 4).as("dist")))
       } finally prev match {
         case Some(v) => s.conf.set(gate, v)
         case None => s.conf.unset(gate)
       }
-      val firedNow = graft.plans.AnnIndexRewrite.firedBatch.get() > before
-      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
     // BATCH × FILTERED planner ANN — the realest production shape: five
@@ -4770,21 +4796,18 @@ object SparkEntry {
       sharedPlannerIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val before = graft.plans.AnnIndexRewrite.firedBatchFiltered.get()
       val gate = "spark.graft.ann.batchRewrite.minScanBytes"
       val prev = s.conf.getOption(gate)
       s.conf.set(gate, "0")
-      val res = try {
-        KnnExact.topK(q, emb.filter(col("label") === 3), 10)
+      val (res, firedNow) = try {
+        pinnedAnn(() => KnnExact.topK(q, emb.filter(col("label") === 3), 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
-            round(col("dist"), 4).as("dist"))
-          .localCheckpoint(true)
+            round(col("dist"), 4).as("dist")))
       } finally prev match {
         case Some(v) => s.conf.set(gate, v)
         case None => s.conf.unset(gate)
       }
-      val firedNow = graft.plans.AnnIndexRewrite.firedBatchFiltered.get() > before
-      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
     // BATCH COSINE planner ANN: five query vectors through the ranking
@@ -4801,21 +4824,18 @@ object SparkEntry {
       sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val before = graft.plans.AnnIndexRewrite.firedBatch.get()
       val gate = "spark.graft.ann.batchRewrite.minScanBytes"
       val prev = s.conf.getOption(gate)
       s.conf.set(gate, "0")
-      val res = try {
-        KnnExact.topKCosine(q, emb, 10)
+      val (res, firedNow) = try {
+        pinnedAnn(() => KnnExact.topKCosine(q, emb, 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
-            round(col("sim"), 4).as("sim"))
-          .localCheckpoint(true)
+            round(col("sim"), 4).as("sim")))
       } finally prev match {
         case Some(v) => s.conf.set(gate, v)
         case None => s.conf.unset(gate)
       }
-      val firedNow = graft.plans.AnnIndexRewrite.firedBatch.get() > before
-      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
     // BATCH × FILTERED × COSINE planner ANN — the last cell of the
@@ -4828,21 +4848,18 @@ object SparkEntry {
       sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val before = graft.plans.AnnIndexRewrite.firedBatchFiltered.get()
       val gate = "spark.graft.ann.batchRewrite.minScanBytes"
       val prev = s.conf.getOption(gate)
       s.conf.set(gate, "0")
-      val res = try {
-        KnnExact.topKCosine(q, emb.filter(col("label") === 3), 10)
+      val (res, firedNow) = try {
+        pinnedAnn(() => KnnExact.topKCosine(q, emb.filter(col("label") === 3), 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
-            round(col("sim"), 4).as("sim"))
-          .localCheckpoint(true)
+            round(col("sim"), 4).as("sim")))
       } finally prev match {
         case Some(v) => s.conf.set(gate, v)
         case None => s.conf.unset(gate)
       }
-      val firedNow = graft.plans.AnnIndexRewrite.firedBatchFiltered.get() > before
-      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
     // PLANNER-CHOSEN **INNER-PRODUCT** ANN: the declarative MIPS shape
@@ -4860,13 +4877,10 @@ object SparkEntry {
       val qv = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       val nip = -graft.functions.VectorExpressions.dot(typedLit(qv), col("embedding"))
-      val before = graft.plans.AnnIndexRewrite.fired.get()
-      val topk = emb
+      val (topk, firedNow) = pinnedAnn(() => emb
         .select(col("vec_id"), nip.as("nip"))
         .orderBy(col("nip"), col("vec_id"))
-        .limit(10)
-      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
-      val firedNow = graft.plans.AnnIndexRewrite.fired.get() > before
+        .limit(10))
       topk.select(col("vec_id"), round(-col("nip"), 4).as("ip"))
         .orderBy(col("ip").desc, col("vec_id"))
         .withColumn("rewrite_fired", lit(firedNow))
@@ -4882,14 +4896,11 @@ object SparkEntry {
       val qv = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       val nip = -graft.functions.VectorExpressions.dot(typedLit(qv), col("embedding"))
-      val before = graft.plans.AnnIndexRewrite.firedFiltered.get()
-      val topk = emb
+      val (topk, firedNow) = pinnedAnn(() => emb
         .filter(col("label") === 3)
         .select(col("vec_id"), nip.as("nip"))
         .orderBy(col("nip"), col("vec_id"))
-        .limit(10)
-      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
-      val firedNow = graft.plans.AnnIndexRewrite.firedFiltered.get() > before
+        .limit(10))
       topk.select(col("vec_id"), round(-col("nip"), 4).as("ip"))
         .orderBy(col("ip").desc, col("vec_id"))
         .withColumn("rewrite_fired", lit(firedNow))
@@ -4904,21 +4915,18 @@ object SparkEntry {
       sharedPlannerIpIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val before = graft.plans.AnnIndexRewrite.firedBatch.get()
       val gate = "spark.graft.ann.batchRewrite.minScanBytes"
       val prev = s.conf.getOption(gate)
       s.conf.set(gate, "0")
-      val res = try {
-        KnnExact.topKDot(q, emb, 10)
+      val (res, firedNow) = try {
+        pinnedAnn(() => KnnExact.topKDot(q, emb, 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
-            round(col("ip"), 4).as("ip"))
-          .localCheckpoint(true)
+            round(col("ip"), 4).as("ip")))
       } finally prev match {
         case Some(v) => s.conf.set(gate, v)
         case None => s.conf.unset(gate)
       }
-      val firedNow = graft.plans.AnnIndexRewrite.firedBatch.get() > before
-      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
     // BATCH × FILTERED × IP planner ANN — completing the full
@@ -4932,21 +4940,18 @@ object SparkEntry {
       sharedPlannerIpIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val before = graft.plans.AnnIndexRewrite.firedBatchFiltered.get()
       val gate = "spark.graft.ann.batchRewrite.minScanBytes"
       val prev = s.conf.getOption(gate)
       s.conf.set(gate, "0")
-      val res = try {
-        KnnExact.topKDot(q, emb.filter(col("label") === 3), 10)
+      val (res, firedNow) = try {
+        pinnedAnn(() => KnnExact.topKDot(q, emb.filter(col("label") === 3), 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
-            round(col("ip"), 4).as("ip"))
-          .localCheckpoint(true)
+            round(col("ip"), 4).as("ip")))
       } finally prev match {
         case Some(v) => s.conf.set(gate, v)
         case None => s.conf.unset(gate)
       }
-      val firedNow = graft.plans.AnnIndexRewrite.firedBatchFiltered.get() > before
-      trackCheckpoint(res).withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
 
     // Binary-coarse recall: the measured accuracy cost of the 64×
@@ -5186,12 +5191,9 @@ object SparkEntry {
       val qv = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       val qvSql = "array(" + qv.map(f => s"CAST($f AS FLOAT)").mkString(", ") + ")"
-      val before = graft.plans.AnnIndexRewrite.fired.get()
-      val topk = s.sql(
+      val (topk, firedNow) = pinnedAnn(() => s.sql(
         s"""SELECT vec_id, graft_l2sq($qvSql, embedding) AS dist2
-           |FROM graft_sql_embeddings ORDER BY dist2, vec_id LIMIT 10""".stripMargin)
-      topk.queryExecution.optimizedPlan // plan now: the rewrite fires here
-      val firedNow = graft.plans.AnnIndexRewrite.fired.get() > before
+           |FROM graft_sql_embeddings ORDER BY dist2, vec_id LIMIT 10""".stripMargin))
       topk.select(col("vec_id"), round(sqrt(col("dist2")), 4).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .withColumn("rewrite_fired", lit(firedNow))
@@ -5208,12 +5210,10 @@ object SparkEntry {
     "agg_planner_rewrite" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       sharedAggMv(s, dir) // build+register once per (session, dir)
-      val before = graft.plans.AggRewrite.fired.get()
-      val res = li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"),
-          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
-      res.queryExecution.optimizedPlan // plan now: the rewrite fires here
-      val firedNow = graft.plans.AggRewrite.fired.get() > before
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"),
+            min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty")))
       res.withColumn("rewrite_fired", lit(firedNow))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -5224,12 +5224,10 @@ object SparkEntry {
     "agg_planner_rollup" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       sharedAggMv(s, dir) // build+register once per (session, dir)
-      val before = graft.plans.AggRewrite.fired.get()
-      val res = li.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
-      res.queryExecution.optimizedPlan // plan now: the rewrite fires here
-      val firedNow = graft.plans.AggRewrite.fired.get() > before
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty")))
       res.withColumn("rewrite_fired", lit(firedNow))
         .orderBy("l_returnflag")
     }),
@@ -5241,11 +5239,9 @@ object SparkEntry {
     "agg_planner_avg" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       sharedAggMv(s, dir) // build+register once per (session, dir)
-      val before = graft.plans.AggRewrite.fired.get()
-      val res = li.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), avg(col("l_orderkey")).as("avg_ok"))
-      res.queryExecution.optimizedPlan // plan now: the rewrite fires here
-      val firedNow = graft.plans.AggRewrite.fired.get() > before
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), avg(col("l_orderkey")).as("avg_ok")))
       res.select(col("l_returnflag"), col("n"), round(col("avg_ok"), 4).as("avg_ok"))
         .withColumn("rewrite_fired", lit(firedNow))
         .orderBy("l_returnflag")
@@ -5257,15 +5253,35 @@ object SparkEntry {
     "agg_planner_filtered" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       sharedAggMv(s, dir) // build+register once per (session, dir)
-      val before = graft.plans.AggRewrite.fired.get()
-      val res = li.filter(col("l_linestatus") === "F")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
-      res.queryExecution.optimizedPlan // plan now: the rewrite fires here
-      val firedNow = graft.plans.AggRewrite.fired.get() > before
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.filter(col("l_linestatus") === "F")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty")))
       res.withColumn("rewrite_fired", lit(firedNow))
         .orderBy("l_returnflag")
+    }),
+
+    // HAVING through the MV (r17 verdict #8 — the most common dashboard
+    // shape after the plain groupBy): a Filter ABOVE the Aggregate
+    // referencing a re-aggregated measure. The rule rewrites the
+    // Aggregate in place with its output exprIds preserved, so the
+    // HAVING predicate re-binds to the re-aggregated measures untouched
+    // — no extra matching needed, but the shape is pinned end-to-end
+    // here. The predicate is a PARITY test on the re-aggregated count
+    // (the uniform synthetic fixture defeats any literal threshold at
+    // both verify and bench SFs; parity splits groups at both AND is
+    // the most bit-sensitive exactness pin a HAVING can apply — one row
+    // miscounted anywhere flips group membership, not just a value).
+    "agg_planner_having" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), max(col("l_quantity")).as("max_qty"))
+          .filter(col("n") % 2 === 1))
+      res.withColumn("rewrite_fired", lit(firedNow))
+        .orderBy("l_returnflag", "l_linestatus")
     }),
 
     // Streaming twin of the MV family: facts arrive in micro-batches,
@@ -5292,14 +5308,13 @@ object SparkEntry {
     // ~10-row rollup.
     "agg_planner_join" -> ((s, dir) => {
       sharedAggJoinMv(s, dir) // build+register once per (session, dir)
-      val before = graft.plans.AggRewrite.fired.get()
-      val res = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), avg(col("l_linenumber")).as("avg_ln"),
-          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
-      res.queryExecution.optimizedPlan // plan now: the rewrite fires here
-      val firedNow = graft.plans.AggRewrite.fired.get() > before
+      val (res, firedNow) = pinnedAgg(
+        Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet"), () =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), avg(col("l_linenumber")).as("avg_ln"),
+            min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty")))
       res.select(col("o_orderpriority"), col("n"), round(col("avg_ln"), 4).as("avg_ln"),
           col("min_qty"), col("max_qty"))
         .withColumn("rewrite_fired", lit(firedNow))
@@ -6408,7 +6423,8 @@ object SparkEntry {
       s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q),
          |t AS (SELECT vec_id, dist FROM d ORDER BY d.dist, vec_id LIMIT 10)
-         |SELECT vec_id, round(dist, 4) AS dist FROM t ORDER BY round(dist, 4), vec_id""".stripMargin,
+         |SELECT vec_id, round(dist, 4) AS dist, TRUE AS rewrite_fired
+         |FROM t ORDER BY round(dist, 4), vec_id""".stripMargin,
 
     // Filtered-planner replay: exact filtered kNN (predicate BEFORE any
     // distance work), top-10 set chosen by the unrounded distance;
@@ -6754,10 +6770,12 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
 
     // Integral AVG replay: the explicit exact-long division — the same
-    // two operands Spark's Average and the rewritten SUM/SUM compute.
+    // two operands Spark's Average and the rewritten SUM/SUM compute
+    // (denominator = the NON-NULL count of the averaged column, the
+    // r18 decomposition's exact divisor).
     "agg_planner_avg" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  round(CAST(sum(l_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_ok,
+        |  round(CAST(sum(l_orderkey) AS DOUBLE) / CAST(count(l_orderkey) AS DOUBLE), 4) AS avg_ok,
         |  TRUE AS rewrite_fired
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
@@ -6769,11 +6787,23 @@ object SparkEntry {
         |FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // HAVING replay: the measure-referencing Filter ABOVE the rewritten
+    // Aggregate — parity of the re-aggregated count decides group
+    // membership, the most bit-sensitive exactness pin available on the
+    // uniform fixture (one miscounted row anywhere flips a group in or
+    // out of the result, not just a value).
+    "agg_planner_having" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  max(l_quantity) AS max_qty, TRUE AS rewrite_fired
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |HAVING (count(*) % 2) = 1
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     // Join-view replay: the direct fact ⋈ dim groupBy — the rewrite
     // must eliminate both scans AND the join, never change the rows.
     "agg_planner_join" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  round(CAST(sum(l_linenumber) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_ln,
+        |  round(CAST(sum(l_linenumber) AS DOUBLE) / CAST(count(l_linenumber) AS DOUBLE), 4) AS avg_ln,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  TRUE AS rewrite_fired
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

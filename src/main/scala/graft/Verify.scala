@@ -18,10 +18,12 @@ object Verify {
     val spark = GraftSession.builder("graft-verify", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -40,6 +42,30 @@ object Verify {
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Diagnosability sidecar (r17 verdict #1: the one driver flake was
+    // unexplainable from the artifact): every planner counter, plus any
+    // per-query exceptions, land next to oracle_sql.json — a false
+    // rewrite_fired pin now names its decline path (fallbacks vs
+    // droppedStale vs filteredSkippedApprox vs a thrown probe).
+    val ann = graft.plans.AnnIndexRewrite
+    val agg = graft.plans.AggRewrite
+    val counters: Seq[(String, Long)] = Seq(
+      "ann_fired" -> ann.fired.get(),
+      "ann_firedFiltered" -> ann.firedFiltered.get(),
+      "ann_filteredFallbacks" -> ann.filteredFallbacks.get(),
+      "ann_filteredSkippedApprox" -> ann.filteredSkippedApprox.get(),
+      "ann_firedBatch" -> ann.firedBatch.get(),
+      "ann_firedBatchFiltered" -> ann.firedBatchFiltered.get(),
+      "ann_batchFilteredFallbacks" -> ann.batchFilteredFallbacks.get(),
+      "ann_droppedStale" -> ann.droppedStale.get(),
+      "agg_fired" -> agg.fired.get(),
+      "agg_fallbacks" -> agg.fallbacks.get(),
+      "agg_droppedStale" -> agg.droppedStale.get())
+    val countersJson = counters.map { case (k, v) => s"${q(k)}: $v" }
+      .mkString(",") + s""", ${q("failures")}: """ +
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/planner_counters.json"),
+      "{" + countersJson + "}")
     SparkEntry.clearCaches()
     spark.stop()
   }

@@ -33,7 +33,14 @@ import org.apache.spark.sql.internal.SQLConf
   * - query grouping keys must be plain scan columns, a subset of the
   *   MV's grouping keys (the MV is grouped finer; grouping by fewer
   *   keys re-aggregates MV rows — algebraically exact);
-  * - COUNT(*) maps to SUM(mv count) — exact BIGINT;
+  * - COUNT(*) maps to COALESCE(SUM(mv count), 0) — exact BIGINT; the
+  *   COALESCE matters only for the UNGROUPED shape over an empty
+  *   selection (no MV rows → SUM is NULL where COUNT is 0 — the one
+  *   place the plain mapping would silently diverge; grouped outputs
+  *   only exist for non-empty groups, where the wrap is a no-op);
+  * - COUNT(x) maps the same way onto a PER-COLUMN count measure
+  *   (registered as ("count", x) — the MV's count(x), which ignores
+  *   NULLs exactly like the query's COUNT(x));
   * - SUM(x) maps to SUM(mv sum_x), accepted only when the re-aggregated
   *   type EQUALS the original output type: integral sums re-aggregate
   *   exactly (BIGINT addition is associative); DECIMAL sums widen
@@ -44,11 +51,16 @@ import org.apache.spark.sql.internal.SQLConf
   *   rule, but the rewrite must not ADD a source of divergence);
   * - MIN/MAX map to MIN/MAX of the MV column — order-invariant for any
   *   type, accepted as-is;
-  * - AVG over an INTEGRAL column decomposes to SUM(mv sum)/SUM(mv n):
-  *   integer partial sums are exactly representable in double below
-  *   2⁵³, so Spark's own Average (double accumulator) computes the
-  *   identical division of the identical exact operands — float/double
-  *   AVG declines like float SUM;
+  * - AVG over an INTEGRAL column decomposes to SUM(mv sum)/SUM(mv
+  *   count-of-that-column): AVG divides by the NON-NULL count, so the
+  *   denominator must be a per-column ("count", x) measure — COUNT(*)
+  *   is only an acceptable stand-in when the column is provably
+  *   non-nullable, which a parquet scan never is (ADVICE r17: the
+  *   COUNT(*) denominator silently mis-averages any NULL-bearing
+  *   column). Integer partial sums are exactly representable in double
+  *   below 2⁵³, so Spark's own Average (double accumulator) computes
+  *   the identical division of the identical exact operands —
+  *   float/double AVG declines like float SUM;
   * - a deterministic Filter between the Aggregate and the scan is
   *   re-aggregable iff it references ONLY MV grouping keys (the
   *   predicate then selects whole MV groups — it is remapped onto the
@@ -72,8 +84,9 @@ object AggRewrite extends Rule[LogicalPlan] {
     * @param groupCols the MV's grouping key column names — shared with
     *                  the source scan's column names
     * @param measures  MV measure column name → (func, source column):
-    *                  func ∈ count | sum | min | max ("count" ignores
-    *                  the source column)
+    *                  func ∈ count | sum | min | max. ("count", "") is
+    *                  COUNT(*); ("count", x) is the per-column count(x)
+    *                  — the NULL-ignoring count AVG(x)/COUNT(x) need
     * @param mvPath    parquet path for fresh-exprId reads per splice
     */
   final case class MvSpec(
@@ -114,6 +127,14 @@ object AggRewrite extends Rule[LogicalPlan] {
     joinRegistry.clear(); joinSigs.clear(); joinStaleChecks.clear()
   }
 
+  /** Clear the plan-time staleness verdict caches WITHOUT touching any
+    * registration — the retry-once path of the rewrite_fired pin
+    * ([[PlannerPin]]): a transient listing failure otherwise declines
+    * every plan for a whole check interval, which is exactly the flake
+    * the r17 driver run hit.
+    */
+  def resetPlanCaches(): Unit = { staleChecks.clear(); joinStaleChecks.clear() }
+
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.agg.rewrite", "true").toBoolean
 
@@ -145,6 +166,13 @@ object AggRewrite extends Rule[LogicalPlan] {
     acc
   }
 
+  /** Transient listing failures decline THIS plan (the exact plan is
+    * the safe side — serving from a possibly-stale MV for a whole check
+    * interval is the unsafe one; ADVICE r17) but KEEP the registration
+    * and retry after the interval; only a successful listing that
+    * disagrees with the snapshot drops it permanently — the same
+    * three-way verdict as [[AnnIndexRewrite.sourceIsStale]].
+    */
   private def sourceIsStale(key: String, path: String, spec: MvSpec): Boolean =
     sourceSigs.get(key) match {
       case None => false // unfingerprintable at registration: guard off
@@ -153,15 +181,22 @@ object AggRewrite extends Rule[LogicalPlan] {
         staleChecks.get(key) match {
           case Some((t, fresh)) if (now - t) / 1000000L < stalenessIntervalMs => !fresh
           case _ =>
-            val fresh =
-              try sourceSignature(path, spec) == sig
-              catch { case _: Exception => true } // transient listing error: keep, retry
+            val verdict: Option[Boolean] =
+              try Some(sourceSignature(path, spec) == sig)
+              catch { case _: Exception => None } // transient: unknown
+            val fresh = verdict.getOrElse(false)
             staleChecks.put(key, (now, fresh))
-            if (!fresh) {
-              droppedStale.incrementAndGet()
-              logWarning(s"graft agg rewrite: source $path changed since MV " +
-                "registration — dropping the stale registration (exact plan)")
-              registry.remove(key); sourceSigs.remove(key); staleChecks.remove(key)
+            verdict match {
+              case Some(false) =>
+                droppedStale.incrementAndGet()
+                logWarning(s"graft agg rewrite: source $path changed since MV " +
+                  "registration — dropping the stale registration (exact plan)")
+                registry.remove(key); sourceSigs.remove(key); staleChecks.remove(key)
+              case None =>
+                logWarning(s"graft agg rewrite: could not re-list $path to verify " +
+                  "MV freshness — keeping the exact plan for this check interval " +
+                  "and retrying (registration kept)")
+              case Some(true) => ()
             }
             !fresh
         }
@@ -247,16 +282,26 @@ object AggRewrite extends Rule[LogicalPlan] {
         joinStaleChecks.get(key) match {
           case Some((t, fresh)) if (now - t) / 1000000L < stalenessIntervalMs => !fresh
           case _ =>
-            val fresh =
-              try signatureOf(pathA, spec.mv.sparkSession) +
-                signatureOf(pathB, spec.mv.sparkSession) == sig
-              catch { case _: Exception => true }
+            // same three-way verdict as sourceIsStale: a transient
+            // listing failure declines-but-keeps (exact plan, retry
+            // after the interval); only a verified change drops the view
+            val verdict: Option[Boolean] =
+              try Some(signatureOf(pathA, spec.mv.sparkSession) +
+                signatureOf(pathB, spec.mv.sparkSession) == sig)
+              catch { case _: Exception => None }
+            val fresh = verdict.getOrElse(false)
             joinStaleChecks.put(key, (now, fresh))
-            if (!fresh) {
-              droppedStale.incrementAndGet()
-              logWarning(s"graft agg rewrite: a join-view source ($pathA / $pathB) " +
-                "changed since registration — dropping the stale view (exact plan)")
-              joinRegistry.remove(key); joinSigs.remove(key); joinStaleChecks.remove(key)
+            verdict match {
+              case Some(false) =>
+                droppedStale.incrementAndGet()
+                logWarning(s"graft agg rewrite: a join-view source ($pathA / $pathB) " +
+                  "changed since registration — dropping the stale view (exact plan)")
+                joinRegistry.remove(key); joinSigs.remove(key); joinStaleChecks.remove(key)
+              case None =>
+                logWarning(s"graft agg rewrite: could not re-list $pathA / $pathB " +
+                  "to verify join-view freshness — keeping the exact plan for this " +
+                  "check interval and retrying (registration kept)")
+              case Some(true) => ()
             }
             !fresh
         }
@@ -298,8 +343,8 @@ object AggRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def rewriteAggregate(agg: Aggregate, cur: Option[SparkSession])
-      : Option[Aggregate] = {
+  private def rewriteAggregate(agg: Aggregate, cur: Option[SparkSession],
+      dfGuard: () => Boolean): Option[Aggregate] = {
     // optional deterministic Filter BETWEEN the Aggregate and the scan:
     // re-aggregable iff it references ONLY MV grouping keys (then the
     // same predicate applied to the MV keeps exactly the fact rows'
@@ -312,7 +357,7 @@ object AggRewrite extends Rule[LogicalPlan] {
       case leaf: LogicalRelation =>
         specOf(leaf, cur).flatMap { case (_, spec) =>
           rewriteWith(agg, spec.groupCols, spec.measures, spec.mv, spec.mvPath,
-            fltOpt, "single-table")
+            fltOpt, "single-table", dfGuard)
         }
       // STAR-SCHEMA shape: Aggregate over an inner equi-join of two
       // registered scans — answered from the pre-joined rollup (the
@@ -352,7 +397,7 @@ object AggRewrite extends Rule[LogicalPlan] {
           }
           if (!keyOk || !(strippedL ++ strippedR).forall(keys.contains)) None
           else rewriteWith(agg, spec.groupCols, spec.measures, spec.mv, spec.mvPath,
-            fltOpt, s"join(${spec.leftKey}=${spec.rightKey})")
+            fltOpt, s"join(${spec.leftKey}=${spec.rightKey})", dfGuard)
         }
       case _ => None
     }
@@ -364,8 +409,8 @@ object AggRewrite extends Rule[LogicalPlan] {
     */
   private def rewriteWith(agg: Aggregate, groupCols: Seq[String],
       measures: Map[String, (String, String)], mv: DataFrame,
-      mvPath: Option[String], fltOpt: Option[Filter], logTag: String)
-      : Option[Aggregate] = {
+      mvPath: Option[String], fltOpt: Option[Filter], logTag: String,
+      dfGuard: () => Boolean): Option[Aggregate] = {
     {
       // grouping keys: plain scan columns, a subset of the MV keys
       val groupAttrs = agg.groupingExpressions.map {
@@ -382,14 +427,14 @@ object AggRewrite extends Rule[LogicalPlan] {
         }
       }
       // the MV plan — path-backed reads splice fresh exprIds each time;
-      // a DataFrame-backed spec can be spliced while its attrs are not
-      // already in the tree (single-splice guard, as in AnnIndexRewrite)
+      // a DataFrame-backed spec can be spliced ONCE PER PASS (ADVICE
+      // r17: the guard must span the whole transformDown — two
+      // Aggregates over the same source in one plan would otherwise
+      // splice duplicate exprIds into sibling subtrees; the guard's
+      // initial state also covers attrs already in the tree)
       val spark = mv.sparkSession
       val mvDf = mvPath.map(spark.read.parquet(_)).getOrElse(mv)
       val mvPlan = EliminateSubqueryAliases(mvDf.queryExecution.analyzed)
-      if (mvPath.isEmpty &&
-        agg.collectLeaves().exists(_.outputSet.intersect(mvPlan.outputSet).nonEmpty))
-        return None
       def mvAttr(name: String): Option[Attribute] =
         mvPlan.output.find(_.name == name)
       // map every output expression or decline
@@ -404,12 +449,22 @@ object AggRewrite extends Rule[LogicalPlan] {
           mvAttr(a.name).map(m => Alias(m, name)(exprId = al.exprId))
         case al @ Alias(ae: AggregateExpression, name)
             if !ae.isDistinct && ae.filter.isEmpty =>
+          // SUM over the MV count re-aggregates exactly, except over an
+          // EMPTY selection (ungrouped, zero MV rows) where SUM is NULL
+          // and COUNT is 0 — COALESCE closes that divergence (ADVICE
+          // r17 high). Grouped outputs only exist for non-empty groups,
+          // where the wrap never evaluates its default.
+          def countOf(srcCol: String): Option[Expression] =
+            measures.collectFirst { case (mvCol, ("count", `srcCol`)) => mvCol }
+              .flatMap(mvAttr)
+              .filter(_.dataType == org.apache.spark.sql.types.LongType)
+              .map(m => Coalesce(Seq(Sum(m).toAggregateExpression(),
+                Literal(0L, org.apache.spark.sql.types.LongType))))
           val remapped: Option[Expression] = ae.aggregateFunction match {
-            case Count(Seq(l: Literal)) if l.value != null =>
-              measures.collectFirst { case (mvCol, ("count", _)) => mvCol }
-                .flatMap(mvAttr)
-                .filter(_.dataType == org.apache.spark.sql.types.LongType)
-                .map(m => Sum(m).toAggregateExpression())
+            case Count(Seq(l: Literal)) if l.value != null => countOf("")
+            // COUNT(x) ignores NULLs — only a per-column count measure
+            // (the MV's count(x), same NULL semantics) re-aggregates it
+            case Count(Seq(a: AttributeReference)) => countOf(a.name)
             case s: Sum => s.child match {
               case a: AttributeReference if integralSum(a.dataType) =>
                 measures.collectFirst {
@@ -432,10 +487,15 @@ object AggRewrite extends Rule[LogicalPlan] {
                 .filter(_.dataType == al.dataType)
                 .map(m => Max(m).toAggregateExpression())
             // AVG over an INTEGRAL column decomposes exactly:
-            // SUM(mv_sum)/SUM(mv_n) — integer partial sums are exactly
-            // representable in double below 2^53, so Spark's own
+            // SUM(mv_sum)/SUM(mv_count_of_x) — integer partial sums are
+            // exactly representable in double below 2^53, so Spark's own
             // Average (double accumulator) computes the identical
-            // division of the identical exact operands
+            // division of the identical exact operands. AVG divides by
+            // the NON-NULL count of its own column (ADVICE r17 medium):
+            // the denominator must be the per-column ("count", x)
+            // measure; COUNT(*) only stands in when the analyzer proves
+            // the column non-nullable (never true for a parquet scan —
+            // registrations that want AVG must carry count(x)).
             case av: Average => av.child match {
               case a: AttributeReference if integralSum(a.dataType) &&
                   al.dataType == org.apache.spark.sql.types.DoubleType =>
@@ -445,8 +505,12 @@ object AggRewrite extends Rule[LogicalPlan] {
                   }.flatMap(mvAttr)
                   if sumCol.dataType == org.apache.spark.sql.types.LongType
                   cntCol <- measures.collectFirst {
-                    case (mvCol, ("count", _)) => mvCol
-                  }.flatMap(mvAttr)
+                    case (mvCol, ("count", src)) if src == a.name => mvCol
+                  }.flatMap(mvAttr).orElse(
+                    if (a.nullable) None
+                    else measures.collectFirst {
+                      case (mvCol, ("count", "")) => mvCol
+                    }.flatMap(mvAttr))
                   if cntCol.dataType == org.apache.spark.sql.types.LongType
                 } yield Divide(
                   Cast(Sum(sumCol).toAggregateExpression(),
@@ -477,6 +541,13 @@ object AggRewrite extends Rule[LogicalPlan] {
       if (mapped.exists(_.isEmpty) || !condOk) {
         fallbacks.incrementAndGet()
         None
+      } else if (mvPath.isEmpty && !dfGuard()) {
+        // a DataFrame-backed MV was already spliced into this plan (or
+        // its attrs pre-exist in the tree): a second splice would
+        // duplicate exprIds — keep the exact plan (burned only on an
+        // actual fire, so declined matches don't consume the slot)
+        fallbacks.incrementAndGet()
+        None
       } else {
         fired.incrementAndGet()
         logInfo(s"graft agg rewrite: Aggregate over ${groupCols.size}-key MV " +
@@ -487,14 +558,33 @@ object AggRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** Output attrs of every DataFrame-backed MV (path-backed specs read
+    * fresh exprIds per splice and need no guard) — the initial state of
+    * the once-per-pass splice guard.
+    */
+  private def dfMvAttrs(): AttributeSet = {
+    val dfs = registry.values.filter(_.mvPath.isEmpty).map(_.mv) ++
+      joinRegistry.values.filter(_.mvPath.isEmpty).map(_.mv)
+    dfs.foldLeft(AttributeSet.empty)((acc, df) =>
+      acc ++ df.queryExecution.analyzed.outputSet)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     applyWith(plan, SparkSession.getActiveSession)
 
   def applyWith(plan: LogicalPlan, cur: Option[SparkSession]): LogicalPlan = {
     if (!enabled || (registry.isEmpty && joinRegistry.isEmpty)) return plan
+    // once-per-PASS splice guard for DataFrame-backed MVs (ADVICE r17):
+    // a single analyzed MV subtree spliced under two sibling Aggregates
+    // would duplicate its exprIds across the plan. Seeded with a
+    // plan-wide attr scan (covers MV attrs already in the tree), burned
+    // by the first fire, checked by every subsequent match.
+    var dfSpliced = plan.collectLeaves()
+      .exists(l => l.outputSet.intersect(dfMvAttrs()).nonEmpty)
+    def dfGuard(): Boolean = { val ok = !dfSpliced; if (ok) dfSpliced = true; ok }
     plan.transformDown {
       case agg: Aggregate =>
-        try rewriteAggregate(agg, cur).getOrElse(agg)
+        try rewriteAggregate(agg, cur, dfGuard _).getOrElse(agg)
         catch {
           case e: Exception =>
             logWarning(s"graft agg rewrite failed; keeping the exact plan: ${e.getMessage}")

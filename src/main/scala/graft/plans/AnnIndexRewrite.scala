@@ -199,6 +199,16 @@ object AnnIndexRewrite extends Rule[LogicalPlan] {
     invalidateProbeCaches()
   }
 
+  /** Clear the plan-time memoization (staleness verdicts + probe
+    * decisions) WITHOUT touching any registration — the retry-once path
+    * of the rewrite_fired pin ([[PlannerPin]]): a transient listing
+    * failure otherwise declines every plan for a whole check interval
+    * (the r17 driver flake), and a cached decline would defeat the
+    * retry. Dropping these entries costs a re-list + re-probe, never
+    * correctness.
+    */
+  def resetPlanCaches(): Unit = { staleChecks.clear(); invalidateProbeCaches() }
+
   // ---- source staleness guard ----------------------------------------
   // A registration is a SNAPSHOT claim: splicing an index probe into a
   // scan whose files changed since registration would silently drop new

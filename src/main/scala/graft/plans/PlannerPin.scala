@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** The `rewrite_fired` pin as a PLAN PROPERTY (r17 verdict #1/#3).
+  *
+  * The planner queries pin "the accelerated plan produced these rows"
+  * into their oracle hash. Until r17 the pin sampled a global fire
+  * counter around an `optimizedPlan` call — fragile twice over: the
+  * final projection re-optimizes and fires the rule AGAIN (the counter
+  * delta measures a plan event, not THE plan), and any
+  * environment-sensitive decline (a transient source-listing failure
+  * poisons a whole staleness interval; any probe exception declines
+  * with only a logWarning) flips the pin while the rows stay exact —
+  * exactly the `ann_planner_cosine` flake the r17 driver run hit.
+  *
+  * This object replaces the counter delta with a structural check of
+  * the optimized plan itself, plus a retry-once protocol:
+  *
+  *  1. build the query, inspect ITS OWN optimized plan for the splice;
+  *  2. on a miss, clear the planner's plan-time memoization
+  *     ([[AnnIndexRewrite.resetPlanCaches]] /
+  *     [[AggRewrite.resetPlanCaches]] — registrations untouched) and
+  *     re-plan a fresh build ONCE — a transient decline heals, a real
+  *     decline (no registration, non-re-aggregable shape) stays false;
+  *  3. the caller executes the INSPECTED dataset eagerly
+  *     (`localCheckpoint(true)` runs the same QueryExecution), so the
+  *     pin is causally tied to the rows it is hashed with — not to a
+  *     later re-plan that may decide differently.
+  *
+  * The splice markers are the rewrites' own structural idempotence
+  * markers, so they cannot drift from what the rules emit:
+  * [[AnnIndexRewrite]] splices either a LeftSemi probe join
+  * (single-query shape) or a literal candidate-id IN/INSET conjunct
+  * (filtered/batch shapes); [[AggRewrite]] replaces the fact scan, so
+  * its marker is the ABSENCE of every fact path among the plan's scan
+  * leaves.
+  */
+object PlannerPin {
+
+  /** True when the optimized plan carries the single-query ANN probe
+    * splice: a LeftSemi join whose condition references the index id
+    * column (the exact Sort+Limit plan has no semi-join at all).
+    */
+  def hasProbeSemiJoin(plan: LogicalPlan, idCol: String): Boolean =
+    plan.exists {
+      case Join(_, _, LeftSemi, cond, _) =>
+        cond.exists(_.references.exists(_.name == idCol))
+      case _ => false
+    }
+
+  /** True when some Filter carries a literal id-IN/INSET conjunct on
+    * `idCol` — the filtered/batch splice (the same marker
+    * AnnIndexRewrite's own idempotence guard recognizes; OptimizeIn may
+    * have converted the spliced In to InSet inside the shared
+    * fixed-point batch, so both shapes count).
+    */
+  def hasCandidateIn(plan: LogicalPlan, idCol: String): Boolean =
+    plan.exists {
+      case Filter(cond, _) => cond.exists {
+        case In(a: AttributeReference, vs)
+            if a.name == idCol && vs.nonEmpty &&
+              vs.forall(_.isInstanceOf[Literal]) => true
+        case InSet(a: AttributeReference, _) if a.name == idCol => true
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** Any ANN probe splice on `idCol` — single-query semi-join OR
+    * filtered/batch candidate-id predicate.
+    */
+  def annSpliced(idCol: String)(plan: LogicalPlan): Boolean =
+    hasProbeSemiJoin(plan, idCol) || hasCandidateIn(plan, idCol)
+
+  /** True when the plan still scans `path` (V1 parquet leaf). */
+  def scansPath(plan: LogicalPlan, path: String): Boolean = {
+    val norm = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    plan.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(_.toUri.getPath == norm)
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
+  /** Agg-MV pin: fired == the rewrite replaced every fact scan, so none
+    * of `factPaths` appears among the plan's scan leaves.
+    */
+  def aggSpliced(factPaths: Seq[String])(plan: LogicalPlan): Boolean =
+    factPaths.forall(p => !scansPath(plan, p))
+
+  /** build → inspect → retry-once-on-miss. Returns the DataFrame whose
+    * OWN QueryExecution was inspected — the caller must execute THAT
+    * dataset (e.g. `localCheckpoint(true)`) so the pin stays causally
+    * tied to the rows — plus the pin value.
+    */
+  def pinned(build: () => DataFrame, fired: LogicalPlan => Boolean,
+      invalidate: () => Unit): (DataFrame, Boolean) = {
+    val df1 = build()
+    if (fired(df1.queryExecution.optimizedPlan)) (df1, true)
+    else {
+      invalidate()
+      val df2 = build()
+      (df2, fired(df2.queryExecution.optimizedPlan))
+    }
+  }
+}

@@ -26,17 +26,26 @@ class AggRewriteSpec extends GraftSpec {
       .agg(count(lit(1)).as("n"), sum($"l_orderkey").as("sum_ok"),
         min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
 
-  private def registerMv(): String = {
+  /** Register the spec MV. `withColCount` carries the per-column
+    * non-null count AVG needs; `pathBacked = false` registers the
+    * DataFrame itself (exercising the once-per-pass splice guard).
+    */
+  private def registerMv(withColCount: Boolean = true,
+      pathBacked: Boolean = true): String = {
     val mv = li.groupBy($"l_returnflag", $"l_linestatus", $"l_linenumber")
       .agg(count(lit(1)).as("n"), sum($"l_orderkey").as("sum_ok"),
+        count($"l_orderkey").as("n_ok"),
         min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_aggmv_spec").toString
     mv.write.mode("overwrite").parquet(tmp)
+    val base = Map("n" -> (("count", "")), "sum_ok" -> (("sum", "l_orderkey")),
+      "min_qty" -> (("min", "l_quantity")), "max_qty" -> (("max", "l_quantity")))
+    val measures =
+      if (withColCount) base + ("n_ok" -> (("count", "l_orderkey"))) else base
     AggRewrite.register(srcPath, AggRewrite.MvSpec(spark.read.parquet(tmp),
       groupCols = Seq("l_returnflag", "l_linestatus", "l_linenumber"),
-      measures = Map("n" -> (("count", "")), "sum_ok" -> (("sum", "l_orderkey")),
-        "min_qty" -> (("min", "l_quantity")), "max_qty" -> (("max", "l_quantity"))),
-      mvPath = Some(tmp)))
+      measures = measures,
+      mvPath = if (pathBacked) Some(tmp) else None))
     tmp
   }
 
@@ -206,7 +215,7 @@ class AggRewriteSpec extends GraftSpec {
     val mv = li.join(ord, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority", $"l_linestatus")
       .agg(count(lit(1)).as("n"), sum($"l_linenumber").as("sum_ln"),
-        max($"l_quantity").as("max_qty"))
+        count($"l_linenumber").as("n_ln"), max($"l_quantity").as("max_qty"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_joinmv_spec").toString
     mv.write.mode("overwrite").parquet(tmp)
     AggRewrite.registerJoin(srcPath, s"$sfDir/orders.parquet",
@@ -214,7 +223,7 @@ class AggRewriteSpec extends GraftSpec {
         leftKey = "l_orderkey", rightKey = "o_orderkey",
         groupCols = Seq("o_orderpriority", "l_linestatus"),
         measures = Map("n" -> (("count", "")), "sum_ln" -> (("sum", "l_linenumber")),
-          "max_qty" -> (("max", "l_quantity"))),
+          "n_ln" -> (("count", "l_linenumber")), "max_qty" -> (("max", "l_quantity"))),
         mvPath = Some(tmp)))
     spark.experimental.extraOptimizations = Seq(AggRewrite)
     try {
@@ -245,6 +254,126 @@ class AggRewriteSpec extends GraftSpec {
       assert(filteredJoin.agg(sum($"n")).head().getLong(0) ===
         li.filter($"l_linestatus" === "F").count(),
         "the declined plan still returns the correct totals")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+    }
+  }
+
+  test("ungrouped COUNT over an empty selection: 0 through the MV, never NULL") {
+    AggRewrite.clear()
+    registerMv()
+    spark.experimental.extraOptimizations = Seq(AggRewrite)
+    try {
+      // key-only predicate matching NO MV rows: SUM over the empty
+      // selection is NULL where COUNT is 0 — the ADVICE r17 high bug;
+      // COALESCE in the remap closes it
+      def q = li.filter($"l_linestatus" === "Z").agg(count(lit(1)).as("n"))
+      assert(!scansLineitem(q), "the ungrouped COUNT is answered from the MV")
+      val row = q.head()
+      assert(!row.isNullAt(0) && row.getLong(0) === 0L,
+        "COUNT(*) over an empty selection must be 0, not NULL")
+      // and a NON-empty ungrouped count stays exact
+      def q2 = li.agg(count(lit(1)).as("n"))
+      assert(!scansLineitem(q2))
+      AggRewrite.clear()
+      val exact = q2.head().getLong(0) // fresh plan: registry now empty
+      registerMv()
+      assert(q2.head().getLong(0) === exact)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+    }
+  }
+
+  test("COUNT(col) re-aggregates from the per-column count; AVG requires it on a nullable column") {
+    AggRewrite.clear()
+    def cntQ = li.groupBy($"l_returnflag").agg(count($"l_orderkey").as("c"))
+    def avgQ = li.groupBy($"l_returnflag").agg(avg($"l_orderkey").as("a"))
+    val expectedCnt = cntQ.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    registerMv(withColCount = false)
+    spark.experimental.extraOptimizations = Seq(AggRewrite)
+    try {
+      // a parquet column is nullable to the analyzer: without the
+      // per-column count there is no exact NULL-ignoring denominator —
+      // AVG and COUNT(col) must keep the fact scan (ADVICE r17 medium:
+      // the COUNT(*) stand-in silently mis-averages NULL-bearing data)
+      assert(scansLineitem(avgQ),
+        "AVG without a per-column count measure must keep the exact plan")
+      assert(scansLineitem(cntQ),
+        "COUNT(col) without a per-column count measure must keep the exact plan")
+      AggRewrite.clear()
+      registerMv(withColCount = true)
+      assert(!scansLineitem(avgQ), "with count(x) registered, AVG decomposes")
+      assert(!scansLineitem(cntQ), "with count(x) registered, COUNT(x) re-aggregates")
+      val gotCnt = cntQ.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      assert(gotCnt.toSeq === expectedCnt.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+    }
+  }
+
+  test("HAVING above the Aggregate: measure predicate re-binds to the rewritten output") {
+    AggRewrite.clear()
+    // parity of the count — the most bit-sensitive membership predicate
+    def q = li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), max($"l_quantity").as("mx"))
+      .filter($"n" % 2 === 1)
+    val expected = q.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    registerMv()
+    spark.experimental.extraOptimizations = Seq(AggRewrite)
+    try {
+      assert(!scansLineitem(q),
+        "a measure-referencing HAVING sits ABOVE the Aggregate — the rewrite " +
+          "underneath must still fire (output exprIds preserved)")
+      val got = q.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+      assert(got === expected, "the HAVING filter must see identical measures")
+      // HAVING over a NON-re-aggregable measure: the Aggregate itself
+      // declines (double SUM), so the whole shape keeps the exact plan
+      def bad = li.groupBy($"l_returnflag").agg(sum($"l_quantity").as("sq"))
+        .filter($"sq" > 0.0)
+      assert(scansLineitem(bad),
+        "a HAVING whose aggregate can't be remapped keeps the exact fact scan")
+      assert(bad.count() > 0, "and the exact plan still answers it")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+    }
+  }
+
+  test("two Aggregates in one plan: a DataFrame-backed MV splices exactly once") {
+    AggRewrite.clear()
+    def a = li.groupBy($"l_returnflag").agg(count(lit(1)).as("na"))
+    def b = li.groupBy($"l_linestatus").agg(count(lit(1)).as("nb"))
+    def both = a.crossJoin(b)
+    val expected = both.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getString(2), r.getLong(3))).sortBy(t => (t._1, t._3)).toSeq
+    registerMv(pathBacked = false) // DataFrame-backed: one analyzed subtree
+    spark.experimental.extraOptimizations = Seq(AggRewrite)
+    try {
+      val df = both
+      // exactly ONE side may splice the shared analyzed MV subtree —
+      // the second would duplicate its exprIds (ADVICE r17); the other
+      // side keeps the exact fact scan
+      val plan = df.queryExecution.optimizedPlan
+      val mvLeafCount = plan.collectLeaves().count {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              !h.location.rootPaths.exists(_.toUri.getPath ==
+                new org.apache.hadoop.fs.Path(srcPath).toUri.getPath)
+            case _ => false
+          }
+        case _ => false
+      }
+      assert(mvLeafCount <= 1, "the DataFrame-backed MV subtree appears at most once")
+      assert(scansLineitem(df), "the second Aggregate keeps the exact fact scan")
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getLong(3))).sortBy(t => (t._1, t._3)).toSeq
+      assert(got === expected, "the guarded plan still returns exact rows")
     } finally {
       spark.experimental.extraOptimizations = Nil
       AggRewrite.clear()
