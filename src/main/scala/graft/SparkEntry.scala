@@ -5131,12 +5131,20 @@ object SparkEntry {
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" card "), base15, check.cast("string"),
         lit(" "), base15, ((check + 1) % 10).cast("string"))
-      docs.select(col("doc_id"),
-        PiiScan.emailCount(aug).as("n_email"),
-        PiiScan.phoneCount(aug).as("n_phone"),
-        size(regexp_extract_all(aug, lit(PiiScan.CardRe), lit(0)))
-          .cast("long").as("n_card_all"),
-        PiiScan.cardValidCount(aug).as("n_card_valid"))
+      // staged projections (r17 verdict #6 discipline): `aug` and the
+      // card-candidate array are aliases referenced more than once
+      // downstream, so CollapseProject keeps the stages separate and
+      // each is computed ONCE per row (inlined, the concat ran 4× and
+      // the CardRe extraction 2×). Still pure map-only column work.
+      docs.select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"), col("aug"),
+          regexp_extract_all(col("aug"), lit(PiiScan.CardRe), lit(0)).as("cards"))
+        .select(col("doc_id"),
+          PiiScan.emailCount(col("aug")).as("n_email"),
+          PiiScan.phoneCount(col("aug")).as("n_phone"),
+          size(col("cards")).cast("long").as("n_card_all"),
+          size(filter(col("cards"), c => PiiScan.luhnValid16(c)))
+            .cast("long").as("n_card_valid"))
         .orderBy("doc_id")
     }),
 
@@ -5162,17 +5170,34 @@ object SparkEntry {
         lit(" "), base15, ((check + 1) % 10).cast("string"))
       val noEmailPhone = regexp_replace(
         regexp_replace(aug, PiiScan.EmailRe, "<EMAIL>"), PiiScan.PhoneRe, "<PHONE>")
-      val validCards = filter(
-        regexp_extract_all(noEmailPhone, lit(PiiScan.CardRe), lit(0)),
-        c => PiiScan.luhnValid16(c))
-      val redacted = aggregate(validCards, noEmailPhone,
-        (acc, c) => replace(acc, c, lit("<CARD>")))
-      docs.select(col("doc_id"),
-        PiiScan.emailCount(redacted).as("n_email_left"),
-        PiiScan.phoneCount(redacted).as("n_phone_left"),
-        PiiScan.cardValidCount(redacted).as("n_valid_card_left"),
-        size(regexp_extract_all(redacted, lit(PiiScan.CardRe), lit(0)))
-          .cast("long").as("n_candidates_left"))
+      // STAGED projections (r17 verdict #6 — the suite's slowest row):
+      // the r17 shape inlined the full redaction tree into each of the
+      // four residual counts, so the detector battery evaluated up to
+      // 4× per row. Each expensive value (the replaced text, the
+      // validated-card array, the redacted text, the residual-candidate
+      // array) is now an alias referenced more than once downstream —
+      // CollapseProject therefore keeps the stages as separate
+      // projections and each battery runs ONCE per row. Residual counts
+      // stay MEASURED over the actual redacted text (the compliance
+      // contract), not derived from the pre-redaction counts. Still
+      // pure column expressions: map-only, zero shuffle, the same
+      // 100 TB posture.
+      docs.select(col("doc_id"), noEmailPhone.as("clean"))
+        .select(col("doc_id"), col("clean"),
+          filter(regexp_extract_all(col("clean"), lit(PiiScan.CardRe), lit(0)),
+            c => PiiScan.luhnValid16(c)).as("valid_cards"))
+        .select(col("doc_id"),
+          aggregate(col("valid_cards"), col("clean"),
+            (acc, c) => replace(acc, c, lit("<CARD>"))).as("redacted"))
+        .select(col("doc_id"), col("redacted"),
+          regexp_extract_all(col("redacted"), lit(PiiScan.CardRe), lit(0))
+            .as("cards_left"))
+        .select(col("doc_id"),
+          PiiScan.emailCount(col("redacted")).as("n_email_left"),
+          PiiScan.phoneCount(col("redacted")).as("n_phone_left"),
+          size(filter(col("cards_left"), c => PiiScan.luhnValid16(c)))
+            .cast("long").as("n_valid_card_left"),
+          size(col("cards_left")).cast("long").as("n_candidates_left"))
         .orderBy("doc_id")
     }),
 
