@@ -5309,6 +5309,35 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // COUNT(col) through the MV: the NULL-ignoring per-column count
+    // re-aggregates from the registered ("count", col) measure — the
+    // r18 measure class the nullable-AVG fix introduced, pinned
+    // end-to-end here (COUNT(*) and COUNT(x) are different functions
+    // the moment a NULL exists; the MV carries both).
+    "agg_planner_count_col" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.groupBy(col("l_linestatus"))
+          .agg(count(col("l_orderkey")).as("n_ok"), count(lit(1)).as("n")))
+      res.withColumn("rewrite_fired", lit(firedNow))
+        .orderBy("l_linestatus")
+    }),
+
+    // EMPTY-SELECTION ungrouped COUNT through the MV — the ADVICE r17
+    // high fix pinned in the hash: a key-only predicate matching no MV
+    // rows must yield 0, not NULL (SUM over the empty selection is NULL
+    // where COUNT is 0; the remap wraps in COALESCE). rewrite_fired
+    // pins that the MV path (not the exact scan) produced the 0.
+    "agg_planner_empty" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.filter(col("l_linestatus") === "Z")
+          .agg(count(lit(1)).as("n"), count(col("l_orderkey")).as("n_ok")))
+      res.withColumn("rewrite_fired", lit(firedNow))
+    }),
+
     // Streaming twin of the MV family: facts arrive in micro-batches,
     // each reduces to its own partial rollup (idempotent batch-dir
     // commit), and the view re-aggregates the partials — an
@@ -6811,6 +6840,22 @@ object SparkEntry {
         |  TRUE AS rewrite_fired
         |FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // COUNT(col) replay: the per-column NULL-ignoring count — DuckDB's
+    // count(col) has identical semantics, so the re-aggregated SUM of
+    // MV per-group counts must match it exactly.
+    "agg_planner_count_col" ->
+      """SELECT l_linestatus, count(l_orderkey) AS n_ok, count(*) AS n,
+        |  TRUE AS rewrite_fired
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    // Empty-selection replay: both counts are 0 (never NULL) — the
+    // COALESCE in the COUNT remap, pinned in the hash (the pre-fix
+    // rewrite returned NULL here while the exact plan returned 0).
+    "agg_planner_empty" ->
+      """SELECT count(*) AS n, count(l_orderkey) AS n_ok, TRUE AS rewrite_fired
+        |FROM lineitem WHERE l_linestatus = 'Z'""".stripMargin,
 
     // HAVING replay: the measure-referencing Filter ABOVE the rewritten
     // Aggregate — parity of the re-aggregated count decides group
