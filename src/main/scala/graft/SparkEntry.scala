@@ -190,6 +190,7 @@ object SparkEntry {
     plannerIpIndexCache.clear()
     aggMvCache.values().forEach(p => graft.plans.AggRewrite.unregister(p))
     aggMvCache.clear()
+    aggCoarseMvCache.clear() // its registrations share aggMvCache's path
     aggJoinMvCache.values().forEach(p =>
       graft.plans.AggRewrite.unregisterJoin(p._1, p._2))
     aggJoinMvCache.clear()
@@ -362,6 +363,38 @@ object SparkEntry {
             "max_qty" -> (("max", "l_quantity"))),
           mvPath = Some(tmp)))
       s"$dir/lineitem.parquet"
+    })
+
+  /** A COARSER sibling MV on the SAME source — the rollup lattice
+    * (r18): lineitem pre-grouped by l_returnflag alone (~3 rows vs the
+    * 3-key MV's ~56). Both register on the same path; the rule answers
+    * a returnflag-only query from THIS one (cost-based view selection,
+    * pinned by agg_planner_choice) and SKIPS it for queries needing the
+    * finer keys. Returns the MV's parquet path — the plan-shape pin
+    * target.
+    */
+  private val aggCoarseMvCache = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+  private def sharedAggCoarseMv(s: SparkSession, dir: String): String =
+    aggCoarseMvCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ => {
+      val li = Tables.lineitem(s, dir)
+      val mv = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"),
+          count(col("l_orderkey")).as("n_ok"),
+          min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_aggmv_coarse").toString
+      mv.write.mode("overwrite").parquet(tmp)
+      graft.plans.AggRewrite.register(s"$dir/lineitem.parquet",
+        graft.plans.AggRewrite.MvSpec(s.read.parquet(tmp),
+          groupCols = Seq("l_returnflag"),
+          measures = Map(
+            "n" -> (("count", "")),
+            "sum_ok" -> (("sum", "l_orderkey")),
+            "n_ok" -> (("count", "l_orderkey")),
+            "min_qty" -> (("min", "l_quantity")),
+            "max_qty" -> (("max", "l_quantity"))),
+          mvPath = Some(tmp)))
+      tmp
     })
 
   /** One aggregate JOIN VIEW build + AggRewrite.registerJoin per
@@ -5338,6 +5371,65 @@ object SparkEntry {
       res.withColumn("rewrite_fired", lit(firedNow))
     }),
 
+    // TOP-N dashboard shape through the MV: Sort + Limit over the
+    // rewritten groupBy — the Aggregate underneath is answered from
+    // the MV and Catalyst's TakeOrderedAndProject runs over ~6
+    // re-aggregated rows instead of a fact-table shuffle.
+    "agg_planner_topn" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("l_returnflag"), col("l_linestatus"))
+          .limit(3))
+      res.withColumn("rewrite_fired", lit(firedNow))
+        .orderBy(col("n").desc, col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // COUNT(DISTINCT key) through the MV (r18): the MV carries every
+    // distinct key combination in the facts, so COUNT(DISTINCT x) for
+    // an MV grouping key x re-aggregates as COUNT(DISTINCT mv.x) —
+    // exact, NULL-skipping on both sides. The distinct-cardinality
+    // dashboard ("how many statuses/line numbers per flag") answered
+    // from ~56 rows. Also exercises the lattice SKIP path: the coarse
+    // returnflag-only MV (agg_planner_choice's) lacks these keys, so
+    // the rule must fall through to the finer 3-key MV.
+    "agg_planner_distinct" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_linestatus")).as("nd_status"),
+            countDistinct(col("l_linenumber")).as("nd_linenum"),
+            count(lit(1)).as("n")))
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("l_returnflag")
+    }),
+
+    // MV LATTICE CHOICE (r18): two summary tables registered on the
+    // same fact table — the 3-key ~56-row rollup and a coarser
+    // returnflag-only ~3-row one. A returnflag-only query qualifies
+    // for BOTH; the rule must answer from the SMALLEST (cost-based
+    // view selection, the warehouse-optimizer choice over a rollup
+    // lattice). `coarse_mv` pins IN THE HASH that the plan scans the
+    // coarse MV's parquet — not just any MV.
+    "agg_planner_choice" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // the finer 3-key MV
+      val coarsePath = sharedAggCoarseMv(s, dir) // the ~3-row sibling
+      val (df, firedNow) = graft.plans.PlannerPin.pinned(() =>
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("min_qty")),
+        graft.plans.PlannerPin.aggSpliced(Seq(s"$dir/lineitem.parquet")),
+        () => graft.plans.AggRewrite.resetPlanCaches())
+      val coarseUsed = graft.plans.PlannerPin.scansPath(
+        df.queryExecution.optimizedPlan, coarsePath)
+      trackCheckpoint(df.localCheckpoint(true))
+        .withColumn("rewrite_fired", lit(firedNow))
+        .withColumn("coarse_mv", lit(coarseUsed))
+        .orderBy("l_returnflag")
+    }),
+
     // Streaming twin of the MV family: facts arrive in micro-batches,
     // each reduces to its own partial rollup (idempotent batch-dir
     // commit), and the view re-aggregates the partials — an
@@ -6878,6 +6970,34 @@ object SparkEntry {
         |  TRUE AS rewrite_fired
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Top-N replay: the same deterministic (n DESC, keys) tie-broken
+    // top-3 over the direct groupBy.
+    "agg_planner_topn" ->
+      """SELECT l_returnflag, l_linestatus, n, TRUE AS rewrite_fired FROM (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |  GROUP BY l_returnflag, l_linestatus
+        |  ORDER BY n DESC, l_returnflag, l_linestatus LIMIT 3) t
+        |ORDER BY n DESC, l_returnflag, l_linestatus""".stripMargin,
+
+    // Distinct-count replay: COUNT(DISTINCT key) has identical
+    // NULL-skipping semantics in DuckDB — the MV's distinct key values
+    // must match the facts' exactly.
+    "agg_planner_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_linestatus) AS nd_status,
+        |  count(DISTINCT l_linenumber) AS nd_linenum, count(*) AS n,
+        |  TRUE AS rewrite_fired
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Lattice-choice replay: the direct groupBy; coarse_mv = TRUE pins
+    // that the SMALLEST qualifying MV (the ~3-row returnflag rollup,
+    // not the ~56-row 3-key one) produced the rows.
+    "agg_planner_choice" ->
+      """SELECT l_returnflag, count(*) AS n, min(l_quantity) AS min_qty,
+        |  TRUE AS rewrite_fired, TRUE AS coarse_mv
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Stream == batch: the merged partial rollups must equal the
     // direct groupBy (associative re-aggregable algebra).

@@ -66,8 +66,13 @@ import org.apache.spark.sql.internal.SQLConf
   *   predicate then selects whole MV groups — it is remapped onto the
   *   MV's attributes); a predicate touching any measure column
   *   declines;
-  * - DISTINCT aggregates and per-aggregate FILTER clauses never match
-  *   (not re-aggregable from a plain rollup);
+  * - COUNT(DISTINCT x) is re-aggregable iff x is an MV GROUPING KEY:
+  *   the MV carries every distinct key combination present in the
+  *   facts, so the distinct x values among the (whole-group-selected)
+  *   MV rows are exactly the distinct x values among the facts — the
+  *   remap is COUNT(DISTINCT mv.x), NULL-skipping on both sides. Any
+  *   other DISTINCT aggregate, and every per-aggregate FILTER clause,
+  *   declines (not re-aggregable from a plain rollup);
   * - a SOURCE-STALENESS fingerprint (same discipline as
   *   AnnIndexRewrite): the MV is a snapshot claim over the source's
   *   file listing at registration; a changed listing drops the
@@ -75,6 +80,15 @@ import org.apache.spark.sql.internal.SQLConf
   *
   * Registration is session-lived, like a temp view; a different live
   * session scanning the same path keeps its exact plan.
+  *
+  * MV CHOICE (r18): one source may carry SEVERAL summary tables at
+  * different granularities (the classic rollup lattice — hourly/daily/
+  * monthly). The rule tries the qualifying MVs in ascending row count
+  * and answers from the SMALLEST one that maps every key and measure —
+  * cost-based view selection, the same choice a warehouse optimizer
+  * makes over a materialized-view lattice. Row counts are taken once
+  * at registration; a coarser MV that cannot express the query (key
+  * not in its grouping set, measure missing) is skipped, never wrong.
   */
 object AggRewrite extends Rule[LogicalPlan] {
 
@@ -88,14 +102,20 @@ object AggRewrite extends Rule[LogicalPlan] {
     *                  COUNT(*); ("count", x) is the per-column count(x)
     *                  — the NULL-ignoring count AVG(x)/COUNT(x) need
     * @param mvPath    parquet path for fresh-exprId reads per splice
+    * @param rows      MV row count for cost-based choice among several
+    *                  registered MVs (counted at registration when < 0)
     */
   final case class MvSpec(
       mv: DataFrame,
       groupCols: Seq[String],
       measures: Map[String, (String, String)],
-      mvPath: Option[String] = None)
+      mvPath: Option[String] = None,
+      rows: Long = -1L)
 
-  private val registry = TrieMap.empty[String, MvSpec]
+  /** Several MVs per source path (the rollup lattice) — choice is by
+    * ascending row count among the ones that map the whole query.
+    */
+  private val registry = TrieMap.empty[String, List[MvSpec]]
   private val sourceSigs = TrieMap.empty[String, Long]
   private val staleChecks = TrieMap.empty[String, (Long, Boolean)]
 
@@ -111,7 +131,14 @@ object AggRewrite extends Rule[LogicalPlan] {
       Seq("count", "sum", "min", "max").contains(m._1)),
       "measure funcs must be count|sum|min|max")
     val key = normalize(sourcePath)
-    registry.put(key, spec)
+    // size the MV once for the lattice choice; re-registering the same
+    // grouping set replaces its previous spec
+    val sized = if (spec.rows >= 0) spec else spec.copy(rows = spec.mv.count())
+    registry.updateWith(key) {
+      case Some(list) =>
+        Some(sized :: list.filterNot(_.groupCols.toSet == sized.groupCols.toSet))
+      case None => Some(List(sized))
+    }
     try sourceSigs.put(key, sourceSignature(sourcePath, spec))
     catch { case _: Exception => sourceSigs.remove(key) }
     staleChecks.remove(key)
@@ -313,25 +340,32 @@ object AggRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
-  private def specOf(leaf: LogicalPlan, cur: Option[SparkSession])
-      : Option[(String, MvSpec)] = leaf match {
+  /** The source's qualifying MVs in ASCENDING row count — the lattice
+    * choice order (smallest first; the caller takes the first that maps
+    * the whole query). Session-ownership and staleness are per PATH:
+    * every MV over the path is a snapshot of the same listing.
+    */
+  private def specsOf(leaf: LogicalPlan, cur: Option[SparkSession])
+      : Seq[MvSpec] = leaf match {
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation =>
-        h.location.rootPaths.headOption.flatMap { p =>
+        h.location.rootPaths.headOption.toSeq.flatMap { p =>
           val key = p.toUri.getPath
-          registry.get(key).flatMap { spec =>
-            if (spec.mv.sparkSession.sparkContext.isStopped) {
-              registry.remove(key); None
-            } else if (!cur.exists(_ eq spec.mv.sparkSession)) {
-              None // session-lived registration, like AnnIndexRewrite's
-            } else if (sourceIsStale(key, p.toString, spec)) {
-              None
-            } else Some((key, spec))
+          registry.getOrElse(key, Nil) match {
+            case Nil => Nil
+            case specs if specs.exists(_.mv.sparkSession.sparkContext.isStopped) =>
+              registry.remove(key); Nil
+            case specs if !specs.forall(s => cur.exists(_ eq s.mv.sparkSession)) =>
+              Nil // session-lived registration, like AnnIndexRewrite's
+            case specs if sourceIsStale(key, p.toString, specs.head) =>
+              Nil
+            case specs =>
+              specs.sortBy(s => if (s.rows >= 0) s.rows else Long.MaxValue)
           }
         }
-      case _ => None
+      case _ => Nil
     }
-    case _ => None
+    case _ => Nil
   }
 
   /** True when every IEEE-reassociation hazard is absent: integral
@@ -355,10 +389,16 @@ object AggRewrite extends Rule[LogicalPlan] {
     }
     below match {
       case leaf: LogicalRelation =>
-        specOf(leaf, cur).flatMap { case (_, spec) =>
+        val specs = specsOf(leaf, cur)
+        // lattice choice: the SMALLEST qualifying MV answers; a coarser
+        // MV missing a key/measure is skipped, never wrong. Fallback is
+        // counted once per query (no MV maps), not per skipped trial.
+        val chosen = specs.view.flatMap { spec =>
           rewriteWith(agg, spec.groupCols, spec.measures, spec.mv, spec.mvPath,
-            fltOpt, "single-table", dfGuard)
-        }
+            fltOpt, s"single-table(${spec.rows}-row MV)", dfGuard)
+        }.headOption
+        if (chosen.isEmpty && specs.nonEmpty) fallbacks.incrementAndGet()
+        chosen
       // STAR-SCHEMA shape: Aggregate over an inner equi-join of two
       // registered scans — answered from the pre-joined rollup (the
       // "aggregate join view"). The join condition must be exactly the
@@ -396,8 +436,12 @@ object AggRewrite extends Rule[LogicalPlan] {
             case _ => false
           }
           if (!keyOk || !(strippedL ++ strippedR).forall(keys.contains)) None
-          else rewriteWith(agg, spec.groupCols, spec.measures, spec.mv, spec.mvPath,
-            fltOpt, s"join(${spec.leftKey}=${spec.rightKey})", dfGuard)
+          else {
+            val res = rewriteWith(agg, spec.groupCols, spec.measures, spec.mv,
+              spec.mvPath, fltOpt, s"join(${spec.leftKey}=${spec.rightKey})", dfGuard)
+            if (res.isEmpty) fallbacks.incrementAndGet()
+            res
+          }
         }
       case _ => None
     }
@@ -421,10 +465,8 @@ object AggRewrite extends Rule[LogicalPlan] {
       fltOpt.foreach { f =>
         if (!f.condition.deterministic) return None
         val refs = f.condition.references.toSeq
-        if (!refs.forall(a => groupCols.contains(a.name))) {
-          fallbacks.incrementAndGet()
+        if (!refs.forall(a => groupCols.contains(a.name)))
           return None // predicate touches a measure column: not derivable
-        }
       }
       // the MV plan — path-backed reads splice fresh exprIds each time;
       // a DataFrame-backed spec can be spliced ONCE PER PASS (ADVICE
@@ -447,6 +489,21 @@ object AggRewrite extends Rule[LogicalPlan] {
           mvAttr(a.name).map(m => Alias(m, a.name)(exprId = a.exprId))
         case al @ Alias(a: AttributeReference, name) if groupByName.contains(a.name) =>
           mvAttr(a.name).map(m => Alias(m, name)(exprId = al.exprId))
+        // COUNT(DISTINCT x) where x is an MV GROUPING KEY: the MV holds
+        // every distinct key combination in the facts, so the distinct
+        // x among (whole-group-selected) MV rows equals the distinct x
+        // among the facts — COUNT(DISTINCT mv.x), NULL-skipping on
+        // both sides. Any other DISTINCT shape falls to the catch-all.
+        case al @ Alias(ae: AggregateExpression, name)
+            if ae.isDistinct && ae.filter.isEmpty &&
+              (ae.aggregateFunction match {
+                case Count(Seq(a: AttributeReference)) => groupCols.contains(a.name)
+                case _ => false
+              }) =>
+          val Count(Seq(a: AttributeReference)) = ae.aggregateFunction
+          mvAttr(a.name)
+            .map(m => Count(Seq(m)).toAggregateExpression(isDistinct = true))
+            .map(e => Alias(e, name)(exprId = al.exprId))
         case al @ Alias(ae: AggregateExpression, name)
             if !ae.isDistinct && ae.filter.isEmpty =>
           // SUM over the MV count re-aggregates exactly, except over an
@@ -538,15 +595,16 @@ object AggRewrite extends Rule[LogicalPlan] {
           }
           if (condOk) Filter(cond2, mvPlan) else mvPlan
       }
+      // declines return None without counting — the CALLER counts one
+      // fallback per query after the lattice trials, so a query that
+      // succeeds on its second-smallest MV is not miscounted as a miss
       if (mapped.exists(_.isEmpty) || !condOk) {
-        fallbacks.incrementAndGet()
         None
       } else if (mvPath.isEmpty && !dfGuard()) {
         // a DataFrame-backed MV was already spliced into this plan (or
         // its attrs pre-exist in the tree): a second splice would
         // duplicate exprIds — keep the exact plan (burned only on an
         // actual fire, so declined matches don't consume the slot)
-        fallbacks.incrementAndGet()
         None
       } else {
         fired.incrementAndGet()
@@ -563,7 +621,7 @@ object AggRewrite extends Rule[LogicalPlan] {
     * the once-per-pass splice guard.
     */
   private def dfMvAttrs(): AttributeSet = {
-    val dfs = registry.values.filter(_.mvPath.isEmpty).map(_.mv) ++
+    val dfs = registry.values.flatten.filter(_.mvPath.isEmpty).map(_.mv) ++
       joinRegistry.values.filter(_.mvPath.isEmpty).map(_.mv)
     dfs.foldLeft(AttributeSet.empty)((acc, df) =>
       acc ++ df.queryExecution.analyzed.outputSet)

@@ -380,6 +380,79 @@ class AggRewriteSpec extends GraftSpec {
     }
   }
 
+  test("MV lattice: the smallest qualifying MV answers; unqualifying coarse MVs are skipped") {
+    AggRewrite.clear()
+    val fineTmp = registerMv() // 3-key, ~42 rows
+    // a COARSER sibling on the same path: returnflag only, ~3 rows
+    val coarse = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), max($"l_quantity").as("max_qty"))
+    val coarseTmp = java.nio.file.Files.createTempDirectory("graft_aggmv_coarse_spec").toString
+    coarse.write.mode("overwrite").parquet(coarseTmp)
+    AggRewrite.register(srcPath, AggRewrite.MvSpec(spark.read.parquet(coarseTmp),
+      groupCols = Seq("l_returnflag"),
+      measures = Map("n" -> (("count", "")), "max_qty" -> (("max", "l_quantity"))),
+      mvPath = Some(coarseTmp)))
+    spark.experimental.extraOptimizations = Seq(AggRewrite)
+    try {
+      // returnflag-only query: BOTH MVs qualify — the ~3-row one wins
+      def flagQ = li.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), max($"l_quantity").as("mx"))
+      assert(!scansLineitem(flagQ))
+      assert(graft.plans.PlannerPin.scansPath(
+        flagQ.queryExecution.optimizedPlan, coarseTmp),
+        "the SMALLEST qualifying MV answers the query")
+      // a query needing the finer keys: the coarse MV is skipped, the
+      // 3-key MV still fires (the lattice skip path, never a decline)
+      def fineQ = li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"))
+      assert(!scansLineitem(fineQ))
+      assert(graft.plans.PlannerPin.scansPath(
+        fineQ.queryExecution.optimizedPlan, fineTmp),
+        "a coarse MV missing the query's keys is skipped, not wrong")
+      // values exact through the chosen coarse MV
+      AggRewrite.clear()
+      val exact = flagQ.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      registerMv()
+      AggRewrite.register(srcPath, AggRewrite.MvSpec(spark.read.parquet(coarseTmp),
+        groupCols = Seq("l_returnflag"),
+        measures = Map("n" -> (("count", "")), "max_qty" -> (("max", "l_quantity"))),
+        mvPath = Some(coarseTmp)))
+      val got = flagQ.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(got === exact, "the lattice choice must not change any value")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+    }
+  }
+
+  test("COUNT(DISTINCT key) re-aggregates from the MV's key set; non-key DISTINCT declines") {
+    AggRewrite.clear()
+    def q = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_linestatus").as("nd"), count(lit(1)).as("n"))
+    val expected = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    registerMv()
+    spark.experimental.extraOptimizations = Seq(AggRewrite)
+    try {
+      assert(!scansLineitem(q),
+        "COUNT(DISTINCT <MV grouping key>) is answered from the MV")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got === expected,
+        "the MV holds every distinct key combination — counts must be exact")
+      // DISTINCT over a NON-key column is not derivable from the rollup
+      def bad = li.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("nd"))
+      assert(scansLineitem(bad),
+        "COUNT(DISTINCT <measure column>) must keep the exact fact scan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+    }
+  }
+
   test("source files mutated after registration: the MV self-heals stale") {
     AggRewrite.clear()
     // private source copy so the mutation cannot disturb other suites
