@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // thread pools / streaming foreachBatch)
     e.injectOptimizerRule(s => new graft.plans.AnnIndexRewriteRule(s))
     e.injectOptimizerRule(s => new graft.plans.AggRewriteRule(s))
+    e.injectOptimizerRule(s => new graft.plans.ConstraintRewriteRule(s))
     e.injectFunction((FunctionIdentifier("graft_l2sq"),
       info("graft_l2sq", "squared L2 distance between two float arrays"),
       (exprs: Seq[Expression]) => FloatVecL2Sq(exprs(0), exprs(1))))

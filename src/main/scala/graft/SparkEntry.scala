@@ -194,6 +194,9 @@ object SparkEntry {
     aggJoinMvCache.values().forEach(p =>
       graft.plans.AggRewrite.unregisterJoin(p._1, p._2))
     aggJoinMvCache.clear()
+    fkConstraintCache.values().forEach(ps =>
+      ps.foreach(graft.plans.ConstraintRewrite.unregister))
+    fkConstraintCache.clear()
     val it4 = bpeCache.entrySet().iterator()
     while (it4.hasNext) {
       val e = it4.next()
@@ -426,6 +429,28 @@ object SparkEntry {
             "max_qty" -> (("max", "l_quantity"))),
           mvPath = Some(tmp)))
       (s"$dir/lineitem.parquet", s"$dir/orders.parquet")
+    })
+
+  /** One constraint verification + [[graft.plans.ConstraintRewrite]]
+    * registration per (session, dir): verified unique keys on
+    * orders.o_orderkey and customer.c_custkey plus the verified FK
+    * lineitem.l_orderkey → orders.o_orderkey — the claims the
+    * fk_planner_* join eliminations ride. Verification is a scan per
+    * claim, paid once per corpus snapshot (the production analogue
+    * verifies at constraint-DDL time; a warehouse RELY constraint
+    * merely trusts).
+    */
+  private val fkConstraintCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[String]]()
+  private def sharedFkConstraints(s: SparkSession, dir: String): Unit =
+    fkConstraintCache.computeIfAbsent(sessionKey(s) + "|" + dir, _ => {
+      graft.plans.ConstraintRewrite.registerUnique(s,
+        s"$dir/orders.parquet", "o_orderkey")
+      graft.plans.ConstraintRewrite.registerUnique(s,
+        s"$dir/customer.parquet", "c_custkey")
+      graft.plans.ConstraintRewrite.registerForeignKey(s,
+        s"$dir/lineitem.parquet", "l_orderkey", s"$dir/orders.parquet", "o_orderkey")
+      Seq(s"$dir/orders.parquet", s"$dir/customer.parquet", s"$dir/lineitem.parquet")
     })
 
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
@@ -1019,6 +1044,19 @@ object SparkEntry {
     val (df, fired) = graft.plans.PlannerPin.pinned(build,
       graft.plans.PlannerPin.aggSpliced(factPaths),
       () => graft.plans.AggRewrite.resetPlanCaches())
+    (trackCheckpoint(df.localCheckpoint(true)), fired)
+  }
+
+  /** The join-elimination twin of [[pinnedAgg]]: fired == every dim
+    * path is gone from the plan's scan leaves (the join to it was
+    * dropped by [[graft.plans.ConstraintRewrite]] — elimination
+    * REMOVES a scan, so absence is its structural marker too).
+    */
+  private def pinnedFk(dimPaths: Seq[String], build: () => DataFrame)
+      : (DataFrame, Boolean) = {
+    val (df, fired) = graft.plans.PlannerPin.pinned(build,
+      graft.plans.PlannerPin.aggSpliced(dimPaths),
+      () => graft.plans.ConstraintRewrite.resetPlanCaches())
     (trackCheckpoint(df.localCheckpoint(true)), fired)
   }
 
@@ -2172,6 +2210,17 @@ object SparkEntry {
 
     // session_window sessionization.
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
+
+    // Streaming twin of sessionize: the events table shattered into 4
+    // micro-batches and re-sessionized through Spark's session_window
+    // STATE STORE — open sessions extend and MERGE across batches, and
+    // the result must equal the batch computation regardless of the
+    // split (value summed as DECIMAL so the state-merge order can't
+    // leak into the hash). The oracle is the same window SQL as the
+    // batch row — stream == batch, pinned per value.
+    "events_sessionize_stream" -> ((s, dir) =>
+      trackCheckpoint(EventOps.streamSessionizeFromBatch(s, Tables.events(s, dir)))
+        .orderBy(col("user_id"), col("session_start_sec"))),
 
     // Stateful-dedup semantics in batch: first event per (user, type).
     "events_first" -> ((s, dir) => EventOps.firstEventPerUserType(Tables.events(s, dir))),
@@ -5445,6 +5494,114 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // JOIN ELIMINATION through the planner — the THIRD planner family
+    // (plans/ConstraintRewrite): the user writes the star-schema
+    // fact ⋈ dim join, references no dim column, and the optimizer
+    // DROPS the join because the session registry carries the VERIFIED
+    // proof it is row-preserving (unique o_orderkey + referential
+    // integrity of l_orderkey → o_orderkey, both checked against the
+    // data at registration — not merely trusted like a warehouse RELY
+    // constraint). Spark itself never eliminates a join; BI layers
+    // join every declared dimension unconditionally, so at 100 TB this
+    // is a shuffle of the whole fact table against a dimension nobody
+    // reads. rewrite_fired pins IN THE HASH that the plan never
+    // scanned orders; the oracle RUNS the join in DuckDB — identical
+    // rows is the never-wrong contract. sum(l_linenumber) is chosen
+    // OFF the registered MV measure set so this row exercises
+    // elimination alone regardless of suite registration order.
+    "fk_planner_inner" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      val (res, firedNow) = pinnedFk(Seq(s"$dir/orders.parquet"), () =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("sum_ln"),
+            min(col("l_quantity")).as("min_qty")))
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("l_returnflag")
+    }),
+
+    // LEFT OUTER elimination: droppable under the dim-key UNIQUENESS
+    // claim alone — outer keeps every fact row and uniqueness keeps it
+    // exactly once, so no FK is needed (NULL/dangling keys would be
+    // kept null-extended into columns nobody reads). The most common
+    // auto-generated BI shape: LEFT JOIN every dimension, SELECT from
+    // one table.
+    "fk_planner_outer" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      val (res, firedNow) = pinnedFk(Seq(s"$dir/customer.parquet"), () =>
+        Tables.orders(s, dir)
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"), "left_outer")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price")))
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("o_orderpriority")
+    }),
+
+    // SEMI-JOIN elimination: the plan shape of `WHERE EXISTS (SELECT 1
+    // FROM orders WHERE o_orderkey = l_orderkey)` — under the verified
+    // FK the existence test is true for every fact row, so the semi
+    // join is the identity and the guard-rail EXISTS every ETL layer
+    // emits costs nothing.
+    "fk_planner_semi" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      val (res, firedNow) = pinnedFk(Seq(s"$dir/orders.parquet"), () =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("sum_ln")))
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("l_linestatus")
+    }),
+
+    // DECLINE pinned: the group key is an ORDERS column, so the dim
+    // side outlives the join and elimination must keep the real join
+    // (rewrite_fired=false IN THE HASH, rows exact via the join). The
+    // measure set is off the join-view MV too, so no sibling family
+    // can accelerate it either — this row is the planner's negative
+    // control.
+    "fk_planner_decline" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      val (res, firedNow) = pinnedFk(Seq(s"$dir/orders.parquet"), () =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok")))
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("o_orderpriority")
+    }),
+
+    // THE CHAIN: join elimination EXPOSES the bare fact-table groupBy
+    // to the MV rewrite inside the same optimizer fixed point —
+    // fact ⋈ dim groupBy answered with NEITHER table scanned (the
+    // join gone via the verified FK, the Aggregate answered from the
+    // ~56-row summary table). Two pins in the hash: join_eliminated
+    // (no orders scan) and mv_fired (no lineitem scan) — the two
+    // planner families composing is the 100 TB dashboard endgame.
+    "fk_planner_chain" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      sharedAggMv(s, dir) // the 3-key lineitem MV
+      val li = s"$dir/lineitem.parquet"
+      val ord = s"$dir/orders.parquet"
+      val (df, _) = graft.plans.PlannerPin.pinned(() =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty")),
+        graft.plans.PlannerPin.aggSpliced(Seq(li, ord)),
+        () => {
+          graft.plans.ConstraintRewrite.resetPlanCaches()
+          graft.plans.AggRewrite.resetPlanCaches()
+        })
+      val plan = df.queryExecution.optimizedPlan
+      val joinGone = !graft.plans.PlannerPin.scansPath(plan, ord)
+      val mvFired = !graft.plans.PlannerPin.scansPath(plan, li)
+      trackCheckpoint(df.localCheckpoint(true))
+        .withColumn("join_eliminated", lit(joinGone))
+        .withColumn("mv_fired", lit(mvFired))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // STAR-SCHEMA view through the planner: the user writes the plain
     // fact ⋈ dim groupBy and the optimizer answers it from the
     // registered AGGREGATE JOIN VIEW — no fact scan, no dim scan, no
@@ -6971,6 +7128,51 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // Join-elimination replays: the oracle RUNS the join the optimizer
+    // dropped — identical rows is the never-wrong contract; the
+    // TRUE/FALSE literals pin the fired bits.
+    "fk_planner_inner" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |  min(l_quantity) AS min_qty, TRUE AS rewrite_fired
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "fk_planner_outer" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  TRUE AS rewrite_fired
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Semi-join replay: the oracle RUNS the EXISTS the optimizer
+    // proved vacuous.
+    "fk_planner_semi" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln, TRUE AS rewrite_fired
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // Negative control: the dim column outlives the join, elimination
+    // must decline (FALSE pinned) and the rows come from the real join.
+    "fk_planner_decline" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok, FALSE AS rewrite_fired
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Chain replay: the fact ⋈ dim groupBy with BOTH pins TRUE — the
+    // eliminated join and the MV answer must reproduce the join's
+    // exact rows.
+    "fk_planner_chain" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  TRUE AS join_eliminated, TRUE AS mv_fired
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     // Top-N replay: the same deterministic (n DESC, keys) tie-broken
     // top-3 over the direct groupBy.
     "agg_planner_topn" ->
@@ -7555,6 +7757,22 @@ object SparkEntry {
         |  CAST(floor(min(us) / 1000000) AS BIGINT) AS session_start_sec,
         |  CAST(floor(max(us) / 1000000) + 1800 AS BIGINT) AS session_end_sec,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_sec""".stripMargin,
+
+    // Stream-sessionize replay: identical window SQL to the batch row,
+    // with the DECIMAL(18,2) sum the stream's state merge uses (an
+    // IEEE double sum would depend on the micro-batch split).
+    "events_sessionize_stream" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |        THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id,
+        |  CAST(floor(min(us) / 1000000) AS BIGINT) AS session_start_sec,
+        |  CAST(floor(max(us) / 1000000) + 1800 AS BIGINT) AS session_end_sec,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_sec""".stripMargin,
 
     "events_first" ->

@@ -60,7 +60,10 @@ object Verify {
       "ann_droppedStale" -> ann.droppedStale.get(),
       "agg_fired" -> agg.fired.get(),
       "agg_fallbacks" -> agg.fallbacks.get(),
-      "agg_droppedStale" -> agg.droppedStale.get())
+      "agg_droppedStale" -> agg.droppedStale.get(),
+      "constraint_fired" -> graft.plans.ConstraintRewrite.fired.get(),
+      "constraint_fallbacks" -> graft.plans.ConstraintRewrite.fallbacks.get(),
+      "constraint_droppedStale" -> graft.plans.ConstraintRewrite.droppedStale.get())
     val countersJson = counters.map { case (k, v) => s"${q(k)}: $v" }
       .mkString(",") + s""", ${q("failures")}: """ +
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

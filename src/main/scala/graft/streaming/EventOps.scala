@@ -141,6 +141,75 @@ object EventOps {
       .start()
   }
 
+  /** Streaming SESSIONIZATION — the stateful twin of [[sessionize]],
+    * and the one windowing shape where streaming state is genuinely
+    * hard: a session window is OPEN-ENDED, so a later micro-batch can
+    * extend it, and two sessions a batch apart can MERGE into one when
+    * a bridging event arrives between them. Spark's session_window
+    * state store handles the merge natively; this twin exists to pin
+    * that stream == batch regardless of how events were split into
+    * micro-batches.
+    *
+    * Harness (the maintainFromBatch shape): shatter the batch table
+    * into `nFiles` parquet files — repartition scatters a user's
+    * session across files, so cross-batch merges MUST happen — then
+    * stream them back one file per trigger into a complete-mode
+    * session_window aggregation (complete mode needs no watermark and
+    * retains every session; the final trigger's table is the answer).
+    *
+    * The measure sums `value` as DECIMAL(18,2): session state merges
+    * re-associate additions in batch-arrival order, and an IEEE double
+    * sum would make the result depend on the file split — the same
+    * determinism discipline as events_json_stats.
+    *
+    * At 100 TB this is the production clickstream shape: state is one
+    * row per OPEN session (closed sessions age out under a watermark
+    * in append mode — complete mode here only because the twin must
+    * return ALL sessions for the oracle), and per-batch work is
+    * O(batch + touched sessions), never a history re-scan.
+    */
+  def streamSessionizeFromBatch(
+      spark: SparkSession,
+      events: DataFrame,
+      gap: String = "30 minutes",
+      nFiles: Int = 4): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    val srcDir = base.resolve("src").toString
+    val name = "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      events.repartition(nFiles).write.parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      val q = spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value_dec"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+        .select(
+          col("user_id"),
+          col("w.start").cast("long").as("session_start_sec"),
+          col("w.end").cast("long").as("session_end_sec"),
+          col("n_events"),
+          round(col("sum_value_dec").cast("double"), 4).as("sum_value"))
+        .orderBy(col("user_id"), col("session_start_sec"))
+        .localCheckpoint(eager = true)
+    } finally {
+      spark.catalog.dropTempView(name)
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** Streaming parquet sink: events stream → append-mode parquet files
     * with exactly-once file commits via the checkpoint (the S9/S10 sink
     * contract on a stream instead of a batch write). At scale this is

@@ -1,0 +1,250 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.plans.{AggRewrite, ConstraintRewrite}
+
+/** Constraint-based join elimination: a fact ⋈ dim join whose dim
+  * columns are unused is dropped when (and only when) the registered
+  * VERIFIED claims prove it row-preserving — and never changes rows.
+  */
+class ConstraintRewriteSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val liPath = s"$sfDir/lineitem.parquet"
+  private lazy val ordPath = s"$sfDir/orders.parquet"
+  private lazy val custPath = s"$sfDir/customer.parquet"
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+
+  private def scansPath(df: DataFrame, path: String): Boolean = {
+    val norm = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    scanPaths(df).contains(norm)
+  }
+
+  private def registerAll(): Unit = {
+    ConstraintRewrite.registerUnique(spark, ordPath, "o_orderkey")
+    ConstraintRewrite.registerUnique(spark, custPath, "c_custkey")
+    ConstraintRewrite.registerForeignKey(spark, liPath, "l_orderkey",
+      ordPath, "o_orderkey")
+  }
+
+  private def innerQ: DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"l_linenumber").as("sum_ln"))
+
+  private def outerQ: DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        $"o_custkey" === $"c_custkey", "left_outer")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), min($"o_totalprice").as("min_p"))
+
+  private def rows(df: DataFrame): Seq[(String, Long)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  test("registration refuses claims the data disproves") {
+    ConstraintRewrite.clear()
+    // l_orderkey repeats across line numbers: not unique
+    intercept[IllegalArgumentException] {
+      ConstraintRewrite.registerUnique(spark, liPath, "l_orderkey")
+    }
+    // FK registration requires the dim uniqueness claim first
+    intercept[IllegalArgumentException] {
+      ConstraintRewrite.registerForeignKey(spark, liPath, "l_orderkey",
+        ordPath, "o_orderkey")
+    }
+    // a dangling key is refused: dim = {1,2,3}, fact carries 999
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fk_spec").toString
+    Seq(1L, 2L, 3L).toDF("k").write.mode("overwrite").parquet(s"$tmp/dim")
+    Seq(1L, 2L, 999L).toDF("fk").write.mode("overwrite").parquet(s"$tmp/fact")
+    ConstraintRewrite.registerUnique(spark, s"$tmp/dim", "k")
+    intercept[IllegalArgumentException] {
+      ConstraintRewrite.registerForeignKey(spark, s"$tmp/fact", "fk", s"$tmp/dim", "k")
+    }
+    // and a NULL fact key is refused even when every non-NULL value matches
+    Seq(Some(1L), Some(2L), None).toDF("fk")
+      .write.mode("overwrite").parquet(s"$tmp/factnull")
+    intercept[IllegalArgumentException] {
+      ConstraintRewrite.registerForeignKey(spark, s"$tmp/factnull", "fk", s"$tmp/dim", "k")
+    }
+    ConstraintRewrite.clear()
+  }
+
+  test("verified FK: the inner join disappears, rows exact") {
+    ConstraintRewrite.clear()
+    val expected = rows(innerQ) // exact plan, no rule installed
+    registerAll()
+    spark.experimental.extraOptimizations = Seq(ConstraintRewrite)
+    try {
+      val before = ConstraintRewrite.fired.get()
+      val df = innerQ
+      assert(!scansPath(df, ordPath), "the dim scan must be gone")
+      assert(scansPath(df, liPath), "the fact scan stays")
+      assert(ConstraintRewrite.fired.get() > before)
+      assert(rows(df) === expected, "elimination must not change any row")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      ConstraintRewrite.clear()
+    }
+  }
+
+  test("verified FK: the LEFT SEMI join (EXISTS shape) is the identity") {
+    ConstraintRewrite.clear()
+    def semiQ = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_linestatus").agg(count(lit(1)).as("n"))
+    val expected = rows(semiQ)
+    registerAll()
+    spark.experimental.extraOptimizations = Seq(ConstraintRewrite)
+    try {
+      val df = semiQ
+      assert(!scansPath(df, ordPath), "the vacuous EXISTS probe must be gone")
+      assert(rows(df) === expected)
+      // without the FK the existence test is load-bearing: decline
+      ConstraintRewrite.clear()
+      ConstraintRewrite.registerUnique(spark, ordPath, "o_orderkey")
+      assert(scansPath(semiQ, ordPath),
+        "semi elimination needs the verified FK, not just uniqueness")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      ConstraintRewrite.clear()
+    }
+  }
+
+  test("unique key alone: the LEFT OUTER join disappears, rows exact") {
+    ConstraintRewrite.clear()
+    val expected = rows(outerQ)
+    // only the uniqueness claim — no FK registered for o_custkey
+    ConstraintRewrite.registerUnique(spark, custPath, "c_custkey")
+    spark.experimental.extraOptimizations = Seq(ConstraintRewrite)
+    try {
+      val df = outerQ
+      assert(!scansPath(df, custPath), "the outer-joined dim scan must be gone")
+      assert(rows(df) === expected)
+      // the SAME shape as an INNER join must keep the join: without the
+      // FK, an unmatched or NULL o_custkey would make inner ≠ outer
+      val inner = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(scansPath(inner, custPath),
+        "inner elimination needs the verified FK, not just uniqueness")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      ConstraintRewrite.clear()
+    }
+  }
+
+  test("declines: dim column used, dim-side filter, fact-side null hazard") {
+    ConstraintRewrite.clear()
+    registerAll()
+    spark.experimental.extraOptimizations = Seq(ConstraintRewrite)
+    try {
+      val before = ConstraintRewrite.fallbacks.get()
+      // the group key is a dim column: the join must survive
+      val usesDim = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(scansPath(usesDim, ordPath))
+      // a dim-side filter changes which fact rows match: decline
+      val dimFilter = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir).filter($"o_orderpriority" === "1-URGENT"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      assert(scansPath(dimFilter, ordPath))
+      assert(ConstraintRewrite.fallbacks.get() > before,
+        "declines on a registered dim are counter-observable")
+      // any null-extending join below the fact key voids the FK proof
+      // (the guard is deliberately conservative: it does not track
+      // which side the key attribute rode through, because the unsafe
+      // case — the key null-extended, inner join dropping rows the
+      // elimination would keep — is indistinguishable locally)
+      val hazard = Tables.orders(spark, sfDir).select($"o_orderkey".as("k2"))
+        .join(Tables.lineitem(spark, sfDir), $"k2" === $"l_orderkey", "right_outer")
+        .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      assert(scansPath(hazard, ordPath),
+        "an outer join under the fact key must keep the dim join")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      ConstraintRewrite.clear()
+    }
+  }
+
+  test("staleness: a changed dim listing drops every claim on it") {
+    ConstraintRewrite.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fk_stale").toString
+    Tables.customer(spark, sfDir).write.mode("overwrite").parquet(tmp)
+    ConstraintRewrite.registerUnique(spark, tmp, "c_custkey")
+    spark.experimental.extraOptimizations = Seq(ConstraintRewrite)
+    spark.conf.set("spark.graft.constraint.staleness.intervalMs", "0")
+    try {
+      def q = Tables.orders(spark, sfDir)
+        .join(spark.read.parquet(tmp), $"o_custkey" === $"c_custkey", "left_outer")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(!scansPath(q, tmp), "fresh claim: the join is eliminated")
+      // mutate the dim dir: add a data file the snapshot never saw
+      Seq(1L).toDF("c_custkey").write.mode("append").parquet(tmp)
+      val before = ConstraintRewrite.droppedStale.get()
+      ConstraintRewrite.resetPlanCaches()
+      assert(scansPath(q, tmp), "a stale claim must keep the exact join")
+      assert(ConstraintRewrite.droppedStale.get() > before)
+      // the registration is gone, not just declined for an interval
+      ConstraintRewrite.resetPlanCaches()
+      assert(scansPath(q, tmp))
+    } finally {
+      spark.conf.unset("spark.graft.constraint.staleness.intervalMs")
+      spark.experimental.extraOptimizations = Nil
+      ConstraintRewrite.clear()
+    }
+  }
+
+  test("the chain: elimination exposes the groupBy to the MV rewrite") {
+    ConstraintRewrite.clear()
+    AggRewrite.clear()
+    def q = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), max($"l_quantity").as("max_qty"))
+    val expected = q.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    registerAll()
+    val mv = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), max($"l_quantity").as("max_qty"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fk_chain_mv").toString
+    mv.write.mode("overwrite").parquet(tmp)
+    AggRewrite.register(liPath, AggRewrite.MvSpec(spark.read.parquet(tmp),
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      measures = Map("n" -> (("count", "")), "max_qty" -> (("max", "l_quantity"))),
+      mvPath = Some(tmp)))
+    spark.experimental.extraOptimizations = Seq(ConstraintRewrite, AggRewrite)
+    try {
+      val df = q
+      assert(!scansPath(df, ordPath), "the join is eliminated")
+      assert(!scansPath(df, liPath), "…and the exposed groupBy is answered from the MV")
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got === expected, "two rewrites composed must still be value-exact")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      ConstraintRewrite.clear()
+      AggRewrite.clear()
+    }
+  }
+}

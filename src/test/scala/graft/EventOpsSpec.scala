@@ -42,6 +42,25 @@ class EventOpsSpec extends GraftSpec {
     assert(stream.except(batch).count() === 0 && batch.except(stream).count() === 0)
   }
 
+  test("streaming sessionize equals batch regardless of the micro-batch split") {
+    // the decimal-sum shape of the batch computation, for value parity
+    def batchSessions = events
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).as("sum_value_dec"))
+      .select($"user_id", $"w.start".cast("long").as("session_start_sec"),
+        $"w.end".cast("long").as("session_end_sec"), $"n_events",
+        round($"sum_value_dec".cast("double"), 4).as("sum_value"))
+    // two different shatters: session state must merge identically
+    for (n <- Seq(2, 5)) {
+      val stream = EventOps.streamSessionizeFromBatch(spark, events, nFiles = n)
+      assert(stream.count() > 0)
+      assert(stream.except(batchSessions).count() === 0 &&
+        batchSessions.except(stream).count() === 0,
+        s"stream != batch with a $n-file split")
+    }
+  }
+
   test("streaming pivot (conditional agg) equals the batch .pivot()") {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val q = EventOps.streamPivotCounts(spark, sfDir, "pivot_stream", types, "1 hour")
