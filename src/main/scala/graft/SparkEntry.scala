@@ -5455,6 +5455,45 @@ object SparkEntry {
       res.withColumn("rewrite_fired", lit(firedNow)).orderBy("l_returnflag")
     }),
 
+    // CUBE through the MV (r18): the Aggregate-over-Expand shape GROUP
+    // BY CUBE lowers to — every fact row replicated once per grouping
+    // set — answered by replicating ~56 MV rows instead. At 100 TB a
+    // 2-key CUBE Expands the fact table 4× before the shuffle; the
+    // rewrite makes the whole rollup matrix cost nothing. All four
+    // measure classes ride through (COUNT(*), COUNT(col), MIN, MAX),
+    // and the rolled-up NULL rows must land positionally identical to
+    // DuckDB's CUBE.
+    "agg_planner_cube" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), count(col("l_orderkey")).as("n_ok"),
+            min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty")))
+      res.withColumn("rewrite_fired", lit(firedNow))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ROLLUP + WHERE + AVG through the MV: the grouping-sets twin of
+    // agg_planner_filtered/_avg — the key-only predicate remaps onto
+    // the MV below the rebuilt Expand, and the integral-AVG
+    // decomposition (SUM/SUM over exact operands) rides each grouping
+    // set. COUNT(DISTINCT key) passes through the Expand untouched
+    // (row-multiplicity-insensitive over preserved key-value sets).
+    "agg_planner_sets" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.filter(col("l_linestatus") === "F")
+          .rollup(col("l_returnflag"), col("l_linenumber"))
+          .agg(count(lit(1)).as("n"), avg(col("l_orderkey")).as("avg_ok_raw"),
+            countDistinct(col("l_linenumber")).as("nd_ln")))
+      res.select(col("l_returnflag"), col("l_linenumber"), col("n"),
+          round(col("avg_ok_raw"), 4).as("avg_ok"), col("nd_ln"))
+        .withColumn("rewrite_fired", lit(firedNow))
+        .orderBy("l_returnflag", "l_linenumber")
+    }),
+
     // MV LATTICE CHOICE (r18): two summary tables registered on the
     // same fact table — the 3-key ~56-row rollup and a coarser
     // returnflag-only ~3-row one. A returnflag-only query qualifies
@@ -5554,6 +5593,24 @@ object SparkEntry {
       res.withColumn("rewrite_fired", lit(firedNow)).orderBy("l_linestatus")
     }),
 
+    // ANTI-JOIN elimination: `NOT EXISTS` against the verified FK is
+    // vacuously false for every fact row, so the orphan-check query —
+    // the guard rail every ETL layer runs before loading — rewrites to
+    // an EMPTY relation: zero scans of either table when the
+    // constraint holds. The ungrouped COUNT over it must still be 0
+    // (one row), which pins PropagateEmptyRelation composing with the
+    // splice.
+    "fk_planner_anti" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      val (res, firedNow) = pinnedFk(
+        Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet"), () =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans")))
+      res.withColumn("rewrite_fired", lit(firedNow))
+    }),
+
     // DECLINE pinned: the group key is an ORDERS column, so the dim
     // side outlives the join and elimination must keep the real join
     // (rewrite_fired=false IN THE HASH, rows exact via the join). The
@@ -5588,6 +5645,38 @@ object SparkEntry {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("min_qty"),
             max(col("l_quantity")).as("max_qty")),
+        graft.plans.PlannerPin.aggSpliced(Seq(li, ord)),
+        () => {
+          graft.plans.ConstraintRewrite.resetPlanCaches()
+          graft.plans.AggRewrite.resetPlanCaches()
+        })
+      val plan = df.queryExecution.optimizedPlan
+      val joinGone = !graft.plans.PlannerPin.scansPath(plan, ord)
+      val mvFired = !graft.plans.PlannerPin.scansPath(plan, li)
+      trackCheckpoint(df.localCheckpoint(true))
+        .withColumn("join_eliminated", lit(joinGone))
+        .withColumn("mv_fired", lit(mvFired))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // THE CHAIN FROM RAW SQL: the sql_planner_knn story applied to the
+    // r18 families — a SQL-only user writes the star-schema groupBy
+    // and the session's injected rules walk it through BOTH rewrites
+    // (join eliminated by the verified FK, then the exposed Aggregate
+    // answered from the MV) with neither table scanned. Same two pins
+    // as fk_planner_chain, hashed.
+    "sql_planner_star" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      sharedAggMv(s, dir) // the 3-key lineitem MV
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_sql_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_sql_orders")
+      val li = s"$dir/lineitem.parquet"
+      val ord = s"$dir/orders.parquet"
+      val (df, _) = graft.plans.PlannerPin.pinned(() => s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+          |FROM graft_sql_lineitem JOIN graft_sql_orders ON l_orderkey = o_orderkey
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin),
         graft.plans.PlannerPin.aggSpliced(Seq(li, ord)),
         () => {
           graft.plans.ConstraintRewrite.resetPlanCaches()
@@ -7128,6 +7217,24 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // Grouping-sets replays: DuckDB runs the real CUBE/ROLLUP over the
+    // facts; the rewrite replicates MV rows instead — identical rows
+    // including the positional NULLs of every rolled-up key slot.
+    "agg_planner_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  count(l_orderkey) AS n_ok, min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty, TRUE AS rewrite_fired
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_planner_sets" ->
+      """SELECT l_returnflag, l_linenumber, count(*) AS n,
+        |  round(CAST(sum(l_orderkey) AS DOUBLE) / CAST(count(l_orderkey) AS DOUBLE), 4) AS avg_ok,
+        |  count(DISTINCT l_linenumber) AS nd_ln, TRUE AS rewrite_fired
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY ROLLUP (l_returnflag, l_linenumber)
+        |ORDER BY l_returnflag, l_linenumber""".stripMargin,
+
     // Join-elimination replays: the oracle RUNS the join the optimizer
     // dropped — identical rows is the never-wrong contract; the
     // TRUE/FALSE literals pin the fired bits.
@@ -7154,6 +7261,13 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
+    // Anti-join replay: the oracle RUNS the orphan check the optimizer
+    // proved empty.
+    "fk_planner_anti" ->
+      """SELECT count(*) AS n_orphans, TRUE AS rewrite_fired
+        |FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)""".stripMargin,
+
     // Negative control: the dim column outlives the join, elimination
     // must decline (FALSE pinned) and the rows come from the real join.
     "fk_planner_decline" ->
@@ -7161,6 +7275,16 @@ object SparkEntry {
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok, FALSE AS rewrite_fired
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // SQL-chain replay: identical contract to fk_planner_chain from a
+    // raw SQL string.
+    "sql_planner_star" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  TRUE AS join_eliminated, TRUE AS mv_fired
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // Chain replay: the fact ⋈ dim groupBy with BOTH pins TRUE — the
     // eliminated join and the MV answer must reproduce the join's

@@ -443,6 +443,294 @@ object AggRewrite extends Rule[LogicalPlan] {
             res
           }
         }
+      // GROUPING SETS / ROLLUP / CUBE shape: Aggregate over the Expand
+      // that replicates each fact row once per grouping set — answered
+      // from the MV by replicating each MV row instead (every grouping
+      // set is a coarsening of the MV's keys, so the per-set groups
+      // re-aggregate exactly like the flat shape does per query).
+      case e: Expand => rewriteExpand(agg, e, cur, dfGuard)
+      case _ => None
+    }
+  }
+
+  /** Rewrite `Aggregate(keys + grouping id, aggs, Expand(sets, scan))`
+    * — the lowered form of GROUP BY GROUPING SETS / ROLLUP / CUBE —
+    * onto a registered MV: the rebuilt Expand replicates MV rows with
+    * the SAME grouping-set structure (key slots remapped to MV key
+    * columns, the grouping-id literals untouched, measure pass-through
+    * slots replaced by the MV measure columns), and the Aggregate's
+    * functions re-aggregate through [[remapMeasure]]'s shared algebra.
+    *
+    * Exactness: a grouping-set group at grouping-id g is the union of
+    * whole MV groups (every set is a subset of the MV's keys — checked
+    * per slot), and the NULLs Expand writes into rolled-up key slots
+    * are positionally identical on both plans, so groups correspond
+    * 1:1 (data NULLs vs rolled-up NULLs stay separated by the grouping
+    * id exactly as in the exact plan). DISTINCT aggregates over KEY
+    * slots pass through untouched — they are row-multiplicity-
+    * insensitive and the MV preserves each group's distinct key-value
+    * set; DISTINCT over a measure declines. A WHERE below the Expand
+    * remaps onto the MV iff it references only MV grouping keys (the
+    * flat path's condition).
+    *
+    * At 100 TB a CUBE over a fact table Expands EVERY row 2^k times
+    * before the shuffle — the rewrite replicates ~|MV| rows instead,
+    * which is the difference between the dashboard's rollup matrix
+    * costing 2^k fact scans' worth of shuffle and costing nothing.
+    */
+  private def rewriteExpand(agg: Aggregate, expand: Expand,
+      cur: Option[SparkSession], dfGuard: () => Boolean): Option[Aggregate] = {
+    val (fltOpt, below) = leafThroughProjects(expand.child) match {
+      case f @ Filter(_, c) => (Some(f), leafThroughProjects(c))
+      case other => (None, other)
+    }
+    below match {
+      case leaf: LogicalRelation =>
+        val specs = specsOf(leaf, cur)
+        val chosen = specs.view.flatMap { spec =>
+          rewriteExpandWith(agg, expand, spec, fltOpt, dfGuard)
+        }.headOption
+        if (chosen.isEmpty && specs.nonEmpty) fallbacks.incrementAndGet()
+        chosen
+      case _ => None
+    }
+  }
+
+  private def rewriteExpandWith(agg: Aggregate, expand: Expand, spec: MvSpec,
+      fltOpt: Option[Filter], dfGuard: () => Boolean): Option[Aggregate] = {
+    if (expand.projections.isEmpty) return None
+    // grouping must be plain references to Expand outputs (the lowered
+    // form always is; anything else is not the shape this serves)
+    if (!agg.groupingExpressions.forall {
+      case a: AttributeReference => expand.outputSet.contains(a)
+      case _ => false
+    }) return None
+    val groupingIds = AttributeSet(agg.groupingExpressions.flatMap(_.references))
+
+    val spark = spec.mv.sparkSession
+    val mvDf = spec.mvPath.map(spark.read.parquet(_)).getOrElse(spec.mv)
+    val mvPlan = EliminateSubqueryAliases(mvDf.queryExecution.analyzed)
+    def mvAttr(name: String): Option[Attribute] =
+      mvPlan.output.find(_.name == name)
+
+    // classify each Expand slot; rebuild kept slots against the MV
+    val newRows = expand.projections.map(_ =>
+      scala.collection.mutable.ArrayBuffer.empty[Expression])
+    val newOut = scala.collection.mutable.ArrayBuffer.empty[Attribute]
+    val measureSlots = scala.collection.mutable.Set.empty[ExprId]
+    expand.output.zipWithIndex.foreach { case (outAttr, i) =>
+      val exprs = expand.projections.map(_(i))
+      if (groupingIds.contains(outAttr)) {
+        if (exprs.forall(_.isInstanceOf[Literal])) {
+          // the grouping-id slot (or a constant set marker): unchanged
+          newOut += outAttr
+          exprs.zipWithIndex.foreach { case (ex, r) => newRows(r) += ex }
+        } else {
+          // a key slot: the source column in sets that keep it, NULL in
+          // sets that roll it up — one consistent source, an MV key
+          val names = exprs.collect { case a: AttributeReference => a.name }.distinct
+          if (names.length != 1 || !spec.groupCols.contains(names.head)) return None
+          if (!exprs.forall {
+            case _: AttributeReference => true
+            case Literal(null, _) => true
+            case _ => false
+          }) return None
+          val m = mvAttr(names.head).getOrElse(return None)
+          newOut += outAttr
+          exprs.zipWithIndex.foreach {
+            case (_: AttributeReference, r) => newRows(r) += m
+            case (nullLit, r) => newRows(r) += nullLit
+          }
+        }
+      } else {
+        // a measure slot: a strict pass-through of one scan column in
+        // every set (Expand reuses the child attr as its own output) —
+        // the slot is dropped; aggregates over it remap onto MV
+        // measures below
+        if (!exprs.forall {
+          case a: AttributeReference => a.exprId == outAttr.exprId
+          case _ => false
+        }) return None
+        measureSlots += outAttr.exprId
+      }
+    }
+
+    // MV measure columns ride the rebuilt Expand as pass-through slots
+    // (the same child-attr-as-output idiom the original used)
+    val minted = scala.collection.mutable.LinkedHashSet.empty[Attribute]
+    def resolve(mvCol: String): Option[Attribute] =
+      mvAttr(mvCol).map { m => minted += m; m }
+
+    val mapped: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      // key / grouping-id columns surfaced directly or under non-agg
+      // expressions (grouping()/grouping_id() lower to bit ops over the
+      // id slot): kept slots flow through the rebuilt Expand unchanged
+      case a: AttributeReference if !measureSlots.contains(a.exprId) => Some(a)
+      case al @ Alias(child, _)
+          if !child.exists(_.isInstanceOf[AggregateExpression]) &&
+            child.references.forall(r => !measureSlots.contains(r.exprId)) =>
+        Some(al)
+      case al @ Alias(ae: AggregateExpression, name) if ae.filter.isEmpty =>
+        // an aggregate over a GROUPING COLUMN references the column's
+        // RAW pass-through slot, not the nulled grouping copy (SQL
+        // semantics: count(DISTINCT b) in a rolled-up group counts the
+        // group's real b values) — so key-column aggregates arrive
+        // here as measure-slot references and remap onto the MV KEY
+        // column, exact whenever the function is row-multiplicity-
+        // insensitive (the MV preserves each group's distinct
+        // key-value set): DISTINCT anything-over-a-key, MIN, MAX.
+        val remapped: Option[Expression] =
+          if (ae.isDistinct) {
+            if (ae.references.forall(r => !measureSlots.contains(r.exprId)))
+              Some(ae) // over kept slots: untouched
+            else ae.aggregateFunction match {
+              case Count(Seq(a: AttributeReference)) if spec.groupCols.contains(a.name) =>
+                resolve(a.name)
+                  .map(m => Count(Seq(m)).toAggregateExpression(isDistinct = true))
+              case _ => None
+            }
+          } else ae.aggregateFunction match {
+            case Min(a: AttributeReference)
+                if measureSlots.contains(a.exprId) && spec.groupCols.contains(a.name) =>
+              resolve(a.name).filter(_.dataType == al.dataType)
+                .map(m => Min(m).toAggregateExpression())
+            case Max(a: AttributeReference)
+                if measureSlots.contains(a.exprId) && spec.groupCols.contains(a.name) =>
+              resolve(a.name).filter(_.dataType == al.dataType)
+                .map(m => Max(m).toAggregateExpression())
+            // only functions over RAW pass-through slots (or over no
+            // column at all, COUNT(*)) reach the measure algebra — a
+            // function over a nulled grouping COPY sees set-dependent
+            // NULLs the MV remap would erase
+            case f if f.references.forall(r => measureSlots.contains(r.exprId)) =>
+              remapMeasure(f, al.dataType, spec.measures, resolve)
+            case _ => None
+          }
+        remapped.map {
+          case same if same eq ae => al // untouched pass-through
+          case e => Alias(e, name)(exprId = al.exprId)
+        }
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) return None
+
+    // WHERE below the Expand: re-aggregable iff key-only (flat rule)
+    var condOk = true
+    val newChild: LogicalPlan = fltOpt match {
+      case None => mvPlan
+      case Some(f) =>
+        if (!f.condition.deterministic) return None
+        if (!f.condition.references.forall(a => spec.groupCols.contains(a.name)))
+          return None
+        val cond2 = f.condition.transform {
+          case a: AttributeReference =>
+            mvAttr(a.name) match {
+              case Some(m) => m
+              case None => condOk = false; a
+            }
+        }
+        if (!condOk) return None
+        Filter(cond2, mvPlan)
+    }
+
+    if (spec.mvPath.isEmpty && !dfGuard()) return None
+    fired.incrementAndGet()
+    logInfo(s"graft agg rewrite: grouping-sets Aggregate (${expand.projections.length} " +
+      s"sets) answered from the ${spec.rows}-row MV — fact Expand replaced")
+    val mintedSeq = minted.toSeq
+    val newExpand = Expand(
+      newRows.map(_.toSeq ++ mintedSeq),
+      newOut.toSeq ++ mintedSeq,
+      newChild)
+    Some(Aggregate(agg.groupingExpressions, mapped.flatten, newExpand))
+  }
+
+  /** Remap ONE plain (non-DISTINCT, unfiltered) aggregate function
+    * onto the view's measures — the re-aggregable algebra shared by the
+    * flat shape and the grouping-sets shape:
+    *
+    *  - COUNT(*) / COUNT(x) → COALESCE(SUM(count measure), 0): SUM over
+    *    the MV count re-aggregates exactly, except over an EMPTY
+    *    selection (ungrouped, zero MV rows) where SUM is NULL and COUNT
+    *    is 0 — COALESCE closes that divergence (ADVICE r17 high);
+    *    grouped outputs only exist for non-empty groups, where the wrap
+    *    never evaluates its default. COUNT(x) ignores NULLs, so only
+    *    the per-column count measure (same NULL semantics) maps it.
+    *  - integral SUM → SUM(mv sum), accepted only when the
+    *    re-aggregated type EQUALS the original output type (DECIMAL
+    *    widening never matches; float/double re-associate IEEE adds and
+    *    are declined by the integral gate).
+    *  - MIN/MAX → MIN/MAX of the MV column (order-invariant).
+    *  - integral AVG → SUM(mv_sum)/SUM(mv_count_of_x): integer partial
+    *    sums are exactly representable in double below 2^53, so Spark's
+    *    own Average (double accumulator) computes the identical
+    *    division of the identical exact operands. AVG divides by the
+    *    NON-NULL count of its own column (ADVICE r17 medium): the
+    *    denominator must be the per-column ("count", x) measure;
+    *    COUNT(*) only stands in when the analyzer proves the column
+    *    non-nullable (never true for a parquet scan).
+    *
+    * `resolve` supplies the attribute that carries an MV column in the
+    * NEW plan — the MV scan's own output for the flat shape, the
+    * rebuilt Expand's pass-through slot for grouping sets.
+    */
+  private def remapMeasure(func: AggregateFunction,
+      outType: org.apache.spark.sql.types.DataType,
+      measures: Map[String, (String, String)],
+      resolve: String => Option[Attribute]): Option[Expression] = {
+    def countOf(srcCol: String): Option[Expression] =
+      measures.collectFirst { case (mvCol, ("count", `srcCol`)) => mvCol }
+        .flatMap(resolve)
+        .filter(_.dataType == org.apache.spark.sql.types.LongType)
+        .map(m => Coalesce(Seq(Sum(m).toAggregateExpression(),
+          Literal(0L, org.apache.spark.sql.types.LongType))))
+    func match {
+      case Count(Seq(l: Literal)) if l.value != null => countOf("")
+      case Count(Seq(a: AttributeReference)) => countOf(a.name)
+      case s: Sum => s.child match {
+        case a: AttributeReference if integralSum(a.dataType) =>
+          measures.collectFirst {
+            case (mvCol, ("sum", src)) if src == a.name => mvCol
+          }.flatMap(resolve)
+            .map(m => Sum(m).toAggregateExpression())
+            .filter(_.dataType == outType) // integral widening must agree
+        case _ => None // float/double/decimal sums: re-association hazard
+      }
+      case Min(a: AttributeReference) =>
+        measures.collectFirst {
+          case (mvCol, ("min", src)) if src == a.name => mvCol
+        }.flatMap(resolve)
+          .filter(_.dataType == outType)
+          .map(m => Min(m).toAggregateExpression())
+      case Max(a: AttributeReference) =>
+        measures.collectFirst {
+          case (mvCol, ("max", src)) if src == a.name => mvCol
+        }.flatMap(resolve)
+          .filter(_.dataType == outType)
+          .map(m => Max(m).toAggregateExpression())
+      case av: Average => av.child match {
+        case a: AttributeReference if integralSum(a.dataType) &&
+            outType == org.apache.spark.sql.types.DoubleType =>
+          for {
+            sumCol <- measures.collectFirst {
+              case (mvCol, ("sum", src)) if src == a.name => mvCol
+            }.flatMap(resolve)
+            if sumCol.dataType == org.apache.spark.sql.types.LongType
+            cntCol <- measures.collectFirst {
+              case (mvCol, ("count", src)) if src == a.name => mvCol
+            }.flatMap(resolve).orElse(
+              if (a.nullable) None
+              else measures.collectFirst {
+                case (mvCol, ("count", "")) => mvCol
+              }.flatMap(resolve))
+            if cntCol.dataType == org.apache.spark.sql.types.LongType
+          } yield Divide(
+            Cast(Sum(sumCol).toAggregateExpression(),
+              org.apache.spark.sql.types.DoubleType),
+            Cast(Sum(cntCol).toAggregateExpression(),
+              org.apache.spark.sql.types.DoubleType))
+        case _ => None
+      }
       case _ => None
     }
   }
@@ -506,79 +794,8 @@ object AggRewrite extends Rule[LogicalPlan] {
             .map(e => Alias(e, name)(exprId = al.exprId))
         case al @ Alias(ae: AggregateExpression, name)
             if !ae.isDistinct && ae.filter.isEmpty =>
-          // SUM over the MV count re-aggregates exactly, except over an
-          // EMPTY selection (ungrouped, zero MV rows) where SUM is NULL
-          // and COUNT is 0 — COALESCE closes that divergence (ADVICE
-          // r17 high). Grouped outputs only exist for non-empty groups,
-          // where the wrap never evaluates its default.
-          def countOf(srcCol: String): Option[Expression] =
-            measures.collectFirst { case (mvCol, ("count", `srcCol`)) => mvCol }
-              .flatMap(mvAttr)
-              .filter(_.dataType == org.apache.spark.sql.types.LongType)
-              .map(m => Coalesce(Seq(Sum(m).toAggregateExpression(),
-                Literal(0L, org.apache.spark.sql.types.LongType))))
-          val remapped: Option[Expression] = ae.aggregateFunction match {
-            case Count(Seq(l: Literal)) if l.value != null => countOf("")
-            // COUNT(x) ignores NULLs — only a per-column count measure
-            // (the MV's count(x), same NULL semantics) re-aggregates it
-            case Count(Seq(a: AttributeReference)) => countOf(a.name)
-            case s: Sum => s.child match {
-              case a: AttributeReference if integralSum(a.dataType) =>
-                measures.collectFirst {
-                  case (mvCol, ("sum", src)) if src == a.name => mvCol
-                }.flatMap(mvAttr)
-                  .map(m => Sum(m).toAggregateExpression())
-                  .filter(_.dataType == al.dataType) // integral widening must agree
-              case _ => None // float/double/decimal sums: re-association hazard
-            }
-            case Min(a: AttributeReference) =>
-              measures.collectFirst {
-                case (mvCol, ("min", src)) if src == a.name => mvCol
-              }.flatMap(mvAttr)
-                .filter(_.dataType == al.dataType)
-                .map(m => Min(m).toAggregateExpression())
-            case Max(a: AttributeReference) =>
-              measures.collectFirst {
-                case (mvCol, ("max", src)) if src == a.name => mvCol
-              }.flatMap(mvAttr)
-                .filter(_.dataType == al.dataType)
-                .map(m => Max(m).toAggregateExpression())
-            // AVG over an INTEGRAL column decomposes exactly:
-            // SUM(mv_sum)/SUM(mv_count_of_x) — integer partial sums are
-            // exactly representable in double below 2^53, so Spark's own
-            // Average (double accumulator) computes the identical
-            // division of the identical exact operands. AVG divides by
-            // the NON-NULL count of its own column (ADVICE r17 medium):
-            // the denominator must be the per-column ("count", x)
-            // measure; COUNT(*) only stands in when the analyzer proves
-            // the column non-nullable (never true for a parquet scan —
-            // registrations that want AVG must carry count(x)).
-            case av: Average => av.child match {
-              case a: AttributeReference if integralSum(a.dataType) &&
-                  al.dataType == org.apache.spark.sql.types.DoubleType =>
-                for {
-                  sumCol <- measures.collectFirst {
-                    case (mvCol, ("sum", src)) if src == a.name => mvCol
-                  }.flatMap(mvAttr)
-                  if sumCol.dataType == org.apache.spark.sql.types.LongType
-                  cntCol <- measures.collectFirst {
-                    case (mvCol, ("count", src)) if src == a.name => mvCol
-                  }.flatMap(mvAttr).orElse(
-                    if (a.nullable) None
-                    else measures.collectFirst {
-                      case (mvCol, ("count", "")) => mvCol
-                    }.flatMap(mvAttr))
-                  if cntCol.dataType == org.apache.spark.sql.types.LongType
-                } yield Divide(
-                  Cast(Sum(sumCol).toAggregateExpression(),
-                    org.apache.spark.sql.types.DoubleType),
-                  Cast(Sum(cntCol).toAggregateExpression(),
-                    org.apache.spark.sql.types.DoubleType))
-              case _ => None
-            }
-            case _ => None
-          }
-          remapped.map(e => Alias(e, name)(exprId = al.exprId))
+          remapMeasure(ae.aggregateFunction, al.dataType, measures, mvAttr)
+            .map(e => Alias(e, name)(exprId = al.exprId))
         case _ => None
       }
       // remap the key-only filter predicate onto the MV's attributes

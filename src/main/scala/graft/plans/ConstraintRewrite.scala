@@ -36,7 +36,8 @@ import org.apache.spark.sql.internal.SQLConf
   *    once): droppable too. So is a LEFT SEMI join (the plan shape of
   *    `WHERE EXISTS` / `IN (SELECT k FROM dim)`): under the FK the
   *    existence test is true for every fact row — the semi join is
-  *    the identity.
+  *    the identity. And a LEFT ANTI join (`NOT EXISTS` — the orphan
+  *    check) is provably EMPTY: it rewrites to an empty relation.
   *
   * At 100 TB this is the difference between shuffling the fact table
   * against a dimension it never reads and not touching the dimension
@@ -328,7 +329,7 @@ object ConstraintRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case LeftOuter if dimOnRight => Some(false)
         case RightOuter if !dimOnRight => Some(false)
         case Inner | Cross => Some(true)
-        case LeftSemi if dimOnRight => Some(true)
+        case LeftSemi | LeftAnti if dimOnRight => Some(true)
         case _ => None
       }
       ok <- if (!needsFk) Some(true)
@@ -348,7 +349,14 @@ object ConstraintRewrite extends Rule[LogicalPlan] with PredicateHelper {
       logInfo(s"graft constraint rewrite: $joinType join to $dimPath eliminated — " +
         s"verified ${if (joinType == Inner) "FK + unique key" else "unique key"} " +
         "proves it row-preserving and no dim column is referenced")
-      if (needsFk) {
+      if (joinType == LeftAnti) {
+        // NOT EXISTS against a verified FK is vacuously FALSE for
+        // every fact row: the anti join is provably EMPTY — replace it
+        // with an empty relation and let PropagateEmptyRelation
+        // collapse whatever sits above (the orphan-check guard rail
+        // every ETL layer runs costs nothing when the constraint holds)
+        LocalRelation(factSide.output)
+      } else if (needsFk) {
         // the optimizer inferred IsNotNull(factKey) from the dropped
         // equi-join; the verified FK proves the column NULL-free, so
         // the conjunct is a no-op — strip it to restore the pristine

@@ -163,6 +163,47 @@ class AggRewriteSpec extends GraftSpec {
     }
   }
 
+  test("grouping sets: CUBE and filtered ROLLUP answer from the MV, rows exact") {
+    AggRewrite.clear()
+    def cubeQ = li.cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), min($"l_quantity").as("min_qty"),
+        avg($"l_orderkey").as("avg_ok"))
+    def rollQ = li.filter($"l_linestatus" === "F")
+      .rollup($"l_returnflag", $"l_linenumber")
+      .agg(count(lit(1)).as("n"), max($"l_quantity").as("max_qty"))
+    def rowsOf(df: DataFrame) = df.collect()
+      .map(r => (Option(r.get(0)).map(_.toString).getOrElse("<null>"),
+        Option(r.get(1)).map(_.toString).getOrElse("<null>"),
+        r.toSeq.drop(2).map(v => Option(v).map(_.toString).getOrElse("<null>"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val expectedCube = rowsOf(cubeQ)
+    val expectedRoll = rowsOf(rollQ)
+    registerMv()
+    spark.experimental.extraOptimizations = Seq(AggRewrite)
+    try {
+      assert(!scansLineitem(cubeQ), "CUBE must replicate MV rows, not fact rows")
+      assert(rowsOf(cubeQ) === expectedCube,
+        "grouping-sets re-aggregation must not change any value or NULL position")
+      assert(!scansLineitem(rollQ), "a key-only WHERE remaps below the rebuilt Expand")
+      assert(rowsOf(rollQ) === expectedRoll)
+      // a measure not in the MV algebra declines the whole query
+      def dblQ = li.cube($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").as("sq"))
+      assert(scansLineitem(dblQ), "double SUM under CUBE must keep the fact scan")
+      // a grouping key outside the MV keys declines
+      def badKey = li.rollup($"l_returnflag", $"l_shipdate").agg(count(lit(1)).as("n"))
+      assert(scansLineitem(badKey), "a non-MV key must keep the exact fact scan")
+      // a measure-column WHERE cannot select whole MV groups
+      def measureFlt = li.filter($"l_quantity" > 25.0)
+        .cube($"l_returnflag", $"l_linestatus").agg(count(lit(1)).as("n"))
+      assert(scansLineitem(measureFlt),
+        "a measure-column predicate under CUBE must keep the exact fact scan")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      AggRewrite.clear()
+    }
+  }
+
   test("streaming maintenance: merged partials equal the batch rollup; compaction equivalent") {
     import graft.streaming.AggMaintenance
     val keys = Seq("l_returnflag", "l_linestatus")

@@ -125,6 +125,30 @@ class ConstraintRewriteSpec extends GraftSpec {
     }
   }
 
+  test("verified FK: the LEFT ANTI join (orphan check) is provably empty") {
+    ConstraintRewrite.clear()
+    def antiQ = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    assert(antiQ.head().getLong(0) === 0L, "fixture invariant: no orphans")
+    registerAll()
+    spark.experimental.extraOptimizations = Seq(ConstraintRewrite)
+    try {
+      val df = antiQ
+      assert(!scansPath(df, ordPath) && !scansPath(df, liPath),
+        "the empty anti join must scan NEITHER table")
+      assert(df.head().getLong(0) === 0L, "the count over the empty relation is 0")
+      // without the FK the orphan check is load-bearing: decline
+      ConstraintRewrite.clear()
+      ConstraintRewrite.registerUnique(spark, ordPath, "o_orderkey")
+      assert(scansPath(antiQ, ordPath),
+        "anti elimination needs the verified FK, not just uniqueness")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      ConstraintRewrite.clear()
+    }
+  }
+
   test("unique key alone: the LEFT OUTER join disappears, rows exact") {
     ConstraintRewrite.clear()
     val expected = rows(outerQ)
