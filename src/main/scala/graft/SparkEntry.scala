@@ -450,6 +450,8 @@ object SparkEntry {
         s"$dir/customer.parquet", "c_custkey")
       graft.plans.ConstraintRewrite.registerForeignKey(s,
         s"$dir/lineitem.parquet", "l_orderkey", s"$dir/orders.parquet", "o_orderkey")
+      graft.plans.ConstraintRewrite.registerForeignKey(s,
+        s"$dir/orders.parquet", "o_custkey", s"$dir/customer.parquet", "c_custkey")
       Seq(s"$dir/orders.parquet", s"$dir/customer.parquet", s"$dir/lineitem.parquet")
     })
 
@@ -5577,6 +5579,27 @@ object SparkEntry {
       res.withColumn("rewrite_fired", lit(firedNow)).orderBy("o_orderpriority")
     }),
 
+    // CASCADING elimination — the BI-tool shape taken to its logical
+    // end: the generated SQL joins EVERY declared dimension
+    // (lineitem ⋈ orders ⋈ customer), the query reads only fact
+    // columns, and the fixed point peels the star inside-out — first
+    // customer vanishes (FK o_custkey → c_custkey, verified), which
+    // exposes lineitem ⋈ orders to the next iteration, and orders
+    // vanishes too (FK l_orderkey → o_orderkey). Two joins, two
+    // shuffles, two dimension scans: all gone. rewrite_fired pins BOTH
+    // dims absent from the plan.
+    "fk_planner_two_dims" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      val (res, firedNow) = pinnedFk(
+        Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"), () =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("sum_ln")))
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("l_returnflag")
+    }),
+
     // SEMI-JOIN elimination: the plan shape of `WHERE EXISTS (SELECT 1
     // FROM orders WHERE o_orderkey = l_orderkey)` — under the verified
     // FK the existence test is true for every fact row, so the semi
@@ -5625,6 +5648,42 @@ object SparkEntry {
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok")))
       res.withColumn("rewrite_fired", lit(firedNow)).orderBy("o_orderpriority")
+    }),
+
+    // SQL-TEXT EXISTENCE GUARDS: `IN (subquery)` reaches the optimizer
+    // as an InSubquery predicate — RewritePredicateSubquery only
+    // lowers it to a semi join AFTER our batch — so the rule folds the
+    // proven-true predicate IN PLACE under the verified FK. The
+    // guard-rail WHERE clause every hand-written ETL query carries
+    // costs nothing when the constraint holds.
+    "sql_planner_in" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_sql_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_sql_orders")
+      val (res, firedNow) = pinnedFk(Seq(s"$dir/orders.parquet"), () => s.sql(
+        """SELECT l_linestatus, count(*) AS n
+          |FROM graft_sql_lineitem
+          |WHERE l_orderkey IN (SELECT o_orderkey FROM graft_sql_orders)
+          |GROUP BY l_linestatus""".stripMargin))
+      res.withColumn("rewrite_fired", lit(firedNow)).orderBy("l_linestatus")
+    }),
+
+    // The SQL-text orphan check: NOT EXISTS folds to FALSE through the
+    // same proof (EXISTS → TRUE, then BooleanSimplification +
+    // PruneFilters collapse the Filter into an empty relation) — the
+    // most common data-quality query in any warehouse, answered with
+    // ZERO scans of either table.
+    "sql_planner_not_exists" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_sql_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_sql_orders")
+      val (res, firedNow) = pinnedFk(
+        Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet"), () => s.sql(
+        """SELECT count(*) AS n_orphans
+          |FROM graft_sql_lineitem l
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM graft_sql_orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin))
+      res.withColumn("rewrite_fired", lit(firedNow))
     }),
 
     // THE CHAIN: join elimination EXPOSES the bare fact-table groupBy
@@ -5689,6 +5748,21 @@ object SparkEntry {
         .withColumn("join_eliminated", lit(joinGone))
         .withColumn("mv_fired", lit(mvFired))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Streaming twin of the AGGREGATE JOIN VIEW: fact micro-batches
+    // join a static broadcast dim — an inner equi-join distributes
+    // over row-disjoint unions of the fact side, so each batch joins
+    // only its own rows (O(batch) per refresh, no history re-join) and
+    // the view re-aggregates the partials. The oracle is the direct
+    // bulk join groupBy: stream == batch pinned per value.
+    "agg_stream_join_maintain" -> ((s, dir) => {
+      trackCheckpoint(graft.streaming.AggMaintenance.maintainJoinFromBatch(
+        s, Tables.lineitem(s, dir),
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"),
+        Seq("o_orderpriority", "l_linestatus")))
+        .orderBy("o_orderpriority", "l_linestatus")
     }),
 
     // STAR-SCHEMA view through the planner: the user writes the plain
@@ -7252,6 +7326,26 @@ object SparkEntry {
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // Join-view IVM replay: the bulk star-schema groupBy the streamed
+    // partials must reproduce exactly.
+    "agg_stream_join_maintain" ->
+      """SELECT o_orderpriority, l_linestatus, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority, l_linestatus
+        |ORDER BY o_orderpriority, l_linestatus""".stripMargin,
+
+    // Cascade replay: the oracle RUNS both joins the fixed point
+    // peeled away.
+    "fk_planner_two_dims" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln, TRUE AS rewrite_fired
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // Semi-join replay: the oracle RUNS the EXISTS the optimizer
     // proved vacuous.
     "fk_planner_semi" ->
@@ -7275,6 +7369,22 @@ object SparkEntry {
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok, FALSE AS rewrite_fired
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // SQL-text IN replay: the oracle RUNS the membership test the
+    // optimizer folded to TRUE.
+    "sql_planner_in" ->
+      """SELECT l_linestatus, count(*) AS n, TRUE AS rewrite_fired
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // SQL-text NOT EXISTS replay: the orphan check the optimizer
+    // collapsed to an empty relation.
+    "sql_planner_not_exists" ->
+      """SELECT count(*) AS n_orphans, TRUE AS rewrite_fired
+        |FROM lineitem l
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
 
     // SQL-chain replay: identical contract to fk_planner_chain from a
     // raw SQL string.

@@ -38,6 +38,12 @@ import org.apache.spark.sql.internal.SQLConf
   *    existence test is true for every fact row — the semi join is
   *    the identity. And a LEFT ANTI join (`NOT EXISTS` — the orphan
   *    check) is provably EMPTY: it rewrites to an empty relation.
+  *    The PRE-join SQL forms get the same treatment: `EXISTS (...)` /
+  *    `fk IN (SELECT k FROM dim)` predicates (which
+  *    RewritePredicateSubquery only lowers to semi/anti joins AFTER
+  *    this rule's batch) fold to TRUE in place, so SQL-text existence
+  *    guards vanish too — including their NOT variants, which fold
+  *    through BooleanSimplification to an empty relation.
   *
   * At 100 TB this is the difference between shuffling the fact table
   * against a dimension it never reads and not touching the dimension
@@ -374,12 +380,152 @@ object ConstraintRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  // ---- SQL subquery shapes (EXISTS / IN) ---------------------------------
+
+  /** Unwrap the dim SUBQUERY to its leaf through ANY Project (a
+    * projection never changes row membership, which is all an
+    * existence test observes) and Filters, collecting filter conjuncts
+    * for the caller's IsNotNull(key)-only check.
+    */
+  private def stripSubquery(p: LogicalPlan, acc: List[Expression] = Nil)
+      : (LogicalPlan, List[Expression]) = p match {
+    case Project(_, inner) => stripSubquery(inner, acc)
+    case Filter(cond, inner) =>
+      stripSubquery(inner, acc ++ splitConjunctivePredicates(cond))
+    case other => (other, acc)
+  }
+
+  private def deref(e: Expression): Expression = e match {
+    case OuterReference(a) => a
+    case other => other
+  }
+
+  /** Shared dim-claim check for the subquery shapes: `dimKey` must be
+    * the registered unique key of the scanned path, every subquery
+    * filter the invisible IsNotNull(key), claims fresh and owned.
+    */
+  private def dimClaimHolds(dimLeaf: LogicalPlan, dimFilters: Seq[Expression],
+      dimKey: AttributeReference, cur: Option[SparkSession]): Option[String] =
+    for {
+      dimPath <- pathOf(dimLeaf)
+      uniq <- uniques.get(dimPath)
+      if !uniq.session.sparkContext.isStopped || { dropClaimsOn(dimPath); false }
+      if cur.exists(_ eq uniq.session)
+      if dimKey.name == uniq.keyCol
+      if dimFilters.forall {
+        case IsNotNull(x: AttributeReference) => x.exprId == dimKey.exprId
+        case _ => false
+      }
+      if !pathIsStale(uniq.session, dimPath, dimPath)
+    } yield dimPath
+
+  /** The verified-FK check for the fact side of a subquery predicate:
+    * `factKey` (a column of `factChild`'s rows) must trace by exprId to
+    * a registered fact scan whose FK targets exactly (dimPath, dimKey),
+    * with the same row-manufacturing hazard guard as the join shape.
+    */
+  private def fkHolds(factChild: LogicalPlan, factKey: AttributeReference,
+      dimPath: String, dimCol: String, cur: Option[SparkSession]): Boolean =
+    fkOrigin(factChild, factKey).exists { factPath =>
+      fks.get((factPath, factKey.name)).exists(fk =>
+        fk.dimPath == dimPath && fk.dimCol == dimCol &&
+          !pathIsStale(fk.session, factPath, factPath))
+    }
+
+  /** `EXISTS (dim WHERE dim.k = fact.fk)` — the pre-subquery-rewrite
+    * form of the semi join ([[org.apache.spark.sql.catalyst.expressions.Exists]]
+    * with the correlated predicate pulled up into joinCond) — is TRUE
+    * for every fact row under the verified FK.
+    */
+  private def existsIsTrue(subPlan: LogicalPlan, joinCond: Seq[Expression],
+      factChild: LogicalPlan, cur: Option[SparkSession]): Boolean = {
+    val (dimLeaf, dimFilters) = stripSubquery(subPlan)
+    val proven = for {
+      cond <- joinCond match { case Seq(c) => Some(c); case _ => None }
+      (a, b) <- cond match {
+        case EqualTo(x, y) => (deref(x), deref(y)) match {
+          case (xa: AttributeReference, ya: AttributeReference) => Some((xa, ya))
+          case _ => None
+        }
+        case _ => None
+      }
+      (dimKey, factKey) <-
+        if (dimLeaf.outputSet.contains(a)) Some((a, b))
+        else if (dimLeaf.outputSet.contains(b)) Some((b, a))
+        else None
+      dimPath <- dimClaimHolds(dimLeaf, dimFilters, dimKey, cur)
+      if fkHolds(factChild, factKey, dimPath, dimKey.name, cur)
+    } yield true
+    proven.getOrElse(false)
+  }
+
+  /** `fact.fk IN (SELECT dim.k FROM dim)` (uncorrelated, single-column
+    * [[org.apache.spark.sql.catalyst.expressions.ListQuery]]) is TRUE
+    * for every fact row under the verified FK: the fact key is
+    * non-NULL and always finds a match, so the three-valued IN never
+    * goes UNKNOWN. The subquery's output column must BE the scan's key
+    * attribute (an aliased or computed output changes the value set).
+    */
+  private def inIsTrue(values: Seq[Expression], lq: ListQuery,
+      factChild: LogicalPlan, cur: Option[SparkSession]): Boolean = {
+    if (lq.joinCond.nonEmpty || lq.numCols != 1) return false
+    values match {
+      case Seq(v: AttributeReference) =>
+        val (dimLeaf, dimFilters) = stripSubquery(lq.plan)
+        val proven = for {
+          key <- lq.plan.output.headOption.collect {
+            case a: AttributeReference if dimLeaf.outputSet.contains(a) => a
+          }
+          dimPath <- dimClaimHolds(dimLeaf, dimFilters, key, cur)
+          if fkHolds(factChild, v, dimPath, key.name, cur)
+        } yield true
+        proven.getOrElse(false)
+      case _ => false
+    }
+  }
+
+  /** Fold proven subquery predicates inside one Filter: EXISTS → TRUE
+    * and IN → TRUE (so NOT EXISTS / NOT IN fold to FALSE through
+    * BooleanSimplification, and PruneFilters turns the orphan check
+    * into an empty relation) — the SQL-text twins of the semi/anti
+    * join eliminations, which RewritePredicateSubquery would only
+    * lower to joins AFTER the operator-optimization batch this rule
+    * runs in.
+    */
+  private def foldSubqueries(f: Filter, cur: Option[SparkSession]): LogicalPlan = {
+    var folded = 0
+    val newCond = f.condition.transform {
+      case ex: Exists if existsIsTrue(ex.plan, ex.joinCond, f.child, cur) =>
+        folded += 1
+        Literal.TrueLiteral
+      case in @ InSubquery(vs, lq) if inIsTrue(vs, lq, f.child, cur) =>
+        folded += 1
+        Literal.TrueLiteral
+    }
+    if (folded == 0) f
+    else {
+      fired.addAndGet(folded.toLong)
+      logInfo(s"graft constraint rewrite: $folded subquery predicate(s) proven " +
+        "TRUE by the verified FK — EXISTS/IN folded (NOT variants fold to an " +
+        "empty relation downstream)")
+      Filter(newCond, f.child)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     applyWith(plan, SparkSession.getActiveSession)
 
   def applyWith(plan: LogicalPlan, cur: Option[SparkSession]): LogicalPlan = {
     if (!enabled || uniques.isEmpty) return plan
     plan.transformDown {
+      case f @ Filter(cond, _)
+          if cond.exists(e => e.isInstanceOf[Exists] || e.isInstanceOf[InSubquery]) =>
+        try foldSubqueries(f, cur)
+        catch {
+          case e: Exception =>
+            logWarning(s"graft constraint rewrite failed; keeping the exact plan: ${e.getMessage}")
+            f
+        }
       case p @ Project(projList, Join(l, r, jt, Some(cond), _)) =>
         try {
           val refs = AttributeSet(projList.flatMap(_.references))

@@ -204,6 +204,28 @@ class AggRewriteSpec extends GraftSpec {
     }
   }
 
+  test("join-view streaming maintenance equals the bulk join rollup under any split") {
+    import graft.streaming.AggMaintenance
+    val ord = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderpriority")
+    val direct = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_linenumber").as("sum_ln"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
+    for (n <- Seq(2, 5)) {
+      val view = AggMaintenance.maintainJoinFromBatch(spark, li, ord,
+        $"l_orderkey" === $"o_orderkey", Seq("o_orderpriority", "l_linestatus"),
+        nFiles = n)
+      try {
+        val got = view.collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+          .sortBy(t => (t._1, t._2)).toSeq
+        assert(got === direct, s"join-view stream != bulk join with a $n-file split")
+      } finally view.unpersist(true)
+    }
+  }
+
   test("streaming maintenance: merged partials equal the batch rollup; compaction equivalent") {
     import graft.streaming.AggMaintenance
     val keys = Seq("l_returnflag", "l_linestatus")

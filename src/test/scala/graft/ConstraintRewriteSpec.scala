@@ -208,6 +208,49 @@ class ConstraintRewriteSpec extends GraftSpec {
     }
   }
 
+  test("SQL subquery shapes: EXISTS/IN fold to TRUE under the FK, decline without it") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    ConstraintRewrite.clear()
+    registerAll()
+    val fact = Tables.lineitem(spark, sfDir).queryExecution.analyzed
+    val dim = Tables.orders(spark, sfDir).select($"o_orderkey").queryExecution.analyzed
+    val factKey = fact.output.find(_.name == "l_orderkey").get
+    val dimKey = dim.output.find(_.name == "o_orderkey").get
+    def noSubquery(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      !p.exists(_.expressions.exists(_.exists(e =>
+        e.isInstanceOf[Exists] || e.isInstanceOf[InSubquery])))
+    // the pulled-up correlated EXISTS (joinCond carries the correlation)
+    val ex = Exists(dim, Seq(factKey), NamedExpression.newExprId,
+      Seq(EqualTo(dimKey, factKey)), None)
+    val folded = ConstraintRewrite.applyWith(LFilter(ex, fact), Some(spark))
+    assert(noSubquery(folded), "EXISTS must fold to TRUE under the verified FK")
+    // NOT EXISTS folds through the same replacement
+    val foldedNot = ConstraintRewrite.applyWith(LFilter(Not(ex), fact), Some(spark))
+    assert(noSubquery(foldedNot))
+    // uncorrelated single-column IN
+    val in = InSubquery(Seq(factKey),
+      ListQuery(dim, Seq.empty, NamedExpression.newExprId, 1, Seq.empty, None))
+    val foldedIn = ConstraintRewrite.applyWith(LFilter(in, fact), Some(spark))
+    assert(noSubquery(foldedIn), "IN must fold to TRUE under the verified FK")
+    // declines: a key without an FK claim (l_partkey) keeps the subquery
+    val badKey = fact.output.find(_.name == "l_partkey").get
+    val exBad = Exists(dim, Seq(badKey), NamedExpression.newExprId,
+      Seq(EqualTo(dimKey, badKey)), None)
+    assert(!noSubquery(ConstraintRewrite.applyWith(LFilter(exBad, fact), Some(spark))),
+      "a key without the verified FK must keep the subquery")
+    // declines: a real dim-side filter narrows the existence set
+    val dimFiltered = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+      .queryExecution.analyzed
+    val dk2 = dimFiltered.output.find(_.name == "o_orderkey").get
+    val exFiltered = Exists(dimFiltered, Seq(factKey), NamedExpression.newExprId,
+      Seq(EqualTo(dk2, factKey)), None)
+    assert(!noSubquery(ConstraintRewrite.applyWith(LFilter(exFiltered, fact), Some(spark))),
+      "a filtered dim subquery must keep the existence test")
+    ConstraintRewrite.clear()
+  }
+
   test("staleness: a changed dim listing drops every claim on it") {
     ConstraintRewrite.clear()
     val tmp = java.nio.file.Files.createTempDirectory("graft_fk_stale").toString
