@@ -5496,6 +5496,24 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linenumber")
     }),
 
+    // GROUPING-ID through the MV: grouping(col) lowers to bit ops over
+    // the Expand's grouping-id slot, which the rewrite passes through
+    // UNTOUCHED — this row pins in the hash that the set-membership
+    // markers (which level of the rollup each output row belongs to)
+    // survive the MV substitution bit-for-bit. DuckDB's GROUPING()
+    // agrees per column.
+    "agg_planner_gid" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).cast("int").as("g_flag"),
+            grouping(col("l_linestatus")).cast("int").as("g_status")))
+      res.withColumn("rewrite_fired", lit(firedNow))
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    }),
+
     // MV LATTICE CHOICE (r18): two summary tables registered on the
     // same fact table — the 3-key ~56-row rollup and a coarser
     // returnflag-only ~3-row one. A returnflag-only query qualifies
@@ -7308,6 +7326,16 @@ object SparkEntry {
         |FROM lineitem WHERE l_linestatus = 'F'
         |GROUP BY ROLLUP (l_returnflag, l_linenumber)
         |ORDER BY l_returnflag, l_linenumber""".stripMargin,
+
+    // Grouping-marker replay: DuckDB's GROUPING() per column must
+    // agree with Spark's grouping() after the MV substitution.
+    "agg_planner_gid" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  TRUE AS rewrite_fired
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
 
     // Join-elimination replays: the oracle RUNS the join the optimizer
     // dropped — identical rows is the never-wrong contract; the
