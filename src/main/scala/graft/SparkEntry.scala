@@ -5496,6 +5496,45 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linenumber")
     }),
 
+    // HAVING over the rewritten CUBE — three machines composing: the
+    // Expand rebuild (grouping sets from the MV), the measure remap,
+    // and the HAVING re-bind (output exprIds preserved, so the Filter
+    // above the Aggregate needs no rewriting). Parity of the
+    // re-aggregated count decides membership per grouping SET — the
+    // most bit-sensitive pin, now across rollup levels.
+    "agg_planner_cube_having" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // build+register once per (session, dir)
+      val (res, firedNow) = pinnedAgg(Seq(s"$dir/lineitem.parquet"), () =>
+        li.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("min_qty"))
+          .filter(col("n") % 2 === 0))
+      res.withColumn("rewrite_fired", lit(firedNow))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // LATTICE CHOICE in the grouping-sets path: a returnflag-only
+    // ROLLUP qualifies for BOTH registered MVs; the rule must answer
+    // from the ~3-row coarse one (cost-based view selection through
+    // the Expand rebuild). coarse_mv pins IN THE HASH that the plan
+    // scans the coarse MV's parquet.
+    "agg_planner_sets_choice" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      sharedAggMv(s, dir) // the finer 3-key MV
+      val coarsePath = sharedAggCoarseMv(s, dir) // the ~3-row sibling
+      val (df, firedNow) = graft.plans.PlannerPin.pinned(() =>
+        li.rollup(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), max(col("l_quantity")).as("max_qty")),
+        graft.plans.PlannerPin.aggSpliced(Seq(s"$dir/lineitem.parquet")),
+        () => graft.plans.AggRewrite.resetPlanCaches())
+      val coarseUsed = graft.plans.PlannerPin.scansPath(
+        df.queryExecution.optimizedPlan, coarsePath)
+      trackCheckpoint(df.localCheckpoint(true))
+        .withColumn("rewrite_fired", lit(firedNow))
+        .withColumn("coarse_mv", lit(coarseUsed))
+        .orderBy("l_returnflag")
+    }),
+
     // GROUPING-ID through the MV: grouping(col) lowers to bit ops over
     // the Expand's grouping-id slot, which the rewrite passes through
     // UNTOUCHED — this row pins in the hash that the set-membership
@@ -7326,6 +7365,22 @@ object SparkEntry {
         |FROM lineitem WHERE l_linestatus = 'F'
         |GROUP BY ROLLUP (l_returnflag, l_linenumber)
         |ORDER BY l_returnflag, l_linenumber""".stripMargin,
+
+    // CUBE + HAVING replay: parity membership across rollup levels.
+    "agg_planner_cube_having" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  min(l_quantity) AS min_qty, TRUE AS rewrite_fired
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |HAVING (count(*) % 2) = 0
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Lattice-through-Expand replay: the rows must come from the
+    // coarse MV (both booleans pinned TRUE in the hash).
+    "agg_planner_sets_choice" ->
+      """SELECT l_returnflag, count(*) AS n, max(l_quantity) AS max_qty,
+        |  TRUE AS rewrite_fired, TRUE AS coarse_mv
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Grouping-marker replay: DuckDB's GROUPING() per column must
     // agree with Spark's grouping() after the MV substitution.
