@@ -174,7 +174,21 @@ object Bench {
         (results.size < maxPasses && benchElapsed < budgetSec - serialReserve)) {
       results += runPass(sfDir)
     }
-    val serialPass = if (serialSidecar) Some(runPass(sfDir, serial = true)) else None
+    // Serial sidecar over N passes, per-query MIN (r18 verdict #4: a
+    // single serial pass kept flagging host-contention noise as drift —
+    // r17 flagged 2 rows, r18 a uniform 1.22×. The freeze is taken with
+    // SPARK_GRAFT_BENCH_SERIAL_PASSES=3 so bench_drift compares against
+    // a min that a loaded-host run can only meet, not undercut; the
+    // driver's default stays 1 pass to keep its budget).
+    val serialPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERIAL_PASSES", "1").toInt
+    val serialPass = if (!serialSidecar) None else {
+      val passes = (1 to math.max(1, serialPasses)).map(_ => runPass(sfDir, serial = true))
+      val minTimes = SparkEntry.queries.keys.map { n =>
+        val ok = passes.flatMap(_._2.get(n)).filter(_ >= 0)
+        n -> (if (ok.nonEmpty) ok.min else -1.0)
+      }.toMap
+      Some((passes.map(_._1).min, minTimes))
+    }
     val wall = results.map(_._1).min
     val times = new ConcurrentHashMap[String, Double]()
     SparkEntry.queries.keys.foreach { n =>
@@ -195,7 +209,7 @@ object Bench {
     }.getOrElse("")
     val detail = s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""threads":$threads,"passes":${results.size},"pass_walls":$passWalls,"sum_queries":$sumQ$serialJson,""" +
-      s""""note":"value = min suite wall over ${results.size} passes at ${threads}-way concurrency, after one unmeasured full-suite warm-up pass${warmDir.map(d => s" at $d").getOrElse("")} (min is stall-robust on this intermittently-frozen host); per-query = min across passes; sum_queries = per-query sum (upper bound on serial cost); serial_queries = one contention-free sequential pass (separates host noise from plan cost)"}"""
+      s""""note":"value = min suite wall over ${results.size} passes at ${threads}-way concurrency, after one unmeasured full-suite warm-up pass${warmDir.map(d => s" at $d").getOrElse("")} (min is stall-robust on this intermittently-frozen host); per-query = min across passes; sum_queries = per-query sum (upper bound on serial cost); serial_queries = per-query min over ${sys.env.getOrElse("SPARK_GRAFT_BENCH_SERIAL_PASSES", "1")} contention-free sequential pass(es) (separates host noise from plan cost)"}"""
     // Per-query detail goes to a sidecar file AND an early stdout line;
     // the driver's parser reads only the LAST stdout line through a
     // 2,000-char tail window, so the final line must stay tiny (the

@@ -1062,6 +1062,18 @@ object SparkEntry {
     (trackCheckpoint(df.localCheckpoint(true)), fired)
   }
 
+  /** The lineitem rollup measure algebra for the AggMaintenance twins
+    * (count + one sum + min/max quantity): `partial` over raw rows,
+    * `merge` over partials — associative, commutative, closed.
+    */
+  private def lineitemMeasures(sumCol: String, sumAlias: String)
+      : graft.streaming.AggMaintenance.Measures =
+    graft.streaming.AggMaintenance.Measures(
+      partial = Seq(count(lit(1)).as("n"), sum(col(sumCol)).as(sumAlias),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty")),
+      merge = Seq(sum(col("n")).as("n"), sum(col(sumAlias)).as(sumAlias),
+        min(col("min_qty")).as("min_qty"), max(col("max_qty")).as("max_qty")))
+
   /** DuckDB CTE chain mirroring [[winnowFrame]] (ends in `w(doc_id, gh,
     * sel)`).
     */
@@ -1184,6 +1196,33 @@ object SparkEntry {
     "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), " +
       "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 
+  /** Inverted-index candidate pairs + exact Jaccard over a preceding
+    * `t(doc_id, sh)` CTE (sh is a DISTINCT list): yields
+    * `p(id_a, id_b, jac)` restricted to jac >= `threshold` (must be
+    * positive). Replaces the all-pairs `FROM t a, t b` scan that made
+    * the heaviest oracles 54-61 s each in DuckDB (r18 verdict #1 asked
+    * for the slowest oracles to be simplified): a pair with ZERO shared
+    * shingles can never pass a positive threshold, so enumerating
+    * candidates through a shared-shingle self-join is EXACT, and
+    * |A∪B| = |A|+|B|−|A∩B| recovers the identical Jaccard from counts —
+    * the same inverted-index shape the Spark operator itself uses.
+    */
+  private def nearDupPairCtesSql(threshold: Double): String = {
+    require(threshold > 0.0,
+      "zero-intersection pairs are pruned; the threshold must be positive")
+    s"""tn AS (SELECT doc_id, len(sh) AS n FROM t),
+       |x AS (SELECT doc_id, unnest(sh) AS s FROM t),
+       |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |       FROM x a JOIN x b ON a.s = b.s AND a.doc_id < b.doc_id
+       |       GROUP BY a.doc_id, b.doc_id),
+       |p AS (SELECT id_a, id_b,
+       |        CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jac
+       |      FROM iv JOIN tn na ON na.doc_id = iv.id_a
+       |               JOIN tn nb ON nb.doc_id = iv.id_b
+       |      WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)
+       |            >= $threshold)""".stripMargin
+  }
+
   /** CTE chain for the keep decision (valid ∧ quality ≥ 0.8 ∧ not
     * near-dup-dropped) — shared by the `corpus_keep_list` and
     * `corpus_build_summary` oracles. Use as
@@ -1192,10 +1231,7 @@ object SparkEntry {
   private def keepListCtesSql: String =
     s"""t AS (SELECT doc_id, $shinglesSql AS sh
        |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |      FROM t a, t b WHERE a.doc_id < b.doc_id
-       |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-       |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+       |${nearDupPairCtesSql(0.6)},
        |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
        |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
        |      UNION
@@ -1220,11 +1256,8 @@ object SparkEntry {
   private def jaccardPairsSql(threshold: Double): String =
     s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
        |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |        CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-       |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END AS jac
-       |      FROM t a, t b WHERE a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
+       |${nearDupPairCtesSql(threshold)}
+       |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p ORDER BY id_a, id_b""".stripMargin
 
   /** DuckDB replica of SimHash64Expr's FNV-1a64 token hash: HUGEINT
     * arithmetic mod 2^64 (BIGINT would overflow-throw); the xor touches
@@ -5586,7 +5619,8 @@ object SparkEntry {
     "agg_stream_maintain" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       trackCheckpoint(graft.streaming.AggMaintenance.maintainFromBatch(
-        s, li, Seq("l_returnflag", "l_linestatus")))
+        s, li, Seq("l_returnflag", "l_linestatus"),
+        lineitemMeasures("l_orderkey", "sum_ok")))
         .select(col("l_returnflag"), col("l_linestatus"),
           col("n"), col("sum_ok"), col("min_qty"), col("max_qty"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -5743,6 +5777,30 @@ object SparkEntry {
       res.withColumn("rewrite_fired", lit(firedNow))
     }),
 
+    // The three-valued sibling (r18 verdict #3): `fk NOT IN (SELECT k
+    // FROM dim)` is the single most expensive guard-rail shape in real
+    // warehouses — NULL semantics force Spark to plan it as a
+    // null-aware anti join (a broadcast of the WHOLE dim to every fact
+    // row, no shuffle-partitioning escape). Under the VERIFIED FK the
+    // proof is exactly what makes naive reasoning safe: the fact key is
+    // provably non-NULL and always present, so IN is TRUE (never
+    // UNKNOWN) and NOT IN is FALSE for every row — the optimizer folds
+    // the InSubquery to TRUE in place, Not(TRUE) collapses through
+    // BooleanSimplification, and the orphan check answers with ZERO
+    // scans of either table. A decline twin (FK absent → the
+    // NullAwareAntiJoin is preserved) is pinned in ConstraintRewriteSpec.
+    "sql_planner_not_in" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_sql_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_sql_orders")
+      val (res, firedNow) = pinnedFk(
+        Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet"), () => s.sql(
+        """SELECT count(*) AS n_orphans
+          |FROM graft_sql_lineitem
+          |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM graft_sql_orders)""".stripMargin))
+      res.withColumn("rewrite_fired", lit(firedNow))
+    }),
+
     // THE CHAIN: join elimination EXPOSES the bare fact-table groupBy
     // to the MV rewrite inside the same optimizer fixed point —
     // fact ⋈ dim groupBy answered with NEITHER table scanned (the
@@ -5818,7 +5876,29 @@ object SparkEntry {
         s, Tables.lineitem(s, dir),
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
         col("l_orderkey") === col("o_orderkey"),
-        Seq("o_orderpriority", "l_linestatus")))
+        Seq("o_orderpriority", "l_linestatus"),
+        lineitemMeasures("l_linenumber", "sum_ln")))
+        .orderBy("o_orderpriority", "l_linestatus")
+    }),
+
+    // Join-view IVM under a DIMENSION UPDATE (SCD-1): the fact stream
+    // lands as partials keyed by the JOIN KEY — the dim is never
+    // touched at ingestion time — so when the dim is rewritten
+    // (orders re-prioritized here: every 97th key reclassified), the
+    // materialized view refreshes by recomputing ONLY the touched
+    // attribute groups from the keyed partials against the NEW dim:
+    // O(dim diff + touched partial groups), never a fact re-scan. The
+    // oracle is the bulk join against the FINAL dim state.
+    "agg_stream_join_dim_update" -> ((s, dir) => {
+      val dimV1 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      val dimV2 = dimV1.withColumn("o_orderpriority",
+        when(col("o_orderkey") % 97 === 0, lit("9-RECLASSIFIED"))
+          .otherwise(col("o_orderpriority")))
+      trackCheckpoint(graft.streaming.AggMaintenance.maintainJoinWithDimUpdate(
+        s, Tables.lineitem(s, dir), dimV1, dimV2,
+        factKey = "l_orderkey", dimKey = "o_orderkey",
+        dimGroupCols = Seq("o_orderpriority"), factGroupCols = Seq("l_linestatus"),
+        lineitemMeasures("l_linenumber", "sum_ln")))
         .orderBy("o_orderpriority", "l_linestatus")
     }),
 
@@ -7419,6 +7499,19 @@ object SparkEntry {
         |GROUP BY o_orderpriority, l_linestatus
         |ORDER BY o_orderpriority, l_linestatus""".stripMargin,
 
+    // Dim-update IVM replay: the bulk join against the FINAL dim state
+    // (every 97th order reclassified) that the touched-group refresh
+    // must reproduce exactly.
+    "agg_stream_join_dim_update" ->
+      """SELECT CASE WHEN o_orderkey % 97 = 0 THEN '9-RECLASSIFIED'
+        |            ELSE o_orderpriority END AS o_orderpriority,
+        |  l_linestatus, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     // Cascade replay: the oracle RUNS both joins the fixed point
     // peeled away.
     "fk_planner_two_dims" ->
@@ -7468,6 +7561,13 @@ object SparkEntry {
         |FROM lineitem l
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
+
+    // SQL-text NOT IN replay: the oracle RUNS the null-aware membership
+    // test the optimizer proved vacuously FALSE under the verified FK.
+    "sql_planner_not_in" ->
+      """SELECT count(*) AS n_orphans, TRUE AS rewrite_fired
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
 
     // SQL-chain replay: identical contract to fk_planner_chain from a
     // raw SQL string.
@@ -8519,10 +8619,15 @@ object SparkEntry {
     "dedup_incremental" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-         |p AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
-         |        CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END AS jac
-         |      FROM t a, t b WHERE a.doc_id >= 400 AND b.doc_id < 400)
+         |tn AS (SELECT doc_id, len(sh) AS n FROM t),
+         |x AS (SELECT doc_id, unnest(sh) AS s FROM t),
+         |iv AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS inter
+         |       FROM x a JOIN x b ON a.s = b.s AND a.doc_id >= 400 AND b.doc_id < 400
+         |       GROUP BY a.doc_id, b.doc_id),
+         |p AS (SELECT new_id, old_id,
+         |        CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jac
+         |      FROM iv JOIN tn na ON na.doc_id = iv.new_id
+         |               JOIN tn nb ON nb.doc_id = iv.old_id)
          |SELECT new_id, old_id, round(jac, 4) AS jaccard FROM p WHERE jac >= 0.6
          |ORDER BY new_id, old_id""".stripMargin,
 
@@ -8605,10 +8710,7 @@ object SparkEntry {
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM t a, t b WHERE a.doc_id < b.doc_id
-         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |${nearDupPairCtesSql(0.6)},
          |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
          |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
          |      UNION
@@ -8625,10 +8727,7 @@ object SparkEntry {
       val allStop = TextAnalysis.stopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM t a, t b WHERE a.doc_id < b.doc_id
-         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |${nearDupPairCtesSql(0.6)},
          |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
          |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
          |      UNION
@@ -8696,10 +8795,7 @@ object SparkEntry {
     "corpus_leakage_safe_split" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM t a, t b WHERE a.doc_id < b.doc_id
-         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |${nearDupPairCtesSql(0.6)},
          |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
          |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
          |      UNION
@@ -8778,10 +8874,7 @@ object SparkEntry {
     "docs_denylist_bloom" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM t a, t b WHERE a.doc_id < b.doc_id
-         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |${nearDupPairCtesSql(0.6)},
          |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
          |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
          |      UNION
@@ -10287,10 +10380,7 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM t a, t b WHERE a.doc_id < b.doc_id
-         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |${nearDupPairCtesSql(0.6)},
          |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
          |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
          |      UNION
@@ -10303,10 +10393,7 @@ object SparkEntry {
     "dedup_drop_list" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM t a, t b WHERE a.doc_id < b.doc_id
-         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |${nearDupPairCtesSql(0.6)},
          |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
          |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
          |      UNION
@@ -10320,10 +10407,7 @@ object SparkEntry {
     "dedup_clusters_distributed" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |      FROM t a, t b WHERE a.doc_id < b.doc_id
-         |        AND (CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) END) >= 0.6),
+         |${nearDupPairCtesSql(0.6)},
          |e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
          |r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
          |      UNION
@@ -10414,13 +10498,21 @@ object SparkEntry {
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY f.cohort_sec, day_offset ORDER BY cohort_sec, day_offset""".stripMargin,
 
+    // Containment rides the same inverted-index candidates: overlap =
+    // |A∩B| / min(|A|,|B|) is zero for zero-intersection pairs, so the
+    // shared-shingle join is exact for any positive threshold.
     "dedup_containment" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh
          |  FROM (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |        CASE WHEN least(len(a.sh), len(b.sh)) = 0 THEN 0.0
-         |             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) END AS ov
-         |      FROM t a, t b WHERE a.doc_id < b.doc_id)
+         |tn AS (SELECT doc_id, len(sh) AS n FROM t),
+         |x AS (SELECT doc_id, unnest(sh) AS s FROM t),
+         |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |       FROM x a JOIN x b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |p AS (SELECT id_a, id_b,
+         |        CAST(inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS ov
+         |      FROM iv JOIN tn na ON na.doc_id = iv.id_a
+         |               JOIN tn nb ON nb.doc_id = iv.id_b)
          |SELECT id_a, id_b, round(ov, 4) AS overlap FROM p WHERE ov >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 

@@ -18,15 +18,6 @@ object Verify {
     val spark = GraftSession.builder("graft-verify", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        failures.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -39,9 +30,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json lands BEFORE the query loop (r18 verdict #1: the
+    // driver's gate died mid-run and left `{}` — with the oracle map
+    // written first, a killed Verify still leaves every finished query's
+    // parquet + the full SQL map, so check_oracle can grade the prefix).
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        failures.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     // Diagnosability sidecar (r17 verdict #1: the one driver flake was
     // unexplainable from the artifact): every planner counter, plus any
     // per-query exceptions, land next to oracle_sql.json — a false

@@ -82,7 +82,18 @@ import org.apache.spark.sql.internal.SQLConf
   *    transient listing failure declines this plan but keeps the
   *    registration for retry after the interval.
   *
-  * Registration is session-lived, like a temp view.
+  * Registration is session-lived, like a temp view: every claim
+  * records its registering session, and BOTH claim kinds are usable
+  * only by that exact session (`cur eq spec.session`) — another
+  * session on the same JVM sees declines, never a proof it did not
+  * verify. The registries themselves are keyed by normalized path
+  * with LAST-WRITER-WINS across sessions (the same shared-registry
+  * discipline as [[AggRewrite]]/[[AnnIndexRewrite]]): a second
+  * session re-registering a path replaces the first session's claim
+  * (whose queries then decline to the exact plan — safe, never
+  * wrong), and [[unregister]] drops claims on a path for every
+  * session, matching the cache-drain semantics of the sibling
+  * families.
   */
 object ConstraintRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -340,11 +351,14 @@ object ConstraintRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
       ok <- if (!needsFk) Some(true)
       else {
-        // the fact key needs the verified FK on its origin column
+        // the fact key needs the verified FK on its origin column —
+        // owned by THIS session (an FK verified by another session is
+        // no proof here) and staleness-checked by ITS owner session
         fkOrigin(factSide, factKey).flatMap { factPath =>
           fks.get((factPath, factKey.name)) match {
             case Some(fk) if fk.dimPath == dimPath && fk.dimCol == uniq.keyCol &&
-                !pathIsStale(uniq.session, factPath, factPath) => Some(true)
+                cur.exists(_ eq fk.session) &&
+                !pathIsStale(fk.session, factPath, factPath) => Some(true)
             case _ => None
           }
         }
@@ -423,12 +437,16 @@ object ConstraintRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * `factKey` (a column of `factChild`'s rows) must trace by exprId to
     * a registered fact scan whose FK targets exactly (dimPath, dimKey),
     * with the same row-manufacturing hazard guard as the join shape.
+    * The claim must be OWNED by the current session (`cur eq
+    * fk.session`) — same contract as the uniqueness claim: a FK another
+    * session verified is not a proof in this one.
     */
   private def fkHolds(factChild: LogicalPlan, factKey: AttributeReference,
       dimPath: String, dimCol: String, cur: Option[SparkSession]): Boolean =
     fkOrigin(factChild, factKey).exists { factPath =>
       fks.get((factPath, factKey.name)).exists(fk =>
         fk.dimPath == dimPath && fk.dimCol == dimCol &&
+          cur.exists(_ eq fk.session) &&
           !pathIsStale(fk.session, factPath, factPath))
     }
 
@@ -529,24 +547,57 @@ object ConstraintRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case p @ Project(projList, Join(l, r, jt, Some(cond), _)) =>
         try {
           val refs = AttributeSet(projList.flatMap(_.references))
-          val replaced =
-            tryEliminate(refs, l, r, dimOnRight = true, jt, cond, cur)
-              .orElse(tryEliminate(refs, r, l, dimOnRight = false, jt, cond, cur))
-          replaced match {
+          eliminateUnder(refs, l, r, jt, cond, cur) match {
             case Some(factSide) => Project(projList, factSide)
-            case None =>
-              // a registered dim was in play but the proof didn't close
-              val dimRegistered = Seq(l, r).exists(s =>
-                pathOf(stripDim(s)._1).exists(uniques.contains))
-              if (dimRegistered) fallbacks.incrementAndGet()
-              p
+            case None => p
           }
         } catch {
           case e: Exception =>
             logWarning(s"graft constraint rewrite failed; keeping the exact plan: ${e.getMessage}")
             p
         }
+      // The bare `Aggregate(Join)` shape (r18 verdict #7): column pruning
+      // usually inserts a Project between the groupBy and the join, but a
+      // grouped query that reads every fact column reaches the batch with
+      // the Aggregate DIRECTLY over the Join — the aggregate's own
+      // references (grouping + aggregate expressions) play the Project
+      // role in the "no dim column outlives the join" proof.
+      case a: Aggregate => a.child match {
+        case Join(l, r, jt, Some(cond), _) =>
+          try {
+            val refs = AttributeSet(
+              (a.groupingExpressions ++ a.aggregateExpressions).flatMap(_.references))
+            eliminateUnder(refs, l, r, jt, cond, cur) match {
+              case Some(factSide) => a.withNewChildren(Seq(factSide))
+              case None => a
+            }
+          } catch {
+            case e: Exception =>
+              logWarning(s"graft constraint rewrite failed; keeping the exact plan: ${e.getMessage}")
+              a
+          }
+        case _ => a
+      }
     }
+  }
+
+  /** Try the elimination with the dim on either side; on a decline
+    * involving a registered dim, count the fallback (the planner's
+    * diagnosability counter — Verify dumps it per run).
+    */
+  private def eliminateUnder(refs: AttributeSet, l: LogicalPlan, r: LogicalPlan,
+      jt: org.apache.spark.sql.catalyst.plans.JoinType, cond: Expression,
+      cur: Option[SparkSession]): Option[LogicalPlan] = {
+    val replaced =
+      tryEliminate(refs, l, r, dimOnRight = true, jt, cond, cur)
+        .orElse(tryEliminate(refs, r, l, dimOnRight = false, jt, cond, cur))
+    if (replaced.isEmpty) {
+      // a registered dim was in play but the proof didn't close
+      val dimRegistered = Seq(l, r).exists(s =>
+        pathOf(stripDim(s)._1).exists(uniques.contains))
+      if (dimRegistered) fallbacks.incrementAndGet()
+    }
+    replaced
   }
 }
 

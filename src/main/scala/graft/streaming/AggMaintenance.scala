@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -12,17 +12,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * re-scanning history.
   *
   * Shape: each micro-batch reduces to its own PARTIAL rollup — one row
-  * per touched group carrying the re-aggregable measure set
-  * (count / integral sum / min / max) — committed as an overwrite of
-  * its `batch_id=N/` directory (the idempotent at-least-once-to-
-  * exactly-once commit IndexMaintenance uses). Reading the view
-  * re-aggregates the partials: SUM of counts/sums, MIN of mins, MAX of
-  * maxes — the merge is associative and commutative, so the result
-  * equals the bulk groupBy REGARDLESS of how facts were split into
-  * batches (the `agg_stream_maintain` CORRECTNESS row hash-matches the
-  * direct batch oracle). [[compactRollup]] folds the batch history into
-  * one partial — the small-files answer, equivalence by the same
-  * associativity.
+  * per touched group carrying a RE-AGGREGABLE measure set — committed
+  * as an overwrite of its `batch_id=N/` directory (the idempotent
+  * at-least-once-to-exactly-once commit IndexMaintenance uses). Reading
+  * the view re-aggregates the partials; the merge is associative and
+  * commutative, so the result equals the bulk groupBy REGARDLESS of how
+  * facts were split into batches (the `agg_stream_maintain` CORRECTNESS
+  * row hash-matches the direct batch oracle). [[compactRollup]] folds
+  * the batch history into one partial — the small-files answer,
+  * equivalence by the same associativity.
+  *
+  * The measure algebra is a PARAMETER ([[Measures]]): `partial` is the
+  * aggregation applied to raw fact rows at batch time, `merge` the
+  * re-aggregation over partial columns. The merge must be associative,
+  * commutative, and idempotent over its own output schema (SUM of
+  * counts/sums, MIN of mins, MAX of maxes qualify; exact percentiles
+  * would not) — that closure is what makes every read/compact/dim-join
+  * below exact.
   *
   * At 100 TB: per-batch work is one batch-sized groupBy (no history
   * read, no state store — the partials ARE the state), the view read is
@@ -31,41 +37,51 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object AggMaintenance {
 
+  /** The re-aggregable measure algebra: `partial` over raw fact rows,
+    * `merge` over the partial columns (associative + commutative +
+    * closed over its own output schema, so partials can be merged any
+    * number of times in any grouping).
+    */
+  final case class Measures(partial: Seq[Column], merge: Seq[Column]) {
+    require(partial.nonEmpty && merge.nonEmpty, "Measures must be non-empty")
+  }
+
+  private def agg(df: org.apache.spark.sql.RelationalGroupedDataset,
+      cols: Seq[Column]): DataFrame = df.agg(cols.head, cols.tail: _*)
+
   /** Reduce one micro-batch to its partial rollup and commit it as a
     * full overwrite of `rollupDir/batch_id=<batchId>/`.
     */
   def appendBatch(
       batch: DataFrame,
       groupCols: Seq[String],
+      measures: Measures,
       rollupDir: String,
-      batchId: Long): Unit = {
-    batch.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"),
-        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      batchId: Long): Unit =
+    agg(batch.groupBy(groupCols.map(col): _*), measures.partial)
       .write
       .mode("overwrite")
       .parquet(s"$rollupDir/batch_id=$batchId")
-  }
 
   /** The maintained view: re-aggregate the per-batch partials (the
-    * associative merge — exact for this measure algebra).
+    * associative merge — exact for a [[Measures]]-conforming algebra).
     */
-  def readView(spark: SparkSession, rollupDir: String, groupCols: Seq[String]): DataFrame =
-    spark.read.parquet(rollupDir)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("n")).as("n"), sum(col("sum_ok")).as("sum_ok"),
-        min(col("min_qty")).as("min_qty"), max(col("max_qty")).as("max_qty"))
+  def readView(spark: SparkSession, rollupDir: String, groupCols: Seq[String],
+      measures: Measures): DataFrame =
+    agg(spark.read.parquet(rollupDir).groupBy(groupCols.map(col): _*),
+      measures.merge)
 
   /** Fold the batch history into ONE partial (small-files compaction);
-    * the compacted dir reads identically through [[readView]].
+    * the compacted dir reads identically through [[readView]] because
+    * the merge is closed over its own output schema.
     */
   def compactRollup(spark: SparkSession, rollupDir: String, outDir: String,
-      groupCols: Seq[String]): Unit =
-    readView(spark, rollupDir, groupCols)
+      groupCols: Seq[String], measures: Measures): Unit =
+    readView(spark, rollupDir, groupCols, measures)
       .write.mode("overwrite").parquet(s"$outDir/batch_id=0")
 
-  /** Stream lineitem-shaped parquet from `srcDir`, maintaining the
-    * rollup one micro-batch at a time.
+  /** Stream fact-shaped parquet from `srcDir`, maintaining the rollup
+    * one micro-batch at a time.
     */
   def streamRollup(
       spark: SparkSession,
@@ -73,6 +89,7 @@ object AggMaintenance {
       rollupDir: String,
       checkpointDir: String,
       groupCols: Seq[String],
+      measures: Measures,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
     val schema = spark.read.parquet(srcDir).schema
     spark.readStream
@@ -82,7 +99,7 @@ object AggMaintenance {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        appendBatch(batch.toDF(), groupCols, rollupDir, batchId)
+        appendBatch(batch.toDF(), groupCols, measures, rollupDir, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -98,6 +115,7 @@ object AggMaintenance {
       spark: SparkSession,
       facts: DataFrame,
       groupCols: Seq[String],
+      measures: Measures,
       nFiles: Int = 3): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_agg_maint")
     val srcDir = base.resolve("src").toString
@@ -105,9 +123,9 @@ object AggMaintenance {
     val ckptDir = base.resolve("ckpt").toString
     try {
       facts.repartition(nFiles).write.parquet(srcDir)
-      val q = streamRollup(spark, srcDir, rollupDir, ckptDir, groupCols)
+      val q = streamRollup(spark, srcDir, rollupDir, ckptDir, groupCols, measures)
       try q.processAllAvailable() finally q.stop()
-      readView(spark, rollupDir, groupCols).localCheckpoint(eager = true)
+      readView(spark, rollupDir, groupCols, measures).localCheckpoint(eager = true)
     } finally {
       val p = new Path(base.toString)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -136,26 +154,21 @@ object AggMaintenance {
   def appendJoinBatch(
       batch: DataFrame,
       dim: DataFrame,
-      joinCond: org.apache.spark.sql.Column,
+      joinCond: Column,
       groupCols: Seq[String],
+      measures: Measures,
       rollupDir: String,
-      batchId: Long): Unit = {
-    batch.join(org.apache.spark.sql.functions.broadcast(dim), joinCond)
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("sum_ln"),
-        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      batchId: Long): Unit =
+    agg(batch.join(broadcast(dim), joinCond).groupBy(groupCols.map(col): _*),
+      measures.partial)
       .write
       .mode("overwrite")
       .parquet(s"$rollupDir/batch_id=$batchId")
-  }
 
   /** Re-aggregate the per-batch join partials (associative merge). */
   def readJoinView(spark: SparkSession, rollupDir: String,
-      groupCols: Seq[String]): DataFrame =
-    spark.read.parquet(rollupDir)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("n")).as("n"), sum(col("sum_ln")).as("sum_ln"),
-        min(col("min_qty")).as("min_qty"), max(col("max_qty")).as("max_qty"))
+      groupCols: Seq[String], measures: Measures): DataFrame =
+    readView(spark, rollupDir, groupCols, measures)
 
   /** The whole join-view cycle on batch tables: shatter the facts,
     * stream them one file per micro-batch against the static dim,
@@ -165,8 +178,9 @@ object AggMaintenance {
       spark: SparkSession,
       facts: DataFrame,
       dim: DataFrame,
-      joinCond: org.apache.spark.sql.Column,
+      joinCond: Column,
       groupCols: Seq[String],
+      measures: Measures,
       nFiles: Int = 3): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_aggjoin_maint")
     val srcDir = base.resolve("src").toString
@@ -183,7 +197,7 @@ object AggMaintenance {
         .parquet(srcDir)
         .writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          appendJoinBatch(batch.toDF(), dimStatic, joinCond, groupCols,
+          appendJoinBatch(batch.toDF(), dimStatic, joinCond, groupCols, measures,
             rollupDir, batchId)
           ()
         }
@@ -191,10 +205,163 @@ object AggMaintenance {
         .trigger(Trigger.AvailableNow())
         .start()
       try q.processAllAvailable() finally q.stop()
-      val view = readJoinView(spark, rollupDir, groupCols)
+      val view = readJoinView(spark, rollupDir, groupCols, measures)
         .localCheckpoint(eager = true)
       dimStatic.unpersist(blocking = false)
       view
+    } finally {
+      val p = new Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  // ---- join-view maintenance under DIM UPDATES (SCD refresh) ------------
+
+  /** Join-view IVM that survives DIMENSION UPDATES (r18 verdict #6):
+    * real star schemas get SCD-1 dim rewrites (a customer changes
+    * segment, an order is re-prioritized), and a view whose partials
+    * baked the OLD dim attributes in would silently serve them forever.
+    *
+    * The fix is WHERE the join happens: fact partials are keyed by the
+    * JOIN KEY plus the fact-side group columns and never touch the dim
+    * at ingestion time ([[appendKeyedBatch]] — same O(batch) per-batch
+    * cost as [[appendJoinBatch]], minus the join). The dim join moves
+    * to the READ/refresh side over |keyed partial groups| rows — at
+    * 100 TB that is |distinct join keys × fact groups|, orders of
+    * magnitude under the fact table, and broadcast-joinable against
+    * any dimension.
+    *
+    * A dim update then refreshes the MATERIALIZED view by recomputing
+    * ONLY the touched groups ([[refreshViewForDimUpdate]]): the
+    * old-vs-new dim diff names the changed keys, the changed keys name
+    * the dim-attribute groups they contributed to under EITHER version,
+    * untouched view rows are carried over verbatim, and the touched
+    * ones are re-derived from the keyed partials joined to the NEW dim.
+    * Per-refresh cost is O(dim diff + touched partial groups) — the
+    * fact table is never re-scanned, and the partials never rewritten.
+    */
+  def appendKeyedBatch(
+      batch: DataFrame,
+      factKey: String,
+      factGroupCols: Seq[String],
+      measures: Measures,
+      rollupDir: String,
+      batchId: Long): Unit =
+    agg(batch.groupBy((factKey +: factGroupCols).map(col): _*), measures.partial)
+      .write
+      .mode("overwrite")
+      .parquet(s"$rollupDir/batch_id=$batchId")
+
+  /** Merge the keyed per-batch partials: one row per
+    * (join key, fact group) — the dim-independent state of the view.
+    */
+  def readKeyedPartials(spark: SparkSession, rollupDir: String,
+      factKey: String, factGroupCols: Seq[String], measures: Measures): DataFrame =
+    agg(spark.read.parquet(rollupDir)
+      .groupBy((factKey +: factGroupCols).map(col): _*), measures.merge)
+
+  /** The full view over a dim version: keyed partials ⋈ broadcast(dim)
+    * re-grouped by (dim attrs, fact groups). Exact because the merge is
+    * closed over its own output schema and the dim key is unique (each
+    * partial row matches exactly one dim row).
+    */
+  def viewOverDim(
+      partials: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      dimGroupCols: Seq[String],
+      factGroupCols: Seq[String],
+      measures: Measures): DataFrame =
+    agg(partials.join(broadcast(dim), partials(factKey) === dim(dimKey))
+      .groupBy((dimGroupCols ++ factGroupCols).map(col): _*), measures.merge)
+
+  /** Refresh a MATERIALIZED view for a dim update, touching only the
+    * groups the update can have changed: rows of `view` whose dim
+    * attributes no changed key contributed to (under either dim
+    * version) are carried verbatim; the touched attribute groups are
+    * recomputed from the keyed partials against the NEW dim. The fact
+    * table is never read.
+    */
+  def refreshViewForDimUpdate(
+      view: DataFrame,
+      partials: DataFrame,
+      oldDim: DataFrame,
+      newDim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      dimGroupCols: Seq[String],
+      factGroupCols: Seq[String],
+      measures: Measures): DataFrame = {
+    val attrs = dimGroupCols.map(col)
+    // the SCD diff: rows present in exactly one version (keyed updates
+    // appear on both sides; inserts/deletes on one)
+    val changedOld = oldDim.exceptAll(newDim)
+    val changedNew = newDim.exceptAll(oldDim)
+    // every dim-attribute group a changed key contributed to, under
+    // either version — the view rows outside this set are untouchable
+    val touchedAttrs = changedOld.select(attrs: _*)
+      .unionByName(changedNew.select(attrs: _*)).distinct()
+    val kept = view.join(broadcast(touchedAttrs), dimGroupCols, "left_anti")
+    // recompute the touched groups: ALL new-dim keys in a touched
+    // attribute group participate (unchanged keys sharing the group
+    // still contribute their partials)
+    val touchedDim = newDim.join(broadcast(touchedAttrs), dimGroupCols, "left_semi")
+    val recomputed = viewOverDim(partials, touchedDim, factKey, dimKey,
+      dimGroupCols, factGroupCols, measures)
+    kept.unionByName(recomputed)
+  }
+
+  /** The whole dim-update cycle on batch tables: stream the shattered
+    * facts into KEYED partials (dim untouched), materialize the view
+    * over `dimV1`, apply the `dimV1 → dimV2` update by touched-group
+    * refresh, and return the refreshed view — which must hash-match
+    * the bulk `facts ⋈ dimV2 groupBy` (the `agg_stream_join_dim_update`
+    * oracle).
+    */
+  def maintainJoinWithDimUpdate(
+      spark: SparkSession,
+      facts: DataFrame,
+      dimV1: DataFrame,
+      dimV2: DataFrame,
+      factKey: String,
+      dimKey: String,
+      dimGroupCols: Seq[String],
+      factGroupCols: Seq[String],
+      measures: Measures,
+      nFiles: Int = 3): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_aggdim_maint")
+    val srcDir = base.resolve("src").toString
+    val rollupDir = base.resolve("rollup").toString
+    val ckptDir = base.resolve("ckpt").toString
+    try {
+      facts.repartition(nFiles).write.parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      val q = spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          appendKeyedBatch(batch.toDF(), factKey, factGroupCols, measures,
+            rollupDir, batchId)
+          ()
+        }
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val partials = readKeyedPartials(spark, rollupDir, factKey, factGroupCols,
+        measures).localCheckpoint(eager = true)
+      val v1 = viewOverDim(partials, dimV1, factKey, dimKey, dimGroupCols,
+        factGroupCols, measures).localCheckpoint(eager = true)
+      val v2 = refreshViewForDimUpdate(v1, partials, dimV1, dimV2, factKey,
+        dimKey, dimGroupCols, factGroupCols, measures)
+        .localCheckpoint(eager = true)
+      partials.unpersist(blocking = false)
+      v1.unpersist(blocking = false)
+      v2
     } finally {
       val p = new Path(base.toString)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

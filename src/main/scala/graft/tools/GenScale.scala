@@ -100,6 +100,13 @@ object GenScale {
     ordScaled.repartition(8).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/orders.parquet")
     println(s"[genscale] wrote $outDir/orders.parquet (${factor}x)")
+    // customer rides along UNSCALED: the scaled orders copies carry
+    // o_custkey verbatim, so the orders → customer FK still verifies,
+    // and dim-key uniqueness is scale-independent (the fk_planner rows
+    // need sharedFkConstraints to register against this dir)
+    spark.read.parquet(s"$srcDir/customer.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/customer.parquet")
+    println(s"[genscale] copied $outDir/customer.parquet (1x — dim claims are scale-free)")
   }
 
   private def time(spark: SparkSession, name: String, dir: String, runs: Int = 2): Double = {
@@ -133,7 +140,8 @@ object GenScale {
 
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/documents.parquet")))
       generate(spark, srcDir, outDir, factor)
-    if (queries.exists(_.startsWith("agg_planner")) &&
+    val liFamilies = Seq("agg_planner", "fk_planner", "sql_planner", "agg_stream")
+    if (queries.exists(q => liFamilies.exists(q.startsWith)) &&
       !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/lineitem.parquet")))
       generateLineitem(spark, srcDir, outDir, factor)
 

@@ -204,6 +204,78 @@ class AggRewriteSpec extends GraftSpec {
     }
   }
 
+  test("dim-update IVM: keyed partials + touched-group refresh equal the bulk join over the new dim") {
+    import graft.streaming.AggMaintenance
+    val measures = AggMaintenance.Measures(
+      partial = Seq(count(lit(1)).as("n"), sum($"l_linenumber").as("sum_ln"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty")),
+      merge = Seq(sum($"n").as("n"), sum($"sum_ln").as("sum_ln"),
+        min($"min_qty").as("min_qty"), max($"max_qty").as("max_qty")))
+    val ordV1 = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderpriority")
+    val ordV2 = ordV1.withColumn("o_orderpriority",
+      when($"o_orderkey" % 97 === 0, lit("9-RECLASSIFIED"))
+        .otherwise($"o_orderpriority"))
+    def bulk(dim: org.apache.spark.sql.DataFrame) =
+      li.join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_linenumber").as("sum_ln"),
+          min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
+    // end-to-end harness: stream → keyed partials → view(v1) → refresh(v2)
+    val view = AggMaintenance.maintainJoinWithDimUpdate(spark, li, ordV1, ordV2,
+      "l_orderkey", "o_orderkey", Seq("o_orderpriority"), Seq("l_linestatus"),
+      measures, nFiles = 3)
+    try assert(rowsOf(view) === bulk(ordV2),
+      "refreshed view != bulk join over the FINAL dim state")
+    finally view.unpersist(true)
+    // structural pins on the refresh itself: the fact source is never
+    // read (partials only), and a no-op dim update recomputes nothing
+    val base = java.nio.file.Files.createTempDirectory("graft_dimupd_spec")
+    try {
+      val factDir = base.resolve("facts").toString
+      val rollup = base.resolve("rollup").toString
+      li.write.parquet(factDir)
+      val facts = spark.read.parquet(factDir)
+      AggMaintenance.appendKeyedBatch(facts.filter($"l_linenumber" % 2 === 0),
+        "l_orderkey", Seq("l_linestatus"), measures, rollup, 0L)
+      AggMaintenance.appendKeyedBatch(facts.filter($"l_linenumber" % 2 =!= 0),
+        "l_orderkey", Seq("l_linestatus"), measures, rollup, 1L)
+      val partials = AggMaintenance.readKeyedPartials(spark, rollup,
+        "l_orderkey", Seq("l_linestatus"), measures)
+      val v1 = AggMaintenance.viewOverDim(partials, ordV1, "l_orderkey",
+        "o_orderkey", Seq("o_orderpriority"), Seq("l_linestatus"), measures)
+      assert(rowsOf(v1) === bulk(ordV1), "keyed partials ⋈ dimV1 != bulk v1")
+      val refreshed = AggMaintenance.refreshViewForDimUpdate(v1, partials,
+        ordV1, ordV2, "l_orderkey", "o_orderkey", Seq("o_orderpriority"),
+        Seq("l_linestatus"), measures)
+      val factNorm = new org.apache.hadoop.fs.Path(factDir).toUri.getPath
+      val scanned = refreshed.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toUri.getPath)
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+      assert(!scanned.exists(_.startsWith(factNorm)),
+        "the refresh must never re-scan the fact table")
+      assert(rowsOf(refreshed) === bulk(ordV2), "touched-group refresh != bulk v2")
+      // no-op update: nothing is touched, the view is carried verbatim
+      val noop = AggMaintenance.refreshViewForDimUpdate(v1, partials,
+        ordV1, ordV1, "l_orderkey", "o_orderkey", Seq("o_orderpriority"),
+        Seq("l_linestatus"), measures)
+      assert(rowsOf(noop) === rowsOf(v1))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("join-view streaming maintenance equals the bulk join rollup under any split") {
     import graft.streaming.AggMaintenance
     val ord = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderpriority")
@@ -216,6 +288,11 @@ class AggRewriteSpec extends GraftSpec {
     for (n <- Seq(2, 5)) {
       val view = AggMaintenance.maintainJoinFromBatch(spark, li, ord,
         $"l_orderkey" === $"o_orderkey", Seq("o_orderpriority", "l_linestatus"),
+        AggMaintenance.Measures(
+          partial = Seq(count(lit(1)).as("n"), sum($"l_linenumber").as("sum_ln"),
+            min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty")),
+          merge = Seq(sum($"n").as("n"), sum($"sum_ln").as("sum_ln"),
+            min($"min_qty").as("min_qty"), max($"max_qty").as("max_qty"))),
         nFiles = n)
       try {
         val got = view.collect().map(r => (r.getString(0), r.getString(1),
@@ -234,7 +311,12 @@ class AggRewriteSpec extends GraftSpec {
         min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
-    val view = AggMaintenance.maintainFromBatch(spark, li, keys, nFiles = 4)
+    val okMeasures = AggMaintenance.Measures(
+      partial = Seq(count(lit(1)).as("n"), sum($"l_orderkey").as("sum_ok"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty")),
+      merge = Seq(sum($"n").as("n"), sum($"sum_ok").as("sum_ok"),
+        min($"min_qty").as("min_qty"), max($"max_qty").as("max_qty")))
+    val view = AggMaintenance.maintainFromBatch(spark, li, keys, okMeasures, nFiles = 4)
     try {
       val got = view.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(t => (t._1, t._2)).toSeq
@@ -245,16 +327,16 @@ class AggRewriteSpec extends GraftSpec {
     try {
       val rollup = base.resolve("rollup").toString
       val one = li.limit(100)
-      AggMaintenance.appendBatch(one, keys, rollup, 0L)
-      AggMaintenance.appendBatch(one, keys, rollup, 0L) // retry: same batch id
-      AggMaintenance.appendBatch(li.limit(300), keys, rollup, 1L)
-      val before = AggMaintenance.readView(spark, rollup, keys)
+      AggMaintenance.appendBatch(one, keys, okMeasures, rollup, 0L)
+      AggMaintenance.appendBatch(one, keys, okMeasures, rollup, 0L) // retry: same batch id
+      AggMaintenance.appendBatch(li.limit(300), keys, okMeasures, rollup, 1L)
+      val before = AggMaintenance.readView(spark, rollup, keys, okMeasures)
         .collect().map(_.toSeq).sortBy(_.toString)
       assert(before.map(_(2).asInstanceOf[Long]).sum === 400L,
         "a retried batch commits once (overwrite of its own dir)")
       val compacted = base.resolve("compacted").toString
-      AggMaintenance.compactRollup(spark, rollup, compacted, keys)
-      val after = AggMaintenance.readView(spark, compacted, keys)
+      AggMaintenance.compactRollup(spark, rollup, compacted, keys, okMeasures)
+      val after = AggMaintenance.readView(spark, compacted, keys, okMeasures)
         .collect().map(_.toSeq).sortBy(_.toString)
       assert(after === before, "the compacted rollup reads identically")
     } finally {

@@ -251,6 +251,137 @@ class ConstraintRewriteSpec extends GraftSpec {
     ConstraintRewrite.clear()
   }
 
+  test("SQL NOT IN: vacuously FALSE under the FK; NullAwareAntiJoin preserved without it") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    ConstraintRewrite.clear()
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("cr_spec_lineitem")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("cr_spec_orders")
+    def notInQ = spark.sql(
+      """SELECT count(*) AS n_orphans FROM cr_spec_lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM cr_spec_orders)""".stripMargin)
+    def hasAntiJoin(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists {
+        case LJoin(_, _, LeftAnti, _, _) => true
+        case _ => false
+      }
+    // without the FK, three-valued NOT IN is load-bearing: Spark plans
+    // the null-aware anti join (the most expensive guard-rail shape)
+    assert(hasAntiJoin(notInQ) && scansPath(notInQ, ordPath),
+      "no claim: the null-aware anti join must be preserved")
+    assert(notInQ.head().getLong(0) === 0L, "fixture invariant: no orphans")
+    registerAll()
+    try {
+      // the fold runs in the operator-optimization batch, BEFORE
+      // RewritePredicateSubquery lowers Not(InSubquery) to the
+      // null-aware anti join (the extensions-injected path — its
+      // end-to-end zero-scan pin is sql_planner_not_in's hashed
+      // rewrite_fired); apply it to the analyzed plan the way that
+      // batch sees it
+      import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+      import org.apache.spark.sql.catalyst.expressions.InSubquery
+      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, View}
+      // strip SubqueryAlias + View the way the optimizer's
+      // Finish-Analysis batch (EliminateSubqueryAliases/EliminateView)
+      // does before the operator-optimization batch runs
+      def strip(p: LogicalPlan): LogicalPlan =
+        EliminateSubqueryAliases(p).transformUp { case v: View => v.child }
+      def preOptimized(df: DataFrame) =
+        strip(df.queryExecution.analyzed).transformAllExpressions {
+          case in @ InSubquery(_, lq) =>
+            in.copy(query = lq.copy(plan = strip(lq.plan)))
+        }
+      val folded = ConstraintRewrite.applyWith(preOptimized(notInQ), Some(spark))
+      assert(!folded.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[InSubquery]))),
+        "under the verified FK the InSubquery folds in place — " +
+          "Not(TRUE) then collapses to an empty relation downstream")
+      // uniqueness alone is NOT enough — only the FK makes the fold safe
+      // (a NULL or dangling fact key flips naive NOT IN reasoning)
+      ConstraintRewrite.clear()
+      ConstraintRewrite.registerUnique(spark, ordPath, "o_orderkey")
+      val declined = ConstraintRewrite.applyWith(preOptimized(notInQ), Some(spark))
+      assert(declined.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[InSubquery]))),
+        "NOT IN needs the verified FK, not just uniqueness")
+      assert(hasAntiJoin(notInQ) && scansPath(notInQ, ordPath),
+        "…so Spark's NullAwareAntiJoin plan survives")
+    } finally {
+      ConstraintRewrite.clear()
+    }
+  }
+
+  test("bare Aggregate(Join) eliminates without an intervening Project") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Join => LJoin, JoinHint, LogicalPlan}
+    ConstraintRewrite.clear()
+    registerAll()
+    val fact = Tables.lineitem(spark, sfDir).queryExecution.analyzed
+    val dim = Tables.orders(spark, sfDir).queryExecution.analyzed
+    val fk = fact.output.find(_.name == "l_orderkey").get
+    val dk = dim.output.find(_.name == "o_orderkey").get
+    val flag = fact.output.find(_.name == "l_returnflag").get
+    val prio = dim.output.find(_.name == "o_orderpriority").get
+    def leafPaths(p: LogicalPlan): Seq[String] = p.collectLeaves().flatMap {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+      case _ => Nil
+    }.toSeq
+    val ordNorm = new org.apache.hadoop.fs.Path(ordPath).toUri.getPath
+    def countAgg(group: Seq[Expression], extra: Seq[NamedExpression], child: LogicalPlan) =
+      LAggregate(group,
+        extra :+ Alias(Count(Literal(1)).toAggregateExpression(), "n")(), child)
+    val join = LJoin(fact, dim, Inner, Some(EqualTo(fk, dk)), JoinHint.NONE)
+    // groupBy(fact col) directly over the join — no Project in between
+    val out = ConstraintRewrite.applyWith(
+      countAgg(Seq(flag), Seq(flag), join), Some(spark))
+    assert(!leafPaths(out).contains(ordNorm),
+      "the bare Aggregate(Join) shape must eliminate the dim scan")
+    assert(out.isInstanceOf[LAggregate], "the Aggregate itself survives")
+    // negative: a dim grouping column keeps the join
+    val keep = ConstraintRewrite.applyWith(
+      countAgg(Seq(prio), Seq(prio), join), Some(spark))
+    assert(leafPaths(keep).contains(ordNorm),
+      "an Aggregate referencing a dim column must decline")
+    ConstraintRewrite.clear()
+  }
+
+  test("claims are session-owned: a claim verified elsewhere is no proof here") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    ConstraintRewrite.clear()
+    val other = spark.newSession()
+    // split ownership: the uniqueness claim verified by OTHER, the FK
+    // claim verified by SPARK — neither session holds the full proof
+    ConstraintRewrite.registerUnique(other, ordPath, "o_orderkey")
+    ConstraintRewrite.registerForeignKey(spark, liPath, "l_orderkey",
+      ordPath, "o_orderkey")
+    val fact = Tables.lineitem(spark, sfDir).queryExecution.analyzed
+    val dim = Tables.orders(spark, sfDir).select($"o_orderkey").queryExecution.analyzed
+    val factKey = fact.output.find(_.name == "l_orderkey").get
+    val in = InSubquery(Seq(factKey),
+      ListQuery(dim, Seq.empty, NamedExpression.newExprId, 1, Seq.empty, None))
+    def stillHasSubquery(cur: org.apache.spark.sql.SparkSession): Boolean =
+      ConstraintRewrite.applyWith(LFilter(in, fact), Some(cur))
+        .exists(_.expressions.exists(_.exists(_.isInstanceOf[InSubquery])))
+    assert(stillHasSubquery(spark),
+      "the dim uniqueness claim belongs to another session: decline")
+    assert(stillHasSubquery(other),
+      "the FK claim belongs to another session: decline (fkHolds ownership)")
+    // re-registering BOTH under one session closes the proof again
+    ConstraintRewrite.registerUnique(spark, ordPath, "o_orderkey")
+    ConstraintRewrite.registerForeignKey(spark, liPath, "l_orderkey",
+      ordPath, "o_orderkey")
+    assert(!stillHasSubquery(spark), "single-session ownership folds again")
+    ConstraintRewrite.clear()
+  }
+
   test("staleness: a changed dim listing drops every claim on it") {
     ConstraintRewrite.clear()
     val tmp = java.nio.file.Files.createTempDirectory("graft_fk_stale").toString

@@ -51,13 +51,27 @@ class EventOpsSpec extends GraftSpec {
       .select($"user_id", $"w.start".cast("long").as("session_start_sec"),
         $"w.end".cast("long").as("session_end_sec"), $"n_events",
         round($"sum_value_dec".cast("double"), 4).as("sum_value"))
-    // two different shatters: session state must merge identically
+    // two different shatters: session state must extend identically
     for (n <- Seq(2, 5)) {
-      val stream = EventOps.streamSessionizeFromBatch(spark, events, nFiles = n)
-      assert(stream.count() > 0)
+      val phases = scala.collection.mutable.Map.empty[String, Long]
+      val stream = EventOps.streamSessionizeFromBatch(spark, events, nFiles = n,
+        onPhase = (k, v) => phases.put(k, v))
+      val total = stream.count()
+      assert(total > 0)
       assert(stream.except(batchSessions).count() === 0 &&
         batchSessions.except(stream).count() === 0,
         s"stream != batch with a $n-file split")
+      // the scale-correct sink shape (r18 verdict #5): closed sessions
+      // are emitted INCREMENTALLY under the watermark (append mode to a
+      // file sink — not re-materialized at the end), and the sentinel
+      // flush emits exactly the remainder
+      val closed = phases("closed_before_flush")
+      assert(closed > 0,
+        s"append-mode sink must emit closed sessions before the flush (n=$n)")
+      assert(closed < total,
+        s"some sessions must still be open at source drain (n=$n)")
+      assert(phases("flushed_total") >= total,
+        "the flush emits every remaining real session (+ nothing lost)")
     }
   }
 

@@ -13,7 +13,7 @@ so the repo carries committable correctness evidence even when the
 driver's own artifact fails to land (round 13 closed with
 CORRECTNESS_r13.json == {}).
 """
-import json, os, sys, glob
+import json, os, sys, glob, time
 import duckdb
 import numpy as np
 
@@ -43,6 +43,19 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     summary_path = sys.argv[3] if len(sys.argv) > 3 else None
     summary = {}
+
+    # Incremental summary (r18 verdict #1: the driver's gate died mid-run
+    # and its CORRECTNESS_r18.json landed as `{}`): after EVERY query's
+    # verdict the summary is rewritten atomically (write temp + rename),
+    # so a harness timeout/kill at any point still leaves a valid JSON
+    # carrying every query graded so far instead of nothing.
+    def flush():
+        if summary_path:
+            tmp = summary_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(summary, f, indent=1, sort_keys=True)
+            os.replace(tmp, summary_path)
+
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
@@ -58,10 +71,13 @@ def main():
         summary[qname] = {"rows_match": False, "schema_match": False,
                           "hash_match": False, "err": "no Verify output"}
         n_fail += 1
+        flush()
+    slow = []
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(qdir):
             continue
         qname = os.path.basename(qdir)
+        t0 = time.monotonic()
         got = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
         if qname not in oracle:
             if len(got) > 0:
@@ -73,6 +89,7 @@ def main():
                 summary[qname] = {"rows_match": False, "schema_match": None,
                                   "hash_match": None, "err": "empty result"}
                 n_fail += 1
+            flush()
             continue
         try:
             exp = con.sql(oracle[qname]).df()
@@ -81,6 +98,7 @@ def main():
             summary[qname] = {"rows_match": False, "schema_match": False,
                               "hash_match": False, "err": f"oracle SQL error: {e}"}
             n_fail += 1
+            flush()
             continue
         gc, gr = canon(got)
         ec, er = canon(exp)
@@ -106,10 +124,14 @@ def main():
             n_pass += 1
         summary[qname] = {"rows_match": rows_match, "schema_match": schema_match,
                           "hash_match": hash_match, "err": err}
+        flush()
+        slow.append((time.monotonic() - t0, qname))
+    for dt, qname in sorted(slow, reverse=True)[:5]:
+        if dt >= 5.0:
+            print(f"  ⏱ slow oracle: {qname} {dt:.1f}s")
     print(f"PASS {n_pass} FAIL {n_fail}")
     if summary_path:
-        with open(summary_path, "w") as f:
-            json.dump(summary, f, indent=1, sort_keys=True)
+        flush()
         print(f"wrote {summary_path} ({len(summary)} queries)")
     sys.exit(1 if n_fail else 0)
 
