@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -168,10 +170,11 @@ object EventOps {
     * live in the state store and would never emit (append mode only
     * emits below the watermark). Two sentinel events for a reserved
     * user (user_id = −1, outside the fixture domain) with timestamps
-    * past every possible session end are streamed through the SAME
-    * checkpoint: the first advances the watermark past every real
-    * session, the second's batch evicts-and-emits them. The sentinel's
-    * own session stays open (never emitted) and is filtered anyway.
+    * past every possible session end ride as the LAST two source files
+    * of the same run: the first advances the watermark past every real
+    * session, the second's batch evicts-and-emits them (independent of
+    * no-data-batch semantics). The sentinel's own session stays open
+    * (never emitted) and is filtered anyway.
     *
     * The measure sums `value` as DECIMAL(18,2): session state merges
     * re-associate additions in batch-arrival order, and an IEEE double
@@ -183,10 +186,12 @@ object EventOps {
     * watermark passes them, and per-batch work is O(batch + touched
     * sessions), never a history re-scan or a driver collect.
     *
-    * @param onPhase observability hook for specs: called with
-    *   ("closed_before_flush", n) after the main run — pinning that the
-    *   file sink really did emit incrementally — and
-    *   ("flushed_total", n) after the sentinel flush.
+    * @param onPhase observability hook for specs, derived from the file
+    *   sink's own `_spark_metadata` commit log after the run:
+    *   ("emit_batches", k) = number of micro-batches that committed ≥1
+    *   data file — k ≥ 2 pins that closed sessions were emitted
+    *   INCREMENTALLY as the watermark passed them, not re-materialized
+    *   at the end — and ("flushed_total", n) = total emitted rows.
     */
   def streamSessionizeFromBatch(
       spark: SparkSession,
@@ -200,12 +205,16 @@ object EventOps {
     val ckptDir = base.resolve("ckpt").toString
     java.nio.file.Files.createDirectories(srcDir)
     try {
-      // Time-range shatter: cut points from ts quantiles; every event of
-      // a range lands in ONE file, files written (and mod-timed) in
-      // ascending time order so the source replays a monotone stream.
-      val bounds = events.select(col("ts").cast("long").as("t"))
-        .stat.approxQuantile("t", (1 until nFiles).map(_.toDouble / nFiles).toArray, 0.0)
-        .distinct.sorted
+      // Time-range shatter: cut points from EXACT ts quantiles (the 1.0
+      // quantile doubles as max ts for the sentinels — one job); every
+      // event of a range lands in ONE file, files written (and
+      // mod-timed) in ascending time order so the source replays a
+      // monotone stream.
+      val qs = events.select(col("ts").cast("long").as("t"))
+        .stat.approxQuantile("t",
+          (1 until nFiles).map(_.toDouble / nFiles).toArray :+ 1.0, 0.0)
+      val maxTs = qs.last.toLong
+      val bounds = qs.init.distinct.sorted
       val tsLong = col("ts").cast("long")
       val ranges: Seq[org.apache.spark.sql.Column] = {
         val lows = Double.NegativeInfinity +: bounds
@@ -216,47 +225,18 @@ object EventOps {
         }.toSeq
       }
       val t0 = java.nio.file.Files.getLastModifiedTime(srcDir).toMillis
+      val schema = events.schema
       ranges.zipWithIndex.foreach { case (pred, i) =>
         val f = srcDir.resolve(f"batch_$i%04d.parquet")
         writeSingleParquet(spark, events.filter(pred), f.toString)
         java.nio.file.Files.setLastModifiedTime(f,
           java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
       }
-      val schema = spark.read.parquet(srcDir.toString).schema
-      def runStream(): Unit = {
-        val q = spark.readStream
-          .schema(schema)
-          .option("pathGlobFilter", "*.parquet")
-          .option("maxFilesPerTrigger", 1)
-          .option("latestFirst", "false")
-          .parquet(srcDir.toString)
-          .withWatermark("ts", gap)
-          .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast("decimal(18,2)")).as("sum_value_dec"))
-          .writeStream
-          .outputMode("append")
-          .format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", ckptDir)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      runStream() // main run: closed sessions land incrementally
-      // (schema-inference fails when the sink committed zero rows — a
-      // legitimate outcome for a tiny fixture whose sessions all end
-      // within one gap of the stream's end)
-      val closedBeforeFlush =
-        try spark.read.parquet(outDir).count() catch { case _: Exception => 0L }
-      onPhase("closed_before_flush", closedBeforeFlush)
-      // Sentinel flush through the SAME checkpoint: two events far past
-      // every possible session end (max ts + gap + watermark + margin);
-      // batch 1 advances the watermark, batch 2 evicts-and-emits.
-      val maxTs = events.agg(max(tsLong)).head().getLong(0)
-      val gapSec = org.apache.spark.sql.catalyst.util.IntervalUtils
+      // Sentinels LAST in modification-time order (the source replays
+      // oldest-first): watermark-advance then evict-and-emit.
+      val gapIv = org.apache.spark.sql.catalyst.util.IntervalUtils
         .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-      val gapSeconds = gapSec.days * 86400L + gapSec.microseconds / 1000000L
+      val gapSeconds = gapIv.days * 86400L + gapIv.microseconds / 1000000L
       import spark.implicits._
       Seq(0, 1).foreach { i =>
         val sentinelTs = maxTs + 3 * gapSeconds + 3600L * (i + 1)
@@ -269,7 +249,49 @@ object EventOps {
         java.nio.file.Files.setLastModifiedTime(f,
           java.nio.file.attribute.FileTime.fromMillis(t0 + (nFiles + i) * 1000L))
       }
-      runStream() // flush run: evicts every real session
+      // The stream runs on a CLONED session with few shuffle partitions:
+      // the session_window state store commits one delta per partition
+      // per micro-batch, and at the fixture's ~10² open sessions the
+      // default 32 partitions are pure commit overhead (6 batches × 32
+      // state files). At 100 TB the same knob goes the other way —
+      // state partitioning is sized to the OPEN-session count, fixed at
+      // the first checkpoint, which is exactly why it must not leak
+      // from a query-engine default.
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = s2.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(srcDir.toString)
+        .withWatermark("ts", gap)
+        .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value_dec"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // Incremental-emission evidence from the sink's own commit log:
+      // each _spark_metadata/<batchId> file lists the data files that
+      // batch committed (empty batches commit none).
+      val metaDir = java.nio.file.Paths.get(outDir, "_spark_metadata")
+      val emitBatches =
+        if (!java.nio.file.Files.isDirectory(metaDir)) 0L
+        else {
+          val it = java.nio.file.Files.list(metaDir)
+          try it.iterator().asScala.count { f =>
+            new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+              .contains("\"path\"")
+          }.toLong
+          finally it.close()
+        }
+      onPhase("emit_batches", emitBatches)
       val all = spark.read.parquet(outDir)
       onPhase("flushed_total", all.count())
       all

@@ -63,13 +63,10 @@ class EventOpsSpec extends GraftSpec {
         s"stream != batch with a $n-file split")
       // the scale-correct sink shape (r18 verdict #5): closed sessions
       // are emitted INCREMENTALLY under the watermark (append mode to a
-      // file sink — not re-materialized at the end), and the sentinel
-      // flush emits exactly the remainder
-      val closed = phases("closed_before_flush")
-      assert(closed > 0,
-        s"append-mode sink must emit closed sessions before the flush (n=$n)")
-      assert(closed < total,
-        s"some sessions must still be open at source drain (n=$n)")
+      // file sink, ≥2 distinct micro-batches committing data — not one
+      // big re-materialization at the end), and nothing is lost
+      assert(phases("emit_batches") >= 2,
+        s"append-mode sink must emit across multiple micro-batches (n=$n)")
       assert(phases("flushed_total") >= total,
         "the flush emits every remaining real session (+ nothing lost)")
     }
