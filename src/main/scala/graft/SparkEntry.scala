@@ -5872,8 +5872,12 @@ object SparkEntry {
     // the view re-aggregates the partials. The oracle is the direct
     // bulk join groupBy: stream == batch pinned per value.
     "agg_stream_join_maintain" -> ((s, dir) => {
+      // the fact stream is pre-projected to the consumed columns —
+      // source-side column pruning, exactly what the parquet scan of a
+      // real stream would push down
       trackCheckpoint(graft.streaming.AggMaintenance.maintainJoinFromBatch(
-        s, Tables.lineitem(s, dir),
+        s, Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linestatus"),
+          col("l_linenumber"), col("l_quantity")),
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
         col("l_orderkey") === col("o_orderkey"),
         Seq("o_orderpriority", "l_linestatus"),
@@ -5895,7 +5899,9 @@ object SparkEntry {
         when(col("o_orderkey") % 97 === 0, lit("9-RECLASSIFIED"))
           .otherwise(col("o_orderpriority")))
       trackCheckpoint(graft.streaming.AggMaintenance.maintainJoinWithDimUpdate(
-        s, Tables.lineitem(s, dir), dimV1, dimV2,
+        s, Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linestatus"),
+          col("l_linenumber"), col("l_quantity")),
+        dimV1, dimV2,
         factKey = "l_orderkey", dimKey = "o_orderkey",
         dimGroupCols = Seq("o_orderpriority"), factGroupCols = Seq("l_linestatus"),
         lineitemMeasures("l_linenumber", "sum_ln")))
