@@ -8609,7 +8609,11 @@ object SparkEntry {
          |lp AS (SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
          |    round(sum(tf * ln(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE))) / dl, 4) AS lp4
          |  FROM post JOIN ctf USING (term) CROSS JOIN tot GROUP BY doc_id, dl),
-         |tc AS (SELECT lp.doc_id, d.lang, lp.n_tokens, lp.lp4,
+         |-- MATERIALIZED: tc is referenced inside the recursive member,
+         |-- and DuckDB would otherwise re-evaluate the whole
+         |-- tok->post->ctf->lp chain on EVERY recursion step (~80 s of
+         |-- the oracle pass for a ~1 s query)
+         |tc AS MATERIALIZED (SELECT lp.doc_id, d.lang, lp.n_tokens, lp.lp4,
          |    row_number() OVER (PARTITION BY d.lang ORDER BY lp.lp4 DESC, lp.doc_id) AS rn
          |  FROM lp JOIN documents d USING (doc_id)),
          |s AS (
@@ -9993,7 +9997,10 @@ object SparkEntry {
 
     // k-center replay: 8 generated greedy rounds — each round picks
     // argmax of the running min fixed-point distance, then folds the
-    // pick into the running min with least().
+    // pick into the running min with least(). Every CTE MATERIALIZED
+    // (like the greedi sibling): each m_i is referenced twice, so
+    // DuckDB's default inlining re-evaluates the m-chain exponentially
+    // — this row alone cost 64 s of the oracle pass before the hint.
     "corpus_coreset_kcenter" -> {
       def fp(a: String, b: String): String =
         s"CAST(round(list_sum(list_transform(range(1, len($a)+1), " +
@@ -10004,18 +10011,18 @@ object SparkEntry {
         val seen = (0 until i).map { j =>
           if (j == 0) "SELECT vec_id FROM s0" else s"SELECT vec_id FROM p$j"
         }.mkString(" UNION ALL ")
-        s"""p$i AS (SELECT m.vec_id, m.embedding, m.md FROM m${i - 1} m
+        s"""p$i AS MATERIALIZED (SELECT m.vec_id, m.embedding, m.md FROM m${i - 1} m
            |  WHERE m.vec_id NOT IN ($seen)
            |  ORDER BY m.md DESC, m.vec_id LIMIT 1),
-           |m$i AS (SELECT m.vec_id, m.embedding, least(m.md, ${fp("m.embedding", "p.embedding")}) AS md
+           |m$i AS MATERIALIZED (SELECT m.vec_id, m.embedding, least(m.md, ${fp("m.embedding", "p.embedding")}) AS md
            |  FROM m${i - 1} m, p$i p)""".stripMargin
       }.mkString(",\n")
       val out = (0 until k).map { i =>
         if (i == 0) "SELECT CAST(0 AS BIGINT) AS step, vec_id, CAST(0 AS BIGINT) AS radius_fp FROM s0"
         else s"SELECT CAST($i AS BIGINT), vec_id, md FROM p$i"
       }.mkString("\nUNION ALL ")
-      s"""WITH s0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
-         |m0 AS (SELECT e.vec_id, e.embedding, ${fp("e.embedding", "s.embedding")} AS md
+      s"""WITH s0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+         |m0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, ${fp("e.embedding", "s.embedding")} AS md
          |       FROM embeddings e, s0 s),
          |$rounds
          |$out
