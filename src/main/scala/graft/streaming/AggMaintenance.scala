@@ -299,14 +299,26 @@ object AggMaintenance {
     val changedOld = oldDim.exceptAll(newDim)
     val changedNew = newDim.exceptAll(oldDim)
     // every dim-attribute group a changed key contributed to, under
-    // either version — the view rows outside this set are untouchable
-    val touchedAttrs = changedOld.select(attrs: _*)
-      .unionByName(changedNew.select(attrs: _*)).distinct()
-    val kept = view.join(broadcast(touchedAttrs), dimGroupCols, "left_anti")
+    // either version — the view rows outside this set are untouchable.
+    // Membership checks use NULL-SAFE equality: a NULL dim attribute is
+    // a legitimate GROUP BY group, and a plain equi-join would silently
+    // classify its rows as untouched (anti) / never recompute them
+    // (semi).
+    val touchedAttrs = broadcast(
+      changedOld.select(attrs: _*)
+        .unionByName(changedNew.select(attrs: _*)).distinct()
+        // fresh attribute ids: the union's output would otherwise carry
+        // oldDim's exprIds, colliding with a view computed over the
+        // same dim lineage
+        .toDF(dimGroupCols.map("__touched_" + _): _*))
+    def touchedCond(left: DataFrame) =
+      dimGroupCols.map(c => left(c) <=> touchedAttrs("__touched_" + c))
+        .reduce(_ && _)
+    val kept = view.join(touchedAttrs, touchedCond(view), "left_anti")
     // recompute the touched groups: ALL new-dim keys in a touched
     // attribute group participate (unchanged keys sharing the group
     // still contribute their partials)
-    val touchedDim = newDim.join(broadcast(touchedAttrs), dimGroupCols, "left_semi")
+    val touchedDim = newDim.join(touchedAttrs, touchedCond(newDim), "left_semi")
     val recomputed = viewOverDim(partials, touchedDim, factKey, dimKey,
       dimGroupCols, factGroupCols, measures)
     kept.unionByName(recomputed)
