@@ -5801,6 +5801,46 @@ object SparkEntry {
       res.withColumn("rewrite_fired", lit(firedNow))
     }),
 
+    // PK-DISTINCT ELIMINATION: `dropDuplicates(primary key)` — the
+    // dedup-before-load guard rail every ETL layer runs — is the
+    // IDENTITY under the verified unique + NULL-free key, so the whole
+    // dedup SHUFFLE is deleted (by our batch it is an
+    // Aggregate(keys, keys ++ First(...)); the rewrite unwraps it to a
+    // Project). The pin: exactly ONE Aggregate remains in the plan —
+    // the query's own groupBy — where the unrewritten plan carries two.
+    // At 100 TB this is a full shuffle of the table for nothing when
+    // the constraint holds.
+    "pk_planner_distinct" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      val (res, firedNow) = graft.plans.PlannerPin.pinned(() =>
+        Tables.orders(s, dir).dropDuplicates("o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price")),
+        graft.plans.PlannerPin.singleAggregate,
+        () => graft.plans.ConstraintRewrite.resetPlanCaches())
+      trackCheckpoint(res.localCheckpoint(true))
+        .withColumn("rewrite_fired", lit(firedNow)).orderBy("o_orderpriority")
+    }),
+
+    // COUNT(DISTINCT pk) → COUNT(pk): under the verified unique key the
+    // distinct-aggregate machinery (per-group dedup of the key set — at
+    // scale a second shuffle-wide pass) folds to a plain count. The pin
+    // hashes that no isDistinct aggregate survived in the plan; the
+    // oracle RUNS the real COUNT(DISTINCT) in DuckDB.
+    "pk_planner_count_distinct" -> ((s, dir) => {
+      sharedFkConstraints(s, dir) // verify+register once per (session, dir)
+      val (res, firedNow) = graft.plans.PlannerPin.pinned(() =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count_distinct(col("o_orderkey")).as("n_orders"),
+            count(lit(1)).as("n")),
+        graft.plans.PlannerPin.noDistinctAggregate,
+        () => graft.plans.ConstraintRewrite.resetPlanCaches())
+      trackCheckpoint(res.localCheckpoint(true))
+        .withColumn("rewrite_fired", lit(firedNow)).orderBy("o_orderpriority")
+    }),
+
     // THE CHAIN: join elimination EXPOSES the bare fact-table groupBy
     // to the MV rewrite inside the same optimizer fixed point —
     // fact ⋈ dim groupBy answered with NEITHER table scanned (the
@@ -7574,6 +7614,25 @@ object SparkEntry {
       """SELECT count(*) AS n_orphans, TRUE AS rewrite_fired
         |FROM lineitem
         |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
+
+    // PK-distinct replay: the oracle RUNS the per-key dedup the
+    // optimizer proved to be the identity (arbitrary-row-per-key equals
+    // every-row when the key is unique, so arg_min is exact here).
+    "pk_planner_distinct" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  TRUE AS rewrite_fired
+        |FROM (SELECT arg_min(o_orderpriority, o_orderkey) AS o_orderpriority,
+        |             arg_min(o_totalprice, o_orderkey) AS o_totalprice
+        |      FROM orders GROUP BY o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // COUNT(DISTINCT pk) replay: the oracle RUNS the real distinct
+    // count the optimizer folded to a plain count.
+    "pk_planner_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        |  count(*) AS n, TRUE AS rewrite_fired
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // SQL-chain replay: identical contract to fk_planner_chain from a
     // raw SQL string.

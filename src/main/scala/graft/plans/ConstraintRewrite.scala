@@ -4,6 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -99,8 +100,14 @@ object ConstraintRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** A verified unique key: no duplicate non-NULL value in `keyCol` of
     * the parquet at `dimPath` (checked by [[registerUnique]]).
+    * `noNulls` records whether the column was ALSO verified NULL-free —
+    * distinct-elimination needs it (NULL keys may repeat under a
+    * uniqueness claim, and DISTINCT would collapse them), while the
+    * join eliminations and the COUNT(DISTINCT) fold do not (a NULL key
+    * never matches a join and is ignored by COUNT).
     */
-  final case class UniqueSpec(session: SparkSession, keyCol: String)
+  final case class UniqueSpec(session: SparkSession, keyCol: String,
+      noNulls: Boolean)
 
   /** A verified foreign key: every `factCol` value in the parquet at
     * `factPath` is non-NULL and present in `dimCol` of `dimPath`
@@ -128,12 +135,13 @@ object ConstraintRewrite extends Rule[LogicalPlan] with PredicateHelper {
     */
   def registerUnique(spark: SparkSession, dimPath: String, keyCol: String): Unit = {
     val dim = spark.read.parquet(dimPath)
-    val r = dim.selectExpr(s"count($keyCol) AS n", s"count(DISTINCT $keyCol) AS nd").head()
-    require(r.getLong(0) == r.getLong(1),
-      s"registerUnique refused: $dimPath.$keyCol has ${r.getLong(0) - r.getLong(1)} " +
+    val r = dim.selectExpr("count(*) AS total", s"count($keyCol) AS n",
+      s"count(DISTINCT $keyCol) AS nd").head()
+    require(r.getLong(1) == r.getLong(2),
+      s"registerUnique refused: $dimPath.$keyCol has ${r.getLong(1) - r.getLong(2)} " +
         "duplicate non-NULL values")
     val key = normalize(dimPath)
-    uniques.put(key, UniqueSpec(spark, keyCol))
+    uniques.put(key, UniqueSpec(spark, keyCol, noNulls = r.getLong(0) == r.getLong(1)))
     try sigs.put(key, sourceSignature(spark, dimPath))
     catch { case _: Exception => sigs.remove(key) }
     staleChecks.remove(key)
@@ -450,6 +458,110 @@ object ConstraintRewrite extends Rule[LogicalPlan] with PredicateHelper {
           !pathIsStale(fk.session, factPath, factPath))
     }
 
+  // ---- uniqueness-driven DISTINCT elimination / COUNT(DISTINCT) fold -----
+
+  /** `attr` traces by exprId to a registered verified-unique scan
+    * through a MULTIPLICITY-PRESERVING path: only operators that can
+    * never give one source row two descendants — Filter, Project, Sort,
+    * Limit — sit between the scan and `plan`'s root. A Join below can
+    * replicate key values (many fact rows per dim key), a Union merges
+    * other children's values under the head child's exprIds, Expand and
+    * Generate manufacture copies — any of those voids "each `attr`
+    * value appears on at most one row" and declines. When
+    * `needNoNulls`, the claim must also have verified the column
+    * NULL-free (NULLs may repeat under a uniqueness claim).
+    */
+  private def uniqueOrigin(plan: LogicalPlan, attr: AttributeReference,
+      cur: Option[SparkSession], needNoNulls: Boolean): Boolean = {
+    @annotation.tailrec
+    def leafOf(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case Filter(_, c) => leafOf(c)
+      case Project(_, c) => leafOf(c)
+      case s: Sort => leafOf(s.child)
+      case gl: GlobalLimit => leafOf(gl.child)
+      case ll: LocalLimit => leafOf(ll.child)
+      case l: LogicalRelation => Some(l)
+      case _ => None
+    }
+    leafOf(plan).exists { leaf =>
+      leaf.outputSet.contains(attr) && pathOf(leaf).exists { path =>
+        uniques.get(path).exists { u =>
+          u.keyCol == attr.name &&
+            (!needNoNulls || u.noNulls) &&
+            (!u.session.sparkContext.isStopped || { dropClaimsOn(path); false }) &&
+            cur.exists(_ eq u.session) &&
+            !pathIsStale(u.session, path, path)
+        }
+      }
+    }
+  }
+
+  /** DISTINCT / dropDuplicates over a verified unique + NULL-free key
+    * is the IDENTITY: by our batch ReplaceDeduplicateWithAggregate has
+    * lowered both to `Aggregate(keys, keys ++ First(other cols), child)`
+    * (plain DISTINCT has no First entries), and when some grouping key
+    * is unique-per-row every group holds exactly one row — the whole
+    * hash/sort dedup SHUFFLE is deleted, leaving a Project that unwraps
+    * the Firsts under their original exprIds. The PK-dedup guard rail
+    * ("dedup by primary key before loading") is warehouse-ubiquitous
+    * and at 100 TB is a full shuffle of the table for nothing when the
+    * constraint holds.
+    */
+  private def tryDistinctElim(a: Aggregate, cur: Option[SparkSession])
+      : Option[LogicalPlan] = {
+    val groupAttrs = a.groupingExpressions.flatMap {
+      case attr: AttributeReference => Some(attr)
+      case _ => None
+    }
+    if (groupAttrs.size != a.groupingExpressions.size || groupAttrs.isEmpty) return None
+    // every output is a grouping attr or a First over a child column
+    val projList: Option[Seq[NamedExpression]] =
+      a.aggregateExpressions.foldLeft(Option(Vector.empty[NamedExpression])) {
+        case (Some(acc), attr: AttributeReference) if groupAttrs.contains(attr) =>
+          Some(acc :+ attr)
+        case (Some(acc), al @ Alias(AggregateExpression(
+            org.apache.spark.sql.catalyst.expressions.aggregate.First(c, _),
+            _, false, None, _), name)) if c.references.subsetOf(a.child.outputSet) =>
+          Some(acc :+ Alias(c, name)(al.exprId, al.qualifier, al.explicitMetadata))
+        case _ => None
+      }
+    for {
+      proj <- projList
+      if groupAttrs.exists(k => uniqueOrigin(a.child, k, cur, needNoNulls = true))
+    } yield {
+      fired.incrementAndGet()
+      logInfo("graft constraint rewrite: DISTINCT over a verified unique " +
+        "NULL-free key is the identity — dedup shuffle eliminated")
+      Project(proj, a.child)
+    }
+  }
+
+  /** `COUNT(DISTINCT k)` over a verified unique key is `COUNT(k)`:
+    * COUNT ignores NULLs on both sides and the claim makes non-NULL
+    * values pairwise distinct (globally, hence within any group). The
+    * fold deletes the distinct-aggregate machinery — at scale the
+    * per-group dedup pass over the fact table.
+    */
+  private def tryCountDistinctFold(a: Aggregate, cur: Option[SparkSession])
+      : Option[Aggregate] = {
+    var folded = 0
+    val newAggs = a.aggregateExpressions.map(_.transform {
+      case ae @ AggregateExpression(
+          org.apache.spark.sql.catalyst.expressions.aggregate.Count(
+            Seq(c: AttributeReference)), _, true, None, _)
+          if uniqueOrigin(a.child, c, cur, needNoNulls = false) =>
+        folded += 1
+        ae.copy(isDistinct = false)
+    }.asInstanceOf[NamedExpression])
+    if (folded == 0) None
+    else {
+      fired.addAndGet(folded.toLong)
+      logInfo(s"graft constraint rewrite: $folded COUNT(DISTINCT) over a verified " +
+        "unique key folded to plain COUNT — distinct-aggregate machinery deleted")
+      Some(a.copy(aggregateExpressions = newAggs))
+    }
+  }
+
   /** `EXISTS (dim WHERE dim.k = fact.fk)` — the pre-subquery-rewrite
     * form of the semi join ([[org.apache.spark.sql.catalyst.expressions.Exists]]
     * with the correlated predicate pulled up into joinCond) — is TRUE
@@ -556,28 +668,36 @@ object ConstraintRewrite extends Rule[LogicalPlan] with PredicateHelper {
             logWarning(s"graft constraint rewrite failed; keeping the exact plan: ${e.getMessage}")
             p
         }
-      // The bare `Aggregate(Join)` shape (r18 verdict #7): column pruning
-      // usually inserts a Project between the groupBy and the join, but a
-      // grouped query that reads every fact column reaches the batch with
-      // the Aggregate DIRECTLY over the Join — the aggregate's own
-      // references (grouping + aggregate expressions) play the Project
-      // role in the "no dim column outlives the join" proof.
-      case a: Aggregate => a.child match {
-        case Join(l, r, jt, Some(cond), _) =>
-          try {
-            val refs = AttributeSet(
-              (a.groupingExpressions ++ a.aggregateExpressions).flatMap(_.references))
-            eliminateUnder(refs, l, r, jt, cond, cur) match {
-              case Some(factSide) => a.withNewChildren(Seq(factSide))
-              case None => a
-            }
-          } catch {
-            case e: Exception =>
-              logWarning(s"graft constraint rewrite failed; keeping the exact plan: ${e.getMessage}")
-              a
+      // Aggregate shapes, tried in order:
+      //  1. the bare `Aggregate(Join)` join elimination (r18 verdict #7:
+      //     column pruning usually inserts a Project between the groupBy
+      //     and the join, but a grouped query reading every fact column
+      //     reaches the batch with the Aggregate DIRECTLY over the Join —
+      //     the aggregate's own references play the Project role in the
+      //     "no dim column outlives the join" proof);
+      //  2. DISTINCT elimination over a verified unique NULL-free key;
+      //  3. the COUNT(DISTINCT unique key) → COUNT fold.
+      case a0: Aggregate =>
+        try {
+          val a = a0.child match {
+            case Join(l, r, jt, Some(cond), _) =>
+              val refs = AttributeSet(
+                (a0.groupingExpressions ++ a0.aggregateExpressions).flatMap(_.references))
+              eliminateUnder(refs, l, r, jt, cond, cur) match {
+                case Some(factSide) =>
+                  a0.withNewChildren(Seq(factSide)).asInstanceOf[Aggregate]
+                case None => a0
+              }
+            case _ => a0
           }
-        case _ => a
-      }
+          tryDistinctElim(a, cur)
+            .orElse(tryCountDistinctFold(a, cur))
+            .getOrElse(a)
+        } catch {
+          case e: Exception =>
+            logWarning(s"graft constraint rewrite failed; keeping the exact plan: ${e.getMessage}")
+            a0
+        }
     }
   }
 

@@ -96,6 +96,26 @@ object PlannerPin {
   def aggSpliced(factPaths: Seq[String])(plan: LogicalPlan): Boolean =
     factPaths.forall(p => !scansPath(plan, p))
 
+  /** PK-distinct pin: the dedup Aggregate was eliminated, so exactly
+    * one Aggregate (the query's own groupBy) remains in the plan — the
+    * dropDuplicates shuffle is gone.
+    */
+  def singleAggregate(plan: LogicalPlan): Boolean =
+    plan.collect { case a: Aggregate => a }.size == 1
+
+  /** COUNT(DISTINCT) pin: no aggregate expression in the plan still
+    * carries isDistinct — the fold replaced them all with plain COUNT.
+    */
+  def noDistinctAggregate(plan: LogicalPlan): Boolean =
+    !plan.exists {
+      case a: Aggregate => a.aggregateExpressions.exists(_.exists {
+        case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+          ae.isDistinct
+        case _ => false
+      })
+      case _ => false
+    }
+
   /** build → inspect → retry-once-on-miss. Returns the DataFrame whose
     * OWN QueryExecution was inspected — the caller must execute THAT
     * dataset (e.g. `localCheckpoint(true)`) so the pin stays causally

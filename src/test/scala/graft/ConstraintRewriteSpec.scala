@@ -352,6 +352,81 @@ class ConstraintRewriteSpec extends GraftSpec {
     ConstraintRewrite.clear()
   }
 
+  test("PK-distinct elimination: identity under a unique NULL-free key; NULL-able/unproven keys decline") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate}
+    ConstraintRewrite.clear()
+    def nAggs(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case a: LAggregate => a
+    }.size
+    def dedupQ = Tables.orders(spark, sfDir).dropDuplicates("o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), max($"o_totalprice").as("max_p"))
+    assert(nAggs(dedupQ) === 2, "without the claim, the dedup Aggregate stays")
+    val expected = rows(dedupQ)
+    ConstraintRewrite.registerUnique(spark, ordPath, "o_orderkey")
+    spark.experimental.extraOptimizations = Seq(ConstraintRewrite)
+    try {
+      val df = dedupQ
+      assert(nAggs(df) === 1, "the dedup shuffle must be eliminated (one Aggregate left)")
+      assert(rows(df) === expected, "elimination must not change any row")
+      // decline: a non-unique key keeps its dedup Aggregate
+      val nonUnique = Tables.lineitem(spark, sfDir).dropDuplicates("l_orderkey")
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      assert(nAggs(nonUnique) === 2, "no claim on l_orderkey: dedup must stay")
+      // decline: a unique-but-NULLABLE key — NULL keys may repeat, and
+      // DISTINCT collapses them, so the identity claim does not hold
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pk_nulls").toString
+      Seq(Some(1L), Some(2L), None, None).toDF("k")
+        .withColumn("v", lit("x")).write.mode("overwrite").parquet(tmp)
+      ConstraintRewrite.registerUnique(spark, tmp, "k") // passes: non-NULLs unique
+      val nullable = spark.read.parquet(tmp).dropDuplicates("k")
+        .agg(count(lit(1)).as("n"))
+      assert(nAggs(nullable) === 2, "a NULL-able unique key must decline")
+      assert(nullable.head().getLong(0) === 3L,
+        "…because DISTINCT collapses the repeated NULL keys (4 rows → 3)")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      ConstraintRewrite.clear()
+    }
+  }
+
+  test("COUNT(DISTINCT unique key) folds to COUNT; non-unique keys and join-duplicated keys decline") {
+    ConstraintRewrite.clear()
+    // single-distinct shape only: Spark's own RewriteDistinctAggregates
+    // rewrites MULTI-distinct aggregates into the Expand form (no
+    // isDistinct left) regardless of this rule, so the observable pin
+    // lives on the single-distinct plan
+    def hasDistinct(df: DataFrame) =
+      !graft.plans.PlannerPin.noDistinctAggregate(df.queryExecution.optimizedPlan)
+    def cdQ(keyCol: String) = Tables.orders(spark, sfDir).groupBy($"o_orderpriority")
+      .agg(count_distinct(col(keyCol)).as("nd"), count(lit(1)).as("n"))
+    assert(hasDistinct(cdQ("o_orderkey")), "without the claim the DISTINCT stays")
+    val expected = cdQ("o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    ConstraintRewrite.registerUnique(spark, ordPath, "o_orderkey")
+    spark.experimental.extraOptimizations = Seq(ConstraintRewrite)
+    try {
+      val folded = cdQ("o_orderkey")
+      assert(!hasDistinct(folded), "COUNT(DISTINCT unique key) folds to plain COUNT")
+      val got = folded.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(got === expected, "the fold must not change any value")
+      // decline: a column without the claim keeps its DISTINCT
+      assert(hasDistinct(cdQ("o_custkey")), "o_custkey carries no claim")
+      // decline: below a join the key is duplicated per matching fact
+      // row — multiplicity is no longer 1 and the fold would be wrong
+      val joined = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count_distinct($"o_orderkey").as("nd"), count(lit(1)).as("n"))
+      assert(hasDistinct(joined), "a join below the key voids the multiplicity proof")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      ConstraintRewrite.clear()
+    }
+  }
+
   test("claims are session-owned: a claim verified elsewhere is no proof here") {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
