@@ -270,6 +270,17 @@ class AggRewriteSpec extends GraftSpec {
         ordV1, ordV1, "l_orderkey", "o_orderkey", Seq("o_orderpriority"),
         Seq("l_linestatus"), measures)
       assert(rowsOf(noop) === rowsOf(v1))
+      // SCD deletes + inserts ride the same diff: delete every 113th
+      // order (its fact rows must vanish from the view, like the bulk
+      // inner join) and insert a fresh key no fact references (no view
+      // row may appear for it)
+      val ordV3 = ordV1.filter($"o_orderkey" % 113 =!= 0)
+        .unionByName(Seq((-5L, "0-NEW")).toDF("o_orderkey", "o_orderpriority"))
+      val refreshedDelIns = AggMaintenance.refreshViewForDimUpdate(v1, partials,
+        ordV1, ordV3, "l_orderkey", "o_orderkey", Seq("o_orderpriority"),
+        Seq("l_linestatus"), measures)
+      assert(rowsOf(refreshedDelIns) === bulk(ordV3),
+        "delete/insert refresh != bulk join over the edited dim")
     } finally {
       val p = new org.apache.hadoop.fs.Path(base.toString)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
