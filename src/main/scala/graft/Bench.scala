@@ -180,9 +180,15 @@ object Bench {
     // SPARK_GRAFT_BENCH_SERIAL_PASSES=3 so bench_drift compares against
     // a min that a loaded-host run can only meet, not undercut; the
     // driver's default stays 1 pass to keep its budget).
-    val serialPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERIAL_PASSES", "1").toInt
+    // Effective pass count clamped ONCE and reused in the loop and the
+    // note (r19 ADVICE: env "0" used to run 1 pass but record "0
+    // pass(es)"); a non-numeric value falls back to the default rather
+    // than crashing the whole bench.
+    val serialPasses = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_SERIAL_PASSES")
+        .flatMap(_.toIntOption).getOrElse(1))
     val serialPass = if (!serialSidecar) None else {
-      val passes = (1 to math.max(1, serialPasses)).map(_ => runPass(sfDir, serial = true))
+      val passes = (1 to serialPasses).map(_ => runPass(sfDir, serial = true))
       val minTimes = SparkEntry.queries.keys.map { n =>
         val ok = passes.flatMap(_._2.get(n)).filter(_ >= 0)
         n -> (if (ok.nonEmpty) ok.min else -1.0)
@@ -209,7 +215,7 @@ object Bench {
     }.getOrElse("")
     val detail = s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""threads":$threads,"passes":${results.size},"pass_walls":$passWalls,"sum_queries":$sumQ$serialJson,""" +
-      s""""note":"value = min suite wall over ${results.size} passes at ${threads}-way concurrency, after one unmeasured full-suite warm-up pass${warmDir.map(d => s" at $d").getOrElse("")} (min is stall-robust on this intermittently-frozen host); per-query = min across passes; sum_queries = per-query sum (upper bound on serial cost); serial_queries = per-query min over ${sys.env.getOrElse("SPARK_GRAFT_BENCH_SERIAL_PASSES", "1")} contention-free sequential pass(es) (separates host noise from plan cost)"}"""
+      s""""note":"value = min suite wall over ${results.size} passes at ${threads}-way concurrency, after one unmeasured full-suite warm-up pass${warmDir.map(d => s" at $d").getOrElse("")} (min is stall-robust on this intermittently-frozen host); per-query = min across passes; sum_queries = per-query sum (upper bound on serial cost); serial_queries = per-query min over $serialPasses contention-free sequential pass(es) (separates host noise from plan cost)"}"""
     // Per-query detail goes to a sidecar file AND an early stdout line;
     // the driver's parser reads only the LAST stdout line through a
     // 2,000-char tail window, so the final line must stay tiny (the

@@ -1037,6 +1037,46 @@ object SparkEntry {
     (trackCheckpoint(df.localCheckpoint(true)), fired)
   }
 
+  /** Serializes every batch-ANN cost-gate opt-in window (r19 ADVICE,
+    * high): the gate `spark.graft.ann.batchRewrite.minScanBytes` is a
+    * SESSION-GLOBAL conf, and Verify/Bench run queries on a shared
+    * session from a thread pool. Without the lock, two concurrent
+    * windows can interleave set("0")/restore so that (a) a sibling's
+    * restore lands mid-plan and its rewrite declines (a spurious
+    * rewrite_fired=false in graded parquet), or (b) the saved `prev`
+    * values cross and "0" leaks permanently into the session. The
+    * window covers plan + eager execution (pinnedAnn's localCheckpoint)
+    * of six small top-k queries — serializing them costs a few seconds
+    * and makes every graded rewrite_fired value interleaving-free.
+    */
+  private val annBatchGateLock = new Object
+
+  /** Opens the batch-rewrite cost gate for `body`, atomically
+    * (set/plan/execute/restore all under [[annBatchGateLock]]).
+    */
+  private def withBatchGate[A](s: SparkSession)(body: => A): A =
+    annBatchGateLock.synchronized {
+      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
+      val prev = s.conf.getOption(gate)
+      s.conf.set(gate, "0")
+      try body finally prev match {
+        case Some(v) => s.conf.set(gate, v)
+        case None => s.conf.unset(gate)
+      }
+    }
+
+  /** The queries whose plans run under [[withBatchGate]]'s session-conf
+    * opt-in. Verify runs these in its SERIAL PRELUDE (alongside the
+    * cache builders) so no pooled query ever plans inside an open gate
+    * window — the lock alone already prevents cross-window corruption,
+    * but the prelude additionally keeps the default-gated queries'
+    * plans byte-identical to a sequential run.
+    */
+  val gateMutatingQueries: Set[String] = Set(
+    "ann_planner_rewrite_multi", "ann_planner_filtered_multi",
+    "ann_planner_cosine_multi", "ann_planner_cosine_filtered_multi",
+    "ann_planner_ip_multi", "ann_planner_ip_filtered_multi")
+
   /** The agg-MV twin of [[pinnedAnn]]: fired == every fact path is gone
     * from the plan's scan leaves (the rewrite replaces the scan rather
     * than splicing next to it).
@@ -4876,22 +4916,18 @@ object SparkEntry {
     // lowering spark.graft.ann.batchRewrite.minScanBytes around its own
     // materialization only — every other KnnExact query in the session
     // keeps its pinned plan). localCheckpoint executes UNDER the opt-in
-    // so rewrite_fired pins the accelerated plan in the hash honestly.
+    // so rewrite_fired pins the accelerated plan in the hash honestly;
+    // withBatchGate serializes the session-conf window against the
+    // other batch queries (see annBatchGateLock).
     "ann_planner_rewrite_multi" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       sharedPlannerIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
-      val prev = s.conf.getOption(gate)
-      s.conf.set(gate, "0")
-      val (res, firedNow) = try {
+      val (res, firedNow) = withBatchGate(s) {
         pinnedAnn(() => KnnExact.topK(q, emb, 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
             round(col("dist"), 4).as("dist")))
-      } finally prev match {
-        case Some(v) => s.conf.set(gate, v)
-        case None => s.conf.unset(gate)
       }
       res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
@@ -4913,16 +4949,10 @@ object SparkEntry {
       sharedPlannerIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
-      val prev = s.conf.getOption(gate)
-      s.conf.set(gate, "0")
-      val (res, firedNow) = try {
+      val (res, firedNow) = withBatchGate(s) {
         pinnedAnn(() => KnnExact.topK(q, emb.filter(col("label") === 3), 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
             round(col("dist"), 4).as("dist")))
-      } finally prev match {
-        case Some(v) => s.conf.set(gate, v)
-        case None => s.conf.unset(gate)
       }
       res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
@@ -4941,16 +4971,10 @@ object SparkEntry {
       sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
-      val prev = s.conf.getOption(gate)
-      s.conf.set(gate, "0")
-      val (res, firedNow) = try {
+      val (res, firedNow) = withBatchGate(s) {
         pinnedAnn(() => KnnExact.topKCosine(q, emb, 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
             round(col("sim"), 4).as("sim")))
-      } finally prev match {
-        case Some(v) => s.conf.set(gate, v)
-        case None => s.conf.unset(gate)
       }
       res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
@@ -4965,16 +4989,10 @@ object SparkEntry {
       sharedPlannerCosineIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
-      val prev = s.conf.getOption(gate)
-      s.conf.set(gate, "0")
-      val (res, firedNow) = try {
+      val (res, firedNow) = withBatchGate(s) {
         pinnedAnn(() => KnnExact.topKCosine(q, emb.filter(col("label") === 3), 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
             round(col("sim"), 4).as("sim")))
-      } finally prev match {
-        case Some(v) => s.conf.set(gate, v)
-        case None => s.conf.unset(gate)
       }
       res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
@@ -5032,16 +5050,10 @@ object SparkEntry {
       sharedPlannerIpIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
-      val prev = s.conf.getOption(gate)
-      s.conf.set(gate, "0")
-      val (res, firedNow) = try {
+      val (res, firedNow) = withBatchGate(s) {
         pinnedAnn(() => KnnExact.topKDot(q, emb, 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
             round(col("ip"), 4).as("ip")))
-      } finally prev match {
-        case Some(v) => s.conf.set(gate, v)
-        case None => s.conf.unset(gate)
       }
       res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
@@ -5057,16 +5069,10 @@ object SparkEntry {
       sharedPlannerIpIndex(s, dir) // build+register once per (session, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-      val gate = "spark.graft.ann.batchRewrite.minScanBytes"
-      val prev = s.conf.getOption(gate)
-      s.conf.set(gate, "0")
-      val (res, firedNow) = try {
+      val (res, firedNow) = withBatchGate(s) {
         pinnedAnn(() => KnnExact.topKDot(q, emb.filter(col("label") === 3), 10)
           .select(col("qid"), col("vec_id"), col("rk").cast("long").as("rk"),
             round(col("ip"), 4).as("ip")))
-      } finally prev match {
-        case Some(v) => s.conf.set(gate, v)
-        case None => s.conf.unset(gate)
       }
       res.withColumn("rewrite_fired", lit(firedNow)).orderBy("qid", "rk")
     }),
@@ -7104,12 +7110,23 @@ object SparkEntry {
     // scan). Top-10 SET chosen by the unrounded distance, matching the
     // Spark side's limit-before-round; rewrite_fired = TRUE pins the
     // accelerated plan.
+    //
+    // `round(x, n) + 0.0` — signed-zero normalization (r19's one red
+    // row): DuckDB's round PRESERVES the sign bit (round(-2e-17, 4) =
+    // -0.0 — here, the self-match row's true cosine distance ≈ -2e-17)
+    // while Spark's BigDecimal-backed round always lands on +0.0, and
+    // the driver's pandas-value hash distinguishes the two. IEEE
+    // `-0.0 + 0.0 = +0.0` collapses the difference; a no-op for every
+    // other value (NaN stays NaN). Applied to every rounded oracle
+    // column whose pre-round value can touch zero from below — see the
+    // signed-zero audit in docs/STATE.md; PropertySpec pins the Spark
+    // side (round can never emit -0.0).
     "ann_planner_cosine" ->
       s"""WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT c.vec_id, (1.0 - ${cosSql("q.qemb", "c.embedding")}) AS cdist
          |      FROM embeddings c, q),
          |t AS (SELECT vec_id, cdist FROM d ORDER BY d.cdist, vec_id LIMIT 10)
-         |SELECT vec_id, round(cdist, 4) AS cdist, TRUE AS rewrite_fired
+         |SELECT vec_id, round(cdist, 4) + 0.0 AS cdist, TRUE AS rewrite_fired
          |FROM t ORDER BY round(cdist, 4), vec_id""".stripMargin,
 
     // Batch×filtered-planner replay: exact filtered kNN per query (the
@@ -7133,7 +7150,7 @@ object SparkEntry {
          |d AS (SELECT c.vec_id, (1.0 - ${cosSql("q.qemb", "c.embedding")}) AS cdist
          |      FROM embeddings c, q WHERE c.label = 3),
          |t AS (SELECT vec_id, cdist FROM d ORDER BY d.cdist, vec_id LIMIT 10)
-         |SELECT vec_id, round(cdist, 4) AS cdist, TRUE AS rewrite_fired
+         |SELECT vec_id, round(cdist, 4) + 0.0 AS cdist, TRUE AS rewrite_fired
          |FROM t ORDER BY round(cdist, 4), vec_id""".stripMargin,
 
     // Batch-cosine-planner replay: the same closed-form exact cosine
@@ -7143,7 +7160,7 @@ object SparkEntry {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
          |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim FROM embeddings c, q),
          |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d)
-         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim,
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) + 0.0 AS sim,
          |  TRUE AS rewrite_fired
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
@@ -7154,7 +7171,7 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim
          |      FROM embeddings c, q WHERE c.label = 3),
          |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d)
-         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim,
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) + 0.0 AS sim,
          |  TRUE AS rewrite_fired
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
@@ -7169,7 +7186,7 @@ object SparkEntry {
          |d AS (SELECT c.vec_id, ${dotSql("q.qemb", "c.embedding")} AS ip
          |      FROM embeddings c, q),
          |t AS (SELECT vec_id, ip FROM d ORDER BY -d.ip, vec_id LIMIT 10)
-         |SELECT vec_id, round(ip, 4) AS ip, TRUE AS rewrite_fired
+         |SELECT vec_id, round(ip, 4) + 0.0 AS ip, TRUE AS rewrite_fired
          |FROM t ORDER BY round(ip, 4) DESC, vec_id""".stripMargin,
 
     // IP-filtered-planner replay: exact filtered inner-product top-10
@@ -7179,7 +7196,7 @@ object SparkEntry {
          |d AS (SELECT c.vec_id, ${dotSql("q.qemb", "c.embedding")} AS ip
          |      FROM embeddings c, q WHERE c.label = 3),
          |t AS (SELECT vec_id, ip FROM d ORDER BY -d.ip, vec_id LIMIT 10)
-         |SELECT vec_id, round(ip, 4) AS ip, TRUE AS rewrite_fired
+         |SELECT vec_id, round(ip, 4) + 0.0 AS ip, TRUE AS rewrite_fired
          |FROM t ORDER BY round(ip, 4) DESC, vec_id""".stripMargin,
 
     // Batch-ip-planner replay: the same closed-form exact MIPS as
@@ -7189,7 +7206,7 @@ object SparkEntry {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
          |d AS (SELECT q.qid, c.vec_id, ${dotSql("q.qemb", "c.embedding")} AS ip FROM embeddings c, q),
          |r AS (SELECT qid, vec_id, ip, row_number() OVER (PARTITION BY qid ORDER BY -ip, vec_id) AS rk FROM d)
-         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) AS ip,
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) + 0.0 AS ip,
          |  TRUE AS rewrite_fired
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
@@ -7200,7 +7217,7 @@ object SparkEntry {
          |d AS (SELECT q.qid, c.vec_id, ${dotSql("q.qemb", "c.embedding")} AS ip
          |      FROM embeddings c, q WHERE c.label = 3),
          |r AS (SELECT qid, vec_id, ip, row_number() OVER (PARTITION BY qid ORDER BY -ip, vec_id) AS rk FROM d)
-         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) AS ip,
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) + 0.0 AS ip,
          |  TRUE AS rewrite_fired
          |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
@@ -7225,9 +7242,9 @@ object SparkEntry {
          |    n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
          |  FROM s)
          |SELECT CAST(n AS BIGINT) AS n,
-         |  round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b0,
-         |  round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b1,
-         |  round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b2
+         |  round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) + 0.0 AS b0,
+         |  round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) + 0.0 AS b1,
+         |  round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) + 0.0 AS b2
          |FROM d""".stripMargin,
 
     // Binary-recall replay: hamming-top-50 per query → exact re-rank,
@@ -7741,13 +7758,13 @@ object SparkEntry {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
          |d AS (SELECT q.qid, c.vec_id, ${cosSql("q.qemb", "c.embedding")} AS sim FROM embeddings c, q),
          |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk FROM d)
-         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) + 0.0 AS sim FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     "knn_dot_top10" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
          |d AS (SELECT q.qid, c.vec_id, ${dotSql("q.qemb", "c.embedding")} AS ip FROM embeddings c, q),
          |r AS (SELECT qid, vec_id, ip, row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS rk FROM d)
-         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) AS ip FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(ip, 4) + 0.0 AS ip FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     // MIPS→L2 replay: the same max-norm, augmentation, and 65-dim L2
     // chain as the Spark side — every double in the same index order.
@@ -7765,7 +7782,7 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, adist, ip,
          |        row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(adist, 4) AS adist,
-         |  round(ip, 4) AS ip FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+         |  round(ip, 4) + 0.0 AS ip FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     // MIPS-over-HNSW floor: same contract as ann_hnsw_recall.
     "ann_mips_hnsw" ->
@@ -7894,7 +7911,7 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, neg_label, sim,
          |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
          |      FROM d)
-         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) AS sim, neg_label
+         |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(sim, 4) + 0.0 AS sim, neg_label
          |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
     // MMR replay: all four greedy rounds as generated CTEs. relfp /
@@ -8345,7 +8362,7 @@ object SparkEntry {
         |SELECT dim,
         |  round(CAST(sb AS DOUBLE) / 1048576.0 / nb, 6) AS mean_base,
         |  round(CAST(sc AS DOUBLE) / 1048576.0 / nc, 6) AS mean_cur,
-        |  round(CAST(sc AS DOUBLE) / 1048576.0 / nc - CAST(sb AS DOUBLE) / 1048576.0 / nb, 6) AS shift
+        |  round(CAST(sc AS DOUBLE) / 1048576.0 / nc - CAST(sb AS DOUBLE) / 1048576.0 / nb, 6) + 0.0 AS shift
         |FROM a ORDER BY dim""".stripMargin,
 
     // SemDeDup: nearest-seed assignment (exact float-array L2, ties to
@@ -8638,7 +8655,7 @@ object SparkEntry {
          |a AS (SELECT count(*) AS n,
          |        sum((rank_q - rank_lp) * (rank_q - rank_lp)) AS sd2 FROM r)
          |SELECT n, round(CAST(1 AS DOUBLE) - CAST(6 AS DOUBLE) * CAST(sd2 AS DOUBLE)
-         |  / CAST(n * (n * n - 1) AS DOUBLE), 6) AS spearman_rho
+         |  / CAST(n * (n * n - 1) AS DOUBLE), 6) + 0.0 AS spearman_rho
          |FROM a""".stripMargin,
 
     // Source overlap: DISTINCT (source, shingle) postings self-joined.
@@ -9358,7 +9375,7 @@ object SparkEntry {
          |ctf AS (SELECT term, sum(tf) AS ctf FROM post GROUP BY term),
          |tot AS (SELECT sum(ctf) AS n_total FROM ctf)
          |SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
-         |  round(sum(tf * ln(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE))) / dl, 4) AS mean_logprob
+         |  round(sum(tf * ln(CAST(ctf AS DOUBLE) / CAST(n_total AS DOUBLE))) / dl, 4) + 0.0 AS mean_logprob
          |FROM post JOIN ctf USING (term) CROSS JOIN tot
          |GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin,
 
@@ -9378,7 +9395,7 @@ object SparkEntry {
          |         sum(dbg.tf) AS nb
          |       FROM dbg JOIN big USING (a, b) JOIN uni USING (a) GROUP BY dbg.doc_id)
          |SELECT d.doc_id, CAST(coalesce(ll.nb, 0) AS BIGINT) AS n_bigrams,
-         |       round(CAST(ll.ll_fp AS DOUBLE) / 1000000.0 / ll.nb, 4) AS mean_bigram_logprob
+         |       round(CAST(ll.ll_fp AS DOUBLE) / 1000000.0 / ll.nb, 4) + 0.0 AS mean_bigram_logprob
          |FROM documents d LEFT JOIN ll USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // Stupid backoff replay: same split, same count tables, same CASE
@@ -9428,7 +9445,7 @@ object SparkEntry {
          |  CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_trigrams,
          |  CAST(coalesce(agg.n_backoff_bi, 0) AS BIGINT) AS n_backoff_bi,
          |  CAST(coalesce(agg.n_backoff_uni, 0) AS BIGINT) AS n_backoff_uni,
-         |  round(CAST(agg.ll_fp AS DOUBLE) / 1000000.0 / agg.nt, 4) AS mean_logprob
+         |  round(CAST(agg.ll_fp AS DOUBLE) / 1000000.0 / agg.nt, 4) + 0.0 AS mean_logprob
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
 
@@ -9582,7 +9599,7 @@ object SparkEntry {
          |         ln(CAST((ct + 1) * (nr + v) AS DOUBLE) / CAST((cr + 1) * (nt + v) AS DOUBLE)) AS lr
          |       FROM bt CROSS JOIN tot)
          |SELECT doc_id, is_t AS is_target, CAST(dl AS BIGINT) AS n_tokens,
-         |  round(sum(tf * lr) / dl, 4) AS logratio_per_token
+         |  round(sum(tf * lr) / dl, 4) + 0.0 AS logratio_per_token
          |FROM post JOIN lr USING (term)
          |GROUP BY doc_id, is_t, dl ORDER BY doc_id""".stripMargin,
 
@@ -9612,7 +9629,7 @@ object SparkEntry {
          |      FROM w),
          |sel AS (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 100)
          |SELECT doc_id, is_t AS is_target, CAST(dl AS BIGINT) AS n_tokens,
-         |  round(wgt, 4) AS logratio_per_token, round(gkey, 4) AS gkey
+         |  round(wgt, 4) + 0.0 AS logratio_per_token, round(gkey, 4) + 0.0 AS gkey
          |FROM sel ORDER BY doc_id""".stripMargin,
 
     "vocab_growth" ->
@@ -9642,7 +9659,7 @@ object SparkEntry {
          |r AS (SELECT query_id, doc_id, score,
          |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id ASC) AS rk
          |      FROM bscored)
-         |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk, round(score, 4) AS score
+         |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk, round(score, 4) + 0.0 AS score
          |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     "search_vsm_cosine" ->
@@ -10030,7 +10047,7 @@ object SparkEntry {
     "embed_w2v" ->
       s"""WITH wv(word, vec) AS (VALUES
          |  ${graft.W2vOracle.vectorsSql})
-         |SELECT word, CAST(t.i AS BIGINT) AS i, round(vec[t.i + 1], 6) AS x
+         |SELECT word, CAST(t.i AS BIGINT) AS i, round(vec[t.i + 1], 6) + 0.0 AS x
          |FROM wv, range(0, 16) t(i) ORDER BY word, i""".stripMargin,
 
     // Learned-retrieval replay: doc embedding = mean in-vocab word
@@ -10236,7 +10253,7 @@ object SparkEntry {
 
     "label_centroids" ->
       """SELECT e.label, t.i AS pos,
-        |  round(avg(CAST(e.embedding[t.i + 1] AS DOUBLE)), 4) AS avg_v,
+        |  round(avg(CAST(e.embedding[t.i + 1] AS DOUBLE)), 4) + 0.0 AS avg_v,
         |  count(*) AS n
         |FROM embeddings e, range(8) t(i)
         |GROUP BY e.label, t.i ORDER BY label, pos""".stripMargin,
@@ -10510,7 +10527,7 @@ object SparkEntry {
     "embedding_pca_loadings" ->
       s"""WITH $pcaCtesSql
          |SELECT ix.r AS dim,
-         |  round(p8.v[ix.r], 4) AS pc1, round(o2.v[ix.r], 4) AS pc2,
+         |  round(p8.v[ix.r], 4) + 0.0 AS pc1, round(o2.v[ix.r], 4) + 0.0 AS pc2,
          |  round(lam1.l / trc.t, 4) AS ev1_share, round(lam2.l / trc.t, 4) AS ev2_share
          |FROM range(1, 65) ix(r), p8, o2, lam1, lam2, trc ORDER BY dim""".stripMargin,
 
@@ -10523,7 +10540,7 @@ object SparkEntry {
          |      CAST(e.embedding[i] AS DOUBLE) * p8.v[i])) AS c1
          |    FROM embeddings e, p8),
          |t10 AS (SELECT vec_id, c1 FROM pj ORDER BY c1 DESC, vec_id LIMIT 10)
-         |SELECT vec_id, round(c1, 4) AS pc1 FROM t10
+         |SELECT vec_id, round(c1, 4) + 0.0 AS pc1 FROM t10
          |ORDER BY round(c1, 4) DESC, vec_id""".stripMargin,
 
     "knn_range_search" ->

@@ -41,31 +41,50 @@ object Verify {
     // to completion first, because persist() does not dedupe in-flight
     // partition computation): cuts the driver gate's longest pole, the
     // sequential ~9-min query loop, ~3×. Per-query output dirs are
-    // disjoint and every query is already run 4-way concurrently by
-    // Bench, so concurrency changes no result. SPARK_GRAFT_VERIFY_THREADS=1
-    // restores the sequential loop.
+    // disjoint. The GATE-MUTATING batch-planner queries also run in the
+    // serial prelude (r19 ADVICE, high): they open the session-global
+    // batchRewrite cost gate around their own planning, and while
+    // SparkEntry's annBatchGateLock already makes each window atomic,
+    // grading happens HERE (Bench discards results; Verify hashes
+    // them) — keeping those windows out of the pool means no graded
+    // query ever plans while another thread holds the gate open.
+    // SPARK_GRAFT_VERIFY_THREADS=1 restores the sequential loop.
     val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
     val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val inFlight = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def runOne(name: String): Unit = {
       val fn = queries(name)
+      inFlight.add(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failures.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally inFlight.remove(name)
     }
-    val cacheBuilders = Seq("dedup_ngram_jaccard", "search_bm25",
-      "search_vsm_cosine", "bpe_train_merges").filter(queries.contains)
-    cacheBuilders.foreach(runOne)
-    val rest = queries.keys.toSeq.sorted.filterNot(cacheBuilders.contains)
+    val prelude = Seq("dedup_ngram_jaccard", "search_bm25",
+      "search_vsm_cosine", "bpe_train_merges").filter(queries.contains) ++
+      SparkEntry.gateMutatingQueries.toSeq.sorted.filter(queries.contains)
+    prelude.foreach(runOne)
+    val rest = queries.keys.toSeq.sorted.filterNot(prelude.contains)
     if (threads <= 1) rest.foreach(runOne)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       rest.foreach(n => pool.execute(() => runOne(n)))
       pool.shutdown()
-      pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
-      ()
+      // On timeout, kill the workers and RECORD the still-running
+      // queries as failures (r19 ADVICE: a discarded awaitTermination
+      // boolean let check_oracle grade half-written parquet dirs as
+      // data corruption instead of a named failure).
+      val done = pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+      if (!done) {
+        pool.shutdownNow()
+        import scala.jdk.CollectionConverters._
+        inFlight.asScala.foreach { n =>
+          failures.put(n, "verify pool timeout: query still running at 2h")
+          System.err.println(s"[verify] $n still running at pool timeout")
+        }
+      }
     }
     // Diagnosability sidecar (r17 verdict #1: the one driver flake was
     // unexplainable from the artifact): every planner counter, plus any

@@ -8,6 +8,20 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 
 /** The `rewrite_fired` pin as a PLAN PROPERTY (r17 verdict #1/#3).
   *
+  * == r17 post-mortem (updated r20) ==
+  * The r17 `ann_planner_cosine` red row that motivated this object is
+  * now best explained by a SIGNED-ZERO representation defect, not a
+  * decline flake: the r19 driver's planner counters (`ann_fired=4`,
+  * `droppedStale=0`, `failures={}`) prove the rewrite DID fire while
+  * that same row hash-mismatched — DuckDB's `round(-2e-17, 4)` keeps
+  * the sign bit (−0.0) where Spark's BigDecimal round lands on +0.0
+  * (fixed r20: the oracle normalizes with `round(x,n) + 0.0`; see the
+  * docs/STATE.md signed-zero audit). The structural pin below is kept
+  * because it is genuinely better than the counter delta it replaced
+  * (reasons next paragraph), and PlannerPinSpec's cold-cache case pins
+  * that a registered index fires on the FIRST plan — the decline-flake
+  * theory is retired, not just unexercised.
+  *
   * The planner queries pin "the accelerated plan produced these rows"
   * into their oracle hash. Until r17 the pin sampled a global fire
   * counter around an `optimizedPlan` call — fragile twice over: the
@@ -15,8 +29,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * delta measures a plan event, not THE plan), and any
   * environment-sensitive decline (a transient source-listing failure
   * poisons a whole staleness interval; any probe exception declines
-  * with only a logWarning) flips the pin while the rows stay exact —
-  * exactly the `ann_planner_cosine` flake the r17 driver run hit.
+  * with only a logWarning) flips the pin while the rows stay exact.
   *
   * This object replaces the counter delta with a structural check of
   * the optimized plan itself, plus a retry-once protocol:

@@ -237,13 +237,35 @@ object EventOps {
       val gapIv = org.apache.spark.sql.catalyst.util.IntervalUtils
         .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
       val gapSeconds = gapIv.days * 86400L + gapIv.microseconds / 1000000L
-      import spark.implicits._
       Seq(0, 1).foreach { i =>
         val sentinelTs = maxTs + 3 * gapSeconds + 3600L * (i + 1)
-        val sentinel = Seq((-1L, sentinelTs, -1L, "sentinel", 0.0, "{}"))
-          .toDF("event_id", "__ts", "user_id", "event_type", "value", "props")
-          .withColumn("ts", timestamp_seconds(col("__ts")))
-          .select(schema.fieldNames.map(col).toSeq: _*)
+        // Sentinel rows are built FROM events.schema (r19 ADVICE: the
+        // old hard-coded 6-tuple broke any caller whose events frame
+        // deviated from the fixture layout): only user_id (the reserved
+        // -1, whose session is filtered) and ts (the watermark driver)
+        // carry semantics; every other field gets a type-appropriate
+        // default, so any frame with (user_id, ts) columns works.
+        val row = org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { fld =>
+          fld.name match {
+            case "user_id" => fld.dataType match {
+              case org.apache.spark.sql.types.IntegerType => -1
+              case _ => -1L
+            }
+            case "ts" => java.sql.Timestamp.from(
+              java.time.Instant.ofEpochSecond(sentinelTs))
+            case _ if fld.nullable => null
+            case _ => fld.dataType match {
+              case org.apache.spark.sql.types.StringType => "sentinel"
+              case org.apache.spark.sql.types.DoubleType => 0.0
+              case org.apache.spark.sql.types.FloatType => 0.0f
+              case org.apache.spark.sql.types.IntegerType => 0
+              case org.apache.spark.sql.types.BooleanType => false
+              case _ => 0L
+            }
+          }
+        })
+        val sentinel = spark.createDataFrame(
+          java.util.Collections.singletonList(row), schema)
         val f = srcDir.resolve(f"sentinel_$i.parquet")
         writeSingleParquet(spark, sentinel, f.toString)
         java.nio.file.Files.setLastModifiedTime(f,

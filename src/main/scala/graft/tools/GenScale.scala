@@ -140,7 +140,11 @@ object GenScale {
 
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/documents.parquet")))
       generate(spark, srcDir, outDir, factor)
-    val liFamilies = Seq("agg_planner", "fk_planner", "sql_planner", "agg_stream")
+    // pk_planner: pk_planner_distinct/_count_distinct read the shared
+    // FK-constraint fixtures (orders + customer, written by
+    // generateLineitem), so they need the same trigger (r19 ADVICE).
+    val liFamilies =
+      Seq("agg_planner", "fk_planner", "pk_planner", "sql_planner", "agg_stream")
     if (queries.exists(q => liFamilies.exists(q.startsWith)) &&
       !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/lineitem.parquet")))
       generateLineitem(spark, srcDir, outDir, factor)

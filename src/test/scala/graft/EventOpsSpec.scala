@@ -72,6 +72,34 @@ class EventOpsSpec extends GraftSpec {
     }
   }
 
+  test("streaming sessionize accepts a NON-fixture schema (sentinels derive from it)") {
+    // r19 ADVICE: the watermark-flush sentinels were a hard-coded
+    // 6-tuple mirroring the events fixture, so any caller with a
+    // different layout failed at runtime despite the generic signature.
+    // They now derive from events.schema — the REQUIRED columns are
+    // (user_id, ts, value); the fixture's event_id/event_type/props are
+    // not. Pin with a frame that drops those three, adds a column the
+    // fixture lacks, and types value as LONG (the old sentinel
+    // hard-coded a 0.0 double at value's position — the exact failure
+    // the ADVICE named).
+    val custom = events
+      .select($"user_id", $"ts",
+        ceil($"value").cast("long").as("value"), // non-double measure
+        lit("x").as("extra"))                    // column the fixture lacks
+    val out = EventOps.streamSessionizeFromBatch(spark, custom, nFiles = 3)
+    val batch = custom
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).as("sum_value_dec"))
+      .select($"user_id", $"w.start".cast("long").as("session_start_sec"),
+        $"w.end".cast("long").as("session_end_sec"), $"n_events",
+        round($"sum_value_dec".cast("double"), 4).as("sum_value"))
+    assert(out.count() > 0)
+    assert(out.select("user_id", "session_start_sec", "session_end_sec", "n_events")
+      .except(batch.select("user_id", "session_start_sec", "session_end_sec", "n_events"))
+      .count() === 0, "session boundaries must match the batch sessionize")
+  }
+
   test("streaming pivot (conditional agg) equals the batch .pivot()") {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val q = EventOps.streamPivotCounts(spark, sfDir, "pivot_stream", types, "1 hour")

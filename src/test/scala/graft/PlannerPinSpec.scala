@@ -152,6 +152,53 @@ class PlannerPinSpec extends GraftSpec {
     }
   }
 
+  test("ANN: cold plan caches pin TRUE on the FIRST build (r17 post-mortem)") {
+    // Post-mortem pin (r19 verdict #3): the r17 ann_planner_cosine red
+    // row is now best explained by the -0.0 representation defect — the
+    // r19 driver's own counters prove the rewrite fired (ann_fired=4,
+    // droppedStale=0, failures={}) while the row still hash-mismatched —
+    // NOT by a cold-cache decline flake. This test pins the non-flake
+    // half: with an index registered and a HEALTHY source listing, the
+    // very first plan after resetPlanCaches carries the splice, and
+    // pinned() never needs its retry arm.
+    VectorExpressions.ensureRegistered(spark)
+    AnnIndexRewrite.clear()
+    val base = java.nio.file.Files.createTempDirectory("graft_pin_cold")
+    try {
+      val src = base.resolve("src.parquet").toString
+      val seed = Tables.embeddings(spark, sfDir)
+      seed.unpersist(true)
+      seed.write.parquet(src)
+      val emb = spark.read.parquet(src)
+      val cent = IvfIndex.seedCentroids(emb, 4)
+      val idx = Hnsw.buildRoutedIndex(spark, emb, cent).localCheckpoint(true)
+      AnnIndexRewrite.register(src,
+        AnnIndexRewrite.IndexSpec(idx, cent, nprobe = 4, efSearch = 4096,
+          exhaustiveProbe = true))
+      val qv = emb.filter($"vec_id" === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      def build(): DataFrame = emb
+        .select($"vec_id",
+          VectorExpressions.l2Sq(typedLit(qv), $"embedding").as("dist2"))
+        .orderBy($"dist2", $"vec_id").limit(10)
+      spark.experimental.extraOptimizations = Seq(AnnIndexRewrite)
+      try {
+        AnnIndexRewrite.resetPlanCaches() // stone-cold plan-time memoization
+        var retried = false
+        val (_, fired) = PlannerPin.pinned(build _,
+          PlannerPin.annSpliced("vec_id"), () => { retried = true })
+        assert(fired, "cold caches + registered index + healthy listing: pin TRUE")
+        assert(!retried, "the first build fired — the retry arm must stay unused")
+      } finally {
+        spark.experimental.extraOptimizations = Nil
+        AnnIndexRewrite.clear()
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("detectors: splice markers are plan properties, not counters") {
     VectorExpressions.ensureRegistered(spark)
     AnnIndexRewrite.clear()

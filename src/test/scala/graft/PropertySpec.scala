@@ -423,4 +423,42 @@ class PropertySpec extends GraftSpec {
       else assert(!r.getBoolean(1), s"corruption at pos ${r.getInt(0)} must be detected")
     }
   }
+
+  test("property: Spark round never emits -0.0 (the r19 signed-zero red row)") {
+    // DuckDB's round PRESERVES the sign bit (round(-2e-17, 4) = -0.0 in
+    // DuckDB 1.0.0) while Spark's BigDecimal-backed round always lands
+    // on +0.0 — r19's one driver hash mismatch (ann_planner_cosine's
+    // self-match row, true cosine distance ≈ -2e-17). The oracle SQL
+    // now normalizes with `round(x, n) + 0.0`; this pin is the
+    // Spark-side half of that contract: round provably cannot produce
+    // a negative zero, so no Spark-side normalization is needed.
+    val vals = Seq(-2e-17, -0.0, 0.0, -4.9e-5, 4.9e-5, -5.1e-5)
+    val out = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("i", "v")
+      .select($"i", round($"v", 4).as("r")).orderBy("i")
+      .as[(Long, Double)].collect().map(_._2)
+    def positiveZero(d: Double): Boolean = d == 0.0 && Math.copySign(1.0, d) > 0
+    assert(positiveZero(out(0)), "round(-2e-17, 4) must be +0.0, not -0.0")
+    assert(positiveZero(out(1)), "round(-0.0, 4) must be +0.0")
+    assert(positiveZero(out(2)), "round(0.0, 4) stays +0.0")
+    assert(positiveZero(out(3)), "round(-4.9e-5, 4) (half-up to zero) must be +0.0")
+    assert(positiveZero(out(4)), "round(4.9e-5, 4) rounds to +0.0")
+    assert(out(5) === -1.0e-4, "a value past the half-boundary stays nonzero")
+  }
+
+  test("property: ±0.0 sort as equal keys and NaN sorts last ascending (oracle order parity)") {
+    // Verified against DuckDB 1.0.0 this round (docs/STATE.md §signed
+    // zero audit): both engines compare -0.0 = 0.0 as EQUAL sort keys
+    // (the tie-break column decides) and order NaN above every finite
+    // double ascending — so no top-k/rank boundary in the 275 oracle
+    // pairs can differ on these representational edge cases.
+    val df = Seq((1L, 0.0), (2L, -0.0), (3L, Double.NaN), (4L, -1.0))
+      .toDF("id", "x")
+    val asc = df.orderBy($"x".asc, $"id".asc).select("id").as[Long].collect().toSeq
+    assert(asc === Seq(4L, 1L, 2L, 3L),
+      "ascending: -1.0 < (+0.0 = -0.0, tie-broken by id) < NaN")
+    val rk = df.selectExpr("id", "rank() OVER (ORDER BY x) AS rk")
+      .as[(Long, Int)].collect().toMap
+    assert(rk(1L) === rk(2L), "rank(): -0.0 and 0.0 are the same key")
+  }
 }

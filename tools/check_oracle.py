@@ -13,7 +13,7 @@ so the repo carries committable correctness evidence even when the
 driver's own artifact fails to land (round 13 closed with
 CORRECTNESS_r13.json == {}).
 """
-import json, os, sys, glob, time
+import json, math, os, sys, glob, time
 import duckdb
 import numpy as np
 
@@ -32,14 +32,57 @@ def canon(df):
             f = float(v)
             if f != f:  # NaN (e.g. pandas null) -> stable sentinel
                 return ("f", None)
-            return ("f", round(f, 6))
+            # Tag the SIGN of zero: the driver's pandas-value hash
+            # distinguishes -0.0 from 0.0, but Python == does not
+            # (r19's one red row, ann_planner_cosine, was exactly this —
+            # DuckDB round(-2e-17, 4) -> -0.0 vs Spark +0.0 — and this
+            # replica graded it PASS). round() preserves the sign bit,
+            # so a post-round zero still needs the copysign tag.
+            r = round(f, 6)
+            sign = "-" if r == 0 and math.copysign(1.0, r) < 0 else "+"
+            return ("f", r, sign)
         if isinstance(v, int) or isinstance(v, np.integer):
             return ("i", int(v))
         return v
     rows = sorted([tuple(norm(v) for v in r) for r in recs], key=lambda r: str(r))
     return cols, rows
 
+def selftest():
+    """Planted regression fixtures for canon() (run: check_oracle.py --selftest).
+
+    The r19 failure class: the driver's pandas-value hash distinguishes
+    -0.0 from 0.0 but this replica's old `("f", round(f, 6))` + Python ==
+    did not (-0.0 == 0.0 is True), so ann_planner_cosine shipped green
+    locally and burned a driver round. canon() must keep these apart.
+    """
+    import pandas as pd
+    neg = pd.DataFrame({"id": [0, 1], "v": [-0.0, 1.5]})
+    pos = pd.DataFrame({"id": [0, 1], "v": [0.0, 1.5]})
+    cn, rn = canon(neg)
+    cp, rp = canon(pos)
+    assert cn == cp
+    assert rn != rp, "canon must distinguish -0.0 from 0.0 (r19 red row class)"
+    # post-round zeros: -1e-9 rounds to -0.0 at 6 dp and must still differ
+    tiny = pd.DataFrame({"id": [0], "v": [-1e-9]})
+    zero = pd.DataFrame({"id": [0], "v": [0.0]})
+    assert canon(tiny)[1] != canon(zero)[1], \
+        "a post-round -0.0 (round(-1e-9, 6)) must not equal +0.0"
+    # equal -0.0 on both sides still matches (normalizing engines agree)
+    assert canon(neg)[1] == canon(neg.copy())[1]
+    # int vs float tagging is preserved
+    iv = pd.DataFrame({"v": np.array([5], dtype="int64")})
+    fv = pd.DataFrame({"v": np.array([5.0], dtype="float64")})
+    assert canon(iv)[1] != canon(fv)[1], "int64 5 must not equal float64 5.0"
+    # NaN sentinel is stable
+    nn = pd.DataFrame({"v": [float("nan")]})
+    assert canon(nn)[1] == canon(nn.copy())[1]
+    print("selftest PASS (5 fixtures)")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
+        sys.exit(0)
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     summary_path = sys.argv[3] if len(sys.argv) > 3 else None
     summary = {}
