@@ -1361,6 +1361,16 @@ object SparkEntry {
     * string-serializes differently from 0.0 and would hash-mismatch an
     * oracle that produced the other sign. (-0.0 === 0.0 in Spark SQL
     * comparison, so the `when` catches both and emits the canonical one.)
+    *
+    * Relationship to the `round(x, n) + 0.0` idiom in the oracle SQL
+    * (r20): Spark's BigDecimal-backed `round` already lands every zero
+    * on +0.0 (PropertySpec pins it), so rounded Spark columns never
+    * need this helper — it exists for UNROUNDED Spark outputs (the
+    * correlation family divides exact sums and can emit a bare -0.0).
+    * DuckDB's `round` PRESERVES the sign bit, so every zero-crossing
+    * rounded oracle column appends `+ 0.0` instead (see the
+    * ann_planner_cosine oracle's comment and docs/STATE.md §signed-zero
+    * audit).
     */
   private def zeroNorm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(c === lit(0.0), lit(0.0)).otherwise(c)

@@ -75,13 +75,17 @@ object Verify {
       // On timeout, kill the workers and RECORD the still-running
       // queries as failures (r19 ADVICE: a discarded awaitTermination
       // boolean let check_oracle grade half-written parquet dirs as
-      // data corruption instead of a named failure).
-      val done = pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+      // data corruption instead of a named failure). The bound is
+      // env-tunable (seconds) so the straggler path is drivable in a
+      // test without waiting out the 2 h default.
+      val timeoutS = sys.env.get("SPARK_GRAFT_VERIFY_TIMEOUT_S")
+        .flatMap(_.toLongOption).getOrElse(7200L)
+      val done = pool.awaitTermination(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) {
         pool.shutdownNow()
         import scala.jdk.CollectionConverters._
         inFlight.asScala.foreach { n =>
-          failures.put(n, "verify pool timeout: query still running at 2h")
+          failures.put(n, s"verify pool timeout: query still running at ${timeoutS}s")
           System.err.println(s"[verify] $n still running at pool timeout")
         }
       }
