@@ -2160,7 +2160,7 @@ object SparkEntry {
                            min(l_extendedprice / l_quantity) AS supplycost
                     FROM g_q2_lineitem GROUP BY l_partkey, l_suppkey)
         SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
-               round(ps.supplycost, 4) AS supplycost
+               floor(ps.supplycost * 10000.0 + 0.5) / 10000.0 AS supplycost
         FROM ps JOIN g_q2_part p ON p.p_partkey = ps.partkey
                 JOIN g_q2_supplier s ON s.s_suppkey = ps.suppkey
         WHERE p.p_size <= 10
@@ -3886,7 +3886,15 @@ object SparkEntry {
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("nb"), lit(0L)).as("n_bigrams"),
-          round(col("ll_fp").cast("double") / lit(1000000.0) / col("nb"), 4)
+          // engine-stable floor(x·1e4+½)/1e4, NOT round(x, 4): the mean
+          // is the same double in both engines (integer ll_fp / nb),
+          // but round() tie semantics differ when that double sits
+          // within an ulp of a .00005 boundary — one sf0.1 row did
+          // (-3.40635…: Spark -3.4063, DuckDB -3.4064). floor of the
+          // same double is bit-identical everywhere, and a tiny
+          // negative lands on +0.0 (signed-zero safe).
+          (floor(col("ll_fp").cast("double") / lit(1000000.0) / col("nb")
+              * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
             .as("mean_bigram_logprob"))
         .orderBy("doc_id")
     }),
@@ -3970,7 +3978,10 @@ object SparkEntry {
           coalesce(col("nt"), lit(0L)).as("n_trigrams"),
           coalesce(col("n_backoff_bi"), lit(0L)).as("n_backoff_bi"),
           coalesce(col("n_backoff_uni"), lit(0L)).as("n_backoff_uni"),
-          round(col("ll_fp").cast("double") / lit(1000000.0) / col("nt"), 4)
+          // engine-stable floor rounding — same boundary hazard as
+          // doc_bigram_logprob (see its comment)
+          (floor(col("ll_fp").cast("double") / lit(1000000.0) / col("nt")
+              * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0))
             .as("mean_logprob"))
         .orderBy("doc_id")
     }),
@@ -8179,7 +8190,7 @@ object SparkEntry {
         |                   min(l_extendedprice / l_quantity) AS supplycost
         |            FROM lineitem GROUP BY l_partkey, l_suppkey)
         |SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
-        |       round(ps.supplycost, 4) AS supplycost
+        |       floor(ps.supplycost * 10000.0 + 0.5) / 10000.0 AS supplycost
         |FROM ps JOIN part p ON p.p_partkey = ps.partkey
         |        JOIN supplier s ON s.s_suppkey = ps.suppkey
         |WHERE p.p_size <= 10
@@ -9405,7 +9416,7 @@ object SparkEntry {
          |         sum(dbg.tf) AS nb
          |       FROM dbg JOIN big USING (a, b) JOIN uni USING (a) GROUP BY dbg.doc_id)
          |SELECT d.doc_id, CAST(coalesce(ll.nb, 0) AS BIGINT) AS n_bigrams,
-         |       round(CAST(ll.ll_fp AS DOUBLE) / 1000000.0 / ll.nb, 4) + 0.0 AS mean_bigram_logprob
+         |       floor(CAST(ll.ll_fp AS DOUBLE) / 1000000.0 / ll.nb * 10000.0 + 0.5) / 10000.0 AS mean_bigram_logprob
          |FROM documents d LEFT JOIN ll USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // Stupid backoff replay: same split, same count tables, same CASE
@@ -9455,7 +9466,7 @@ object SparkEntry {
          |  CAST(coalesce(agg.nt, 0) AS BIGINT) AS n_trigrams,
          |  CAST(coalesce(agg.n_backoff_bi, 0) AS BIGINT) AS n_backoff_bi,
          |  CAST(coalesce(agg.n_backoff_uni, 0) AS BIGINT) AS n_backoff_uni,
-         |  round(CAST(agg.ll_fp AS DOUBLE) / 1000000.0 / agg.nt, 4) + 0.0 AS mean_logprob
+         |  floor(CAST(agg.ll_fp AS DOUBLE) / 1000000.0 / agg.nt * 10000.0 + 0.5) / 10000.0 AS mean_logprob
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin,
 
