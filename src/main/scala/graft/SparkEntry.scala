@@ -4717,6 +4717,31 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
 
+    // The reference's CORE experiment shape as one oracle row: a
+    // recall-vs-parameter sweep (chromadb_acc_experiment.py varies the
+    // index knob and plots recall@k). The nprobe knob of the SAME
+    // seeded IVF index as ann_ivf_top5 sweeps 1→8 over 8 cells;
+    // recall@10 per (nprobe, qid) against the exact-kNN ground truth.
+    // nprobe = 8 probes every cell, so its recall is EXACTLY 1.0 by
+    // construction — the exactness ceiling lands in the hash, and the
+    // sub-ceiling points pin the accuracy/cost trade-off curve the
+    // knob exists for. Deterministic throughout (seeded centroids,
+    // (dist, id) tie-breaks), so the whole curve is value-pinned by
+    // the DuckDB replay. At scale each sweep point is a partition-
+    // pruned probe (nprobe/numCells of the data), never a rescan.
+    "ann_recall_vs_nprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = IvfIndex.seedCentroids(emb, 8)
+      val assigned = IvfIndex.assign(emb, cent)
+      val q = queryVectors(s, dir, 5)
+      val gt = KnnExact.topK(q, emb, 10)
+      Seq(1, 2, 4, 8).map { np =>
+        val approx = IvfIndex.search(q, assigned, cent, k = 10, nprobe = np)
+        RecallAtK.evaluate(gt, approx, Seq(10))
+          .select(lit(np.toLong).as("nprobe"), col("qid"), col("recall_10"))
+      }.reduce(_ unionByName _).orderBy("nprobe", "qid")
+    }),
+
     // IVF with a TRAINED coarse quantizer — full-vector fixed-point
     // Lloyd k-means, which is exactly the PQ trainer at ONE 64-dim
     // block (m=1, w=64): same exact-BIGINT re-center sums, same
@@ -10045,6 +10070,35 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM d)
          |SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, round(dist, 4) AS dist FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
     },
+
+    // nprobe-sweep replay: the same cent/asg CTEs as ann_ivf_top5, a
+    // VALUES table for the swept knob, per-(np, qid) top-10 lists
+    // intersected with the exact ground truth — RecallAtK's edge
+    // semantics mirrored (LEFT JOIN + CASE → an empty probe set scores
+    // 0.0 instead of dropping the row).
+    "ann_recall_vs_nprobe" ->
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.embedding, c.cid, ${l2Sql("e.embedding", "c.cemb")} AS cdist FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, embedding, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cid) AS rk FROM a) WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < 5),
+         |gtd AS (SELECT q.qid, c.vec_id, ${l2Sql("q.qemb", "c.embedding")} AS dist FROM embeddings c, q),
+         |gt AS (SELECT qid, list(vec_id ORDER BY rk) AS gt_ids FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk FROM gtd) WHERE rk <= 10 GROUP BY qid),
+         |nps(np) AS (VALUES (1), (2), (4), (8)),
+         |qc AS (SELECT q.qid, q.qemb, c.cid, ${l2Sql("q.qemb", "c.cemb")} AS cdist FROM q, cent c),
+         |qcr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS crk FROM qc),
+         |probes AS (SELECT n.np, qid, qemb, cid AS cell FROM qcr, nps n WHERE crk <= n.np),
+         |d AS (SELECT p.np, p.qid, s.vec_id, ${l2Sql("p.qemb", "s.embedding")} AS dist
+         |      FROM probes p JOIN asg s ON p.cell = s.cell),
+         |rt AS (SELECT np, qid, list(vec_id ORDER BY rk) AS ret_ids FROM (
+         |  SELECT np, qid, vec_id, row_number() OVER (PARTITION BY np, qid ORDER BY dist, vec_id) AS rk FROM d) WHERE rk <= 10 GROUP BY np, qid)
+         |SELECT CAST(n.np AS BIGINT) AS nprobe, gt.qid,
+         |  round(CASE WHEN rt.ret_ids IS NULL OR len(gt.gt_ids[1:10]) = 0 OR len(rt.ret_ids[1:10]) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(gt.gt_ids[1:10], rt.ret_ids[1:10])) AS DOUBLE)
+         |      / CAST(len(gt.gt_ids[1:10]) AS DOUBLE) END, 4) AS recall_10
+         |FROM gt CROSS JOIN nps n LEFT JOIN rt ON rt.np = n.np AND rt.qid = gt.qid
+         |ORDER BY nprobe, gt.qid""".stripMargin,
 
     // the streamed-append index must equal the bulk assignment (same
     // cent/argmin/tie rules as ann_ivf_top5's asg CTE)

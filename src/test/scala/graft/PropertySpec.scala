@@ -446,6 +446,26 @@ class PropertySpec extends GraftSpec {
     assert(out(5) === -1.0e-4, "a value past the half-boundary stays nonzero")
   }
 
+  test("property: IVF recall@10 is monotone in nprobe per query and exactly 1.0 at full probe") {
+    // Nested probe sets (np=1 ⊆ 2 ⊆ 4 ⊆ 8 of 8 cells) make per-query
+    // recall provably monotone: any element displacing a ground-truth
+    // member from top10(candidates) is nearer under the shared
+    // (dist, id) tie-break, hence itself a ground-truth member. And
+    // probing every cell IS the exact search, so recall@10 = 1.0 there
+    // by construction, not by luck.
+    val rows = SparkEntry.queries("ann_recall_vs_nprobe")(spark, sfDir).collect()
+    val byQid = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQid.size === 5)
+    byQid.foreach { case (qid, rs) =>
+      val curve = rs.sortBy(_.getAs[Long]("nprobe")).map(_.getAs[Double]("recall_10"))
+      assert(curve.length === 4, s"qid $qid: one row per swept nprobe")
+      curve.sliding(2).foreach { case Array(a, b) =>
+        assert(a <= b + 1e-9, s"qid $qid: recall fell ($a -> $b) under a nested probe set")
+      }
+      assert(curve.last === 1.0, s"qid $qid: full probe must equal exact search")
+    }
+  }
+
   test("property: ±0.0 sort as equal keys and NaN sorts last ascending (oracle order parity)") {
     // Verified against DuckDB 1.0.0 this round (docs/STATE.md §signed
     // zero audit): both engines compare -0.0 = 0.0 as EQUAL sort keys
