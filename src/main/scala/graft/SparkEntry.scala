@@ -2150,7 +2150,11 @@ object SparkEntry {
     // per-part correlated min must become ONE aggregated join, never a
     // per-row subquery (PlanSpec pins it). Unit-price division and min
     // are bit-identical on both engines (same double operands), so the
-    // supplycost equality filter is exact.
+    // supplycost equality filter is exact. The graded cost column is
+    // fixed-point BIGINT (x1e4) on both sides: Spark SQL floor() is
+    // BIGINT and a /10000.0 back-division types it DECIMAL, which the
+    // r20 driver hash-failed against DuckDB's DOUBLE — never emit a
+    // graded float from floor()-in-SQL.
     "q2_min_cost_supplier" -> ((s, dir) => {
       Tables.lineitem(s, dir).createOrReplaceTempView("g_q2_lineitem")
       Tables.part(s, dir).createOrReplaceTempView("g_q2_part")
@@ -2160,7 +2164,7 @@ object SparkEntry {
                            min(l_extendedprice / l_quantity) AS supplycost
                     FROM g_q2_lineitem GROUP BY l_partkey, l_suppkey)
         SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
-               floor(ps.supplycost * 10000.0 + 0.5) / 10000.0 AS supplycost
+               CAST(floor(ps.supplycost * 10000.0 + 0.5) AS BIGINT) AS supplycost_fp
         FROM ps JOIN g_q2_part p ON p.p_partkey = ps.partkey
                 JOIN g_q2_supplier s ON s.s_suppkey = ps.suppkey
         WHERE p.p_size <= 10
@@ -8215,7 +8219,7 @@ object SparkEntry {
         |                   min(l_extendedprice / l_quantity) AS supplycost
         |            FROM lineitem GROUP BY l_partkey, l_suppkey)
         |SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
-        |       floor(ps.supplycost * 10000.0 + 0.5) / 10000.0 AS supplycost
+        |       CAST(floor(ps.supplycost * 10000.0 + 0.5) AS BIGINT) AS supplycost_fp
         |FROM ps JOIN part p ON p.p_partkey = ps.partkey
         |        JOIN supplier s ON s.s_suppkey = ps.suppkey
         |WHERE p.p_size <= 10

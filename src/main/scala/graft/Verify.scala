@@ -49,7 +49,10 @@ object Verify {
     // them) — keeping those windows out of the pool means no graded
     // query ever plans while another thread holds the gate open.
     // SPARK_GRAFT_VERIFY_THREADS=1 restores the sequential loop.
-    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+    // Hardened parse (r20 ADVICE): a non-numeric value falls back to the
+    // default instead of crashing the whole verify run.
+    val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
+      .flatMap(_.toIntOption).getOrElse(4)
     val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val inFlight = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def runOne(name: String): Unit = {
@@ -83,10 +86,26 @@ object Verify {
       val done = pool.awaitTermination(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) {
         pool.shutdownNow()
+        // Record failures only for queries STILL in flight after the
+        // workers have actually stopped (r20 ADVICE): shutdownNow only
+        // interrupts, and a Spark write can complete after the sweep —
+        // a fully-written result would then be graded as a named
+        // failure while its parquet reads fine. A short second wait
+        // lets interrupted workers unwind so the failure record and
+        // the on-disk artifact agree; queries that finish during it
+        // drop out of inFlight and stay green.
+        pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
         import scala.jdk.CollectionConverters._
         inFlight.asScala.foreach { n =>
           failures.put(n, s"verify pool timeout: query still running at ${timeoutS}s")
           System.err.println(s"[verify] $n still running at pool timeout")
+          // delete the partial output so check_oracle sees a missing
+          // dir (named failure), never a half-written parquet graded
+          // as data corruption
+          try {
+            val p = new org.apache.hadoop.fs.Path(s"$outDir/$n")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case _: Throwable => () }
         }
       }
     }

@@ -260,7 +260,16 @@ object EventOps {
               case org.apache.spark.sql.types.FloatType => 0.0f
               case org.apache.spark.sql.types.IntegerType => 0
               case org.apache.spark.sql.types.BooleanType => false
-              case _ => 0L
+              case org.apache.spark.sql.types.LongType => 0L
+              case org.apache.spark.sql.types.ShortType => 0.toShort
+              case org.apache.spark.sql.types.ByteType => 0.toByte
+              // fail fast with the field name (r20 ADVICE): a 0L default
+              // for a non-nullable Decimal/Date/Timestamp/Array/Struct
+              // field would throw an opaque error at createDataFrame time
+              case dt => throw new IllegalArgumentException(
+                s"streamSessionizeFromBatch: cannot synthesize a sentinel for " +
+                  s"non-nullable field '${fld.name}' of type ${dt.simpleString}; " +
+                  "only primitive non-nullable layouts (or nullable fields) are supported")
             }
           }
         })

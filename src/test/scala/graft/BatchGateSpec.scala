@@ -23,9 +23,10 @@ import org.apache.spark.sql.Row
 class BatchGateSpec extends GraftSpec {
 
   private val gate = "spark.graft.ann.batchRewrite.minScanBytes"
-  private val names = Seq(
-    "ann_planner_rewrite_multi", "ann_planner_filtered_multi",
-    "ann_planner_cosine_multi", "ann_planner_ip_multi")
+  // Driven from the PRODUCTION set (r20 ADVICE: a hand-copied list had
+  // drifted to 4 of the 6 gate-mutating queries, leaving two windows
+  // untested under contention) — the spec cannot fall behind SparkEntry.
+  private val names = SparkEntry.gateMutatingQueries.toSeq.sorted
 
   private def runConcurrently(): Unit = {
     // the shared test session has no GraftSession extensions — install

@@ -13,9 +13,78 @@ so the repo carries committable correctness evidence even when the
 driver's own artifact fails to land (round 13 closed with
 CORRECTNESS_r13.json == {}).
 """
+import decimal
 import json, math, os, sys, glob, time
 import duckdb
 import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def read_spark_parquet(qdir):
+    """Read a Verify output dir with pyarrow DIRECTLY — never through
+    DuckDB's read_parquet(...).df(), which silently coerces
+    decimal128 -> float64 before canon() sees the values. That coercion
+    made the r20 local gate grade q2_min_cost_supplier PASS while the
+    driver (which reads the parquet through pandas/pyarrow and keeps
+    decimal.Decimal) failed it on 392/394 rows. The type channel must
+    stay open end-to-end."""
+    files = sorted(glob.glob(os.path.join(qdir, "*.parquet")))
+    if not files:
+        return pd.DataFrame()
+    return pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+
+
+def arrow_type_category(t):
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_boolean(t):
+        return "bool"
+    return "other"
+
+
+def duckdb_type_category(t):
+    s = str(t).upper()
+    if s.startswith("DECIMAL") or s == "HUGEINT":
+        # HUGEINT lands as float64 in pandas, but as a *numeric value*
+        # channel it is exact-integer-like; the driver's int/float tag
+        # already covers it, so only DECIMAL is the hard category here.
+        return "decimal" if s.startswith("DECIMAL") else "int"
+    if s in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s == "BOOLEAN":
+        return "bool"
+    return "other"
+
+
+def type_audit(qdir, rel):
+    """Static output-type audit (r20 verdict #3): compare the Verify
+    parquet's arrow column types against the oracle's DuckDB result
+    types and fail on DECIMAL<->DOUBLE/int divergence — the channel the
+    value hash can miss when values happen to agree. Returns a list of
+    'col: spark=<cat> oracle=<cat>' strings (empty = clean)."""
+    files = sorted(glob.glob(os.path.join(qdir, "*.parquet")))
+    if not files:
+        return []
+    schema = pq.read_schema(files[0])
+    spark_cats = {f.name: arrow_type_category(f.type) for f in schema}
+    oracle_cats = dict(zip(rel.columns, [duckdb_type_category(t) for t in rel.types]))
+    bad = []
+    for col in sorted(set(spark_cats) & set(oracle_cats)):
+        sc, oc = spark_cats[col], oracle_cats[col]
+        # only the exactness-breaking divergences: a DECIMAL on either
+        # side against a non-decimal on the other (the q2 class).
+        if sc != oc and "decimal" in (sc, oc):
+            bad.append(f"{col}: spark={sc} oracle={oc}")
+    return bad
 
 def canon(df):
     # columns sorted by name; rows sorted by all columns; floats rounded.
@@ -43,6 +112,14 @@ def canon(df):
             return ("f", r, sign)
         if isinstance(v, int) or isinstance(v, np.integer):
             return ("i", int(v))
+        if isinstance(v, decimal.Decimal):
+            # Distinct from float ON PURPOSE (r20's red row): the driver
+            # keeps Spark decimal128 parquet columns as decimal.Decimal
+            # and its pandas-value hash fails them against the oracle's
+            # float64 even when the numbers "look" equal. normalize()
+            # strips scale-only differences (124.3576000 == 124.3576)
+            # so equal decimals on both sides still match.
+            return ("d", str(v.normalize()))
         return v
     rows = sorted([tuple(norm(v) for v in r) for r in recs], key=lambda r: str(r))
     return cols, rows
@@ -76,7 +153,22 @@ def selftest():
     # NaN sentinel is stable
     nn = pd.DataFrame({"v": [float("nan")]})
     assert canon(nn)[1] == canon(nn.copy())[1]
-    print("selftest PASS (5 fixtures)")
+    # DECIMAL vs DOUBLE (r20 red row q2_min_cost_supplier): a Spark
+    # decimal128 column read via pyarrow yields decimal.Decimal objects
+    # and must NOT canon-equal the oracle's float64 of the same number
+    dv = pd.DataFrame({"v": [decimal.Decimal("124.3576000")]})
+    fl = pd.DataFrame({"v": [124.3576]})
+    assert canon(dv)[1] != canon(fl)[1], \
+        "Decimal('124.3576000') must not equal float 124.3576 (r20 q2 class)"
+    # equal decimals with different scale still match (normalize strips zeros)
+    dv2 = pd.DataFrame({"v": [decimal.Decimal("124.3576")]})
+    assert canon(dv)[1] == canon(dv2)[1]
+    # the static type audit maps arrow/duckdb types to matching categories
+    assert arrow_type_category(pa.decimal128(28, 7)) == "decimal"
+    assert arrow_type_category(pa.float64()) == "float"
+    assert duckdb_type_category("DECIMAL(28,7)") == "decimal"
+    assert duckdb_type_category("DOUBLE") == "float"
+    print("selftest PASS (8 fixtures)")
 
 
 def main():
@@ -121,7 +213,7 @@ def main():
             continue
         qname = os.path.basename(qdir)
         t0 = time.monotonic()
-        got = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df()
+        got = read_spark_parquet(qdir)
         if qname not in oracle:
             if len(got) > 0:
                 print(f"  ~ {qname}: rows-only check, rows={len(got)} OK")
@@ -135,7 +227,8 @@ def main():
             flush()
             continue
         try:
-            exp = con.sql(oracle[qname]).df()
+            rel = con.sql(oracle[qname])
+            exp = rel.df()
         except Exception as e:
             print(f"  ✗ {qname}: oracle SQL error: {e}")
             summary[qname] = {"rows_match": False, "schema_match": False,
@@ -148,8 +241,17 @@ def main():
         rows_match = len(gr) == len(er)
         schema_match = gc == ec
         hash_match = schema_match and rows_match and gr == er
+        # static output-type audit (independent of values): DECIMAL on one
+        # side vs non-decimal on the other fails even if every value agrees
+        audit = type_audit(qdir, rel)
+        if audit:
+            hash_match = False
         err = None
-        if not schema_match:
+        if audit:
+            err = f"output-type divergence: {'; '.join(audit)}"
+            print(f"  ✗ {qname}: {err}")
+            n_fail += 1
+        elif not schema_match:
             err = f"column mismatch spark={gc} oracle={ec}"
             print(f"  ✗ {qname}: {err}")
             n_fail += 1
