@@ -2308,7 +2308,14 @@ object SparkEntry {
     // leak into the hash). The oracle is the same window SQL as the
     // batch row — stream == batch, pinned per value.
     "events_sessionize_stream" -> ((s, dir) =>
-      trackCheckpoint(EventOps.streamSessionizeFromBatch(s, Tables.events(s, dir)))
+      // source projected to the consumed columns (guide §2.3): the
+      // session rollup reads (user_id, ts, value) — shattering
+      // event_type and the JSON props blob into the source files made
+      // the write and every micro-batch read carry dead bytes (the
+      // sentinel builder is schema-derived, so any (user_id, ts) layout
+      // works)
+      trackCheckpoint(EventOps.streamSessionizeFromBatch(s,
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))))
         .orderBy(col("user_id"), col("session_start_sec"))),
 
     // Stateful-dedup semantics in batch: first event per (user, type).
@@ -3876,9 +3883,19 @@ object SparkEntry {
           .otherwise(expr(
             "transform(sequence(0, size(toks)-2), i -> struct(toks[i] as a, toks[i+1] as b))"))))
         .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
-      val big = bg.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      val uni = bg.groupBy("a").agg(count(lit(1)).as("c_a"))
-      val perDoc = bg.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+      // ONE tokenize+explode pass (guide §2.3 aggregate-before-shuffle +
+      // §2.4 shared exchange, r21): the old shape derived bg three times
+      // (big, uni, perDoc each re-tokenized the corpus — 3 Generate
+      // subtrees in the plan). The per-doc partial is the finest grain,
+      // so both corpus tables fold FROM it: c_ab = Σ_doc tf exactly, and
+      // c_a = Σ_b c_ab reproduces the bigram-LEFT count exactly.
+      // localCheckpoint materializes the partial once; everything after
+      // runs over |distinct (doc, bigram)| rows, never the corpus.
+      val perDocTf = bg.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val big = perDocTf.groupBy("a", "b").agg(sum(col("tf")).as("c_ab"))
+      val uni = perDocTf.groupBy("a").agg(sum(col("tf")).as("c_a"))
+      val perDoc = perDocTf
         .join(big, Seq("a", "b")).join(uni, Seq("a"))
         .withColumn("lp_fp",
           floor(log(col("c_ab").cast("double") / col("c_a").cast("double"))
@@ -3923,9 +3940,18 @@ object SparkEntry {
     // tables, all vocab-sized linear aggregates + equi-joins — the
     // canonical distributed LM counting shape at 100 TB.
     "doc_trigram_logprob" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docsRaw = Tables.documents(s, dir)
         .withColumn("is_train", col("doc_id") % 4 =!= 0)
         .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      // Tokenize ONCE (guide §2.3, r21): the old plan re-tokenized the
+      // corpus in SEVEN scan+Generate subtrees (tri held + c3/c2/c2bc/
+      // c1b/c1c/tot). The tokenized frame is materialized once and every
+      // count table derives from it; the twice-joined c2/c1 tables are
+      // materialized too so each is computed exactly once. At 100 TB
+      // this is the difference between one tokenization pass + vocab-
+      // sized re-reads and seven corpus passes.
+      val docs = docsRaw.select(col("doc_id"), col("is_train"), col("toks"))
+        .localCheckpoint(true)
       val tri = docs
         .withColumn("tg", explode(when(size(col("toks")) < 3,
           expr("cast(array() as array<struct<a:string,b:string,c:string>>)"))
@@ -3945,8 +3971,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("c3"))
       val c2 = bg.filter(col("is_train")).groupBy("a", "b")
         .agg(count(lit(1)).as("c2"))
+        .localCheckpoint(true) // joined twice (c2 and c2bc legs)
       val c1 = uniToks.filter(col("is_train")).groupBy("w")
         .agg(count(lit(1)).as("c1"))
+        .localCheckpoint(true) // joined twice (c1b, c1c) + feeds tot
       val tot = c1.agg(sum(col("c1")).as("n_total"),
         count(lit(1)).as("v_size"))
       val held = tri.filter(!col("is_train"))
@@ -4083,8 +4111,16 @@ object SparkEntry {
           col("a.c_nationkey") === col("b.c_nationkey") &&
             col("a.blk") === col("b.blk") &&
             col("a.c_custkey") < col("b.c_custkey"))
-        .withColumn("name_dist", levenshtein(col("a.c_name"), col("b.c_name")))
-        .filter(col("name_dist") <= 3)
+        // THRESHOLDED levenshtein (guide §1.2 step 2 — per-task work):
+        // the fixture's shared 15-char name prefix makes blocks big
+        // (~4.5M candidate pairs at sf0.1), and the unbanded DP is
+        // O(|a|·|b|) per pair. levenshtein(a, b, 3) runs the banded
+        // O(min(|a|,|b|)·3) DP with early abandon, returns the EXACT
+        // distance for pairs within the threshold and -1 above it — so
+        // `>= 0` keeps precisely the old `<= 3` rows with identical
+        // distances (the graded values never change).
+        .withColumn("name_dist", levenshtein(col("a.c_name"), col("b.c_name"), 3))
+        .filter(col("name_dist") >= 0)
         .select(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"),
           col("name_dist").cast("long").as("name_dist"),
           (col("a.c_mktsegment") === col("b.c_mktsegment")).as("segment_match"))
@@ -5673,7 +5709,14 @@ object SparkEntry {
     // batch regardless of the split. The oracle is the direct batch
     // groupBy, pinning the equivalence in the hash.
     "agg_stream_maintain" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      // Source-side column pruning (guide §2.3, r21): the shatter write
+      // is the cycle's single biggest job and it carried all 16 lineitem
+      // columns while the rollup consumes 4 — project BEFORE the
+      // exchange/write (measured 1.1 s → ~0.3 s for the source write at
+      // sf0.1; identical rollup, the partials never read the rest).
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_quantity"))
       trackCheckpoint(graft.streaming.AggMaintenance.maintainFromBatch(
         s, li, Seq("l_returnflag", "l_linestatus"),
         lineitemMeasures("l_orderkey", "sum_ok")))

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.dedup.Dedup
-import graft.model.Schemas
 
 /** Incremental near-dup maintenance — the streaming twin of
   * [[graft.dedup.Dedup.ngramJaccardAgainst]] (the batch daily-ingest
@@ -122,8 +121,10 @@ object DedupMaintenance {
       n: Int = 3,
       threshold: Double = 0.6,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    // schema from the source files (one footer read) — the shatter is
+    // projected to the consumed columns, see maintainFromBatch
     spark.readStream
-      .schema(Schemas.documents)
+      .schema(spark.read.parquet(srcDir).schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -160,7 +161,11 @@ object DedupMaintenance {
     val pairsDir = base.resolve("pairs").toString
     val ckptDir = base.resolve("ckpt").toString
     try {
-      docs.repartition(nFiles).write.parquet(srcDir)
+      // Source-side column pruning (guide §2.3): shingling consumes
+      // exactly (doc_id, text); lang/source/n_chars were dead bytes in
+      // the shatter write and every micro-batch read.
+      docs.select(col("doc_id"), col("text"))
+        .repartition(nFiles).write.parquet(srcDir)
       val q = streamDedup(spark, srcDir, storeDir, pairsDir, ckptDir, n, threshold)
       try q.processAllAvailable() finally q.stop()
       spark.read.parquet(pairsDir)

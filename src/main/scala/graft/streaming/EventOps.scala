@@ -15,6 +15,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object EventOps {
 
+  /** Sentinel no-op observer for [[streamSessionizeFromBatch]]'s
+    * `onPhase`: reference-compared so the production path can skip the
+    * evidence-collection work (commit-log scan + sink count job)
+    * entirely when nobody is listening.
+    */
+  val noPhase: (String, Long) => Unit = (_, _) => ()
+
   /** Tumbling event-time window aggregation. Emits epoch-second window
     * starts (integer — timestamp-encoding-proof for the oracle compare).
     */
@@ -198,7 +205,7 @@ object EventOps {
       events: DataFrame,
       gap: String = "30 minutes",
       nFiles: Int = 4,
-      onPhase: (String, Long) => Unit = (_, _) => ()): DataFrame = {
+      onPhase: (String, Long) => Unit = EventOps.noPhase): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_sess_stream")
     val srcDir = base.resolve("src")
     val outDir = base.resolve("out").toString
@@ -226,18 +233,12 @@ object EventOps {
       }
       val t0 = java.nio.file.Files.getLastModifiedTime(srcDir).toMillis
       val schema = events.schema
-      ranges.zipWithIndex.foreach { case (pred, i) =>
-        val f = srcDir.resolve(f"batch_$i%04d.parquet")
-        writeSingleParquet(spark, events.filter(pred), f.toString)
-        java.nio.file.Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
-      }
       // Sentinels LAST in modification-time order (the source replays
       // oldest-first): watermark-advance then evict-and-emit.
       val gapIv = org.apache.spark.sql.catalyst.util.IntervalUtils
         .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
       val gapSeconds = gapIv.days * 86400L + gapIv.microseconds / 1000000L
-      Seq(0, 1).foreach { i =>
+      val sentinelRows = Seq(0, 1).map { i =>
         val sentinelTs = maxTs + 3 * gapSeconds + 3600L * (i + 1)
         // Sentinel rows are built FROM events.schema (r19 ADVICE: the
         // old hard-coded 6-tuple broke any caller whose events frame
@@ -245,7 +246,7 @@ object EventOps {
         // -1, whose session is filtered) and ts (the watermark driver)
         // carry semantics; every other field gets a type-appropriate
         // default, so any frame with (user_id, ts) columns works.
-        val row = org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { fld =>
+        org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { fld =>
           fld.name match {
             case "user_id" => fld.dataType match {
               case org.apache.spark.sql.types.IntegerType => -1
@@ -273,13 +274,47 @@ object EventOps {
             }
           }
         })
-        val sentinel = spark.createDataFrame(
-          java.util.Collections.singletonList(row), schema)
-        val f = srcDir.resolve(f"sentinel_$i.parquet")
-        writeSingleParquet(spark, sentinel, f.toString)
-        java.nio.file.Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + (nFiles + i) * 1000L))
       }
+      // ONE partitioned write shatters ranges AND sentinels together
+      // (r21, guide §1/§2: the old loop ran one filter+coalesce(1) write
+      // per range plus one per sentinel — 6 jobs, 5 full event scans;
+      // this is 1 job, 1 scan). The bucket index counts bounds strictly
+      // below ts (identical to the (lo, hi] range predicates); hash-
+      // repartition on the bucket puts each bucket entirely in one task,
+      // so every partition dir holds exactly one part file, renamed into
+      // the source layout with the same strictly-increasing mtimes.
+      val bucketExpr = bounds.foldLeft(lit(0))((acc, b) =>
+        acc + when(tsLong > lit(b.toLong), 1).otherwise(0))
+      val nRanges = ranges.length
+      val sentinels = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(sentinelRows).asJava, schema)
+        .withColumn("__graft_bucket",
+          when(col("ts").cast("long") === lit(maxTs + 3 * gapSeconds + 3600L),
+            lit(nRanges)).otherwise(lit(nRanges + 1)))
+      val stage = base.resolve("src__stage").toString
+      events.withColumn("__graft_bucket", bucketExpr)
+        .unionByName(sentinels)
+        .repartition(nRanges + 2, col("__graft_bucket"))
+        .write.partitionBy("__graft_bucket").mode("overwrite").parquet(stage)
+      val fsConf = spark.sparkContext.hadoopConfiguration
+      val stagePath = new org.apache.hadoop.fs.Path(stage)
+      val fs = stagePath.getFileSystem(fsConf)
+      (0 until nRanges + 2).foreach { i =>
+        val bucketDir = new org.apache.hadoop.fs.Path(stage, s"__graft_bucket=$i")
+        if (fs.exists(bucketDir)) {
+          val part = fs.listStatus(bucketDir)
+            .map(_.getPath).find(_.getName.startsWith("part-"))
+            .getOrElse(throw new IllegalStateException(s"no part file under $bucketDir"))
+          val (name, mtime) =
+            if (i < nRanges) (f"batch_$i%04d.parquet", t0 + i * 1000L)
+            else (s"sentinel_${i - nRanges}.parquet", t0 + (nFiles + (i - nRanges)) * 1000L)
+          val dest = srcDir.resolve(name)
+          fs.rename(part, new org.apache.hadoop.fs.Path(dest.toString))
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        }
+      }
+      fs.delete(stagePath, true)
       // The stream runs on a CLONED session with few shuffle partitions:
       // the session_window state store commits one delta per partition
       // per micro-batch, and at the fixture's ~10² open sessions the
@@ -287,9 +322,16 @@ object EventOps {
       // state files). At 100 TB the same knob goes the other way —
       // state partitioning is sized to the OPEN-session count, fixed at
       // the first checkpoint, which is exactly why it must not leak
-      // from a query-engine default.
+      // from a query-engine default. Parameterized (conf, then env,
+      // then the 8 default) so production sizes it to open sessions
+      // without a code edit — r21 A/B at sf0.1 measures the local
+      // sweet spot; results are partitioning-invariant either way
+      // (sessions merge per user key regardless of partition count).
+      val stateParts = spark.conf.getOption("spark.graft.stream.statePartitions")
+        .orElse(sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS"))
+        .flatMap(_.toIntOption).getOrElse(8)
       val s2 = spark.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
       val q = s2.readStream
         .schema(schema)
         .option("pathGlobFilter", "*.parquet")
@@ -310,22 +352,27 @@ object EventOps {
       try q.processAllAvailable() finally q.stop()
       // Incremental-emission evidence from the sink's own commit log:
       // each _spark_metadata/<batchId> file lists the data files that
-      // batch committed (empty batches commit none).
-      val metaDir = java.nio.file.Paths.get(outDir, "_spark_metadata")
-      val emitBatches =
-        if (!java.nio.file.Files.isDirectory(metaDir)) 0L
-        else {
-          val it = java.nio.file.Files.list(metaDir)
-          try it.iterator().asScala.count { f =>
-            new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-              .contains("\"path\"")
-          }.toLong
-          finally it.close()
-        }
-      onPhase("emit_batches", emitBatches)
-      val all = spark.read.parquet(outDir)
-      onPhase("flushed_total", all.count())
-      all
+      // batch committed (empty batches commit none). Evidence collection
+      // (commit-log scan + the flushed_total count JOB) runs only when a
+      // spec attached a real observer — the production path skips both
+      // (r21, guide §1: the count was a full extra read of the sink in
+      // every timed run, observability billed to the query).
+      if (onPhase ne EventOps.noPhase) {
+        val metaDir = java.nio.file.Paths.get(outDir, "_spark_metadata")
+        val emitBatches =
+          if (!java.nio.file.Files.isDirectory(metaDir)) 0L
+          else {
+            val it = java.nio.file.Files.list(metaDir)
+            try it.iterator().asScala.count { f =>
+              new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+                .contains("\"path\"")
+            }.toLong
+            finally it.close()
+          }
+        onPhase("emit_batches", emitBatches)
+        onPhase("flushed_total", spark.read.parquet(outDir).count())
+      }
+      spark.read.parquet(outDir)
         .filter(col("user_id") =!= -1L)
         .select(
           col("user_id"),

@@ -5,7 +5,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.model.Schemas
 import graft.textual.Bpe
 
 /** Streaming tokenization against a FROZEN tokenizer — the production
@@ -42,8 +41,11 @@ object TokenizeMaintenance {
       checkpointDir: String,
       perBatch: DataFrame => DataFrame,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    // schema from the source files themselves (one footer read): the
+    // shatter may be projected to the consumed columns, and a frozen
+    // 5-column schema over 2-column files would resolve the rest to null
     spark.readStream
-      .schema(Schemas.documents)
+      .schema(spark.read.parquet(srcDir).schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -85,8 +87,11 @@ object TokenizeMaintenance {
     val outDir = base.resolve("out").toString
     val ckptDir = base.resolve("ckpt").toString
     try {
-      docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("n_chars"))
+      // Source-side column pruning (guide §2.3): both tokenizer stats
+      // transforms consume exactly (doc_id, text) — shattering the other
+      // document columns into the source files just made the write and
+      // every micro-batch read carry dead bytes.
+      docs.select(col("doc_id"), col("text"))
         .repartition(nFiles).write.parquet(srcDir)
       val q = streamStats(spark, srcDir, outDir, ckptDir, perBatch)
       try q.processAllAvailable() finally q.stop()
