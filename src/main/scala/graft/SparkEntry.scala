@@ -1020,6 +1020,22 @@ object SparkEntry {
     df
   }
 
+  /** Materialize a NARROW expensive pipeline once, then globally sort
+    * it (r21, guide §1/§7.2): a global `orderBy` plans as a
+    * RangePartitioning exchange whose partitioner SAMPLES its child —
+    * when the child is a shuffle, AQE reuses the materialized stage,
+    * but when it is a narrow pipeline of expensive per-row expressions
+    * (regex batteries, rolling-hash winnowing, media decoders, the
+    * interpreted higher-order lambdas), the sampling pass re-executes
+    * the whole pipeline and the sort pays it AGAIN — JobProfile shows
+    * the signature pair of equal-cost jobs. localCheckpoint computes
+    * the rows once (in parallel) and the sort's sampling then reads the
+    * materialized partitions. Same trade at 100 TB: one materialization
+    * vs two executions of the dominant map work.
+    */
+  private def materializeThenSort(df: DataFrame, cols: String*): DataFrame =
+    df.localCheckpoint(true).orderBy(cols.map(col): _*)
+
   /** The rewrite_fired pin for the planner rows, r18 protocol
     * ([[graft.plans.PlannerPin]]): build → inspect the optimized plan
     * for the splice → retry ONCE on a miss after clearing the planner's
@@ -1899,11 +1915,22 @@ object SparkEntry {
       val tag = "g" + Integer.toHexString(dir.hashCode).replace('-', 'n')
       val liT = s"li_bkt_$tag"
       val ordT = s"ord_bkt_$tag"
+      // Pre-shuffle each side BY ITS BUCKET KEY before the bucketed
+      // write (guide §6, r21): Spark's bucketed write does NOT shuffle —
+      // every input task writes one file per bucket it happens to hold,
+      // so N scan tasks × 16 buckets fragmented the table into many
+      // tiny files and the co-located join re-opened all of them.
+      // repartition on the key uses the same hash as the bucket spec, so
+      // each write task holds exactly one bucket → exactly 16 files per
+      // table, one sorted run each (no per-task multi-bucket fan-out).
+      // This is also the 100 TB shape: cluster-by-key once, write once.
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(16, col("l_orderkey"))
         .write.mode("overwrite").option("path", s"$tmp/$liT")
         .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
       Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(16, col("o_orderkey"))
         .write.mode("overwrite").option("path", s"$tmp/$ordT")
         .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
       val rev = col("l_extendedprice").cast("decimal(14,2)") *
@@ -2436,10 +2463,11 @@ object SparkEntry {
 
     // Quality scoring.
     "quality_score" -> ((s, dir) =>
-      TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")
-        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"), col("distinct_ratio"),
-          col("stopword_ratio"), col("punct_ratio"), col("quality_score"))
-        .orderBy("doc_id")),
+      materializeThenSort(
+        TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")
+          .select(col("doc_id"), col("n_tokens"), col("mean_token_len"), col("distinct_ratio"),
+            col("stopword_ratio"), col("punct_ratio"), col("quality_score")),
+        "doc_id")),
 
     // Gopher-style repetition filter signals: top-bigram and
     // duplicate-bigram occupancy per document (template spam scores
@@ -2457,10 +2485,11 @@ object SparkEntry {
     "customer_pii_mask" -> ((s, dir) => {
       val profile = concat(col("c_name"), lit(" <user"), col("c_custkey"),
         lit("@example.com> seg "), col("c_mktsegment"))
-      Tables.customer(s, dir)
-        .select(col("c_custkey"),
-          graft.textual.Redaction.maskPii(profile).as("profile_masked"))
-        .orderBy("c_custkey")
+      materializeThenSort(
+        Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            graft.textual.Redaction.maskPii(profile).as("profile_masked")),
+        "c_custkey")
     }),
 
     // The end-to-end dedup+quality DECISION a training-data pipeline
@@ -3291,7 +3320,7 @@ object SparkEntry {
           element_at(col("mean_rgb"), 1).cast("long").as("r"),
           element_at(col("mean_rgb"), 2).cast("long").as("g"),
           element_at(col("mean_rgb"), 3).cast("long").as("b"))
-        .orderBy("doc_id")
+        .transform(materializeThenSort(_, "doc_id"))
     }),
 
     // REAL audio decode, oracle-visible (the decode_rgb move): write a
@@ -3726,7 +3755,7 @@ object SparkEntry {
           expr("aggregate(sequence(0, 63), cast(0 as bigint), (acc, k) -> " +
             "greatest(acc, abs(element_at(recon, k + 1) - cast(element_at(px, k + 1) as bigint))))")
             .as("max_abs_err"))
-        .orderBy("doc_id")
+        .transform(materializeThenSort(_, "doc_id"))
     }),
 
     // IVFADC end-to-end (Jégou et al., TPAMI'11 — the full production
@@ -4420,9 +4449,10 @@ object SparkEntry {
 
     // Rolling-hash document fingerprint.
     "doc_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprints(Tables.documents(s, dir), "text")
-        .select(col("doc_id"), col("fingerprint"))
-        .orderBy("doc_id")),
+      materializeThenSort(
+        TextAnalysis.fingerprints(Tables.documents(s, dir), "text")
+          .select(col("doc_id"), col("fingerprint")),
+        "doc_id")),
 
     // WINNOWING fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
     // algorithm, the standard robust local fingerprinting scheme for
@@ -4443,7 +4473,7 @@ object SparkEntry {
           expr("aggregate(sel, cast(0 as bigint)," +
             " (acc, p) -> (acc * 31 + element_at(gh, p + 1)) % 1000000007)")
             .as("winnow_digest"))
-        .orderBy("doc_id")
+        .transform(materializeThenSort(_, "doc_id"))
     }),
 
     // The fingerprints put to work — MOSS-style near-dup CANDIDATES:
@@ -5354,7 +5384,7 @@ object SparkEntry {
           size(col("cards")).cast("long").as("n_card_all"),
           size(filter(col("cards"), c => PiiScan.luhnValid16(c)))
             .cast("long").as("n_card_valid"))
-        .orderBy("doc_id")
+        .transform(materializeThenSort(_, "doc_id"))
     }),
 
     // The REDACTION half of the PII lifecycle: emails and phones
@@ -5407,7 +5437,7 @@ object SparkEntry {
           size(filter(col("cards_left"), c => PiiScan.luhnValid16(c)))
             .cast("long").as("n_valid_card_left"),
           size(col("cards_left")).cast("long").as("n_candidates_left"))
-        .orderBy("doc_id")
+        .transform(materializeThenSort(_, "doc_id"))
     }),
 
     // The SQL-ONLY user path, end-to-end: the query is a SQL STRING
@@ -6385,7 +6415,7 @@ object SparkEntry {
              |    END), ' ')""".stripMargin))
         .select(col("doc_id"), col("nblocks").cast("long").as("n_spans"),
           col("input_text"), col("target_text"))
-        .orderBy("doc_id")
+        .transform(materializeThenSort(_, "doc_id"))
     }),
 
     // Document length histogram (100-char bins).
