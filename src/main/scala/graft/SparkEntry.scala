@@ -3486,8 +3486,12 @@ object SparkEntry {
             (id, graft.multimodal.Multimodal.grayPngBytes(9, 8, grays))
           }
         }.toDF("id", "payload")
+      // hashes materialized once (r21): dhashPairs self-joins its banded
+      // form, which otherwise re-encodes and re-hashes every PNG on both
+      // join sides
       val hashes = graft.multimodal.Multimodal.dHash64(s, media)
         .filter(col("is_image")).select(col("id"), col("dhash"))
+        .localCheckpoint(true)
       graft.dedup.Dedup.dhashPairs(hashes, maxHamming = 6)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")

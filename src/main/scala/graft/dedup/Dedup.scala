@@ -107,9 +107,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     graft.functions.HashedShingles.ensureRegistered(docs.sparkSession)
+    // no size(sh) > 0 filter: non-outer explode() already emits nothing
+    // for empty/null arrays, and the pushed-down filter re-evaluated the
+    // whole shingle expression inside its own condition (guide §7.2 —
+    // duplicated expensive expressions below the filter)
     docs
       .select(col(idCol).as("id"), graft.functions.HashedShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
   }
 
@@ -152,8 +155,16 @@ object Dedup {
     graft.functions.HashedShingles.ensureRegistered(docs.sparkSession)
     val sh = docs
       .select(col(idCol).as("id"), graft.functions.HashedShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // (no size>0 filter: explode() drops empty/null arrays itself, and
+    // the pushed-down condition re-evaluated the shingle expression)
+    // Postings materialized ONCE (r21, the sharedWinnowPairs discipline):
+    // unmaterialized, the self-join shingled the corpus on BOTH sides,
+    // and the pushed-down size()>0 filter re-evaluated the shingle
+    // expression inside its own condition — up to 3 hash passes per row
+    // per side. At 100 TB this materialization IS the stored posting
+    // table the class doc promises (write once, join many).
     val allPosts = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .localCheckpoint(true)
     // Stop-shingle cap: a shingle appearing in > maxDocFrequency docs
     // contributes df² co-occurrence rows — the classic skew bomb on a
     // real corpus ("the of the", boilerplate headers). Dropping those
@@ -218,8 +229,15 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     graft.functions.HashedShingles.ensureRegistered(docs.sparkSession)
     val p = lit(MersennePrime)
+    // Shingle sets materialized ONCE (r21): `sh` feeds the signature
+    // aggregation AND both sides of the candidate verify join — the
+    // unmaterialized frame re-shingled the corpus three times, plus the
+    // pushed-down size() filter re-evaluated the expression in its own
+    // condition. Checkpoint BEFORE the filter so the condition reads the
+    // materialized column.
     val sh = docs
       .select(col(idCol).as("id"), graft.functions.HashedShingles(col(textCol), n).as("sh"))
+      .localCheckpoint(true)
       .filter(size(col("sh")) > 0)
     val exploded = sh
       .select(col("id"), explode(col("sh")).as("s"))
@@ -272,7 +290,9 @@ object Dedup {
       maxHamming: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sigs = simHashSignatures(docs, idCol, textCol)
+    // signatures materialized once: the banded self-join otherwise runs
+    // the per-row SimHash64 native expression on BOTH sides (r21)
+    val sigs = simHashSignatures(docs, idCol, textCol).localCheckpoint(true)
     val chunks = array((0 until 4).map { b =>
       struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
     }: _*)
