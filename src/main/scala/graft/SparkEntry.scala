@@ -1533,13 +1533,18 @@ object SparkEntry {
         when(col("vec_id") % 2 === 0, "even").otherwise("odd").as("document"),
         col("embedding"), col("vec_id"))
       store.add("docs", records)
+      // ONE partitioned write emits both CDC files (r21, guide §1 —
+      // was two filter+coalesce(1) writes, each a separate scan). The
+      // two batches touch disjoint ids, so their relative replay order
+      // cannot change the final state (the row's declared contract).
       records.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
-        .select(col("id"), col("document"), col("embedding"), lit("D").as("_op"))
-        .coalesce(1).write.parquet(s"$srcDir/b0")
-      records.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-        .select(col("id"), lit("patched").as("document"), col("embedding"),
-          lit("U").as("_op"))
-        .coalesce(1).write.parquet(s"$srcDir/b1")
+        .select(col("id"), col("document"), col("embedding"), lit("D").as("_op"),
+          lit("b0").as("__b"))
+        .unionByName(records.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+          .select(col("id"), lit("patched").as("document"), col("embedding"),
+            lit("U").as("_op"), lit("b1").as("__b")))
+        .repartition(2, col("__b"))
+        .write.partitionBy("__b").parquet(srcDir)
       val q0 = graft.streaming.StoreMaintenance.streamCdcApply(
         s, srcDir, store, "docs", base.resolve("ckpt").toString)
       try q0.processAllAvailable() finally q0.stop()

@@ -80,8 +80,29 @@ class VectorStore(spark: SparkSession, warehouse: String) {
         col("embedding").cast("array<float>"), meta.as("metadata"))
   }
 
-  /** collection.count() (chromadb_speed_experiment.py:399-418). */
-  def count(name: String): Long = collection(name).count()
+  /** Exact row count from the parquet FOOTERS (driver-side metadata, no
+    * Spark job — r21, guide §1.2: the count is the rewrite path's only
+    * reason to scan). Parquet footers carry the exact per-block row
+    * count, so this equals `collection.count()` bit-for-bit; Delta/
+    * Iceberg commit stats formalize the same metadata-count discipline.
+    */
+  private def parquetRowCount(d: Path): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(d).filter(_.getPath.getName.startsWith("part-")).map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rd.getRecordCount finally rd.close()
+    }.sum
+  }
+
+  /** collection.count() (chromadb_speed_experiment.py:399-418) — footer
+    * metadata, no Spark job (the reference's count() is a metadata op
+    * too).
+    */
+  def count(name: String): Long = {
+    recoverIfCrashed(name)
+    parquetRowCount(dir(name))
+  }
 
   /** Exact L2 top-k — the reference's query(query_embeddings=..., n_results=k)
     * with documents included in the result. `queries` is (qid, qemb).
@@ -141,9 +162,12 @@ class VectorStore(spark: SparkSession, warehouse: String) {
     require(fs.exists(d), s"no such collection: $name")
     val staging = new Path(root, name + ".staging")
     fs.delete(staging, true)
-    val before = collection(name).count()
+    // before/after from parquet footers (exact, driver-side) — the old
+    // collection.count() + staging count() were two extra full Spark
+    // jobs per rewrite whose only output was the returned delta (r21)
+    val before = parquetRowCount(d)
     keep(collection(name)).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val after = spark.read.parquet(staging.toString).count()
+    val after = parquetRowCount(staging)
     fs.delete(bak, true)
     fs.rename(d, bak)
     fs.rename(staging, d)
@@ -202,10 +226,15 @@ class VectorStore(spark: SparkSession, warehouse: String) {
       // The reference client REJECTS duplicate ids within one upsert
       // request (a duplicated id would otherwise leave two live rows
       // for one key, and which survives would be row-order luck).
-      val total = newRows.count()
+      // ONE validation job (count + distinct-id count together) instead
+      // of two over the materialized batch (r21).
+      val v = newRows.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        countDistinct(col("id")).as("nd")).head()
+      val (total, distinctIds) = (v.getLong(0), v.getLong(1))
       val incoming = newRows.select(col("id")).distinct().localCheckpoint(true)
       try {
-        require(incoming.count() == total,
+        require(distinctIds == total,
           s"upsert batch for '$name' contains duplicate ids; " +
             "deduplicate the batch before upserting")
         rewrite(name)(
