@@ -294,10 +294,33 @@ object AggMaintenance {
       factGroupCols: Seq[String],
       measures: Measures): DataFrame = {
     val attrs = dimGroupCols.map(col)
-    // the SCD diff: rows present in exactly one version (keyed updates
-    // appear on both sides; inserts/deletes on one)
-    val changedOld = oldDim.exceptAll(newDim)
-    val changedNew = newDim.exceptAll(oldDim)
+    // the SCD diff in ONE pass (r21, guide §3): the dim key is unique
+    // per version (viewOverDim's stated precondition), so a single
+    // full-outer self-join on the key classifies every row — changed =
+    // key present on exactly one side, or present on both with any
+    // attribute differing (null-safe compares throughout). The old
+    // shape ran TWO exceptAll multiset aggregations, each a full
+    // shuffle+count over both dim versions; this is one key-partitioned
+    // join, and only the |diff| surviving rows materialize.
+    val dimCols = oldDim.columns.toSeq
+    // presence markers (not key-null tests): a NULL dim key is still a
+    // real row of its version, and after the outer join the marker is
+    // null exactly when that side is absent
+    val oSide = oldDim.toDF(dimCols.map("__o_" + _): _*)
+      .withColumn("__o_present", lit(true))
+    val nSide = newDim.toDF(dimCols.map("__n_" + _): _*)
+      .withColumn("__n_present", lit(true))
+    val differs = dimCols
+      .map(c => !(col("__o_" + c) <=> col("__n_" + c))).reduce(_ || _)
+    val changed = oSide
+      .join(nSide, col("__o_" + dimKey) <=> col("__n_" + dimKey), "full_outer")
+      .filter(differs)
+      .localCheckpoint(true) // |diff|-sized; read twice below
+    def changedSide(prefix: String): DataFrame =
+      changed.filter(col(prefix + "present").isNotNull)
+        .select(dimCols.map(c => col(prefix + c).as(c)): _*)
+    val changedOld = changedSide("__o_")
+    val changedNew = changedSide("__n_")
     // every dim-attribute group a changed key contributed to, under
     // either version — the view rows outside this set are untouchable.
     // Membership checks use NULL-SAFE equality: a NULL dim attribute is
