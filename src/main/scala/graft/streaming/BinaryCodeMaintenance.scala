@@ -5,7 +5,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.model.Schemas
 import graft.search.BinaryHash
 
 /** Incremental binary-code maintenance — the streaming twin of
@@ -55,7 +54,7 @@ object BinaryCodeMaintenance {
       thr: Array[Long],
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
     spark.readStream
-      .schema(Schemas.embeddings)
+      .schema(spark.read.parquet(srcDir).schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -84,7 +83,10 @@ object BinaryCodeMaintenance {
     val codesDir = base.resolve("codes").toString
     val ckptDir = base.resolve("ckpt").toString
     try {
-      emb.repartition(nFiles).write.parquet(srcDir)
+      // source projected to the consumed columns (guide §2.3, r21):
+      // coding/assignment reads (vec_id, embedding) only
+      emb.select(col("vec_id"), col("embedding"))
+        .repartition(nFiles).write.parquet(srcDir)
       val q = streamCodes(spark, srcDir, codesDir, ckptDir, thr)
       try q.processAllAvailable() finally q.stop()
       spark.read.parquet(codesDir)

@@ -7,7 +7,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.model.Schemas
 
 /** Incremental GRAPH-index maintenance — the streaming twin of the
   * HNSW build path (`search/Hnsw`), completing the maintenance
@@ -210,7 +209,7 @@ object HnswMaintenance {
       numGraphs: Int = 8,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
     spark.readStream
-      .schema(Schemas.embeddings)
+      .schema(spark.read.parquet(srcDir).schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)

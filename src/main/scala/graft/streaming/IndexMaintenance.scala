@@ -5,7 +5,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.model.Schemas
 
 /** Incremental ANN-index maintenance — the streaming twin of the IVF
   * build path (`search/IvfIndex.assign`). The reference builds its index
@@ -88,7 +87,7 @@ object IndexMaintenance {
       maxFilesPerTrigger: Int = 1,
       glob: String = "*.parquet"): StreamingQuery = {
     spark.readStream
-      .schema(Schemas.embeddings)
+      .schema(spark.read.parquet(srcDir).schema)
       .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -155,7 +154,10 @@ object IndexMaintenance {
     val indexDir = base.resolve("index").toString
     val ckptDir = base.resolve("ckpt").toString
     try {
-      emb.repartition(nFiles).write.parquet(srcDir)
+      // source projected to the consumed columns (guide §2.3, r21):
+      // coding/assignment reads (vec_id, embedding) only
+      emb.select(col("vec_id"), col("embedding"))
+        .repartition(nFiles).write.parquet(srcDir)
       val q = streamIndexAppend(spark, srcDir, indexDir, ckptDir, centroids)
       try q.processAllAvailable() finally q.stop()
       spark.read.parquet(indexDir)
