@@ -2504,7 +2504,9 @@ object SparkEntry {
     // three already-oracle-checked stages; the anti-join is the same
     // resume/skip shape as orders_anti.
     "corpus_keep_list" -> ((s, dir) =>
-      keepListFrame(s, dir).orderBy("doc_id")),
+      // narrow pipeline (quality battery + broadcast anti-join) under a
+      // global sort — materialize once, see materializeThenSort
+      materializeThenSort(keepListFrame(s, dir), "doc_id")),
 
     // The WHOLE corpus build in one declared plan — the summary a
     // training run reads before touching data: validity + quality bar +
@@ -2991,9 +2993,10 @@ object SparkEntry {
 
     // Token counting (whitespace + BPE-ish regex).
     "token_counts" -> ((s, dir) =>
-      TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
-        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"))
-        .orderBy("doc_id")),
+      materializeThenSort(
+        TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
+          .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens")),
+        "doc_id")),
 
     // Reproducible training shuffle: deterministic hash order, 8 shards,
     // in-shard epoch positions (the materialized form is spec-verified
@@ -4638,13 +4641,14 @@ object SparkEntry {
     // lowercase, strip controls, collapse whitespace; emitted as an md5
     // so the compare stays narrow.
     "docs_normalized" -> ((s, dir) =>
-      TextAnalysis.normalized(Tables.documents(s, dir), "text")
-        .select(col("doc_id"), md5(col("text_norm")).as("norm_md5"),
-          length(col("text_norm")).cast("long").as("norm_len"),
-          // int not boolean: the first bool column in the oracle surface
-          // would bet on identical bool hashing in the driver's compare
-          col("changed").cast("long").as("changed"))
-        .orderBy("doc_id")),
+      materializeThenSort(
+        TextAnalysis.normalized(Tables.documents(s, dir), "text")
+          .select(col("doc_id"), md5(col("text_norm")).as("norm_md5"),
+            length(col("text_norm")).cast("long").as("norm_len"),
+            // int not boolean: the first bool column in the oracle surface
+            // would bet on identical bool hashing in the driver's compare
+            col("changed").cast("long").as("changed")),
+        "doc_id")),
 
     // Deterministic hash sampling (§2.2): md5-bucket filter keeps the
     // SAME ~25% of rows on every engine and every run — reproducible
@@ -4681,21 +4685,22 @@ object SparkEntry {
           (col("i0") + 1).cast("long").as("dim"),
           (floor(col("x").cast("double") / col("nrm") * lit(1000000.0) + lit(0.5))
             .cast("double") / lit(1000000.0)).as("val"))
-        .orderBy("vec_id", "dim")
+        .transform(materializeThenSort(_, "vec_id", "dim"))
     }),
 
     // §2.8 string functions: case, length, edit distance, negative-index
     // substring, padding, separator concat — all codegen'd per-row.
     "customer_strings" -> ((s, dir) =>
-      Tables.customer(s, dir)
-        .select(col("c_custkey"),
-          upper(col("c_name")).as("upper_name"),
-          length(col("c_name")).cast("long").as("name_len"),
-          levenshtein(col("c_name"), reverse(col("c_name"))).cast("long").as("lev_rev"),
-          substring(col("c_name"), -3, 3).as("suffix"),
-          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
-          concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"))
-        .orderBy("c_custkey")),
+      materializeThenSort(
+        Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            upper(col("c_name")).as("upper_name"),
+            length(col("c_name")).cast("long").as("name_len"),
+            levenshtein(col("c_name"), reverse(col("c_name"))).cast("long").as("lev_rev"),
+            substring(col("c_name"), -3, 3).as("suffix"),
+            lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+            concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key")),
+        "c_custkey")),
 
     // §2.7 bag-semantics set ops: intersectAll / exceptAll keep
     // multiplicities (the DISTINCT variants live in set_ops).

@@ -57,17 +57,35 @@ object DedupMaintenance {
       n: Int = 3,
       threshold: Double = 0.6): Unit = {
     val spark = batch.sparkSession
-    // The batch postings feed three consumers (cross join, within join
-    // ×2 sides, store write); localCheckpoint computes them once and
+    // The batch postings feed three consumers (the fused pair join ×2
+    // sides, store write); localCheckpoint computes them once and
     // severs the re-read of the streaming source.
     val posts = Dedup.hashedPostings(batch, n).localCheckpoint(eager = true)
     val store = readStore(spark, storeDir, beforeBatch = batchId)
-    val cross = Dedup.jaccardAcrossPostings(posts, store, threshold)
+    // ONE fused pair join (r21, guide §2.4): cross (new×stored) and
+    // within (new×new, id<) pairs share the left side and the grouping,
+    // so they ride one equi-join on the shingle hash with a residual
+    // condition — store rows pair unconditionally (ids are globally
+    // unique across batches, so a stored y can never also be a batch
+    // row), batch rows pair under id_x < id_y. Halves the join +
+    // aggregate machinery per micro-batch vs the old two-pass shape;
+    // least/greatest normalization is the identity on within pairs.
+    val ySide = posts.withColumn("st", lit(false))
+      .unionByName(store.withColumn("st", lit(true)))
+    val pairs = posts.as("x")
+      .join(ySide.as("y"),
+        col("x.s") === col("y.s") &&
+          (col("y.st") || col("x.id") < col("y.id")))
+      .groupBy(col("x.id").as("id_x"), col("y.id").as("id_y"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("x.sz")).as("sz_x"), first(col("y.sz")).as("sz_y"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("sz_x") + col("sz_y") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
       .select(least(col("id_x"), col("id_y")).as("id_a"),
-        greatest(col("id_x"), col("id_y")).as("id_b"), col("jaccard"))
-    val within = Dedup.jaccardWithinPostings(posts, threshold)
-    cross.unionByName(within)
-      .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        round(col("jac"), 4).as("jaccard"))
+    pairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
     posts.write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
   }
 
