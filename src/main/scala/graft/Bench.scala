@@ -121,7 +121,17 @@ object Bench {
       val cacheBuilders = Seq("dedup_ngram_jaccard", "search_bm25", "search_vsm_cosine",
         "bpe_train_merges")
         .filter(pooledNames.contains)
-      cacheBuilders.foreach(runOne)
+      // The builders populate four DISJOINT caches (pair list, postings
+      // bundle, VSM frames, BPE merges) — no builder reads another's
+      // cache, so they overlap safely on a small pool (r21); only their
+      // DEPENDENTS must wait, and they do: the pool below is not
+      // submitted until every builder returns.
+      if (cacheBuilders.nonEmpty) {
+        val bpool = Executors.newFixedThreadPool(math.min(cacheBuilders.size, threads))
+        cacheBuilders.foreach(n => bpool.execute(() => runOne(n)))
+        bpool.shutdown()
+        bpool.awaitTermination(1, TimeUnit.HOURS)
+      }
       serialNames.foreach(runOne)
       // Gate-mutating ann_planner_*_multi queries run SERIALLY, mirroring
       // Verify's prelude (r20 ADVICE): the batch-rewrite cost gate is a

@@ -34,11 +34,18 @@ object SparkEntry {
   private def keepListFrame(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.ensureRegistered(s)
     val docs = Tables.documents(s, dir)
+    // quality battery materialized ONCE (r21): the battery is the
+    // expensive narrow stage, and both the final global sort's sampling
+    // pass (corpus_keep_list) and multi-consumer plans (corpus_build_
+    // summary) would otherwise re-run it; the broadcast anti-join stays
+    // OUTSIDE the checkpoint so the plan keeps the 100 TB shape PlanSpec
+    // pins (tiny drop list broadcast, corpus never shuffles).
     val quality = TextAnalysis.qualityFeatures(docs, "text")
       .filter(col("doc_id").isNotNull && col("text").isNotNull &&
         length(trim(col("text"))) > 0)
       .filter(col("quality_score") >= 0.8)
       .select(col("doc_id"), col("quality_score"))
+      .localCheckpoint(true)
     val dropped = Clusters.connectedComponents(sharedNgramPairs(s, dir))
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
@@ -174,6 +181,9 @@ object SparkEntry {
       catch { case _: Throwable => () }
     }
     transientCheckpoints.clear()
+    // checkpointed posting/signature intermediates inside the dedup
+    // library (r21) ride the same teardown
+    try graft.dedup.Dedup.releaseCheckpoints() catch { case _: Throwable => () }
     pqCodebookCache.clear() // driver-side Seqs, nothing persisted
     opqAllocCache.clear()
     opqCodebookCache.clear()
@@ -2504,9 +2514,9 @@ object SparkEntry {
     // three already-oracle-checked stages; the anti-join is the same
     // resume/skip shape as orders_anti.
     "corpus_keep_list" -> ((s, dir) =>
-      // narrow pipeline (quality battery + broadcast anti-join) under a
-      // global sort — materialize once, see materializeThenSort
-      materializeThenSort(keepListFrame(s, dir), "doc_id")),
+      // the quality battery is materialized inside keepListFrame; the
+      // broadcast anti-join stays visible in this plan (PlanSpec pins it)
+      keepListFrame(s, dir).orderBy("doc_id")),
 
     // The WHOLE corpus build in one declared plan — the summary a
     // training run reads before touching data: validity + quality bar +

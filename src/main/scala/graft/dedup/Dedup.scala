@@ -17,6 +17,40 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** Checkpointed intermediates (postings/signature frames materialized
+    * once per operator run — see coOccurrence/minHash/simHash) registered
+    * for deterministic release: [[graft.SparkEntry.clearCaches]] calls
+    * [[releaseCheckpoints]] on teardown so a long-lived host never pins
+    * them past the suite (the CacheLifecycleSpec contract; unreferenced
+    * frames are also ContextCleaner-collectable, this just makes release
+    * deterministic).
+    */
+  private val transientCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def tracked(df: DataFrame): DataFrame = {
+    transientCheckpoints.add(df)
+    df
+  }
+
+  /** Unpersist every registered checkpointed intermediate. A plain
+    * DataFrame.unpersist is a CacheManager no-op for localCheckpoint
+    * frames — the persisted object is the UNDERLYING RDD behind the
+    * LogicalRDD leaf, so that is what gets unpersisted (the
+    * Bpe.unpersistCheckpoint technique).
+    */
+  def releaseCheckpoints(): Unit = {
+    var df = transientCheckpoints.poll()
+    while (df != null) {
+      try df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      } catch { case _: Throwable => () }
+      df = transientCheckpoints.poll()
+    }
+  }
+
   /** Exact dedup: keep the lowest id per normalized-text hash. One
     * shuffle, partial-aggregated; at 100 TB this is a plain groupBy on a
     * 128-bit key.
@@ -163,8 +197,8 @@ object Dedup {
     // expression inside its own condition — up to 3 hash passes per row
     // per side. At 100 TB this materialization IS the stored posting
     // table the class doc promises (write once, join many).
-    val allPosts = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-      .localCheckpoint(true)
+    val allPosts = tracked(sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .localCheckpoint(true))
     // Stop-shingle cap: a shingle appearing in > maxDocFrequency docs
     // contributes df² co-occurrence rows — the classic skew bomb on a
     // real corpus ("the of the", boilerplate headers). Dropping those
@@ -235,9 +269,9 @@ object Dedup {
     // pushed-down size() filter re-evaluated the expression in its own
     // condition. Checkpoint BEFORE the filter so the condition reads the
     // materialized column.
-    val sh = docs
+    val sh = tracked(docs
       .select(col(idCol).as("id"), graft.functions.HashedShingles(col(textCol), n).as("sh"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
       .filter(size(col("sh")) > 0)
     val exploded = sh
       .select(col("id"), explode(col("sh")).as("s"))
@@ -292,7 +326,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     // signatures materialized once: the banded self-join otherwise runs
     // the per-row SimHash64 native expression on BOTH sides (r21)
-    val sigs = simHashSignatures(docs, idCol, textCol).localCheckpoint(true)
+    val sigs = tracked(simHashSignatures(docs, idCol, textCol).localCheckpoint(true))
     val chunks = array((0 until 4).map { b =>
       struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
     }: _*)

@@ -388,24 +388,6 @@ object EventOps {
     }
   }
 
-  /** Write `df` as exactly one parquet FILE at `path` (the streaming
-    * file source needs per-file trigger granularity; a directory per
-    * micro-batch would glob as many files).
-    */
-  private def writeSingleParquet(spark: SparkSession, df: DataFrame,
-      path: String): Unit = {
-    val tmp = path + "__stage"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val fs = tmpPath.getFileSystem(conf)
-    val part = fs.listStatus(tmpPath)
-      .map(_.getPath).find(_.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-    fs.rename(part, new org.apache.hadoop.fs.Path(path))
-    fs.delete(tmpPath, true)
-  }
-
   /** Streaming parquet sink: events stream → append-mode parquet files
     * with exactly-once file commits via the checkpoint (the S9/S10 sink
     * contract on a stream instead of a batch write). At scale this is
